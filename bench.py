@@ -1,0 +1,71 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The metric is total wall time across the headline set; per-query
+seconds let regressions be localized. Results are forced with a cheap
+count() action (no driver-side collect of big results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from finmapreduce_spark.queries import all_queries  # noqa: E402
+from finmapreduce_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the queries whose plan shapes dominate the engine —
+# big agg, star join, windows, sessionization, text/dedup pipeline.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "j1_broadcast_left_join",
+    "w3_topk_per_group",
+    "w2_fixed_batches",
+    "sessionize_events",
+    "hourly_event_rollup",
+    "a9_pivot_counts",
+]
+
+
+def main():
+    spark = get_spark("bench")
+    spark.range(1).count()  # warm up JVM/session so q1 isn't charged startup
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(os.environ.get("BENCH_EXTRA", "").split(",")) if n in qs
+    ]
+    timings = {}
+    total = 0.0
+    for name in names:
+        t0 = time.time()
+        df = qs[name].spark(spark, SF_DIR)
+        df.count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,677 @@
+"""Relational operator surface (SURVEY §2.1–§2.6) on the synthetic
+star schema.
+
+Every query is the Spark-idiomatic expression of a reference operator
+(id in the name / docstring); the paired DuckDB SQL is the
+correctness oracle. Scale notes are inline — these plans are written
+for a 1000-executor cluster even though tests run local[32]:
+dimension joins broadcast, aggregations are partial+final by
+construction, windows partition on high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (A2–A4 token-total aggregations re-expressed
+# as the classic partial+final agg; reference mapreduce_pipeline.py:288-310)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy 2 low-cardinality keys + 8 aggregates over the fact table.
+
+    Scale: map-side partial aggregation collapses each input partition
+    to ≤|flag×status| rows before the shuffle — the shuffle moves
+    O(partitions × 6) rows regardless of fact size. This is the plan
+    shape every reference "token totals" aggregation (A2/A3/A4) takes.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# S1/P1: scan with projection, rename, null-coalesce, deterministic limit
+# (reference financebench_loader.py:26-52 — project 7 fields, coalesce
+# justification, limit num_samples)
+# ---------------------------------------------------------------------------
+
+def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst pushes the projection into the parquet scan (ReadSchema
+    lists only 4 of 5 columns) and the limit is a LocalLimit above it."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.col("text").alias("content"),
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            F.col("n_chars"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+S1_ORACLE = """
+SELECT doc_id, text AS content, coalesce(source, 'unknown') AS source, n_chars
+FROM documents ORDER BY doc_id LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: QA × document broadcast join with missing-key error rows
+# (reference mapreduce_pipeline.py:133-148 — dict lookup ≡ left join,
+# missing doc → error row instead of failure)
+# ---------------------------------------------------------------------------
+
+def j1_broadcast_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact left-joins a broadcast dimension; null right side becomes a
+    typed error row (P5 semantics), not a dropped record.
+
+    Scale: customer is the small side → broadcast hash join, no
+    shuffle of orders. At 100 TB the doc catalog stays ≪ executor
+    memory, so the same hint holds; if one doc serves millions of QA
+    rows the join is skew-immune because broadcast joins don't
+    partition by key at all.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("c_name", F.lit("")).alias("c_name"),
+        F.when(F.col("c_custkey").isNull(), "error: customer not found")
+        .otherwise("ok")
+        .alias("status"),
+    )
+
+
+J1_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       coalesce(c_name, '') AS c_name,
+       CASE WHEN c_custkey IS NULL THEN 'error: customer not found' ELSE 'ok' END AS status
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# J2: dedup keys before the expensive per-doc stage
+# (reference base_pipeline.py:169-174 — parse each doc once for N questions)
+
+def j2_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct() before the expensive UDF — partial distinct runs
+    map-side, the shuffle carries unique keys only."""
+    return _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+J2_ORACLE = "SELECT DISTINCT o_custkey FROM orders"
+
+
+# Semi/anti joins (SURVEY §2.3 'free from df.join' — declared surface)
+
+def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 urgent order — left_semi: no right columns
+    materialize, no row multiplication (EXISTS semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+J_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent order — left_anti (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+J_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# Multi-way star join (the reference's statistics layer composes joins
+# + aggs; this is the canonical snowflake traversal at scale)
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region⋈nation⋈customer⋈orders⋈lineitem → revenue per nation.
+
+    Scale: region/nation/customer broadcast in turn (all ≪ threshold);
+    the only shuffle is the final partial+final agg on n_name. Catalyst
+    + AQE pick broadcast automatically once sizes are known; the
+    explicit hints pin the plan for the big-cluster case where
+    statistics may be stale.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") != "")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name <> ''
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5: grouped stats with exact median (reference mapreduce_pipeline.py:435-467
+# — avg + statistics.median of per-question timings)
+# ---------------------------------------------------------------------------
+
+def a5_group_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.median("value"), 6).alias("median_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+A5_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(median(value), 6) AS median_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9: accuracy-by-type pivot (reference document_processing.py:464-508 —
+# per question_type × judgment counts + accuracy)
+# ---------------------------------------------------------------------------
+
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def a9_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(type).pivot(class).count() + derived rate — the exact
+    shape of the reference's accuracy-by-question-type dict."""
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .count()
+    )
+    total = sum(F.coalesce(F.col(s), F.lit(0)) for s in PIVOT_STATUSES)
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in PIVOT_STATUSES],
+        F.round(F.coalesce(F.col("F"), F.lit(0)) / total, 6).alias("f_rate"),
+    )
+
+
+A9_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS "F",
+       count(*) FILTER (o_orderstatus = 'O') AS "O",
+       count(*) FILTER (o_orderstatus = 'P') AS "P",
+       round(count(*) FILTER (o_orderstatus = 'F') / count(*), 6) AS f_rate
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# A12: confusion matrix (reference scripts/llm_judge_evaluation.py:254+)
+
+def a12_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """true×pred counts. 'pred' is a deterministic mock judgment
+    derived from the row (P7 normalization chain: lower + when/otherwise)."""
+    ev = _t(spark, sf_dir, "events")
+    pred = (
+        F.when(F.col("value") > 50, "purchase")
+        .when(F.col("value") > 10, "click")
+        .otherwise("view")
+    )
+    return (
+        ev.withColumn("pred_type", pred)
+        .groupBy(F.lower("event_type").alias("true_type"), "pred_type")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+A12_ORACLE = """
+SELECT lower(event_type) AS true_type,
+       CASE WHEN value > 50 THEN 'purchase'
+            WHEN value > 10 THEN 'click'
+            ELSE 'view' END AS pred_type,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# Rollup (declared surface, SURVEY §2.4 note)
+
+def a_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total_price",
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2: fixed-size batching (reference async_evaluation.py:389-404 — judge
+# batches of 5, batch_idx = i // 5)
+# ---------------------------------------------------------------------------
+
+def w2_fixed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over a global order → floor((rn-1)/5) batch id →
+    per-batch aggregates.
+
+    Scale: a single unpartitioned window is a deliberate bottleneck —
+    fine here because the reference's judge batching is inherently a
+    global sequence; for 100 TB the order key would be (shard_id,
+    qa_id) with batching per shard (same expression, partitionBy
+    added).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_id", F.floor((F.col("rn") - 1) / 5))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("batch_size"),
+            F.round(F.sum("value"), 4).alias("batch_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+W2_ORACLE = """
+SELECT CAST(floor((rn - 1) / 5) AS BIGINT) AS batch_id,
+       count(*) AS batch_size,
+       round(sum(value), 4) AS batch_value,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM (SELECT *, row_number() OVER (ORDER BY event_id) AS rn FROM events)
+GROUP BY 1
+"""
+
+
+# W3: top-k per group (reference augment_finqa.py:123-137 — top-8
+# priority sentences per entry)
+
+def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 orders per priority class by price; deterministic tiebreak
+    on the unique key. Scale: partitionBy a real key → parallel windows;
+    AQE handles the skewed 'NOT SPECIFIED' class."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select("o_orderpriority", "rk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+W3_ORACLE = """
+SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
+       round(o_totalprice, 2) AS price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 8
+"""
+
+
+# W4: argmax per group (reference augment_finqa.py:138-160 —
+# best-match-per-sentence)
+
+def w4_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("best_price"))
+    )
+
+
+W4_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk = 1
+"""
+
+
+# W6: preview truncate (reference webapp endpoints.py:398-401)
+
+def w6_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 100).alias("preview"),
+        (F.length("text") > 100).alias("truncated"),
+    )
+
+
+W6_ORACLE = """
+SELECT doc_id, substring(text, 1, 100) AS preview,
+       length(text) > 100 AS truncated
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops (SURVEY §2.6 — unionByName for error-row merge, rest declared)
+# ---------------------------------------------------------------------------
+
+def setop_union_error_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 pattern: ok rows ∪ typed error rows via unionByName."""
+    orders = _t(spark, sf_dir, "orders")
+    ok = orders.filter(F.col("o_totalprice") > 1000).select(
+        "o_orderkey", F.lit("ok").alias("status")
+    )
+    err = orders.filter(F.col("o_totalprice") <= 1000).select(
+        "o_orderkey", F.lit("error: below minimum").alias("status")
+    )
+    return ok.unionByName(err)
+
+
+SETOP_UNION_ORACLE = """
+SELECT o_orderkey, 'ok' AS status FROM orders WHERE o_totalprice > 1000
+UNION ALL
+SELECT o_orderkey, 'error: below minimum' AS status FROM orders WHERE o_totalprice <= 1000
+"""
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers in BUILDING ∩ customers holding an open order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(open_cust)
+
+
+SETOP_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.exceptAll(open_cust).distinct()
+
+
+SETOP_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# ---------------------------------------------------------------------------
+# F7: JSON field extraction (reference async_llm_client.py:144-195 —
+# robust parse; the strict fast path is from_json / get_json_object)
+# ---------------------------------------------------------------------------
+
+def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+F7_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# F17: md5 cache key (reference document_processing.py:117-134)
+
+def f17_cache_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws("|", F.col("source"), F.col("lang"), F.col("n_chars"))
+        ).alias("cache_key"),
+    )
+
+
+F17_ORACLE = """
+SELECT doc_id, md5(source || '|' || lang || '|' || CAST(n_chars AS VARCHAR)) AS cache_key
+FROM documents
+"""
+
+
+# F18: timestamp formatting + monthly histogram
+
+def f18_monthly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .groupBy("month")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+F18_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (north-star events surface; lag + gap + cumulative sum)
+# ---------------------------------------------------------------------------
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions split on >1h inactivity gaps.
+
+    Scale: windows partition on user_id (high cardinality → parallel);
+    the comparison is on native timestamps (no epoch conversion, so no
+    sub-second truncation disagreements between engines).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 1 HOUR")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_session", gap)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 4) AS session_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# Tumbling-window rollup (batch twin of the streaming pipeline;
+# SURVEY §2.9 — the only temporal surface the serving mode needs)
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
+    "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
+    "j1_broadcast_left_join": QuerySpec(j1_broadcast_left_join, J1_ORACLE),
+    "j2_distinct_keys": QuerySpec(j2_distinct_keys, J2_ORACLE),
+    "j_semi_join": QuerySpec(j_semi_join, J_SEMI_ORACLE),
+    "j_anti_join": QuerySpec(j_anti_join, J_ANTI_ORACLE),
+    "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_ORACLE),
+    "a5_group_stats_median": QuerySpec(a5_group_stats_median, A5_ORACLE),
+    "a9_pivot_counts": QuerySpec(a9_pivot_counts, A9_ORACLE),
+    "a12_confusion_matrix": QuerySpec(a12_confusion_matrix, A12_ORACLE),
+    "a_rollup_counts": QuerySpec(a_rollup_counts, ROLLUP_ORACLE),
+    "w2_fixed_batches": QuerySpec(w2_fixed_batches, W2_ORACLE),
+    "w3_topk_per_group": QuerySpec(w3_topk_per_group, W3_ORACLE),
+    "w4_argmax_per_group": QuerySpec(w4_argmax_per_group, W4_ORACLE),
+    "w6_preview": QuerySpec(w6_preview, W6_ORACLE),
+    "setop_union_error_rows": QuerySpec(setop_union_error_rows, SETOP_UNION_ORACLE),
+    "setop_intersect": QuerySpec(setop_intersect, SETOP_INTERSECT_ORACLE),
+    "setop_except": QuerySpec(setop_except, SETOP_EXCEPT_ORACLE),
+    "f7_json_extract": QuerySpec(f7_json_extract, F7_ORACLE),
+    "f17_cache_key": QuerySpec(f17_cache_key, F17_ORACLE),
+    "f18_monthly_histogram": QuerySpec(f18_monthly_histogram, F18_ORACLE),
+    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_ORACLE),
+    "hourly_event_rollup": QuerySpec(hourly_event_rollup, HOURLY_ORACLE),
+}

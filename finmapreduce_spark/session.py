@@ -1,0 +1,104 @@
+"""SparkSession factory.
+
+One place to configure the engine so tests, bench, and the driver
+entry point share identical semantics. Settings chosen for oracle
+comparability (UTC, ANSI off to match reference's permissive null
+handling) and for scale (AQE, skew-join handling, Arrow).
+
+At 100 TB the same code runs unchanged on a cluster: only
+``master`` and the memory/partition knobs move to spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partition default: ~cores locally. On a 1000-executor
+# cluster this is overridden via --conf; AQE coalesces the excess.
+_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "finmapreduce_spark") -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Scale posture:
+    - AQE on: runtime shuffle-partition coalescing + skew-join
+      splitting (the doc×qa join J1 is skewed — one 10-K serves
+      many questions; SURVEY §4).
+    - Broadcast threshold raised: dimension tables (region, nation,
+      customer at small SF, the document path catalog S8) should
+      never shuffle.
+    - Arrow on: every Pandas-UDF boundary (the LLM stages U1–U5,
+      tokenizer F1/F2) moves columnar batches, not pickled rows.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", _LOCAL_CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in read_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        # Paid LLM stages must never run twice for the same row:
+        # speculation off engine-wide (SURVEY §4 "needs custom work").
+        .config("spark.speculation", "false")
+    )
+    if "SPARK_GRAFT_DRIVER_MEM" in os.environ:
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
+        )
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{_LOCAL_CPUS}]")
+    spark = builder.master(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark has
+    no nanosecond timestamp type, so it arrives as a long (nanos since
+    epoch) and is truncated to microseconds here — integer division,
+    exactly matching DuckDB's internal ns→µs truncation, so oracle
+    comparisons see identical instants.
+    """
+    if name == "events":
+        # Defensive: the driver may pass a session built without this
+        # legacy conf; it is runtime-settable, so pin it here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return df
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql."""
+    for t in TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)

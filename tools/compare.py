@@ -1,0 +1,108 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle at sf0.01,
+compares row count, sorted column names, and an order-insensitive
+value multiset. Exact comparison (no float tolerance) so any
+engine-level numeric divergence shows up here before the driver sees
+it.
+
+Usage: python tools/compare.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        [tuple(norm_cell(r[i]) for i in order) for r in rows],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def main():
+    from finmapreduce_spark.queries import all_queries
+    from finmapreduce_spark.session import get_spark
+
+    spark = get_spark("compare")
+    con = duck_con()
+    qs = all_queries()
+    wanted = sys.argv[1:] or list(qs)
+    n_pass = n_fail = n_nooracle = 0
+    for name in wanted:
+        spec = qs[name]
+        t0 = time.time()
+        sdf = spec.spark(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        t_spark = time.time() - t0
+        if spec.oracle is None:
+            print(f"NOORACLE {name}: rows={len(srows)} ({t_spark:.1f}s)")
+            n_nooracle += 1
+            continue
+        res = con.execute(spec.oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        ok = True
+        msgs = []
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if ok:
+            cs, cd = canon(srows, scols), canon(drows, dcols)
+            if cs != cd:
+                ok = False
+                diff = [
+                    (a, b) for a, b in zip(cs, cd) if a != b
+                ][:3]
+                msgs.append(f"values differ, first diffs: {diff}")
+        if ok:
+            print(f"PASS {name}: rows={len(srows)} ({t_spark:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: " + "; ".join(msgs))
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} no-oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
