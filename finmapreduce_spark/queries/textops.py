@@ -1,1 +1,472 @@
-QUERIES: dict = {}
+"""Text/document operator surface (SURVEY §2.7 F1–F13 + text-analysis
+north-star ops) over the `documents` table.
+
+The chunk → score-filter → ordered-reduce chain here is the exact
+data shape of the reference MapReduce DAG (chunking F2 at
+document_processing.py:246-267, strict `>` score filter P3 at
+hybrid_formatter.py:33-60, order-restoring reduce A1/W1 at
+mapreduce_pipeline.py:263-286) with the LLM replaced by the
+deterministic mock contract (FIXTURES.md §10) so every stage is
+oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.functions.chunking import explode_chunks
+from finmapreduce_spark.functions.text import (
+    TOKEN_REGEX,
+    mock_score_0_10,
+    normalize_text,
+    token_count,
+)
+from finmapreduce_spark.functions.truncation import truncate_words
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.session import read_table
+
+CHUNK_SIZE, CHUNK_OVERLAP = 512, 64  # small config for multi-chunk coverage
+_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# F2: chunking with overlap — pure codegen (sequence + posexplode +
+# substring), no Python in the hot path
+# ---------------------------------------------------------------------------
+
+def f2_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, chunk_index, chunk_text, n_chunks).
+
+    Scale: narrow map — no shuffle; at 100 TB the chunk explosion
+    multiplies rows ~len/step× which is why the score filter (P3)
+    must run before any wide op downstream.
+    """
+    chunks = explode_chunks(
+        _docs(spark, sf_dir),
+        text_col="text",
+        key_cols=("doc_id",),
+        chunk_size=CHUNK_SIZE,
+        chunk_overlap=CHUNK_OVERLAP,
+    )
+    return chunks.select("doc_id", "chunk_index", F.length("chunk_text").alias("chunk_len"))
+
+
+F2_ORACLE = f"""
+SELECT doc_id, CAST(i AS INT) AS chunk_index,
+       length(substring(text, CAST(i AS INT) * {_STEP} + 1, {CHUNK_SIZE})) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= {CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil((length(text) - {CHUNK_SIZE}) / {_STEP}.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM documents
+), LATERAL unnest(range(0, n_chunks)) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3/F4: token-budget truncation (closed-form word slice; reference
+# binary-searches because its token model is BPE — truncation_utils.py:35-120)
+# ---------------------------------------------------------------------------
+
+TRUNC_BUDGET = 100
+
+
+def _truncation(spark, sf_dir, strategy):
+    docs = _docs(spark, sf_dir)
+    out = truncate_words(docs, "text", TRUNC_BUDGET, strategy=strategy)
+    return out.select(
+        "doc_id",
+        F.md5("trunc_text").alias("trunc_md5"),  # compact but exact content check
+        "trunc_tokens",
+        "trunc_original",
+        "trunc_applied",
+        F.round("trunc_retention", 6).alias("trunc_retention"),
+    )
+
+
+def f3_truncate_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _truncation(spark, sf_dir, "start")
+
+
+def f4_truncate_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _truncation(spark, sf_dir, "end")
+
+
+_TRUNC_COMMON = f"""
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+"""
+
+F3_ORACLE = f"""
+SELECT doc_id,
+       md5(array_to_string(list_slice(words, 1, {TRUNC_BUDGET}), ' ')) AS trunc_md5,
+       CAST(least(n, {TRUNC_BUDGET}) AS BIGINT) AS trunc_tokens,
+       CAST(n AS BIGINT) AS trunc_original,
+       n > {TRUNC_BUDGET} AS trunc_applied,
+       round(CASE WHEN n > 0 THEN least(n, {TRUNC_BUDGET}) / n ELSE 1.0 END, 6) AS trunc_retention
+FROM ({_TRUNC_COMMON})
+"""
+
+F4_ORACLE = f"""
+SELECT doc_id,
+       md5(array_to_string(list_slice(words, greatest(1, n - {TRUNC_BUDGET} + 1), n), ' ')) AS trunc_md5,
+       CAST(least(n, {TRUNC_BUDGET}) AS BIGINT) AS trunc_tokens,
+       CAST(n AS BIGINT) AS trunc_original,
+       n > {TRUNC_BUDGET} AS trunc_applied,
+       round(CASE WHEN n > 0 THEN least(n, {TRUNC_BUDGET}) / n ELSE 1.0 END, 6) AS trunc_retention
+FROM ({_TRUNC_COMMON})
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3+F8: strict `>` score filter over mock map content (reference
+# hybrid_formatter.py:33-60; threshold default 5, strict — a score of
+# exactly 5 is dropped, and malformed content without 'Score:' is dropped)
+# ---------------------------------------------------------------------------
+
+SCORE_THRESHOLD = 5
+
+
+def p3_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → mock 'Score: N' content (absent when N==0, the malformed
+    case) → regexp extract → strict > threshold."""
+    chunks = explode_chunks(
+        _docs(spark, sf_dir),
+        text_col="text",
+        key_cols=("doc_id",),
+        chunk_size=CHUNK_SIZE,
+        chunk_overlap=CHUNK_OVERLAP,
+    )
+    score = mock_score_0_10(F.col("chunk_text"))
+    content = F.when(score == 0, F.lit("model returned no score")).otherwise(
+        F.concat(F.lit("Analysis complete. Score: "), score.cast("string"))
+    )
+    extracted = F.regexp_extract(content, r"Score:\s*(\d+)", 1)
+    extracted = F.when(extracted == "", None).otherwise(extracted.cast("int"))
+    return (
+        chunks.withColumn("content", content)
+        .withColumn("score", extracted)
+        .filter(F.col("score") > SCORE_THRESHOLD)
+        .select("doc_id", "chunk_index", "score")
+    )
+
+
+P3_ORACLE = f"""
+WITH chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_index,
+         substring(text, CAST(i AS INT) * {_STEP} + 1, {CHUNK_SIZE}) AS chunk_text
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN length(text) <= {CHUNK_SIZE} THEN 1
+                ELSE CAST(ceil((length(text) - {CHUNK_SIZE}) / {_STEP}.0) AS BIGINT) + 1
+           END AS n_chunks
+    FROM documents
+  ), LATERAL unnest(range(0, n_chunks)) AS t(i)
+), scored AS (
+  SELECT doc_id, chunk_index,
+         CAST((strpos('0123456789abcdef', substring(md5(chunk_text), 1, 1)) - 1) % 11 AS INT) AS mock
+  FROM chunks
+), content AS (
+  SELECT doc_id, chunk_index,
+         CASE WHEN mock = 0 THEN 'model returned no score'
+              ELSE 'Analysis complete. Score: ' || CAST(mock AS VARCHAR) END AS content
+  FROM scored
+)
+SELECT doc_id, chunk_index,
+       CAST(regexp_extract(content, 'Score:\\s*(\\d+)', 1) AS INT) AS score
+FROM content
+WHERE regexp_extract(content, 'Score:\\s*(\\d+)', 1) <> ''
+  AND CAST(regexp_extract(content, 'Score:\\s*(\\d+)', 1) AS INT) > {SCORE_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1+W1: ordered reduce — gather kept chunks per doc in chunk order and
+# serialize (reference mapreduce_pipeline.py:263-286: sort by chunk idx
+# then join; order is semantic, not incidental)
+# ---------------------------------------------------------------------------
+
+def a1_reduce_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(doc).agg(sort_array(collect_list(struct(idx, text)))) →
+    ordered serialization. The classic partial+final agg: collect_list
+    partials run map-side; memory is bounded because the score filter
+    pruned low-relevance chunks first (SURVEY §7 M5 note).
+    """
+    chunks = explode_chunks(
+        _docs(spark, sf_dir),
+        text_col="text",
+        key_cols=("doc_id",),
+        chunk_size=CHUNK_SIZE,
+        chunk_overlap=CHUNK_OVERLAP,
+    )
+    kept = chunks.filter(mock_score_0_10(F.col("chunk_text")) > SCORE_THRESHOLD)
+    gathered = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_index", "chunk_text"))
+                ),
+                lambda s: s.chunk_text,
+            ),
+        ).alias("reduced"),
+    )
+    return gathered.select("doc_id", "n_kept", F.md5("reduced").alias("reduced_md5"))
+
+
+A1_ORACLE = f"""
+WITH chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_index,
+         substring(text, CAST(i AS INT) * {_STEP} + 1, {CHUNK_SIZE}) AS chunk_text
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN length(text) <= {CHUNK_SIZE} THEN 1
+                ELSE CAST(ceil((length(text) - {CHUNK_SIZE}) / {_STEP}.0) AS BIGINT) + 1
+           END AS n_chunks
+    FROM documents
+  ), LATERAL unnest(range(0, n_chunks)) AS t(i)
+), kept AS (
+  SELECT * FROM chunks
+  WHERE (strpos('0123456789abcdef', substring(md5(chunk_text), 1, 1)) - 1) % 11 > {SCORE_THRESHOLD}
+)
+SELECT doc_id, count(*) AS n_kept,
+       md5(string_agg(chunk_text, chr(10) || chr(10) ORDER BY chunk_index)) AS reduced_md5
+FROM kept GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# F11: text normalization (reference augment_finqa.py:24-31)
+# ---------------------------------------------------------------------------
+
+def f11_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("norm_md5")
+    )
+
+
+F11_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[,\.\(\)\$%]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS norm_md5
+FROM documents
+"""
+
+
+# F12: number extraction (years/amounts; reference augment_finqa.py:34-60)
+# documents carry no digits, so extract from a constructed financial
+# sentence per order — integer-only stringification (cross-engine safe).
+
+def f12_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    sent = F.concat(
+        F.lit("Order totaled $"),
+        # floor(), not cast: Spark casts double→bigint by truncation
+        # while DuckDB rounds — floor is identical in both engines
+        F.floor("o_totalprice").cast("string"),
+        F.lit(" in "),
+        F.year("o_orderdate").cast("string"),
+        F.lit(" for customer "),
+        F.col("o_custkey").cast("string"),
+    )
+    nums = F.regexp_extract_all(sent, F.lit(r"[0-9]+"), F.lit(0))
+    return orders.select(
+        "o_orderkey",
+        F.array_join(nums, ",").alias("numbers"),
+        F.size(nums).alias("n_numbers"),
+    )
+
+
+F12_ORACLE = """
+SELECT o_orderkey,
+       array_to_string(regexp_extract_all(sent, '[0-9]+'), ',') AS numbers,
+       CAST(len(regexp_extract_all(sent, '[0-9]+')) AS INT) AS n_numbers
+FROM (
+  SELECT o_orderkey,
+         'Order totaled $' || CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)
+         || ' in ' || CAST(year(o_orderdate) AS VARCHAR)
+         || ' for customer ' || CAST(o_custkey AS VARCHAR) AS sent
+  FROM orders WHERE o_orderkey < 2000
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis north-star ops (task brief: token counting, quality
+# scoring, fingerprinting, language-ID)
+# ---------------------------------------------------------------------------
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 approximations: whitespace tokens + BPE-ish regex tokens.
+    (tiktoken-exact variant plugs in as a pandas_udf when available —
+    functions/text.py:tiktoken_count_udf.)"""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / uniqueness quality heuristic — the
+    pre-training-data quality gate pattern."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(0.0)
+    uniq_ratio = F.when(n > 0, n_distinct / n).otherwise(0.0)
+    quality = (
+        F.when(n >= 50, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio > 0.02) & (stop_ratio < 0.5), F.lit(0.3)).otherwise(0.0)
+        + uniq_ratio * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+QUALITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(uniq_ratio, 6) AS uniq_ratio,
+       round(CASE WHEN n >= 50 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN stop_ratio > 0.02 AND stop_ratio < 0.5 THEN 0.3 ELSE 0.0 END
+             + uniq_ratio * 0.3, 6) AS quality
+FROM (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN n_stop / n ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n > 0 THEN n_distinct / n ELSE 0.0 END AS uniq_ratio
+  FROM (
+    SELECT doc_id,
+           len(words) AS n,
+           len(list_distinct(words)) AS n_distinct,
+           len(list_filter(words, w -> w IN {STOPWORDS!r})) AS n_stop
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+  )
+)
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    order-insensitive near-dup key (bag-of-words collision class)."""
+    docs = _docs(spark, sf_dir)
+    tokens = F.array_sort(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")))
+    return docs.select(
+        "doc_id", F.md5(F.array_join(tokens, " ")).alias("fingerprint")
+    )
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# Language-ID: fixed function-word profiles scored against the doc's
+# token set; argmax with deterministic tiebreak. (The synthetic corpus
+# shares one vocabulary across langs, so predictions exercise the
+# plumbing, not linguistics — the real-corpus version swaps profiles.)
+
+LANG_PROFILES = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tokens = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in prof]))).alias(
+                f"score_{l}"
+            )
+            for l, prof in sorted(LANG_PROFILES.items())
+        ],
+    )
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs]
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+_LANG_SCORE_SQL = ", ".join(
+    f"len(list_intersect(tokens, {list(prof)!r})) AS score_{l}"
+    for l, prof in sorted(LANG_PROFILES.items())
+)
+_LANG_BEST = "greatest(" + ", ".join(f"score_{l}" for l in sorted(LANG_PROFILES)) + ")"
+_LANG_PRED = "coalesce(" + ", ".join(
+    f"CASE WHEN score_{l} = {_LANG_BEST} THEN '{l}' END" for l in sorted(LANG_PROFILES)
+) + ")"
+
+LANGID_ORACLE = f"""
+SELECT doc_id, lang AS true_lang,
+       {_LANG_PRED} AS pred_lang,
+       CAST({_LANG_BEST} AS INT) AS best_score
+FROM (
+  SELECT doc_id, lang, {_LANG_SCORE_SQL}
+  FROM (SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tokens
+        FROM documents)
+)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "f2_chunk_documents": QuerySpec(f2_chunk_documents, F2_ORACLE),
+    "f3_truncate_start": QuerySpec(f3_truncate_start, F3_ORACLE),
+    "f4_truncate_end": QuerySpec(f4_truncate_end, F4_ORACLE),
+    "p3_score_filter": QuerySpec(p3_score_filter, P3_ORACLE),
+    "a1_reduce_ordered_concat": QuerySpec(a1_reduce_ordered_concat, A1_ORACLE),
+    "f11_normalize": QuerySpec(f11_normalize, F11_ORACLE),
+    "f12_extract_numbers": QuerySpec(f12_extract_numbers, F12_ORACLE),
+    "text_token_count": QuerySpec(text_token_count, TOKEN_COUNT_ORACLE),
+    "text_quality_score": QuerySpec(text_quality_score, QUALITY_ORACLE),
+    "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_ORACLE),
+    "text_langid": QuerySpec(text_langid, LANGID_ORACLE),
+}
