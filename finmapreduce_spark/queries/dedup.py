@@ -1,1 +1,376 @@
-QUERIES: dict = {}
+"""Deduplication suite (north-star training-data-pipeline operators).
+
+Five dedup families over `documents` / `embeddings`:
+  exact (hash-groupBy) · MinHash signatures · MinHash-LSH banded
+  pair-join · SimHash · blocked n-gram Jaccard · embedding-cosine.
+
+Design for 100 TB:
+- Signatures (minhash/simhash/fingerprint) are narrow maps — no
+  shuffle, no Python; md5-based hashing so any engine reproduces them.
+- Candidate generation is always *blocked* (LSH band buckets, or
+  (lang, length-bucket) keys) — the O(n²) all-pairs join never
+  materializes; the join key IS the block, so the shuffle partitions
+  by block and skew is bounded by block size.
+- Verification (true Jaccard / cosine) runs only on candidates.
+
+The reference has only the embryonic form (similarity matching in
+scripts/augment_finqa.py:63-160); these generalize it per the repo
+north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.session import read_table
+
+SHINGLE_K = 3
+N_HASHES = 8
+BAND_ROWS = 4  # 2 bands × 4 rows
+JACCARD_THRESHOLD = 0.18
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _shingles(col):
+    """Distinct 3-word shingles (1-based element_at ≡ DuckDB list_extract)."""
+    words = _words(col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(SHINGLE_K - 1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + F.lit(j)) for j in range(SHINGLE_K)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_transform(
+           range(1, greatest(1, len(words) - {SHINGLE_K - 1}) + 1),
+           i -> list_extract(words, i) || ' ' || list_extract(words, i + 1)
+                || ' ' || list_extract(words, i + 2)
+         )) AS shingles
+  FROM (SELECT doc_id, lang, n_chars,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+        FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized content
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group by content hash; keep min doc_id per group (the canonical
+    exact-dedup keeper rule). One shuffle on the hash — uniform keys,
+    no skew by construction."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.trim(F.lower("text")))
+    return (
+        docs.select(h.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(trim(lower(text))) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures: h_i(doc) = min over shingles of md5(i || ':' || s).
+# Narrow map (array_min ∘ transform) — zero shuffle, engine-reproducible.
+# ---------------------------------------------------------------------------
+
+def _minhash_cols(shingle_col):
+    return [
+        F.array_min(
+            F.transform(
+                shingle_col, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        ).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("shingles", _shingles(F.col("text")))
+    sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
+    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
+    band1 = F.md5(
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
+    )
+    return sig.select("doc_id", "mh_0", band0.alias("band_0"), band1.alias("band_1"))
+
+
+_MINHASH_SQL_COLS = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh_{i}"
+    for i in range(N_HASHES)
+)
+_BAND0 = "md5(" + " || '|' || ".join(f"mh_{i}" for i in range(BAND_ROWS)) + ")"
+_BAND1 = "md5(" + " || '|' || ".join(f"mh_{i}" for i in range(BAND_ROWS, N_HASHES)) + ")"
+
+DEDUP_MINHASH_ORACLE = f"""
+SELECT doc_id, mh_0, {_BAND0} AS band_0, {_BAND1} AS band_1
+FROM (SELECT doc_id, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL}))
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH pair join: docs sharing any band bucket are candidates;
+# candidates are verified with true shingle Jaccard.
+# ---------------------------------------------------------------------------
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs via band-bucket equi-join (the shuffle key is
+    the bucket — at 100 TB this is the only join that runs, never the
+    n² cross), verified with exact Jaccard over distinct shingles.
+    """
+    docs = _docs(spark, sf_dir).withColumn("shingles", _shingles(F.col("text")))
+    sig = docs.select("doc_id", "shingles", *_minhash_cols(F.col("shingles")))
+    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
+    band1 = F.md5(
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
+    )
+    buckets = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "shingles", "b.band_id", "b.key")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_LSH_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, shingles, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL})
+), buckets AS (
+  SELECT doc_id, shingles, 0 AS band_id, {_BAND0} AS key FROM sig
+  UNION ALL
+  SELECT doc_id, shingles, 1 AS band_id, {_BAND1} AS key FROM sig
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(a.shingles, b.shingles))
+               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit signature; bit j is the majority vote of md5-nibble-j
+# high bits across the doc's tokens. Narrow map, no shuffle.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.array_distinct(_words(F.col("text")))
+    n = F.size(words)
+    bits = []
+    for j in range(1, SIMHASH_BITS + 1):
+        cnt = F.size(
+            F.filter(words, lambda w: F.substring(F.md5(w), j, 1).isin(*_HIGH))
+        )
+        bits.append(F.when(cnt * 2 > n, F.lit("1")).otherwise(F.lit("0")))
+    sig = F.concat(*bits)
+    out = docs.select("doc_id", sig.alias("simhash"))
+    clusters = out.groupBy("simhash").agg(
+        F.count("*").alias("cluster_size"), F.min("doc_id").alias("keeper_doc_id")
+    )
+    return out.join(clusters, "simhash").select(
+        "doc_id", "simhash", "cluster_size", "keeper_doc_id"
+    )
+
+
+_SIMHASH_BIT_SQL = " || ".join(
+    f"(CASE WHEN 2 * len(list_filter(words, w -> substring(md5(w), {j}, 1) IN "
+    f"('8','9','a','b','c','d','e','f'))) > len(words) THEN '1' ELSE '0' END)"
+    for j in range(1, SIMHASH_BITS + 1)
+)
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash
+  FROM (SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS words
+        FROM documents)
+), clusters AS (
+  SELECT simhash, count(*) AS cluster_size, min(doc_id) AS keeper_doc_id
+  FROM sig GROUP BY simhash
+)
+SELECT s.doc_id, s.simhash, c.cluster_size, c.keeper_doc_id
+FROM sig s JOIN clusters c USING (simhash)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard: candidate pairs share (lang, length-bucket);
+# verified with shingle Jaccard. The blocking key bounds the pair count
+# (the scale path when LSH recall isn't needed).
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET = 100
+NGRAM_THRESHOLD = 0.12
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("shingles", _shingles(F.col("text")))
+        .withColumn("len_bucket", F.floor(F.col("n_chars") / LEN_BUCKET))
+        .select("doc_id", "lang", "len_bucket", "shingles")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    union = F.size(F.array_union("a.shingles", "b.shingles"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
+    )
+
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / {LEN_BUCKET}) AS BIGINT) AS len_bucket, shingles
+  FROM ({_SHINGLES_SQL})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       round(len(list_intersect(a.shingles, b.shingles))
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= {NGRAM_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: blocked by label (the candidate cluster),
+# exact sequential-fold dot product — bitwise identical across engines.
+# ---------------------------------------------------------------------------
+
+COSINE_THRESHOLD = 0.35
+
+
+def _dot(a, b):
+    """Sequential double fold — IEEE-deterministic, matches DuckDB's
+    list_inner_product on DOUBLE[] element order exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+DEDUP_COSINE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
+    "dedup_lsh_pairs": QuerySpec(dedup_lsh_pairs, DEDUP_LSH_ORACLE),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_COSINE_ORACLE),
+}
