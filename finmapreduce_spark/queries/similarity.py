@@ -1,1 +1,277 @@
-QUERIES: dict = {}
+"""Similarity search over the embedding column (north-star ANN ops).
+
+Two paths:
+- Brute-force cosine top-k — the exactness baseline. Queries are a
+  small set broadcast against the corpus; per-query top-k via window.
+- IVF-style two-stage search — the scale path: coarse quantize every
+  vector to its nearest centroid, then search only the probed cell.
+  Centroids here are per-label means (a converged k-means step, since
+  labels are the synthetic cluster assignment); on a real corpus the
+  centroid table comes from k-means and the plan is unchanged.
+
+Scale: the brute-force side is O(|Q|·N) with |Q| tiny — Spark
+broadcasts the query set, the corpus never shuffles. The IVF side
+prunes N to N/cells before the distance computation; the centroid
+table is broadcast (≪ memory). Similarity is generalized from the
+reference's fuzzy-matching join (scripts/augment_finqa.py:163-276).
+
+Also here: J4, the similarity θ-join (candidate equi-join on a
+blocking key + similarity scoring + argmax per left row), which is
+the reference's FinQA↔EDGAR linking pattern made first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.queries.dedup import _dot
+from finmapreduce_spark.session import read_table
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _emb(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+
+
+_EMB_SQL = """
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: broadcast the query set, window-rank per query.
+
+    The dot product is a sequential double fold (zip_with+aggregate)
+    — deterministic and bitwise equal to the oracle's, so the rank
+    order (cosine desc, vec_id tiebreak) is engine-stable.
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("norm").alias("q_norm")
+    )
+    pairs = F.broadcast(q).crossJoin(emb.filter(F.col("vec_id") >= N_QUERIES))
+    cos = _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
+    ranked = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cos.alias("cosine"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id", "rank", "neighbor_id", "neighbor_label",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+ANN_BF_ORACLE = f"""
+WITH v AS ({_EMB_SQL}),
+q AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_inner_product(q.q_v, c.v) / (q.q_norm * c.norm) AS cosine
+  FROM q CROSS JOIN v c WHERE c.vec_id >= {N_QUERIES}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, neighbor_label,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-style search: centroid table → probe nearest cell → search cell
+# ---------------------------------------------------------------------------
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: (1) per-label centroids (element-wise mean via
+    posexplode + groupBy — at scale this is the k-means output table),
+    (2) assign each query to its nearest centroid by cosine, (3) exact
+    search within that cell only.
+
+    Centroid components are rounded to 9dp *before* the distance
+    computation so the float summation order inside the groupBy
+    average cannot flip downstream comparisons across engines.
+    """
+    emb = _emb(spark, sf_dir)
+    # element-wise mean per label
+    comp = emb.select(
+        "label", F.posexplode("v").alias("idx", "val")
+    ).groupBy("label", "idx").agg(
+        F.round(F.avg(F.col("val").cast("double")), 9).alias("c")
+    )
+    centroids = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s.c
+        ).alias("cv")
+    ).withColumn("c_norm", F.sqrt(_dot(F.col("cv"), F.col("cv")))).select(
+        F.col("label").alias("c_label"), "cv", "c_norm"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("norm").alias("q_norm")
+    )
+    # probe: nearest centroid per query (centroid table broadcast)
+    probe = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_cos",
+        F.round(_dot(F.col("q_v"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")), 9),
+    ).withColumn(
+        "c_rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+        ),
+    ).filter(F.col("c_rank") == 1).select("q_id", "q_v", "q_norm", "c_label")
+    # search only the probed cell
+    cell = probe.join(
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        probe.c_label == F.col("label"),
+    )
+    cos = _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
+    ranked = cell.select(
+        "q_id",
+        F.col("c_label").alias("probed_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id", "probed_label", "rank", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+ANN_IVF_ORACLE = f"""
+WITH v AS ({_EMB_SQL}),
+comp AS (
+  SELECT label, CAST(t.i AS INT) AS idx, round(avg(v[t.i + 1]), 9) AS c
+  FROM v, LATERAL unnest(range(0, len(v))) AS t(i)
+  GROUP BY label, t.i
+),
+centroids AS (
+  SELECT label AS c_label, list(c ORDER BY idx) AS cv,
+         sqrt(list_inner_product(list(c ORDER BY idx), list(c ORDER BY idx))) AS c_norm
+  FROM comp GROUP BY label
+),
+q AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm FROM v WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT q_id, q_v, q_norm, c_label FROM (
+    SELECT q.*, c.c_label,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY round(list_inner_product(q.q_v, c.cv) / (q.q_norm * c.c_norm), 9) DESC,
+                      c.c_label) AS c_rank
+    FROM q CROSS JOIN centroids c
+  ) WHERE c_rank = 1
+),
+cell AS (
+  SELECT p.q_id, p.c_label AS probed_label, e.vec_id AS neighbor_id,
+         list_inner_product(p.q_v, e.v) / (p.q_norm * e.norm) AS cosine
+  FROM probe p JOIN v e ON e.label = p.c_label AND e.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cell
+)
+SELECT q_id, probed_label, CAST(rank AS INT) AS rank, neighbor_id,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: similarity θ-join (reference augment_finqa.py:163-276 — candidate
+# equi-join on blocking key, similarity score, keep best over threshold)
+# ---------------------------------------------------------------------------
+
+SIM_JOIN_THRESHOLD = 0.05
+
+
+def j4_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 10th document finds its best same-lang match by token-set
+    Jaccard (argmax over threshold — 'keep best if confidence > θ',
+    reference :271)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("toks"),
+    )
+    left = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("l_id"), F.col("lang").alias("l_lang"),
+        F.col("toks").alias("l_toks"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("r_id"), F.col("lang").alias("r_lang"),
+        F.col("toks").alias("r_toks"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("l_lang") == F.col("r_lang")) & (F.col("l_id") != F.col("r_id")),
+    )
+    sim = F.round(
+        F.size(F.array_intersect("l_toks", "r_toks"))
+        / F.size(F.array_union("l_toks", "r_toks")),
+        6,
+    )
+    ranked = pairs.select(
+        "l_id", F.col("l_lang").alias("lang"), "r_id", sim.alias("similarity")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("l_id").orderBy(F.desc("similarity"), F.asc("r_id"))
+        ),
+    )
+    return (
+        ranked.filter((F.col("rk") == 1) & (F.col("similarity") > SIM_JOIN_THRESHOLD))
+        .select("l_id", "lang", F.col("r_id").alias("best_match"), "similarity")
+    )
+
+
+J4_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT l.doc_id AS l_id, l.lang AS lang, r.doc_id AS r_id,
+         round(len(list_intersect(l.toks, r.toks))
+               / len(list_distinct(list_concat(l.toks, r.toks))), 6) AS similarity
+  FROM toks l JOIN toks r ON l.lang = r.lang AND l.doc_id <> r.doc_id
+  WHERE l.doc_id % 10 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY similarity DESC, r_id) AS rk
+  FROM pairs
+)
+SELECT l_id, lang, r_id AS best_match, similarity
+FROM ranked WHERE rk = 1 AND similarity > {SIM_JOIN_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BF_ORACLE),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
+    "j4_similarity_join": QuerySpec(j4_similarity_join, J4_ORACLE),
+}
