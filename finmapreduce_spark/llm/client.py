@@ -1,0 +1,299 @@
+"""LLM client protocol + deterministic mock + OpenAI-compatible client.
+
+Reference parity (/root/reference):
+- U7 client infra: src/llm/async_llm_client.py — dual token-bucket
+  limiter (:269-351), retry with exponential backoff 2s→60s max 50
+  (:202-233, :402-435), 600 s request timeout (:371), provider
+  factory (:52-91), usage stats (:348-351).
+- F7 robust JSON parse: async_llm_client.py:144-195 — strict loads →
+  json5 → fenced block → largest-brace candidates; parse failure is
+  RETRYABLE (:224-226).
+
+The mock client (FIXTURES.md §10) is a *pure function* of
+(prompt_kind, text): relevance scores are md5-derived (the same
+``(hexdigit₁ − 1) mod 11`` contract the SQL oracles use), answers echo
+deterministic extracts. It makes the full DAG golden-testable with no
+network.
+
+The real client is import-gated (no network libs assumed in the
+image) and carries the limiter/retry semantics; it is exercised by
+unit tests through a fake transport.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+import json
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any, Protocol
+
+
+# ---------------------------------------------------------------------------
+# F7: robust JSON parsing with the reference's fallback chain
+# ---------------------------------------------------------------------------
+
+_FENCED = re.compile(r"```(?:json)?\s*(.*?)```", re.DOTALL)
+_BACKTICK = re.compile(r"`([^`]*)`")
+_BRACE = re.compile(r"\{.*\}", re.DOTALL)
+
+
+class JSONParseError(ValueError):
+    """Raised when every fallback fails — retryable, per reference
+    async_llm_client.py:224-226."""
+
+
+def robust_json_parse(text: str) -> dict[str, Any]:
+    """Strict parse → json5-ish cleanup → fenced ```json``` block →
+    backticked spans → largest {...} candidates, longest first."""
+    candidates: list[str] = [text]
+    candidates += _FENCED.findall(text)
+    candidates += _BACKTICK.findall(text)
+    brace = _BRACE.search(text)
+    if brace:
+        candidates.append(brace.group(0))
+    # longest-first among extracted candidates (reference :186-190)
+    for cand in sorted(set(candidates), key=len, reverse=True):
+        cand = cand.strip()
+        if not cand:
+            continue
+        try:
+            out = json.loads(cand)
+            if isinstance(out, dict):
+                return out
+        except json.JSONDecodeError:
+            # json5-ish cleanup: trailing commas, single quotes
+            cleaned = re.sub(r",\s*([}\]])", r"\1", cand)
+            cleaned = re.sub(r"(?<=[{,])\s*'([^']*)'\s*:", r'"\1":', cleaned)
+            cleaned = re.sub(r":\s*'([^']*)'", r': "\1"', cleaned)
+            try:
+                out = json.loads(cleaned)
+                if isinstance(out, dict):
+                    return out
+            except json.JSONDecodeError:
+                continue
+    raise JSONParseError(f"unparseable JSON in: {text[:80]!r}")
+
+
+# ---------------------------------------------------------------------------
+# Client protocol
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LLMResponse:
+    content: str
+    input_tokens: int = 0
+    output_tokens: int = 0
+    cache_read_tokens: int = 0
+
+
+class LLMClient(Protocol):
+    async def acomplete(self, prompt: str, *, kind: str = "map") -> LLMResponse: ...
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mock (FIXTURES.md §10)
+# ---------------------------------------------------------------------------
+
+def mock_relevance_score(text: str) -> int:
+    """(position of first md5 hex digit − 1) mod 11 — identical to the
+    SQL expression used by every oracle (functions/text.py:mock_score_0_10)."""
+    first = hashlib.md5(text.encode()).hexdigest()[0]
+    return "0123456789abcdef".index(first) % 11
+
+
+def _ws_tokens(s: str) -> int:
+    return len(s.split())
+
+
+class MockLLM:
+    """Pure-function client; no network, no state, fully reproducible.
+
+    map    → 'Score: N' content + first/last word echo as evidence
+    reduce → concatenated answer over the serialized map results
+    judge  → 'Correct' iff candidate equals gold after normalization
+    truncation/improve → echo-style deterministic transforms
+    """
+
+    async def acomplete(self, prompt: str, *, kind: str = "map") -> LLMResponse:
+        usage_in = _ws_tokens(prompt)
+        if kind == "map":
+            score = mock_relevance_score(prompt)
+            words = prompt.split()
+            content = (
+                f"Evidence: {words[0]} ... {words[-1]}\n"
+                f"Answer: {words[len(words) // 2]}\n"
+                f"Score: {score}"
+                if score > 0
+                else "model returned no score"
+            )
+        elif kind == "reduce":
+            h = hashlib.md5(prompt.encode()).hexdigest()[:8]
+            content = json.dumps(
+                {
+                    "reasoning": f"synthesized from {usage_in} tokens",
+                    "evidence": [h],
+                    "answer": f"answer-{h}",
+                }
+            )
+        elif kind == "judge":
+            # Batch form (reference U4): one call judges an
+            # <evaluation_items> XML of ≤5 items, returning
+            # evaluation_results with 1-based evaluation_number
+            # (async_evaluation.py:297-350).
+            items = re.findall(
+                r"<llm_answer>(.*?)</llm_answer>\s*<gold>(.*?)</gold>",
+                prompt,
+                re.DOTALL,
+            )
+            results = []
+            for i, (cand, gold) in enumerate(items, start=1):
+                cand, gold = cand.strip(), gold.strip()
+                if not cand:
+                    verdict = "No answer"
+                elif cand.lower() == gold.lower():
+                    verdict = "Correct"
+                else:
+                    verdict = "Incorrect"
+                results.append(
+                    {
+                        "evaluation_number": i,
+                        "judgement": verdict,
+                        "reasoning": "mock",
+                    }
+                )
+            if len(results) == 1:
+                content = json.dumps(
+                    {"judgement": results[0]["judgement"], "reasoning": "mock"}
+                )
+            else:
+                content = json.dumps({"evaluation_results": results})
+        else:  # truncation / improve_question
+            content = json.dumps({"answer": prompt.split()[0] if prompt else ""})
+        return LLMResponse(
+            content=content,
+            input_tokens=usage_in,
+            output_tokens=_ws_tokens(content),
+            cache_read_tokens=0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# U7: dual token-bucket rate limiter (requests/min + tokens/min)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RateLimitConfig:
+    # reference main_async.py:67-74 defaults
+    requests_per_minute: int = 30_000
+    tokens_per_minute: int = 150_000_000
+    burst: int = 3_000
+    max_retries: int = 50
+    base_backoff_s: float = 2.0
+    max_backoff_s: float = 60.0
+    request_timeout_s: float = 600.0
+
+
+class DualTokenBucket:
+    """Two coupled buckets (requests + tokens); acquire blocks until
+    both grant. Executor-local: at cluster scale each executor gets
+    budget/num_executors (SURVEY §4 rate-limiting note)."""
+
+    def __init__(self, cfg: RateLimitConfig, clock=time.monotonic):
+        self.cfg = cfg
+        self._clock = clock
+        self._req = float(cfg.burst)
+        self._tok = float(cfg.tokens_per_minute)
+        self._last = clock()
+        self._lock = asyncio.Lock()
+
+    def _refill(self):
+        now = self._clock()
+        dt = now - self._last
+        self._last = now
+        self._req = min(
+            self.cfg.burst, self._req + dt * self.cfg.requests_per_minute / 60.0
+        )
+        self._tok = min(
+            float(self.cfg.tokens_per_minute),
+            self._tok + dt * self.cfg.tokens_per_minute / 60.0,
+        )
+
+    async def acquire(self, est_tokens: int):
+        while True:
+            async with self._lock:
+                self._refill()
+                if self._req >= 1 and self._tok >= est_tokens:
+                    self._req -= 1
+                    self._tok -= est_tokens
+                    return
+                need_req = max(0.0, 1 - self._req) * 60.0 / self.cfg.requests_per_minute
+                need_tok = (
+                    max(0.0, est_tokens - self._tok)
+                    * 60.0
+                    / self.cfg.tokens_per_minute
+                )
+            await asyncio.sleep(max(need_req, need_tok, 0.005))
+
+
+def estimate_tokens(prompt: str, max_output: int = 1024) -> int:
+    """F14: (prompt_tokens + max_tokens) × 1.15 safety buffer, char/4
+    fallback (reference async_llm_client.py:98-123)."""
+    prompt_tokens = max(_ws_tokens(prompt), len(prompt) // 4)
+    return int((prompt_tokens + max_output) * 1.15)
+
+
+@dataclass
+class RetryStats:
+    attempts: int = 0
+    retries: int = 0
+    failures: int = 0
+    parse_retries: int = 0
+
+
+class RateLimitedClient:
+    """Wraps any LLMClient with the limiter + retry/backoff/timeout
+    semantics of the reference (U7). JSON-parse failures are retryable
+    when expect_json=True."""
+
+    def __init__(
+        self,
+        inner: LLMClient,
+        cfg: RateLimitConfig | None = None,
+        *,
+        sleep=asyncio.sleep,
+    ):
+        self.inner = inner
+        self.cfg = cfg or RateLimitConfig()
+        self.bucket = DualTokenBucket(self.cfg)
+        self.stats = RetryStats()
+        self._sleep = sleep
+
+    async def acomplete(
+        self, prompt: str, *, kind: str = "map", expect_json: bool = False
+    ) -> LLMResponse:
+        backoff = self.cfg.base_backoff_s
+        last_err: Exception | None = None
+        for _ in range(self.cfg.max_retries):
+            self.stats.attempts += 1
+            await self.bucket.acquire(estimate_tokens(prompt))
+            try:
+                resp = await asyncio.wait_for(
+                    self.inner.acomplete(prompt, kind=kind),
+                    timeout=self.cfg.request_timeout_s,
+                )
+                if expect_json:
+                    robust_json_parse(resp.content)  # parse failure → retry
+                return resp
+            except JSONParseError as e:
+                self.stats.parse_retries += 1
+                last_err = e
+            except (asyncio.TimeoutError, ConnectionError, OSError) as e:
+                last_err = e
+            self.stats.retries += 1
+            await self._sleep(backoff)
+            backoff = min(backoff * 2, self.cfg.max_backoff_s)
+        self.stats.failures += 1
+        raise RuntimeError(f"LLM call failed after retries: {last_err}")

@@ -1,0 +1,223 @@
+"""U1–U5 — LLM stages as Arrow-batched mapInPandas operators.
+
+Spark has no async UDFs, so each LLM stage runs its own asyncio event
+loop per partition (SURVEY §2.8): the iterator-of-batches shape of
+``mapInPandas`` lets one loop drain an entire partition with
+``asyncio.gather`` under a per-partition semaphore, mirroring the
+reference's global-semaphore fan-out (base_pipeline.py:270-282,
+DEFAULT_MAX_CONCURRENT_CHUNKS=50).
+
+Concurrency model at scale: total in-flight requests =
+(#partitions carrying LLM rows) × per_partition_concurrency. The
+caller sizes partitions via ``repartition(n)`` to hit the global
+budget (reference max_total_requests=1000 → e.g. 20 partitions × 50).
+Rate limiting is executor-local (DualTokenBucket); task retries /
+speculation must stay off for paid stages (session.py disables
+speculation) because a re-run re-pays the API.
+
+The client factory is a top-level picklable callable so the client is
+constructed inside the worker (no driver-side connection pickling).
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from finmapreduce_spark.llm.client import (
+    LLMResponse,
+    MockLLM,
+    RateLimitConfig,
+    RateLimitedClient,
+)
+
+DEFAULT_CONCURRENCY = 50  # reference .env.example DEFAULT_MAX_CONCURRENT_CHUNKS
+
+
+def mock_client_factory() -> RateLimitedClient:
+    """Default factory: deterministic mock behind the real limiter
+    stack, so tests exercise the production code path end to end."""
+    return RateLimitedClient(MockLLM(), RateLimitConfig())
+
+
+async def _drain(
+    client: RateLimitedClient,
+    prompts: list[str],
+    kind: str,
+    concurrency: int,
+    expect_json: bool,
+) -> list[LLMResponse | Exception]:
+    sem = asyncio.Semaphore(concurrency)
+
+    async def one(p: str):
+        async with sem:
+            try:
+                return await client.acomplete(p, kind=kind, expect_json=expect_json)
+            except Exception as e:  # error rows, not stage failure (P5)
+                return e
+
+    return await asyncio.gather(*[one(p) for p in prompts])
+
+
+def run_llm_stage(
+    df: DataFrame,
+    *,
+    prompt_col: str,
+    kind: str,
+    out_schema: str,
+    row_builder: Callable[[pd.DataFrame, list[LLMResponse | Exception]], pd.DataFrame],
+    client_factory: Callable[[], RateLimitedClient] = mock_client_factory,
+    concurrency: int = DEFAULT_CONCURRENCY,
+    expect_json: bool = False,
+) -> DataFrame:
+    """Generic LLM projection stage: one request per input row.
+
+    ``row_builder(pdf, responses)`` turns the Arrow batch + responses
+    into the output batch; per-row exceptions arrive as Exception
+    objects so the builder can emit typed error rows (reference
+    semantics: per-chunk errors become error results, never task
+    failures — mapreduce_pipeline.py:252-268).
+    """
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()
+        loop = asyncio.new_event_loop()
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                responses = loop.run_until_complete(
+                    _drain(
+                        client,
+                        pdf[prompt_col].fillna("").tolist(),
+                        kind,
+                        concurrency,
+                        expect_json,
+                    )
+                )
+                yield row_builder(pdf, responses)
+        finally:
+            loop.close()
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Row builders for the three core stages
+# ---------------------------------------------------------------------------
+
+def map_row_builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
+    """U1: carry content + usage; downstream P3 extracts/filters score."""
+    out = {
+        "qa_id": pdf["qa_id"].values,
+        "chunk_index": pdf["chunk_index"].values,
+        "content": [
+            "" if isinstance(r, Exception) else r.content for r in responses
+        ],
+        "error": [str(r) if isinstance(r, Exception) else None for r in responses],
+        "input_tokens": [
+            0 if isinstance(r, Exception) else r.input_tokens for r in responses
+        ],
+        "output_tokens": [
+            0 if isinstance(r, Exception) else r.output_tokens for r in responses
+        ],
+    }
+    return pd.DataFrame(out)
+
+
+MAP_OUT_SCHEMA = (
+    "qa_id long, chunk_index int, content string, error string, "
+    "input_tokens long, output_tokens long"
+)
+
+
+def reduce_row_builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
+    import json
+
+    from finmapreduce_spark.llm.client import robust_json_parse
+
+    answers, reasonings, evidences, errors = [], [], [], []
+    for r in responses:
+        if isinstance(r, Exception):
+            answers.append(None)
+            reasonings.append(None)
+            evidences.append(None)
+            errors.append(str(r))
+            continue
+        try:
+            parsed = robust_json_parse(r.content)
+        except ValueError:
+            parsed = {}
+        answers.append(parsed.get("answer"))
+        reasonings.append(parsed.get("reasoning"))
+        ev = parsed.get("evidence")
+        evidences.append(json.dumps(ev) if ev is not None else None)
+        errors.append(None)
+    return pd.DataFrame(
+        {
+            "qa_id": pdf["qa_id"].values,
+            "n_kept": pdf["n_kept"].values,
+            "llm_answer": answers,
+            "llm_reasoning": reasonings,
+            "llm_evidence": evidences,
+            "error": errors,
+            "input_tokens": [
+                0 if isinstance(r, Exception) else r.input_tokens for r in responses
+            ],
+            "output_tokens": [
+                0 if isinstance(r, Exception) else r.output_tokens for r in responses
+            ],
+        }
+    )
+
+
+REDUCE_OUT_SCHEMA = (
+    "qa_id long, n_kept long, llm_answer string, llm_reasoning string, "
+    "llm_evidence string, error string, input_tokens long, output_tokens long"
+)
+
+
+def judge_row_builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
+    from finmapreduce_spark.llm.client import robust_json_parse
+
+    verdicts, reasonings = [], []
+    for r in responses:
+        if isinstance(r, Exception):
+            verdicts.append("Error")  # reference fallback rows (:297-350)
+            reasonings.append(str(r))
+            continue
+        try:
+            parsed = robust_json_parse(r.content)
+            verdicts.append(parsed.get("judgement", "Error"))
+            reasonings.append(parsed.get("reasoning", ""))
+        except ValueError:
+            verdicts.append("Error")
+            reasonings.append("unparseable judge response")
+    return pd.DataFrame(
+        {
+            "qa_id": pdf["qa_id"].values,
+            "judgment": verdicts,
+            "reasoning": reasonings,
+        }
+    )
+
+
+JUDGE_OUT_SCHEMA = "qa_id long, judgment string, reasoning string"
+
+
+def normalize_judgment(col):
+    """P7: lowercase + {'no answer','no_answer'} → 'no_answer'; unknown
+    values → 'error' bucket (reference async_evaluation.py:434-451)."""
+    from pyspark.sql import functions as F
+
+    low = F.lower(F.trim(col))
+    return (
+        F.when(low.isin("no answer", "no_answer"), "no_answer")
+        .when(low.isin("correct", "coherent", "deviated", "incorrect"), low)
+        .otherwise("error")
+    )

@@ -1,0 +1,260 @@
+"""The MapReduce QA DAG — the reference's primary pipeline re-expressed
+as one declarative DataFrame plan (SURVEY §3.1 step 4).
+
+Reference lifecycle (/root/reference/src/core/mapreduce_pipeline.py):
+load → dedup docs → parse+chunk → per-QA: map each chunk (U1) →
+score-filter (P2/P3) → ordered reduce (A1+U2) → judge batches (W2+U4+J3)
+→ stats (A2–A12) → sink.
+
+Spark plan:
+  qa ⟕ broadcast(docs)            -- J1; missing doc → error row
+  → explode chunks (F2)            -- narrow
+  → mapInPandas LLM map (U1)       -- async loop per partition
+  → filter score > θ (P3, strict)  -- prunes before the only wide op
+  → groupBy(qa_id) ordered concat (A1/W1)
+  → mapInPandas LLM reduce (U2)
+  → batch join judge (W2+U4+J3)
+  → stats aggregations
+
+Every stage returns a DataFrame so callers can stop anywhere; nothing
+collects to the driver. With the MockLLM every stage is reproducible
+in ANSI SQL — queries/pipeline.py carries the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.functions.chunking import chunk_plan
+from finmapreduce_spark.functions.text import extract_score
+from finmapreduce_spark.llm import runner
+from finmapreduce_spark.llm.runner import (
+    JUDGE_OUT_SCHEMA,
+    MAP_OUT_SCHEMA,
+    REDUCE_OUT_SCHEMA,
+    judge_row_builder,
+    map_row_builder,
+    mock_client_factory,
+    reduce_row_builder,
+    run_llm_stage,
+)
+
+
+@dataclass
+class MapReduceConfig:
+    chunk_size: int = 512
+    chunk_overlap: int = 64
+    score_threshold: int = 5  # strict `>` (reference json_formatter.py:32)
+    judge_batch_size: int = 5  # reference async_evaluation.py:261
+    client_factory: object = mock_client_factory
+    llm_partitions: int | None = None  # repartition before LLM stages
+
+
+def join_documents(qa: DataFrame, docs: DataFrame) -> DataFrame:
+    """J1: broadcast left join; null/empty content becomes a typed
+    error row (P5), preserved through the DAG as 'No answer'."""
+    joined = qa.join(F.broadcast(docs), "doc_id", "left")
+    return joined.withColumn(
+        "doc_error",
+        F.when(F.col("text").isNull(), F.lit("document not found"))
+        .when(F.length(F.trim("text")) == 0, F.lit("empty document"))
+        .otherwise(F.lit(None)),
+    )
+
+
+def chunk_stage(qa_docs: DataFrame, cfg: MapReduceConfig) -> DataFrame:
+    """F2 over the joined rows; error rows carry no chunks."""
+    ok = qa_docs.filter(F.col("doc_error").isNull())
+    chunks = ok.select(
+        "qa_id",
+        "doc_id",
+        "question",
+        F.posexplode(
+            chunk_plan(F.col("text"), cfg.chunk_size, cfg.chunk_overlap)
+        ).alias("chunk_index", "chunk_text"),
+    )
+    return chunks
+
+
+def map_stage(chunks: DataFrame, cfg: MapReduceConfig) -> DataFrame:
+    """U1: one LLM call per chunk. The prompt is question + chunk; the
+    stage is repartitioned to shape global request concurrency."""
+    with_prompt = chunks.withColumn(
+        "prompt", F.concat(F.col("question"), F.lit("\n\n"), F.col("chunk_text"))
+    )
+    if cfg.llm_partitions:
+        with_prompt = with_prompt.repartition(cfg.llm_partitions)
+    return run_llm_stage(
+        with_prompt,
+        prompt_col="prompt",
+        kind="map",
+        out_schema=MAP_OUT_SCHEMA,
+        row_builder=map_row_builder,
+        client_factory=cfg.client_factory,
+    )
+
+
+def filter_stage(map_out: DataFrame, cfg: MapReduceConfig) -> DataFrame:
+    """P3: strict `>` on the regex-extracted score; malformed content
+    (no 'Score:') drops — exactly hybrid_formatter.py:33-60."""
+    scored = map_out.withColumn("score", extract_score(F.col("content")))
+    return scored.filter(F.col("score") > cfg.score_threshold)
+
+
+def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFrame:
+    """A1+W1 gather (sorted collect_list) → U2 one LLM call per QA."""
+    gathered = kept.groupBy("qa_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_index", "content"))),
+                lambda s: s.content,
+            ),
+        ).alias("serialized"),
+    )
+    with_q = gathered.join(qa.select("qa_id", "question"), "qa_id").withColumn(
+        "prompt",
+        F.concat(F.lit("Question: "), F.col("question"), F.lit("\n\n"), F.col("serialized")),
+    )
+    reduced = run_llm_stage(
+        with_q,
+        prompt_col="prompt",
+        kind="reduce",
+        out_schema=REDUCE_OUT_SCHEMA,
+        row_builder=reduce_row_builder,
+        client_factory=cfg.client_factory,
+        expect_json=True,
+    )
+    return reduced
+
+
+def answers_with_errors(
+    qa: DataFrame, qa_docs: DataFrame, reduced: DataFrame
+) -> DataFrame:
+    """Reattach error rows (missing doc / all chunks filtered) as
+    null-answer rows so downstream judging sees every QA (P5 union)."""
+    base = qa.select("qa_id", "doc_id", "question", "answer").join(
+        qa_docs.select("qa_id", "doc_error"), "qa_id", "left"
+    )
+    return base.join(reduced, "qa_id", "left").select(
+        "qa_id",
+        "doc_id",
+        "question",
+        "answer",
+        "doc_error",
+        "llm_answer",
+        "llm_reasoning",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "input_tokens",
+        "output_tokens",
+    )
+
+
+def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
+    """W2 fixed batches of 5 → U4 one LLM call per batch → explode and
+    J3 key-join back (the reference's positional apply-back replaced by
+    a qa_id equi-join — same assignment, no positional arithmetic)."""
+    w = W.orderBy("qa_id")
+    batched = answers.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / cfg.judge_batch_size),
+    )
+    item = F.concat(
+        F.lit("<item><llm_answer>"),
+        F.coalesce("llm_answer", F.lit("")),
+        F.lit("</llm_answer>\n<gold>"),
+        F.coalesce("answer", F.lit("")),
+        F.lit("</gold></item>"),
+    )
+    per_batch = (
+        batched.withColumn("item_xml", item)
+        .groupBy("batch_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("qa_id", "item_xml"))),
+                    lambda s: s.item_xml,
+                ),
+            ).alias("prompt"),
+            F.array_sort(F.collect_list("qa_id")).alias("qa_ids"),
+        )
+        .withColumn(
+            "prompt",
+            F.concat(
+                F.lit("<evaluation_items>\n"), F.col("prompt"), F.lit("\n</evaluation_items>")
+            ),
+        )
+    )
+
+    import json as _json
+
+    import pandas as pd
+
+    from finmapreduce_spark.llm.client import robust_json_parse
+
+    def batch_judge_builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
+        rows = []
+        for qa_ids, resp in zip(pdf["qa_ids"], responses):
+            qa_ids = list(qa_ids)
+            if isinstance(resp, Exception):
+                for q in qa_ids:  # per-item Error fallback (reference)
+                    rows.append((q, "Error", str(resp)))
+                continue
+            try:
+                parsed = robust_json_parse(resp.content)
+            except ValueError:
+                parsed = {}
+            results = parsed.get("evaluation_results")
+            if results is None and "judgement" in parsed:
+                results = [{"evaluation_number": 1, **parsed}]
+            by_num = {
+                int(r.get("evaluation_number", 0)): r for r in (results or [])
+            }
+            for i, q in enumerate(qa_ids, start=1):
+                r = by_num.get(i)
+                rows.append(
+                    (
+                        q,
+                        r.get("judgement", "Error") if r else "Error",
+                        r.get("reasoning", "") if r else "missing item",
+                    )
+                )
+        return pd.DataFrame(rows, columns=["qa_id", "judgment", "reasoning"])
+
+    return run_llm_stage(
+        per_batch,
+        prompt_col="prompt",
+        kind="judge",
+        out_schema=JUDGE_OUT_SCHEMA,
+        row_builder=batch_judge_builder,
+        client_factory=cfg.client_factory,
+        expect_json=True,
+    )
+
+
+def run_mapreduce(
+    qa: DataFrame, docs: DataFrame, cfg: MapReduceConfig | None = None
+) -> dict[str, DataFrame]:
+    """Full DAG; returns every stage so callers pick what to act on."""
+    cfg = cfg or MapReduceConfig()
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, cfg)
+    mapped = map_stage(chunks, cfg)
+    kept = filter_stage(mapped, cfg)
+    reduced = reduce_stage(kept, qa, cfg)
+    answers = answers_with_errors(qa, qa_docs, reduced)
+    judgments = judge_stage(answers, cfg)
+    return {
+        "qa_docs": qa_docs,
+        "chunks": chunks,
+        "mapped": mapped,
+        "kept": kept,
+        "reduced": reduced,
+        "answers": answers,
+        "judgments": judgments,
+    }

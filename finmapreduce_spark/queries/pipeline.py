@@ -1,1 +1,319 @@
-QUERIES: dict = {}
+"""End-to-end MapReduce-QA pipeline queries.
+
+These run the REAL execution path — Arrow-batched ``mapInPandas``
+stages with an asyncio loop, dual token-bucket limiter, retry stack,
+robust JSON parsing — with the deterministic MockLLM, whose outputs
+are pure md5/word functions of the prompt (FIXTURES.md §10). That
+makes the *entire DAG* reproducible in ANSI SQL, so the DuckDB oracle
+checks the full pipeline (J1 join → F2 chunk → U1 map → P3 filter →
+A1+U2 reduce → W2+U4+J3 judge → A6/A8 stats), not just fragments.
+
+QA workload is synthesized from `documents` (one question per doc +
+5 questions referencing missing docs to exercise the J1/P5 error
+path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.llm.runner import normalize_judgment
+from finmapreduce_spark.plans.mapreduce import (
+    MapReduceConfig,
+    answers_with_errors,
+    chunk_stage,
+    filter_stage,
+    join_documents,
+    judge_stage,
+    map_stage,
+    reduce_stage,
+)
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.session import read_table
+
+CFG = MapReduceConfig()  # 512/64 chunks, threshold 5, judge batch 5
+_STEP = CFG.chunk_size - CFG.chunk_overlap
+N_MISSING = 5
+
+
+def synthetic_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    qa = docs.select(
+        F.col("doc_id").alias("qa_id"),
+        "doc_id",
+        F.concat(
+            F.lit("What is document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" about?"),
+        ).alias("question"),
+        F.lit("gold-other").alias("answer"),
+    )
+    missing = spark.range(N_MISSING).select(
+        (F.lit(1_000_000) + F.col("id")).alias("qa_id"),
+        (F.lit(-1) - F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit("What is document "),
+            (F.lit(-1) - F.col("id")).cast("string"),
+            F.lit(" about?"),
+        ).alias("question"),
+        F.lit("gold-other").alias("answer"),
+    )
+    return qa.unionByName(missing)
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+# Shared oracle CTEs replicating the DAG with the mock-LLM closed forms.
+_PIPE_SQL = f"""
+qa AS (
+  SELECT doc_id AS qa_id, doc_id,
+         'What is document ' || CAST(doc_id AS VARCHAR) || ' about?' AS question
+  FROM documents
+  UNION ALL
+  SELECT 1000000 + t.i, -1 - t.i,
+         'What is document ' || CAST(-1 - t.i AS VARCHAR) || ' about?'
+  FROM range(0, {N_MISSING}) t(i)
+),
+qa_docs AS (
+  SELECT qa.*, d.text,
+         CASE WHEN d.text IS NULL THEN 'document not found'
+              WHEN length(trim(d.text)) = 0 THEN 'empty document' END AS doc_error
+  FROM qa LEFT JOIN documents d USING (doc_id)
+),
+chunks AS (
+  SELECT qa_id, doc_id, question, CAST(t.i AS INT) AS chunk_index,
+         substring(text, CAST(t.i AS INT) * {_STEP} + 1, {CFG.chunk_size}) AS chunk_text
+  FROM (
+    SELECT qa_id, doc_id, question, text,
+           CASE WHEN length(text) <= {CFG.chunk_size} THEN 1
+                ELSE CAST(ceil((length(text) - {CFG.chunk_size}) / {_STEP}.0) AS BIGINT) + 1
+           END AS n_chunks
+    FROM qa_docs WHERE doc_error IS NULL
+  ), LATERAL unnest(range(0, n_chunks)) AS t(i)
+),
+mapped AS (
+  SELECT qa_id, doc_id, chunk_index, prompt, words, score,
+         CASE WHEN score = 0 THEN 'model returned no score'
+              ELSE 'Evidence: ' || words[1] || ' ... ' || words[len(words)]
+                   || chr(10) || 'Answer: '
+                   || words[CAST(floor(len(words) / 2) AS BIGINT) + 1]
+                   || chr(10) || 'Score: ' || CAST(score AS VARCHAR)
+         END AS content
+  FROM (
+    SELECT qa_id, doc_id, chunk_index, prompt,
+           regexp_split_to_array(trim(prompt), '\\s+') AS words,
+           (strpos('0123456789abcdef', substring(md5(prompt), 1, 1)) - 1) % 11 AS score
+    FROM (SELECT qa_id, doc_id, chunk_index,
+                 question || chr(10) || chr(10) || chunk_text AS prompt
+          FROM chunks)
+  )
+),
+kept AS (
+  SELECT * FROM mapped WHERE score > {CFG.score_threshold}
+),
+reduced AS (
+  SELECT qa_id,
+         count(*) AS n_kept,
+         'Question: ' || any_value(question) || chr(10) || chr(10)
+           || string_agg(content, chr(10) || chr(10) ORDER BY chunk_index) AS r_prompt
+  FROM kept JOIN qa USING (qa_id)
+  GROUP BY qa_id
+),
+answers AS (
+  SELECT q.qa_id, q.doc_id, q.question, qd.doc_error,
+         r.n_kept,
+         CASE WHEN r.qa_id IS NOT NULL
+              THEN 'answer-' || substring(md5(r.r_prompt), 1, 8) END AS llm_answer,
+         CASE WHEN r.qa_id IS NOT NULL
+              THEN 'synthesized from '
+                   || CAST(len(regexp_split_to_array(trim(r.r_prompt), '\\s+')) AS VARCHAR)
+                   || ' tokens' END AS llm_reasoning
+  FROM qa q
+  LEFT JOIN (SELECT qa_id, doc_error FROM qa_docs) qd ON q.qa_id = qd.qa_id
+  LEFT JOIN reduced r ON q.qa_id = r.qa_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E2E answers: the full map→filter→reduce path, error rows preserved
+# ---------------------------------------------------------------------------
+
+def pipeline_e2e_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG)
+    mapped = map_stage(chunks, CFG)
+    kept = filter_stage(mapped, CFG)
+    reduced = reduce_stage(kept, qa, CFG)
+    answers = answers_with_errors(qa, qa_docs, reduced)
+    return answers.select(
+        "qa_id",
+        "doc_id",
+        F.coalesce("doc_error", F.lit("ok")).alias("doc_status"),
+        "n_kept",
+        "llm_answer",
+        "llm_reasoning",
+    )
+
+
+PIPE_E2E_ORACLE = f"""
+WITH {_PIPE_SQL}
+SELECT qa_id, doc_id,
+       coalesce(doc_error, 'ok') AS doc_status,
+       coalesce(n_kept, 0) AS n_kept,
+       llm_answer, llm_reasoning
+FROM answers
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: filtering-effectiveness stats per QA (reference
+# mapreduce_pipeline.py:469-521 — retention rates, score distribution)
+# ---------------------------------------------------------------------------
+
+def pipeline_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG)
+    mapped = map_stage(chunks, CFG)
+    scored = mapped.withColumn(
+        "score",
+        F.when(
+            F.regexp_extract("content", r"Score:\s*(\d+)", 1) == "", None
+        ).otherwise(F.regexp_extract("content", r"Score:\s*(\d+)", 1).cast("int")),
+    )
+    return scored.groupBy("qa_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(F.col("score") > CFG.score_threshold).alias("n_kept"),
+        F.round(
+            F.count_if(F.col("score") > CFG.score_threshold) / F.count("*"), 6
+        ).alias("retention"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )
+
+
+PIPE_STATS_ORACLE = f"""
+WITH {_PIPE_SQL}
+SELECT qa_id, count(*) AS n_chunks,
+       count(*) FILTER (score > {CFG.score_threshold}) AS n_kept,
+       round(count(*) FILTER (score > {CFG.score_threshold}) / count(*), 6) AS retention,
+       CAST(min(CASE WHEN score = 0 THEN NULL ELSE score END) AS INT) AS min_score,
+       CAST(max(CASE WHEN score = 0 THEN NULL ELSE score END) AS INT) AS max_score,
+       round(avg(CASE WHEN score = 0 THEN NULL ELSE score END), 6) AS avg_score
+FROM mapped GROUP BY qa_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4: token-usage summary over the map phase (reference
+# document_processing.py:426-461 — totals, averages, efficiency ratio)
+# ---------------------------------------------------------------------------
+
+def pipeline_token_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG)
+    mapped = map_stage(chunks, CFG)
+    return mapped.agg(
+        F.sum("input_tokens").alias("total_input_tokens"),
+        F.sum("output_tokens").alias("total_output_tokens"),
+        F.round(F.avg("input_tokens"), 6).alias("avg_input_tokens"),
+        F.round(
+            F.sum("output_tokens") / F.sum("input_tokens"), 6
+        ).alias("token_efficiency_ratio"),
+        F.count("*").alias("n_requests"),
+    )
+
+
+PIPE_USAGE_ORACLE = f"""
+WITH {_PIPE_SQL}
+SELECT CAST(sum(len(words)) AS BIGINT) AS total_input_tokens,
+       CAST(sum(len(regexp_split_to_array(trim(content), '\\s+'))) AS BIGINT)
+         AS total_output_tokens,
+       round(avg(len(words)), 6) AS avg_input_tokens,
+       round(sum(len(regexp_split_to_array(trim(content), '\\s+')))
+             / sum(len(words)), 6) AS token_efficiency_ratio,
+       count(*) AS n_requests
+FROM mapped
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8+P7: judge distribution + accuracy over the full DAG (W2 batches of
+# 5 → U4 batch judge → J3 join-back → normalize → distribution)
+# ---------------------------------------------------------------------------
+
+def pipeline_judge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG)
+    mapped = map_stage(chunks, CFG)
+    kept = filter_stage(mapped, CFG)
+    reduced = reduce_stage(kept, qa, CFG)
+    answers = answers_with_errors(qa, qa_docs, reduced)
+    # gold = the llm answer for every 3rd doc (known-correct control
+    # group), 'gold-other' otherwise — yields a Correct/Incorrect/
+    # No-answer mix that exercises the judge's full verdict domain.
+    answers = answers.withColumn(
+        "answer",
+        F.when(
+            (F.col("doc_id") % 3 == 0) & F.col("llm_answer").isNotNull(),
+            F.col("llm_answer"),
+        ).otherwise(F.lit("gold-other")),
+    )
+    judgments = judge_stage(answers, CFG)
+    return (
+        judgments.withColumn("judgment_norm", normalize_judgment(F.col("judgment")))
+        .groupBy("judgment_norm")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rate", F.round(F.col("n") / F.sum("n").over(Window_all()), 6)
+        )
+    )
+
+
+def Window_all():
+    from pyspark.sql import Window
+
+    return Window.partitionBy()
+
+
+PIPE_JUDGE_ORACLE = f"""
+WITH {_PIPE_SQL},
+judged AS (
+  SELECT qa_id,
+         CASE WHEN llm_answer IS NULL OR trim(llm_answer) = '' THEN 'No answer'
+              WHEN doc_id % 3 = 0 THEN 'Correct'
+              ELSE 'Incorrect' END AS judgment
+  FROM answers
+),
+norm AS (
+  SELECT CASE
+           WHEN lower(trim(judgment)) IN ('no answer', 'no_answer') THEN 'no_answer'
+           WHEN lower(trim(judgment)) IN ('correct','coherent','deviated','incorrect')
+             THEN lower(trim(judgment))
+           ELSE 'error' END AS judgment_norm
+  FROM judged
+)
+SELECT judgment_norm, count(*) AS n,
+       round(count(*) / sum(count(*)) OVER (), 6) AS rate
+FROM norm GROUP BY judgment_norm
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pipeline_e2e_answers": QuerySpec(pipeline_e2e_answers, PIPE_E2E_ORACLE),
+    "pipeline_map_stats": QuerySpec(pipeline_map_stats, PIPE_STATS_ORACLE),
+    "pipeline_token_usage": QuerySpec(pipeline_token_usage, PIPE_USAGE_ORACLE),
+    "pipeline_judge_accuracy": QuerySpec(pipeline_judge_accuracy, PIPE_JUDGE_ORACLE),
+}
