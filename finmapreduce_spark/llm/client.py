@@ -170,8 +170,17 @@ class MockLLM:
                 )
             else:
                 content = json.dumps({"evaluation_results": results})
-        else:  # truncation / improve_question
-            content = json.dumps({"answer": prompt.split()[0] if prompt else ""})
+        elif kind == "truncation":
+            # U3: single direct call over (truncated_doc, question) —
+            # reference truncation_formatter.py:75-97
+            h = hashlib.md5(prompt.encode()).hexdigest()[:8]
+            content = json.dumps(
+                {"answer": f"answer-{h}", "reasoning": "truncation path"}
+            )
+        else:  # improve_question (U5) — fallback-to-original on failure
+            content = json.dumps(
+                {"improved_question": f"Improved: {prompt}" if prompt else ""}
+            )
         return LLMResponse(
             content=content,
             input_tokens=usage_in,

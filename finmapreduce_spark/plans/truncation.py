@@ -1,0 +1,91 @@
+"""The truncation QA DAG (reference src/core/truncation_pipeline.py:51-107):
+load full document → token-budget truncate (F3/F6) → single LLM call
+(U3) → parse → truncation stats (A7).
+
+Spark plan: qa ⟕ broadcast(docs) → closed-form word-budget truncation
+(pure expressions, functions/truncation.py) → one mapInPandas LLM
+stage → stats aggregation. No shuffle before the LLM stage at all —
+the whole prepare path is narrow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.functions.truncation import truncate_words
+from finmapreduce_spark.llm.client import robust_json_parse
+from finmapreduce_spark.llm.runner import mock_client_factory, run_llm_stage
+from finmapreduce_spark.plans.mapreduce import join_documents
+
+
+@dataclass
+class TruncationConfig:
+    max_doc_tokens: int = 100  # F6 output; fixture-scale budget
+    strategy: str = "start"  # start|end|smart (F3/F4/F5)
+    client_factory: object = mock_client_factory
+
+
+def truncate_docs(qa_docs: DataFrame, cfg: TruncationConfig) -> DataFrame:
+    ok = qa_docs.filter(F.col("doc_error").isNull())
+    return truncate_words(
+        ok, "text", cfg.max_doc_tokens, strategy=cfg.strategy, out_prefix="trunc"
+    )
+
+
+def answer_row_builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
+    answers, reasonings, errors = [], [], []
+    for r in responses:
+        if isinstance(r, Exception):
+            answers.append(None)
+            reasonings.append(None)
+            errors.append(str(r))
+            continue
+        try:
+            parsed = robust_json_parse(r.content)
+        except ValueError:
+            parsed = {}
+        answers.append(parsed.get("answer"))
+        reasonings.append(parsed.get("reasoning"))
+        errors.append(None)
+    return pd.DataFrame(
+        {
+            "qa_id": pdf["qa_id"].values,
+            "trunc_applied": pdf["trunc_applied"].values,
+            "trunc_retention": pdf["trunc_retention"].values,
+            "llm_answer": answers,
+            "llm_reasoning": reasonings,
+            "error": errors,
+        }
+    )
+
+
+ANSWER_SCHEMA = (
+    "qa_id long, trunc_applied boolean, trunc_retention double, "
+    "llm_answer string, llm_reasoning string, error string"
+)
+
+
+def run_truncation(
+    qa: DataFrame, docs: DataFrame, cfg: TruncationConfig | None = None
+) -> dict[str, DataFrame]:
+    cfg = cfg or TruncationConfig()
+    qa_docs = join_documents(qa, docs)
+    truncated = truncate_docs(qa_docs, cfg)
+    with_prompt = truncated.withColumn(
+        "prompt",
+        F.concat(F.col("question"), F.lit("\n\n"), F.col("trunc_text")),
+    )
+    answered = run_llm_stage(
+        with_prompt,
+        prompt_col="prompt",
+        kind="truncation",
+        out_schema=ANSWER_SCHEMA,
+        row_builder=answer_row_builder,
+        client_factory=cfg.client_factory,
+        expect_json=True,
+    )
+    return {"qa_docs": qa_docs, "truncated": truncated, "answered": answered}

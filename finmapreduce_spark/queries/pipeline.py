@@ -311,9 +311,160 @@ FROM norm GROUP BY judgment_norm
 """
 
 
+# ---------------------------------------------------------------------------
+# Truncation DAG (U3 + F3/F6 + A7; reference truncation_pipeline.py:51-107)
+# ---------------------------------------------------------------------------
+
+from finmapreduce_spark.plans.truncation import (  # noqa: E402
+    TruncationConfig,
+    run_truncation,
+)
+
+TCFG = TruncationConfig()
+
+
+def truncation_e2e_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = run_truncation(qa, docs, TCFG)["answered"]
+    return out.select(
+        "qa_id",
+        "trunc_applied",
+        F.round("trunc_retention", 6).alias("trunc_retention"),
+        "llm_answer",
+    )
+
+
+_TRUNC_SQL = f"""
+qa AS (
+  SELECT doc_id AS qa_id, doc_id,
+         'What is document ' || CAST(doc_id AS VARCHAR) || ' about?' AS question
+  FROM documents
+  UNION ALL
+  SELECT 1000000 + t.i, -1 - t.i,
+         'What is document ' || CAST(-1 - t.i AS VARCHAR) || ' about?'
+  FROM range(0, {N_MISSING}) t(i)
+),
+trunc AS (
+  SELECT qa.qa_id, qa.question,
+         len(words) > {TCFG.max_doc_tokens} AS trunc_applied,
+         round(CASE WHEN len(words) > 0
+                    THEN least(len(words), {TCFG.max_doc_tokens}) / len(words)
+                    ELSE 1.0 END, 6) AS trunc_retention,
+         array_to_string(list_slice(words, 1, {TCFG.max_doc_tokens}), ' ') AS trunc_text
+  FROM qa
+  JOIN (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents) d USING (doc_id)
+)
+"""
+
+TRUNC_E2E_ORACLE = f"""
+WITH {_TRUNC_SQL}
+SELECT qa_id, trunc_applied, trunc_retention,
+       'answer-' || substring(md5(question || chr(10) || chr(10) || trunc_text), 1, 8)
+         AS llm_answer
+FROM trunc
+"""
+
+
+def truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (reference truncation_pipeline.py:265-313): dataset-level
+    original/kept token stats, retention, truncation rate."""
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    truncated = run_truncation(qa, docs, TCFG)["truncated"]
+    return truncated.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("trunc_original"), 6).alias("avg_original_tokens"),
+        F.round(F.median("trunc_original"), 6).alias("median_original_tokens"),
+        F.min("trunc_original").alias("min_original_tokens"),
+        F.max("trunc_original").alias("max_original_tokens"),
+        F.round(F.avg("trunc_tokens"), 6).alias("avg_kept_tokens"),
+        F.round(F.avg("trunc_retention"), 6).alias("avg_retention"),
+        F.round(
+            F.count_if(F.col("trunc_applied")) / F.count("*"), 6
+        ).alias("truncation_rate"),
+    )
+
+
+TRUNC_STATS_ORACLE = f"""
+WITH {_TRUNC_SQL},
+t AS (
+  SELECT len(words) AS n, least(len(words), {TCFG.max_doc_tokens}) AS kept,
+         len(words) > {TCFG.max_doc_tokens} AS applied,
+         CASE WHEN len(words) > 0
+              THEN least(len(words), {TCFG.max_doc_tokens}) / len(words)
+              ELSE 1.0 END AS retention
+  FROM qa JOIN (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents) d USING (doc_id)
+)
+SELECT count(*) AS n_docs,
+       round(avg(n), 6) AS avg_original_tokens,
+       round(median(n), 6) AS median_original_tokens,
+       CAST(min(n) AS BIGINT) AS min_original_tokens,
+       CAST(max(n) AS BIGINT) AS max_original_tokens,
+       round(avg(kept), 6) AS avg_kept_tokens,
+       round(avg(retention), 6) AS avg_retention,
+       round(count(*) FILTER (applied) / count(*), 6) AS truncation_rate
+FROM t
+"""
+
+
+# U5: improve_question preprocessing (reference base_pipeline.py:521-630)
+
+def improve_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from finmapreduce_spark.llm.client import robust_json_parse
+    from finmapreduce_spark.llm.runner import run_llm_stage
+
+    qa = synthetic_qa(spark, sf_dir)
+
+    def builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
+        improved = []
+        for q, r in zip(pdf["question"], responses):
+            if isinstance(r, Exception):
+                improved.append(q)  # fallback-to-original (reference :616)
+                continue
+            try:
+                improved.append(robust_json_parse(r.content)["improved_question"])
+            except (ValueError, KeyError):
+                improved.append(q)
+        return pd.DataFrame(
+            {"qa_id": pdf["qa_id"].values, "question": pdf["question"].values,
+             "improved_question": improved}
+        )
+
+    return run_llm_stage(
+        qa,
+        prompt_col="question",
+        kind="improve",
+        out_schema="qa_id long, question string, improved_question string",
+        row_builder=builder,
+        expect_json=True,
+    )
+
+
+IMPROVE_ORACLE = f"""
+SELECT doc_id AS qa_id,
+       'What is document ' || CAST(doc_id AS VARCHAR) || ' about?' AS question,
+       'Improved: What is document ' || CAST(doc_id AS VARCHAR) || ' about?'
+         AS improved_question
+FROM documents
+UNION ALL
+SELECT 1000000 + t.i,
+       'What is document ' || CAST(-1 - t.i AS VARCHAR) || ' about?',
+       'Improved: What is document ' || CAST(-1 - t.i AS VARCHAR) || ' about?'
+FROM range(0, {N_MISSING}) t(i)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_e2e_answers": QuerySpec(pipeline_e2e_answers, PIPE_E2E_ORACLE),
     "pipeline_map_stats": QuerySpec(pipeline_map_stats, PIPE_STATS_ORACLE),
     "pipeline_token_usage": QuerySpec(pipeline_token_usage, PIPE_USAGE_ORACLE),
     "pipeline_judge_accuracy": QuerySpec(pipeline_judge_accuracy, PIPE_JUDGE_ORACLE),
+    "truncation_e2e_answers": QuerySpec(truncation_e2e_answers, TRUNC_E2E_ORACLE),
+    "truncation_stats": QuerySpec(truncation_stats, TRUNC_STATS_ORACLE),
+    "improve_questions": QuerySpec(improve_questions, IMPROVE_ORACLE),
 }
