@@ -210,9 +210,10 @@ class DualTokenBucket:
     both grant. Executor-local: at cluster scale each executor gets
     budget/num_executors (SURVEY §4 rate-limiting note)."""
 
-    def __init__(self, cfg: RateLimitConfig, clock=time.monotonic):
+    def __init__(self, cfg: RateLimitConfig, clock=time.monotonic, sleep=asyncio.sleep):
         self.cfg = cfg
         self._clock = clock
+        self._sleep = sleep
         self._req = float(cfg.burst)
         self._tok = float(cfg.tokens_per_minute)
         self._last = clock()
@@ -244,7 +245,7 @@ class DualTokenBucket:
                     * 60.0
                     / self.cfg.tokens_per_minute
                 )
-            await asyncio.sleep(max(need_req, need_tok, 0.005))
+            await self._sleep(max(need_req, need_tok, 0.005))
 
 
 def estimate_tokens(prompt: str, max_output: int = 1024) -> int:

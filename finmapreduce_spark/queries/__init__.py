@@ -26,6 +26,7 @@ class QuerySpec(NamedTuple):
 def all_queries() -> dict[str, QuerySpec]:
     from finmapreduce_spark.queries import (
         dedup,
+        multimodal,
         pipeline,
         relational,
         similarity,
@@ -33,7 +34,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, textops, dedup, similarity, pipeline):
+    for mod in (relational, textops, dedup, similarity, pipeline, multimodal):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,196 @@
+"""Unit tests for the LLM execution layer (U7 infra + F7 parser).
+
+Mirrors the reference's (disabled) rate-limiter/client tests
+(tests/unit/test_dual_rate_limiter.py.disabled) with live assertions.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+
+import pytest
+
+from finmapreduce_spark.llm.client import (
+    DualTokenBucket,
+    JSONParseError,
+    LLMResponse,
+    MockLLM,
+    RateLimitConfig,
+    RateLimitedClient,
+    estimate_tokens,
+    mock_relevance_score,
+    robust_json_parse,
+)
+
+
+# ---------------------------------------------------------------------------
+# F7: robust JSON parsing fallback chain
+# ---------------------------------------------------------------------------
+
+def test_parse_strict():
+    assert robust_json_parse('{"a": 1}') == {"a": 1}
+
+
+def test_parse_fenced_block():
+    text = 'Here is the result:\n```json\n{"answer": "42"}\n```\nDone.'
+    assert robust_json_parse(text) == {"answer": "42"}
+
+
+def test_parse_bare_fence():
+    assert robust_json_parse('```\n{"x": [1, 2]}\n```') == {"x": [1, 2]}
+
+
+def test_parse_largest_brace_candidate():
+    text = 'prefix {"outer": {"inner": 3}} suffix'
+    assert robust_json_parse(text) == {"outer": {"inner": 3}}
+
+
+def test_parse_trailing_comma_cleanup():
+    assert robust_json_parse('{"a": 1,}') == {"a": 1}
+
+
+def test_parse_single_quotes_cleanup():
+    assert robust_json_parse("{'key': 'val'}") == {"key": "val"}
+
+
+def test_parse_failure_raises():
+    with pytest.raises(JSONParseError):
+        robust_json_parse("no json here at all")
+
+
+# ---------------------------------------------------------------------------
+# U7: dual token bucket
+# ---------------------------------------------------------------------------
+
+def test_bucket_burst_then_throttle():
+    """Burst drains instantly; the next acquire must wait for refill."""
+    clock = {"t": 0.0}
+    cfg = RateLimitConfig(requests_per_minute=60, tokens_per_minute=10_000, burst=3)
+    bucket = DualTokenBucket(cfg, clock=lambda: clock["t"])
+
+    async def run():
+        for _ in range(3):
+            await bucket.acquire(10)  # burst capacity
+        # 4th request: bucket empty; advance clock to refill 1 req (1 s)
+        task = asyncio.create_task(bucket.acquire(10))
+        await asyncio.sleep(0)
+        assert not task.done()
+        clock["t"] = 1.1
+        await asyncio.wait_for(task, timeout=2)
+
+    asyncio.run(run())
+
+
+def test_bucket_token_limit_binds():
+    clock = {"t": 0.0}
+    waits = []
+
+    async def fake_sleep(s):
+        waits.append(s)
+        clock["t"] += s  # advancing the fake clock refills the bucket
+
+    cfg = RateLimitConfig(requests_per_minute=6000, tokens_per_minute=600, burst=100)
+    bucket = DualTokenBucket(cfg, clock=lambda: clock["t"], sleep=fake_sleep)
+
+    async def run():
+        await bucket.acquire(600)  # drains the token bucket entirely
+        await bucket.acquire(60)  # must wait ~6 s (600 tpm → 10 tok/s)
+
+    asyncio.run(run())
+    assert waits and abs(waits[0] - 6.0) < 0.01
+
+
+def test_estimate_tokens_buffer():
+    # F14: (prompt + max_output) * 1.15, char/4 floor
+    assert estimate_tokens("a b c", max_output=100) == int((max(3, 5 // 4) + 100) * 1.15)
+
+
+# ---------------------------------------------------------------------------
+# Retry semantics: parse failures retryable, then hard failure
+# ---------------------------------------------------------------------------
+
+class FlakyClient:
+    def __init__(self, fail_times: int, then: str = '{"ok": true}'):
+        self.fail_times = fail_times
+        self.then = then
+        self.calls = 0
+
+    async def acomplete(self, prompt: str, *, kind: str = "map") -> LLMResponse:
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            return LLMResponse(content="garbage not json")
+        return LLMResponse(content=self.then)
+
+
+def test_retry_on_parse_failure_then_success():
+    inner = FlakyClient(fail_times=2)
+    sleeps = []
+
+    async def fake_sleep(s):
+        sleeps.append(s)
+
+    client = RateLimitedClient(inner, RateLimitConfig(), sleep=fake_sleep)
+
+    async def run():
+        return await client.acomplete("p", kind="reduce", expect_json=True)
+
+    resp = asyncio.run(run())
+    assert json.loads(resp.content) == {"ok": True}
+    assert inner.calls == 3
+    assert client.stats.parse_retries == 2
+    assert sleeps == [2.0, 4.0]  # exponential backoff base 2
+
+
+def test_retry_exhaustion_raises():
+    inner = FlakyClient(fail_times=10**9)
+
+    async def fake_sleep(s):
+        pass
+
+    cfg = RateLimitConfig(max_retries=3)
+    client = RateLimitedClient(inner, cfg, sleep=fake_sleep)
+    with pytest.raises(RuntimeError, match="failed after retries"):
+        asyncio.run(client.acomplete("p", expect_json=True))
+    assert client.stats.failures == 1
+
+
+# ---------------------------------------------------------------------------
+# MockLLM determinism + judge batch contract
+# ---------------------------------------------------------------------------
+
+def test_mock_map_score_matches_sql_contract():
+    import hashlib
+
+    text = "some chunk text"
+    first = hashlib.md5(text.encode()).hexdigest()[0]
+    assert mock_relevance_score(text) == "0123456789abcdef".index(first) % 11
+
+
+def test_mock_is_pure():
+    async def run():
+        m = MockLLM()
+        a = await m.acomplete("hello world", kind="map")
+        b = await m.acomplete("hello world", kind="map")
+        return a, b
+
+    a, b = asyncio.run(run())
+    assert a == b
+
+
+def test_mock_judge_batch():
+    prompt = (
+        "<evaluation_items>\n"
+        "<item><llm_answer>42</llm_answer>\n<gold>42</gold></item>\n"
+        "<item><llm_answer>41</llm_answer>\n<gold>42</gold></item>\n"
+        "<item><llm_answer></llm_answer>\n<gold>42</gold></item>\n"
+        "</evaluation_items>"
+    )
+
+    async def run():
+        return await MockLLM().acomplete(prompt, kind="judge")
+
+    resp = asyncio.run(run())
+    results = json.loads(resp.content)["evaluation_results"]
+    assert [r["judgement"] for r in results] == ["Correct", "Incorrect", "No answer"]
+    assert [r["evaluation_number"] for r in results] == [1, 2, 3]

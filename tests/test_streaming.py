@@ -1,0 +1,85 @@
+"""Structured Streaming serving-mode tests: the streaming plans produce
+the same results as their batch twins over the same input."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.session import read_table
+from finmapreduce_spark.streaming.pipeline import (
+    EVENT_SCHEMA,
+    read_request_stream,
+    run_stream_to_memory,
+    serve_mapreduce,
+    windowed_event_rollup,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fmr_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_rollup_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming windowed agg over a file stream == batch groupBy over
+    the same rows (watermark never drops anything when input is replayed
+    in one availableNow pass)."""
+    events = read_table(spark, sf_dir, "events")
+    # stage events as parquet for the file stream source
+    stage_dir = f"{tmpdir}/events"
+    events.write.mode("overwrite").parquet(stage_dir)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stage_dir)
+    streamed = run_stream_to_memory(
+        spark, windowed_event_rollup(stream), "rollup_out", output_mode="complete"
+    )
+
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type", "n", "total_value",
+        )
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_serve_mapreduce_availablenow(spark, sf_dir, tmpdir):
+    """End-to-end serving: JSON requests land in a directory, the
+    foreachBatch runner executes the full MapReduce DAG per micro-batch,
+    answers appear in the results sink."""
+    landing = f"{tmpdir}/landing"
+    out = f"{tmpdir}/out"
+    ckpt = f"{tmpdir}/ckpt"
+    import os
+
+    os.makedirs(landing)
+    reqs = [
+        {"qa_id": 1, "doc_id": 0, "question": "What is document 0 about?", "answer": "g"},
+        {"qa_id": 2, "doc_id": 1, "question": "What is document 1 about?", "answer": "g"},
+        {"qa_id": 3, "doc_id": 999999, "question": "missing doc?", "answer": "g"},
+    ]
+    with open(f"{landing}/batch0.json", "w") as f:
+        for r in reqs:
+            f.write(json.dumps(r) + "\n")
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = read_request_stream(spark, landing)
+    q = serve_mapreduce(stream, docs, out, ckpt).start()
+    q.awaitTermination()
+
+    results = spark.read.json(out)
+    rows = {r["qa_id"]: r.asDict() for r in results.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["doc_error"] == "document not found"
+    assert rows[1]["llm_answer"] and rows[1]["llm_answer"].startswith("answer-")
