@@ -26,6 +26,7 @@ class QuerySpec(NamedTuple):
 def all_queries() -> dict[str, QuerySpec]:
     from finmapreduce_spark.queries import (
         dedup,
+        evaluation,
         multimodal,
         pipeline,
         relational,
@@ -34,7 +35,15 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, textops, dedup, similarity, pipeline, multimodal):
+    for mod in (
+        relational,
+        textops,
+        dedup,
+        similarity,
+        pipeline,
+        multimodal,
+        evaluation,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -457,7 +457,39 @@ FROM (
 """
 
 
+# F9: XML escape + chunk render (reference json_formatter.py:55-98)
+
+def f9_xml_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.functions.render import render_chunk_xml
+
+    docs = _docs(spark, sf_dir)
+    # inject XML specials so the escape chain is actually exercised
+    spiced = F.concat(
+        F.substring("text", 1, 40), F.lit(""" & <tag attr="v"> 'q' </tag>""")
+    )
+    return docs.select(
+        "doc_id",
+        render_chunk_xml(F.col("doc_id").cast("int"), spiced).alias("chunk_xml"),
+    )
+
+
+def _f9_oracle() -> str:
+    from finmapreduce_spark.functions.render import xml_escape_sql
+
+    esc = xml_escape_sql(
+        """substring(text, 1, 40) || ' & <tag attr="v"> ''q'' </tag>'"""
+    )
+    return f"""
+SELECT doc_id,
+       '<chunk_' || CAST(doc_id AS VARCHAR) || '>' || chr(10)
+       || {esc}
+       || chr(10) || '</chunk_' || CAST(doc_id AS VARCHAR) || '>' AS chunk_xml
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "f9_xml_render": QuerySpec(f9_xml_render, _f9_oracle()),
     "f2_chunk_documents": QuerySpec(f2_chunk_documents, F2_ORACLE),
     "f3_truncate_start": QuerySpec(f3_truncate_start, F3_ORACLE),
     "f4_truncate_end": QuerySpec(f4_truncate_end, F4_ORACLE),

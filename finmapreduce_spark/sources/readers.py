@@ -1,0 +1,153 @@
+"""Dataset sources (SURVEY §2.1 S1–S10).
+
+Reference parity (/root/reference):
+- S1 FinanceBench JSONL  src/loaders/financebench_loader.py:26-52
+- S2 FinQA JSON array    src/loaders/finqa_loader.py:27-50
+- S3 sample limiting     src/loaders/dataset_loader.py:121-147
+- S6 markdown read       src/utils/document_processing.py:344-371
+- S8 path catalog        src/utils/document_processing.py:26-100
+- S10 upload source      src/loaders/webapp_loader.py:33-61
+
+All loaders project/rename at scan time so Catalyst prunes columns
+into the file source, and each returns the fixed stage schema from
+``schemas.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw FinanceBench JSONL shape (evidence is a list of objects carrying
+# evidence_text; loader flattens it — financebench_loader.py:40-50)
+_FINANCEBENCH_RAW = T.StructType(
+    [
+        T.StructField("financebench_id", T.StringType()),
+        T.StructField("doc_name", T.StringType()),
+        T.StructField("question", T.StringType()),
+        T.StructField("answer", T.StringType()),
+        T.StructField("justification", T.StringType()),
+        T.StructField(
+            "evidence",
+            T.ArrayType(
+                T.StructType([T.StructField("evidence_text", T.StringType())])
+            ),
+        ),
+        T.StructField("question_type", T.StringType()),
+        T.StructField("question_reasoning", T.StringType()),
+    ]
+)
+
+
+def load_financebench(
+    spark: SparkSession, path: str, num_samples: int | None = None
+) -> DataFrame:
+    """S1: line-delimited JSON → qa rows; flattens evidence[].evidence_text,
+    null-coalesces justification (exact reference default string)."""
+    df = spark.read.schema(_FINANCEBENCH_RAW).json(path)
+    df = df.select(
+        F.monotonically_increasing_id().alias("qa_id"),
+        "doc_name",
+        "question",
+        "answer",
+        F.coalesce("justification", F.lit("No justification provided")).alias(
+            "justification"
+        ),
+        F.transform("evidence", lambda e: e.evidence_text).alias("evidence"),
+        "question_type",
+        "question_reasoning",
+    )
+    if num_samples is not None:  # S3: take-first-N (reference semantics)
+        df = df.limit(num_samples)
+    return df
+
+
+_FINQA_RAW = T.StructType(
+    [
+        T.StructField("doc_name", T.StringType()),
+        T.StructField("question", T.StringType()),
+        T.StructField("answer", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("explanation", T.StringType()),
+    ]
+)
+
+
+def load_finqa(
+    spark: SparkSession, path: str, num_samples: int | None = None
+) -> DataFrame:
+    """S2: single JSON array (multiLine) with '' defaults for the
+    nullable fields (finqa_loader.py:41-48)."""
+    df = spark.read.schema(_FINQA_RAW).option("multiLine", True).json(path)
+    df = df.select(
+        F.monotonically_increasing_id().alias("qa_id"),
+        "doc_name",
+        "question",
+        "answer",
+        F.coalesce("filename", F.lit("")).alias("filename"),
+        F.coalesce("explanation", F.lit("")).alias("explanation"),
+    )
+    if num_samples is not None:
+        df = df.limit(num_samples)
+    return df
+
+
+def load_markdown_documents(spark: SparkSession, glob_path: str) -> DataFrame:
+    """S6: whole-file markdown corpus → (doc_name, content, source).
+    doc_name is the basename without extension (the reference's join
+    key convention for FinQA markdowns)."""
+    df = spark.read.text(glob_path, wholetext=True).select(
+        F.col("value").alias("content"),
+        F.input_file_name().alias("source"),
+    )
+    base = F.element_at(F.split(F.col("source"), "/"), -1)
+    return df.select(
+        F.regexp_replace(base, r"\.(md|markdown|txt)$", "").alias("doc_name"),
+        "content",
+        "source",
+    )
+
+
+def build_path_catalog(spark: SparkSession, roots: list[str]) -> DataFrame:
+    """S8: doc_name → path dimension table from directory listings.
+
+    The reference resolves paths per-document with os.path probing
+    (document_processing.py:26-100); at scale that's a driver-side
+    listing once, broadcast everywhere. Extensions tried in the same
+    order (.pdf, .md, .markdown, .txt)."""
+    rows = []
+    exts = (".pdf", ".md", ".markdown", ".txt")
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            p = os.path.join(root, name)
+            stem, ext = os.path.splitext(name)
+            if ext.lower() in exts and os.path.isfile(p):
+                rows.append((stem, p, ext.lower().lstrip(".")))
+    return spark.createDataFrame(
+        rows or [("", "", "")], "doc_name string, path string, ext string"
+    ).filter(F.col("doc_name") != "")
+
+
+MAX_UPLOAD_BYTES = 50 * 1024 * 1024  # webapp/backend/config.py:70-90
+ALLOWED_UPLOAD_EXTS = (".pdf", ".txt", ".md")
+
+
+def load_upload(spark: SparkSession, path: str, question: str) -> DataFrame:
+    """S10+P6: one uploaded file → a 1-row qa DataFrame; extension and
+    size validated exactly as the webapp (50 MB, {.pdf,.txt,.md})."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in ALLOWED_UPLOAD_EXTS:
+        raise ValueError(f"unsupported file type {ext!r}")
+    if os.path.getsize(path) > MAX_UPLOAD_BYTES:
+        raise ValueError("file exceeds 50 MB limit")
+    with open(path, encoding="utf-8", errors="replace") as f:
+        content = f.read()
+    return spark.createDataFrame(
+        [(0, os.path.basename(path), question, content)],
+        "qa_id long, doc_name string, question string, content string",
+    )

@@ -1,0 +1,52 @@
+"""Sinks (SURVEY §2.1 S11–S13).
+
+- S11 results sink: timestamped JSON results directory + driver-side
+  summary (reference base_pipeline.py:477-505 writes one big JSON; the
+  Spark version writes the row data distributed and keeps only the
+  small aggregate summary on the driver).
+- S13 prompt log: optional JSON debug sink (async_llm_client.py:240-262).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def save_results(
+    answers: DataFrame,
+    out_root: str,
+    *,
+    config: dict | None = None,
+    run_ts: str | None = None,
+) -> str:
+    """Write answers as JSON under a timestamped directory + a
+    _summary.json with config and aggregate stats (A3/A4-shaped)."""
+    ts = run_ts or datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    out_dir = os.path.join(out_root, f"results_{ts}")
+    answers.write.mode("overwrite").json(out_dir)
+    agg_cols = [c for c in ("input_tokens", "output_tokens") if c in answers.columns]
+    summary: dict = {"config": config or {}, "timestamp": ts}
+    if agg_cols:
+        row = answers.agg(
+            F.count("*").alias("n_rows"),
+            *[F.sum(c).alias(f"total_{c}") for c in agg_cols],
+        ).collect()[0]
+        summary["stats"] = row.asDict()
+    else:
+        summary["stats"] = {"n_rows": answers.count()}
+    with open(os.path.join(out_dir, "_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=str)
+    return out_dir
+
+
+def log_prompts(df: DataFrame, prompt_col: str, log_dir: str) -> None:
+    """S13: one JSON per prompt, for debugging paid-call content."""
+    df.select(
+        F.monotonically_increasing_id().alias("prompt_id"),
+        F.col(prompt_col).alias("prompt"),
+    ).write.mode("append").json(log_dir)

@@ -1,0 +1,136 @@
+"""Source/sink layer tests (S1–S13) over tmp fixture files."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.sources.cache import ParseCache
+from finmapreduce_spark.sources.readers import (
+    build_path_catalog,
+    load_financebench,
+    load_finqa,
+    load_markdown_documents,
+    load_upload,
+)
+from finmapreduce_spark.sources.sinks import save_results
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fmr_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_load_financebench_jsonl(spark, tmpdir):
+    rows = [
+        {
+            "financebench_id": "fb1",
+            "doc_name": "APPLE_2020",
+            "question": "q1",
+            "answer": "a1",
+            "justification": None,  # → coalesced default
+            "evidence": [{"evidence_text": "e1"}, {"evidence_text": "e2"}],
+            "question_type": "metrics-generated",
+            "question_reasoning": None,
+        },
+        {
+            "financebench_id": "fb2",
+            "doc_name": "MSFT_2019",
+            "question": "q2",
+            "answer": "a2",
+            "justification": "because",
+            "evidence": [],
+            "question_type": "domain-relevant",
+            "question_reasoning": "r",
+        },
+    ]
+    path = f"{tmpdir}/fb.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = load_financebench(spark, path)
+    got = {r["question"]: r.asDict() for r in df.collect()}
+    assert got["q1"]["justification"] == "No justification provided"
+    assert got["q1"]["evidence"] == ["e1", "e2"]  # flattened
+    assert got["q2"]["justification"] == "because"
+    assert load_financebench(spark, path, num_samples=1).count() == 1  # S3
+
+
+def test_load_finqa_json_array(spark, tmpdir):
+    path = f"{tmpdir}/finqa.json"
+    with open(path, "w") as f:
+        json.dump(
+            [
+                {"doc_name": "AAPL_2019.md", "question": "q", "answer": "a",
+                 "filename": None, "explanation": None},
+            ],
+            f,
+        )
+    row = load_finqa(spark, path).collect()[0]
+    assert row["filename"] == "" and row["explanation"] == ""  # '' defaults
+
+
+def test_markdown_corpus_and_catalog(spark, tmpdir):
+    os.makedirs(f"{tmpdir}/md")
+    for name, text in [("AAPL_2019.md", "# Apple\ntable | cell"), ("MSFT_2020.md", "# MSFT")]:
+        with open(f"{tmpdir}/md/{name}", "w") as f:
+            f.write(text)
+    docs = load_markdown_documents(spark, f"{tmpdir}/md/*.md")
+    got = {r["doc_name"]: r["content"] for r in docs.collect()}
+    assert set(got) == {"AAPL_2019", "MSFT_2020"}
+    assert "table | cell" in got["AAPL_2019"]
+
+    cat = build_path_catalog(spark, [f"{tmpdir}/md", f"{tmpdir}/nonexistent"])
+    assert {r["doc_name"] for r in cat.collect()} == {"AAPL_2019", "MSFT_2020"}
+
+
+def test_upload_validation(spark, tmpdir):
+    ok = f"{tmpdir}/doc.txt"
+    with open(ok, "w") as f:
+        f.write("content here")
+    df = load_upload(spark, ok, "what?")
+    assert df.count() == 1
+    bad = f"{tmpdir}/doc.exe"
+    with open(bad, "w") as f:
+        f.write("x")
+    with pytest.raises(ValueError, match="unsupported file type"):
+        load_upload(spark, bad, "q")
+
+
+def test_parse_cache_hits_and_misses(spark, tmpdir):
+    cache = ParseCache(spark, f"{tmpdir}/cache")
+    docs = spark.createDataFrame(
+        [("d1", "raw one"), ("d2", "raw two")], "doc_name string, raw string"
+    )
+    parser = lambda c: F.upper(c)  # noqa: E731  stand-in for S4/S5 parse
+    out1 = cache.get_or_parse(docs, parser, "fake", 512, 64)
+    assert {r["content"] for r in out1.collect()} == {"RAW ONE", "RAW TWO"}
+    # second run: both rows must come from cache (parse only misses)
+    docs2 = spark.createDataFrame(
+        [("d1", "IGNORED"), ("d3", "raw three")], "doc_name string, raw string"
+    )
+    out2 = {r["doc_name"]: r["content"] for r in cache.get_or_parse(
+        docs2, parser, "fake", 512, 64).collect()}
+    assert out2["d1"] == "RAW ONE"  # cache hit — raw NOT re-parsed
+    assert out2["d3"] == "RAW THREE"  # miss parsed
+
+
+def test_save_results_sink(spark, tmpdir):
+    df = spark.createDataFrame(
+        [(1, "a", 10, 5), (2, "b", 20, 7)],
+        "qa_id long, llm_answer string, input_tokens long, output_tokens long",
+    )
+    out = save_results(df, tmpdir, config={"model": "mock"}, run_ts="20260813_000000")
+    back = spark.read.json(out)
+    assert back.count() == 2
+    with open(f"{out}/_summary.json") as f:
+        summary = json.load(f)
+    assert summary["stats"]["total_input_tokens"] == 30
+    assert summary["config"]["model"] == "mock"
