@@ -1,0 +1,79 @@
+"""Batch model-inference plumbing for the U6 scorers.
+
+The reference loads a torch model once and loops over sentence pairs
+(scores/text_evaluation_metrics.py:71-189). The Spark-idiomatic shape
+is: load the model ONCE PER EXECUTOR (lazy module-global inside the
+UDF — not per batch, not per row), stream Arrow batches through it,
+return a fixed-width embedding array column. Downstream similarity
+math stays native (queries/scoring.py).
+
+torch/transformers are not in this container, so the real path is
+gated behind an import-try; the deterministic fake (a seeded hash
+projection) exercises the identical plumbing — same signature, same
+schema, same executor-local init — and is what unit tests run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBED_DIM = 64
+
+# Executor-local model handle: initialised on first batch, reused for
+# the lifetime of the python worker (the pattern real torch models need
+# so model load cost is amortised across all batches of all tasks).
+_MODEL = None
+
+
+def _load_model(name: str):
+    global _MODEL
+    if _MODEL is None:
+        if name == "fake-hash":
+            _MODEL = _hash_embed_batch
+        else:  # pragma: no cover - real models not installed here
+            try:
+                import torch  # noqa: F401
+                import transformers  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"model '{name}' needs torch/transformers (not in this "
+                    "environment); use model_name='fake-hash' for the "
+                    "deterministic test path"
+                ) from e
+            raise NotImplementedError(
+                f"real-model loading for '{name}' is intentionally stubbed"
+            )
+    return _MODEL
+
+
+def _hash_embed_batch(texts: pd.Series) -> np.ndarray:
+    """Deterministic stand-in embedding: md5-seeded unit vector per
+    text. Pure function of the input, so Spark and any oracle agree."""
+    out = np.empty((len(texts), EMBED_DIM), dtype=np.float64)
+    for i, t in enumerate(texts.fillna("")):
+        seed = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(EMBED_DIM)
+        out[i] = v / np.linalg.norm(v)
+    return out
+
+
+def embed_text_udf(model_name: str = "fake-hash"):
+    """pandas_udf: string column -> array<double> embedding column.
+
+    Arrow-batched; model loaded once per worker. Attach with
+    ``df.withColumn("emb", embed_text_udf()(F.col("text")))``.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        model = _load_model(model_name)
+        mat = model(texts)
+        return pd.Series(list(mat))
+
+    return embed

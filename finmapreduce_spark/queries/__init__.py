@@ -30,7 +30,9 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pipeline,
         relational,
+        scoring,
         similarity,
+        temporal,
         textops,
     )
 
@@ -43,6 +45,8 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline,
         multimodal,
         evaluation,
+        temporal,
+        scoring,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

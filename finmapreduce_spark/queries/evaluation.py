@@ -124,7 +124,68 @@ FROM m
 """
 
 
+def a10_accuracy_by_reasoning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: accuracy pivoted by a nullable grouping column with the
+    reference's null→'null' coalesce (document_processing.py:511-559).
+
+    judgment: langid correct → 'Correct', zero-signal → 'No answer',
+    else 'Incorrect' (the reference's 5-way rubric collapsed to the 3
+    classes its validation set uses). question_reasoning: derived
+    nullable bucket (doc_id % 7 == 0 → NULL) so the coalesce path is
+    actually exercised. Pivot over the FIXED judgment domain — at
+    scale an unpinned pivot means an extra pass to collect values.
+    """
+    base = text_langid(spark, sf_dir)
+    judged = base.select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .when(F.col("doc_id") % 2 == 0, F.lit("metrics-generated"))
+        .otherwise(F.lit("domain-relevant"))
+        .alias("question_reasoning"),
+        F.when(F.col("best_score") <= 0, F.lit("No answer"))
+        .when(F.col("true_lang") == F.col("pred_lang"), F.lit("Correct"))
+        .otherwise(F.lit("Incorrect"))
+        .alias("judgment"),
+    )
+    pivoted = (
+        judged.groupBy(
+            F.coalesce("question_reasoning", F.lit("null")).alias("reasoning")
+        )
+        .pivot("judgment", ["Correct", "Incorrect", "No answer"])
+        .count()
+        .na.fill(0, ["Correct", "Incorrect", "No answer"])
+    )
+    total = F.col("Correct") + F.col("Incorrect") + F.col("`No answer`")
+    return pivoted.select(
+        "reasoning",
+        F.col("Correct").alias("n_correct"),
+        F.col("Incorrect").alias("n_incorrect"),
+        F.col("`No answer`").alias("n_no_answer"),
+        F.round(F.col("Correct") / total, 6).alias("accuracy"),
+    )
+
+
+A10_ORACLE = f"""
+WITH base AS (SELECT * FROM ({LANGID_ORACLE})),
+judged AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN NULL
+              WHEN doc_id % 2 = 0 THEN 'metrics-generated'
+              ELSE 'domain-relevant' END AS question_reasoning,
+         CASE WHEN best_score <= 0 THEN 'No answer'
+              WHEN true_lang = pred_lang THEN 'Correct'
+              ELSE 'Incorrect' END AS judgment
+  FROM base
+)
+SELECT coalesce(question_reasoning, 'null') AS reasoning,
+       count(*) FILTER (judgment = 'Correct') AS n_correct,
+       count(*) FILTER (judgment = 'Incorrect') AS n_incorrect,
+       count(*) FILTER (judgment = 'No answer') AS n_no_answer,
+       round(count(*) FILTER (judgment = 'Correct') / count(*), 6) AS accuracy
+FROM judged GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a13_label_accuracy": QuerySpec(a13_label_accuracy, A13_ORACLE),
     "a12_prf1": QuerySpec(a12_prf1, A12_PRF1_ORACLE),
+    "a10_accuracy_by_reasoning": QuerySpec(a10_accuracy_by_reasoning, A10_ORACLE),
 }

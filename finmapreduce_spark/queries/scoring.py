@@ -1,0 +1,146 @@
+"""U6 — embedding/metric scorers (reference scores/text_evaluation_metrics.py).
+
+The reference scores candidate/reference sentence pairs three ways:
+BERTScore P/R/F1 (:20-69), FinBERT embedding + cosine similarity
+(:71-189), and BARTScore NLL (:191-283) — all torch models looping
+over pairs on one GPU. The Spark-first shape is batch inference: pair
+construction is a join, the model is a broadcast-loaded executor-local
+resource inside an Arrow-batched pandas UDF, and the similarity math
+is native column algebra (model plumbing: functions/scoring.py).
+
+For the deterministic catalog the model is replaced by structure:
+
+- ``u6_pair_cosine`` — the FinBERT-cosine path with the synthetic
+  ``embeddings`` table standing in for model output: candidate row
+  2k scored against reference row 2k+1, cosine fully native
+  (zip_with fold / list_inner_product — no UDF, no shuffle beyond
+  the pair join, which is an equi-join on vec_id arithmetic).
+- ``u6_bertscore_prf`` — BERTScore's greedy-max token matching with
+  an exact-match kernel: precision = fraction of candidate tokens
+  with a match in the reference, recall symmetric, F1 harmonic.
+  With a hard kernel greedy-max degenerates to membership tests, so
+  the whole metric is array algebra (filter + array_contains) that
+  whole-stage-codegen executes JVM-side.
+
+Scale: both are narrow maps after one equi-join on a derived key —
+no skew (pair ids are unique), no window, linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.queries.dedup import _dot
+from finmapreduce_spark.session import read_table
+
+
+def u6_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate embedding 2k vs reference embedding 2k+1, cosine
+    similarity + same-cluster flag (text_evaluation_metrics.py:71-189)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("c_v"),
+        F.col("label").alias("c_label"),
+    )
+    ref = emb.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("r_v"),
+        F.col("label").alias("r_label"),
+    )
+    pairs = cand.join(ref, "pair_id")
+    cos = _dot(F.col("c_v"), F.col("r_v")) / (
+        F.sqrt(_dot(F.col("c_v"), F.col("c_v")))
+        * F.sqrt(_dot(F.col("r_v"), F.col("r_v")))
+    )
+    return pairs.select(
+        "pair_id",
+        F.round(cos, 6).alias("cosine"),
+        (F.col("c_label") == F.col("r_label")).alias("same_cluster"),
+    )
+
+
+U6_COSINE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cand AS (
+  SELECT vec_id // 2 AS pair_id, e AS c_v, label AS c_label
+  FROM v WHERE vec_id % 2 = 0
+),
+ref AS (
+  SELECT (vec_id - 1) // 2 AS pair_id, e AS r_v, label AS r_label
+  FROM v WHERE vec_id % 2 = 1
+)
+SELECT pair_id,
+       round(list_inner_product(c_v, r_v)
+             / (sqrt(list_inner_product(c_v, c_v))
+                * sqrt(list_inner_product(r_v, r_v))), 6) AS cosine,
+       c_label = r_label AS same_cluster
+FROM cand JOIN ref USING (pair_id)
+"""
+
+
+def u6_bertscore_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERTScore-structured P/R/F1 with an exact-match kernel:
+    candidate doc d vs reference doc d+1 (text_evaluation_metrics.py:20-69).
+
+    Duplicate tokens count (the metric is over token positions, not
+    the vocabulary): matched_c = |{i : c[i] ∈ set(r)}|, P = matched_c/|c|.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    cand = docs.select(
+        F.col("doc_id").alias("pair_id"), F.col("toks").alias("c_toks")
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("toks").alias("r_toks")
+    )
+    pairs = cand.join(ref, "pair_id")
+    matched_c = F.size(
+        F.filter(F.col("c_toks"), lambda t: F.array_contains(F.col("r_toks"), t))
+    )
+    matched_r = F.size(
+        F.filter(F.col("r_toks"), lambda t: F.array_contains(F.col("c_toks"), t))
+    )
+    p = matched_c / F.size("c_toks")
+    r = matched_r / F.size("r_toks")
+    f1 = F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return pairs.select(
+        "pair_id",
+        F.round(p, 6).alias("bs_precision"),
+        F.round(r, 6).alias("bs_recall"),
+        F.round(f1, 6).alias("bs_f1"),
+    )
+
+
+U6_BERTSCORE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT c.doc_id AS pair_id, c.t AS c_toks, r.t AS r_toks
+  FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
+),
+m AS (
+  SELECT pair_id,
+         len(list_filter(c_toks, x -> list_contains(r_toks, x))) / len(c_toks) AS p,
+         len(list_filter(r_toks, x -> list_contains(c_toks, x))) / len(r_toks) AS r
+  FROM pairs
+)
+SELECT pair_id,
+       round(p, 6) AS bs_precision,
+       round(r, 6) AS bs_recall,
+       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS bs_f1
+FROM m
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "u6_pair_cosine": QuerySpec(u6_pair_cosine, U6_COSINE_ORACLE),
+    "u6_bertscore_prf": QuerySpec(u6_bertscore_prf, U6_BERTSCORE_ORACLE),
+}

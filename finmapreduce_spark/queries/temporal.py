@@ -1,0 +1,242 @@
+"""Temporal joins and event-time windowing over the ``events`` table.
+
+The reference has no temporal operators (SURVEY §2.9: its judge
+batching is positional, not event-time), but a training-data /
+analytics engine at 100 TB needs them, and they are the canonical
+"operator Spark lacks as a keyword" case: neither Spark SQL nor the
+DataFrame API has AS OF / band-join syntax, so each is expressed as a
+composition whose physical plan is the one you'd want on a cluster:
+
+- **as-of join** — the union-and-window formulation: tag the two
+  streams, union, one window sorted by (ts, side) per key, then
+  ``last(..., ignorenulls)`` carries the most recent left-stream row
+  forward. ONE shuffle on the join key, no range explosion, no
+  per-row subquery — this is O(n log n) per key vs the O(n·m)
+  naive theta join, and it scales to arbitrarily long histories.
+- **band (range) join** — bucket blocking: quantize time into
+  band-width buckets, equi-join on (key, bucket±1) candidates, then
+  filter the exact band. Turns an inequality join Catalyst would
+  nest-loop into a hash join with bounded fan-out (2 candidate
+  buckets per probe row).
+- **sliding windows** — native ``F.window`` (duration 1h, slide
+  30m): each event lands in exactly duration/slide = 2 windows;
+  whole-stage-codegen'd projection + hash agg, no UDFs.
+- **cube** — multi-dimensional rollup counts, native ``cube()``
+  with ``grouping()`` flags (SURVEY §2.4 note: free in Spark, absent
+  in the reference).
+
+Oracles express the same semantics in plain ANSI SQL (LATERAL
+argmax / inequality join / unnest of the 2 covering windows / CUBE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.session import read_table
+
+BAND_SECONDS = 30 * 60  # band-join width: preceding 30 minutes
+
+
+def _events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the latest click by the same user at
+# or before the purchase timestamp (tie-break: highest event_id).
+# ---------------------------------------------------------------------------
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-and-window as-of join.
+
+    Clicks get side=0, purchases side=1; within one user the window
+    is ordered by (ts, side, event_id), so ``last(click, ignorenulls)``
+    at a purchase row is exactly the max-(ts, event_id) click with
+    click.ts <= purchase.ts. Single shuffle on user_id; no range join.
+    """
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        F.struct(F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")).alias(
+            "click"
+        ),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id", F.lit(None).cast(
+            "struct<click_ts:timestamp,click_id:bigint>"
+        ).alias("click"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click.click_id").alias("click_id"),
+            F.col("last_click.click_ts").alias("click_ts"),
+        )
+    )
+
+
+ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.click_id, c.click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT event_id AS click_id, ts AS click_ts
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) c ON true
+"""
+
+
+# ---------------------------------------------------------------------------
+# Band (range) join via bucket blocking: events in the 30 minutes
+# before each purchase, same user.
+# ---------------------------------------------------------------------------
+
+def range_join_band_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count same-user events in [purchase_ts - 30min, purchase_ts).
+
+    Scale shape: quantize ts to 30-min buckets; each purchase probes
+    its own bucket and the previous one (any event within the band
+    must fall in one of those two), so the inequality predicate is
+    evaluated only on hash-join survivors. At 100 TB this is the
+    difference between a broadcast-nested-loop plan and a shuffled
+    hash join with ~2× candidate fan-out.
+    """
+    ev = _events(spark, sf_dir)
+    probe = ev.select(
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+        F.floor(F.unix_timestamp("ts") / BAND_SECONDS).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp("ts") / BAND_SECONDS) - 1,
+                F.floor(F.unix_timestamp("ts") / BAND_SECONDS),
+            )
+        ).alias("bucket"),
+    )
+    joined = purchases.join(probe, ["user_id", "bucket"]).filter(
+        (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {BAND_SECONDS} SECOND"))
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id", "p_ts")
+        .agg(F.count("*").alias("n_preceding"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("p_ts").alias("purchase_ts"),
+            "n_preceding",
+        )
+    )
+
+
+RANGE_BAND_ORACLE = f"""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       count(*) AS n_preceding
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL {BAND_SECONDS} SECOND
+ AND e.ts < p.ts
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time windows: 1-hour windows sliding every 30 minutes.
+# ---------------------------------------------------------------------------
+
+def sliding_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.window(1h, 30m): each event replicates into exactly 2
+    windows; hash aggregation, fully codegen'd (the same expression a
+    Structured Streaming job would run with a watermark)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    win = ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w")).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 6).alias("revenue"),
+    )
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_purchases",
+        "revenue",
+    )
+
+
+SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT e.*, t.s AS window_start
+  FROM (SELECT *, time_bucket(INTERVAL 30 MINUTE, ts) AS tb
+        FROM events WHERE event_type = 'purchase') e,
+       LATERAL unnest([e.tb, e.tb - INTERVAL 30 MINUTE]) AS t(s)
+)
+SELECT window_start, window_start + INTERVAL 60 MINUTE AS window_end,
+       count(*) AS n_purchases, round(sum("value"), 6) AS revenue
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cube: counts and revenue over (event_type, day) with subtotal rows.
+# ---------------------------------------------------------------------------
+
+def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native cube() with grouping() flags (null data values vs
+    subtotal rows stay distinguishable — the trap coalesce-based
+    pivots fall into)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n", "total_value")
+    )
+
+
+CUBE_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day,
+       count(*) AS n, round(sum("value"), 6) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "asof_join_events": QuerySpec(asof_join_events, ASOF_ORACLE),
+    "range_join_band_count": QuerySpec(range_join_band_count, RANGE_BAND_ORACLE),
+    "sliding_window_revenue": QuerySpec(sliding_window_revenue, SLIDING_ORACLE),
+    "a_cube_counts": QuerySpec(a_cube_counts, CUBE_ORACLE),
+}

@@ -1,0 +1,48 @@
+"""U6 model-inference plumbing: the pandas-UDF embedding path with the
+deterministic fake model (functions/scoring.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.functions.scoring import (
+    EMBED_DIM,
+    _hash_embed_batch,
+    embed_text_udf,
+)
+
+
+def test_embed_udf_schema_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"document number {i % 3}") for i in range(20)], "id long, text string"
+    ).withColumn("emb", embed_text_udf()(F.col("text")))
+    rows = {r["id"]: r["emb"] for r in df.collect()}
+    assert all(len(v) == EMBED_DIM for v in rows.values())
+    # pure function of the text: same text -> identical vector
+    assert rows[0] == rows[3] == rows[18]
+    assert rows[0] != rows[1]
+    # unit-normalised
+    assert abs(sum(x * x for x in rows[0]) - 1.0) < 1e-9
+
+
+def test_embed_matches_local_reference(spark):
+    import pandas as pd
+
+    texts = ["alpha", "beta gamma", ""]
+    local = _hash_embed_batch(pd.Series(texts))
+    df = spark.createDataFrame([(t,) for t in texts], "text string").withColumn(
+        "emb", embed_text_udf()(F.col("text"))
+    )
+    got = np.array([r["emb"] for r in df.select("emb").collect()])
+    assert np.allclose(got, local)
+
+
+def test_real_model_path_raises():
+    from finmapreduce_spark.functions import scoring
+
+    scoring._MODEL = None
+    with pytest.raises(NotImplementedError):
+        scoring._load_model("bert-base-uncased")
+    scoring._MODEL = None
