@@ -118,6 +118,85 @@ def windowed_event_rollup(events: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("session_value", T.DoubleType(), True),
+        T.StructField("session_start", T.StringType(), True),
+    ]
+)
+
+# Tuple state: (session_id, n_events, value_sum, start_us, last_us)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("value_sum", T.DoubleType(), True),
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+    ]
+)
+
+SESSION_GAP_US = 3600 * 1_000_000  # 1 hour, matching the batch twin
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: incremental sessionization with
+    ``applyInPandasWithState`` (per-user session split on >1h gaps —
+    the streaming twin of queries/relational.py:sessionize_events).
+
+    State per user is ONE open session (5 scalars), independent of
+    history length — this is what makes it run forever on an
+    unbounded stream where the batch window-function formulation
+    cannot. A session is emitted when the next event closes it; the
+    tail session stays in state awaiting more input (tests compare
+    against batch output minus each user's final session).
+
+    Scale: state is hash-partitioned by user_id across executors;
+    per-key state is O(1); a micro-batch shuffles once on user_id.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            sid, n, vs, start_us, last_us = state.get
+        else:
+            sid, n, vs, start_us, last_us = 0, 0, 0.0, None, None
+        out = []
+
+        def emit():
+            start = pd.Timestamp(start_us, unit="us")
+            out.append(
+                (key[0], sid, n, round(vs, 4), start.strftime("%Y-%m-%d %H:%M:%S"))
+            )
+
+        for ts, eid, val in zip(rows["ts"], rows["event_id"], rows["value"]):
+            ts_us = ts.value // 1000  # pandas ns -> µs
+            if last_us is None or ts_us > last_us + SESSION_GAP_US:
+                if n > 0:
+                    emit()
+                sid, n, vs, start_us = sid + 1, 0, 0.0, ts_us
+            n += 1
+            vs += float(val) if val == val else 0.0
+            last_us = ts_us
+        state.update((sid, n, vs, start_us, last_us))
+        yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUT_SCHEMA.fields])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

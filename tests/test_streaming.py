@@ -83,3 +83,45 @@ def test_serve_mapreduce_availablenow(spark, sf_dir, tmpdir):
     assert set(rows) == {1, 2, 3}
     assert rows[3]["doc_error"] == "document not found"
     assert rows[1]["llm_answer"] and rows[1]["llm_answer"].startswith("answer-")
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmpdir):
+    """applyInPandasWithState sessionization == batch window-function
+    sessionization for every CLOSED session (each user's final session
+    stays open in state, so it is excluded from the comparison).
+
+    Events are staged as ONE sorted parquet file so the single
+    micro-batch sees rows in order (a real deployment orders by
+    event-time watermark instead)."""
+    from pyspark.sql import Window as W
+
+    from finmapreduce_spark.queries.relational import sessionize_events
+    from finmapreduce_spark.streaming.pipeline import stateful_sessionize
+
+    events = read_table(spark, sf_dir, "events")
+    stage_dir = f"{tmpdir}/events_sorted"
+    events.repartition(1).sortWithinPartitions("ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(stage_dir)
+    )
+    streamed = run_stream_to_memory(
+        spark, stateful_sessionize(stream), "sessions_out", output_mode="append"
+    )
+
+    batch = sessionize_events(spark, sf_dir)
+    last = batch.groupBy("user_id").agg(
+        F.max("session_id").alias("last_sid")
+    )
+    closed = batch.join(last, "user_id").filter(
+        F.col("session_id") < F.col("last_sid")
+    ).select("user_id", "session_id", "n_events", "session_value", "session_start")
+
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in closed.collect()}
+    assert len(want) > 0
+    assert got == want
