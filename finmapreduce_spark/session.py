@@ -61,6 +61,14 @@ def get_spark(app_name: str = "finmapreduce_spark") -> SparkSession:
     return spark
 
 
+# DataFrame handles are cheap logical plans; caching them per
+# (session, dir, table) skips repeated footer reads / schema
+# inference when many catalog queries touch the same tables (at
+# cluster scale the same job-server pattern applies: resolve each
+# source once, reuse the analyzed plan).
+_READ_CACHE: dict[tuple[int, str, str], object] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
 
@@ -70,6 +78,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     exactly matching DuckDB's internal ns→µs truncation, so oracle
     comparisons see identical instants.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Defensive: the driver may pass a session built without this
         # legacy conf; it is runtime-settable, so pin it here.
@@ -81,6 +93,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
         )
+    _READ_CACHE[key] = df
     return df
 
 

@@ -134,3 +134,31 @@ def test_save_results_sink(spark, tmpdir):
         summary = json.load(f)
     assert summary["stats"]["total_input_tokens"] == 30
     assert summary["config"]["model"] == "mock"
+
+
+def test_load_pdf_documents_fake_parser(spark, tmp_path):
+    """S4/S5: binaryFile scan + mapInPandas parse; per-file failure
+    becomes an error row, not a task failure."""
+    import os
+
+    from finmapreduce_spark.sources.readers import load_pdf_documents
+
+    d = str(tmp_path)
+    with open(os.path.join(d, "acme_2023.pdf"), "wb") as f:
+        f.write(b"%PDF-1.4\nAcme Corp annual report 2023\x00\x01revenue up")
+    with open(os.path.join(d, "beta_2022.pdf"), "wb") as f:
+        f.write(b"%PDF-1.4\nBeta results\xff\xfe")
+    with open(os.path.join(d, "notes.txt"), "w") as f:
+        f.write("ignored by glob")
+
+    docs = load_pdf_documents(spark, d, parser="fake")
+    rows = {r["doc_name"]: r.asDict() for r in docs.collect()}
+    assert set(rows) == {"acme_2023", "beta_2022"}
+    assert "Acme Corp annual report 2023" in rows["acme_2023"]["content"]
+    assert "\x00" not in rows["acme_2023"]["content"]
+    assert rows["acme_2023"]["parse_error"] is None
+    assert rows["acme_2023"]["parser"] == "fake"
+
+    gated = load_pdf_documents(spark, d, parser="pypdf")
+    err = {r["doc_name"]: r["parse_error"] for r in gated.collect()}
+    assert all(e and "pypdf" in e for e in err.values())
