@@ -83,6 +83,8 @@ def robust_json_parse(text: str) -> dict[str, Any]:
 
 @dataclass
 class LLMResponse:
+    # F16: the typed usage struct — kills the reference's 4 duplicated
+    # usage-metadata extractors (base_pipeline.py:321-338 et al.)
     content: str
     input_tokens: int = 0
     output_tokens: int = 0

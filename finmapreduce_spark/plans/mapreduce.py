@@ -47,7 +47,8 @@ from finmapreduce_spark.llm.runner import (
 class MapReduceConfig:
     chunk_size: int = 512
     chunk_overlap: int = 64
-    score_threshold: int = 5  # strict `>` (reference json_formatter.py:32)
+    score_threshold: int = 5  # strict `>`; P3 hybrid=5, P4 plain_text=50
+    # (reference json_formatter.py:32, plain_text_formatter.py:30-56)
     judge_batch_size: int = 5  # reference async_evaluation.py:261
     client_factory: object = mock_client_factory
     llm_partitions: int | None = None  # repartition before LLM stages

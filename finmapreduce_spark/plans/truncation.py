@@ -73,6 +73,7 @@ def run_truncation(
     qa: DataFrame, docs: DataFrame, cfg: TruncationConfig | None = None
 ) -> dict[str, DataFrame]:
     cfg = cfg or TruncationConfig()
+    # S7: full-document load = the same J1 join, un-chunked
     qa_docs = join_documents(qa, docs)
     truncated = truncate_docs(qa_docs, cfg)
     with_prompt = truncated.withColumn(

@@ -173,10 +173,12 @@ FROM answers
 
 # ---------------------------------------------------------------------------
 # A6: filtering-effectiveness stats per QA (reference
-# mapreduce_pipeline.py:469-521 — retention rates, score distribution)
+# mapreduce_pipeline.py:469-521 — retention rates; A11 score
+# distribution :358-394 — regex extraction + per-QA count/min/max/avg)
 # ---------------------------------------------------------------------------
 
 def pipeline_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A11: filtering effectiveness and score-distribution stats."""
     qa = synthetic_qa(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     qa_docs = join_documents(qa, docs)

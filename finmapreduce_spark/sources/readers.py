@@ -60,7 +60,7 @@ def load_financebench(
         "question_type",
         "question_reasoning",
     )
-    if num_samples is not None:  # S3: take-first-N (reference semantics)
+    if num_samples is not None:  # S3/W5: take-first-N (reference semantics)
         df = df.limit(num_samples)
     return df
 

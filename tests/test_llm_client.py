@@ -194,3 +194,28 @@ def test_mock_judge_batch():
     results = json.loads(resp.content)["evaluation_results"]
     assert [r["judgement"] for r in results] == ["Correct", "Incorrect", "No answer"]
     assert [r["evaluation_number"] for r in results] == [1, 2, 3]
+
+
+def test_prompt_sets_and_formatting(spark):
+    """S12 registry validation + F15 column/scalar formatting parity."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.llm.prompts import (
+        load_prompt_set,
+        prompt_col,
+        render_prompt,
+    )
+
+    ps = load_prompt_set("hybrid")
+    assert set(ps) == {"map", "reduce", "judge"}
+    assert "question_improvement" in load_prompt_set("json", include_improvement=True)
+    with pytest.raises(ValueError):
+        load_prompt_set("nope")
+
+    df = spark.createDataFrame(
+        [("What?", "chunk text"), ("Why?", None)], "q string, c string"
+    ).select(prompt_col(ps["map"], F.col("q"), F.coalesce("c", F.lit(""))).alias("p"))
+    got = [r["p"] for r in df.collect()]
+    assert got[0] == render_prompt(ps["map"], "What?", "chunk text")
+    assert got[1] == render_prompt(ps["map"], "Why?", None)
