@@ -1,0 +1,90 @@
+"""Physical-plan assertions — the scale contract, enforced.
+
+Correctness says the operators compute the right rows; these tests pin
+the plan SHAPES that make them viable at 100 TB: dimension joins
+broadcast (never sort-merge a small dim), filters and column pruning
+reach the parquet scan, aggregations partial-agg before the shuffle,
+the as-of join stays join-free (window formulation), and scans with no
+wide ops produce zero exchanges. A regression here (e.g., a refactor
+that breaks broadcastability or pushdown) fails CI even though results
+stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from finmapreduce_spark.queries import all_queries
+
+QS = all_queries()
+
+
+def plan_of(df) -> str:
+    jexec = df._jdf.queryExecution()
+    mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jexec.explainString(mode)
+
+
+def test_q1_pruning_and_partial_agg(spark, sf_dir):
+    plan = plan_of(QS["q1_pricing_summary"].spark(spark, sf_dir))
+    # column pruning into the scan: 5 needed columns, none of the rest
+    assert "l_returnflag" in plan and "ReadSchema" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+    # map-side combine before the shuffle
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(QS["q5_regional_revenue"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_j1_doc_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(QS["j1_broadcast_left_join"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_window_not_join(spark, sf_dir):
+    """The union-and-window as-of join must not degrade into a range
+    join (BroadcastNestedLoop / Cartesian) — that is its entire point."""
+    plan = plan_of(QS["asof_join_events"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    # both event_type filters pushed into the parquet scan
+    assert plan.count("EqualTo(event_type,") >= 2
+
+
+def test_band_join_is_hash_join(spark, sf_dir):
+    """Bucket blocking must turn the time-band inequality into an
+    equi hash join; the inequality only post-filters candidates."""
+    plan = plan_of(QS["range_join_band_count"].spark(spark, sf_dir))
+    assert "HashJoin" in plan  # broadcast or shuffled — either is fine
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_project_has_no_exchange(spark, sf_dir):
+    """Pure scan+project+limit: any Exchange here is a bug."""
+    plan = plan_of(QS["s1_scan_project"].spark(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["pipeline_e2e_answers", "truncation_e2e_answers"]
+)
+def test_llm_stages_are_arrow_batched(spark, sf_dir, name):
+    """LLM stages must be Arrow mapInPandas/applyInPandas boundaries,
+    never row-at-a-time BatchEvalPython."""
+    plan = plan_of(QS[name].spark(spark, sf_dir))
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    assert "!BatchEvalPython" not in plan.replace("ArrowEvalPython", "")
