@@ -24,7 +24,8 @@ from finmapreduce_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the queries whose plan shapes dominate the engine —
-# big agg, star join, windows, sessionization, text/dedup pipeline.
+# big agg, star join, windows, sessionization, temporal joins, the
+# MinHash-LSH dedup chain, ANN search, and the full mock-LLM QA DAG.
 HEADLINE = [
     "q1_pricing_summary",
     "q5_regional_revenue",
@@ -34,6 +35,12 @@ HEADLINE = [
     "sessionize_events",
     "hourly_event_rollup",
     "a9_pivot_counts",
+    "asof_join_events",
+    "range_join_band_count",
+    "dedup_lsh_pairs",
+    "dedup_cluster_canonical",
+    "ann_ivf_topk",
+    "pipeline_e2e_answers",
 ]
 
 

@@ -40,9 +40,15 @@ def _words(col):
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
-def _shingles(col):
-    """Distinct 3-word shingles (1-based element_at ≡ DuckDB list_extract)."""
-    words = _words(col)
+def _shingles_of(words):
+    """Distinct 3-word shingles over an ALREADY-MATERIALIZED words
+    column (1-based element_at ≡ DuckDB list_extract).
+
+    Perf: ``words`` must be a column reference, not the inline
+    ``split(...)`` expression — inside a higher-order-function lambda
+    Spark re-evaluates inline subexpressions PER ELEMENT, turning
+    shingling into O(n²) splits (measured 20× slower at sf0.1).
+    """
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(SHINGLE_K - 1)))
     sh = F.transform(
@@ -52,6 +58,14 @@ def _shingles(col):
         ),
     )
     return F.array_distinct(sh)
+
+
+def with_shingles(df, text_col: str = "text"):
+    """df + a ``shingles`` column, with the word split materialized
+    first so the shingle lambda is O(n), not O(n²)."""
+    return df.withColumn("__words", _words(F.col(text_col))).withColumn(
+        "shingles", _shingles_of(F.col("__words"))
+    ).drop("__words")
 
 
 _SHINGLES_SQL = f"""
@@ -112,7 +126,7 @@ def _minhash_cols(shingle_col):
 
 
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).withColumn("shingles", _shingles(F.col("text")))
+    docs = with_shingles(_docs(spark, sf_dir))
     sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
     band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
     band1 = F.md5(
@@ -144,7 +158,7 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket — at 100 TB this is the only join that runs, never the
     n² cross), verified with exact Jaccard over distinct shingles.
     """
-    docs = _docs(spark, sf_dir).withColumn("shingles", _shingles(F.col("text")))
+    docs = with_shingles(_docs(spark, sf_dir))
     sig = docs.select("doc_id", "shingles", *_minhash_cols(F.col("shingles")))
     band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
     band1 = F.md5(
@@ -177,10 +191,14 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |A∪B| = |A|+|B|−|A∩B| for distinct arrays: one hash-set pass per
+    # pair instead of two (array_union was ~half the verify cost).
+    with_inter = cand.withColumn(
+        "inter", F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    jac = F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        with_inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -271,8 +289,7 @@ NGRAM_THRESHOLD = 0.12
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
-        _docs(spark, sf_dir)
-        .withColumn("shingles", _shingles(F.col("text")))
+        with_shingles(_docs(spark, sf_dir))
         .withColumn("len_bucket", F.floor(F.col("n_chars") / LEN_BUCKET))
         .select("doc_id", "lang", "len_bucket", "shingles")
     )
@@ -283,16 +300,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
-    union = F.size(F.array_union("a.shingles", "b.shingles"))
+    # same |A|+|B|−|A∩B| identity as the LSH verify — one set pass/pair
+    scored = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.lang").alias("lang"),
+        F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+        (F.size("a.shingles") + F.size("b.shingles")).alias("sz"),
+    )
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            F.round(inter / union, 6).alias("jaccard"),
+        scored.withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("sz") - F.col("inter")), 6)
         )
         .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
+        .select("doc_a", "doc_b", "lang", "jaccard")
     )
 
 
@@ -366,6 +387,94 @@ WHERE round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) >= {COSINE_THRE
 """
 
 
+# ---------------------------------------------------------------------------
+# Cluster + canonicalize: LSH pairs → connected components → keep-one.
+# The "full dedup" a training pipeline actually runs: near-dup PAIRS
+# are not actionable until transitively closed into clusters with one
+# canonical survivor each.
+# ---------------------------------------------------------------------------
+
+MAX_CC_ITERS = 20
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by iterative min-label propagation over the
+    verified near-dup pairs; canonical = min doc_id per component.
+
+    Each iteration is one distributed join+agg (label := min(label,
+    neighbors' labels)); the driver only checks the converged flag —
+    no data crosses to the driver. Iterations needed = graph diameter;
+    near-dup graphs are shallow (dup clusters are cliques or short
+    chains), so this converges in 2-3 rounds where the alternating
+    large-star/small-star algorithm would also land. Deterministic:
+    fixpoint is unique regardless of execution order.
+    """
+    pairs = dedup_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a)
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover
+        raise RuntimeError(f"components did not converge in {MAX_CC_ITERS} iters")
+    out = labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+    edges.unpersist()
+    return out
+
+
+DEDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DEDUP_LSH_ORACLE}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_b, w.label FROM walk w JOIN edges e ON e.doc_a = w.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id,
+       doc_id = min(label) AS is_canonical
+FROM walk GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
@@ -373,4 +482,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_COSINE_ORACLE),
+    "dedup_cluster_canonical": QuerySpec(
+        dedup_cluster_canonical, DEDUP_CLUSTER_ORACLE
+    ),
 }

@@ -1,0 +1,49 @@
+"""salted_join == plain join on skewed data, with the salt actually
+spreading the hot key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.operators.skew import SALT_COL, salted_join
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one hot key (doc 7 appears 500×), many cold keys
+    facts = spark.range(600).select(
+        F.when(F.col("id") < 500, F.lit(7)).otherwise(F.col("id")).alias("doc_id"),
+        F.col("id").alias("qa_id"),
+    )
+    dim = spark.range(700).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    return facts, dim
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equivalence(spark, skewed, how):
+    facts, dim = skewed
+    got = salted_join(facts, dim, "doc_id", n_salts=8, how=how)
+    want = facts.join(dim, "doc_id", how)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert SALT_COL not in got.columns
+
+
+def test_salt_spreads_hot_key(spark, skewed):
+    facts, _ = skewed
+    salted = facts.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*facts.columns), F.lit(8))
+    )
+    n_salts_used = (
+        salted.filter(F.col("doc_id") == 7).select(SALT_COL).distinct().count()
+    )
+    assert n_salts_used == 8  # hot key fans out over all salt partitions
+
+
+def test_salted_join_rejects_unsupported_how(spark, skewed):
+    facts, dim = skewed
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, "doc_id", how="full")
