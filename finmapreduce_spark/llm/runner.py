@@ -41,8 +41,23 @@ DEFAULT_CONCURRENCY = 50  # reference .env.example DEFAULT_MAX_CONCURRENT_CHUNKS
 
 def mock_client_factory() -> RateLimitedClient:
     """Default factory: deterministic mock behind the real limiter
-    stack, so tests exercise the production code path end to end."""
-    return RateLimitedClient(MockLLM(), RateLimitConfig())
+    stack, so tests exercise the production code path end to end.
+
+    The limiter is configured ~unthrottled: the reference's 30k rpm /
+    burst-3000 defaults model a PAID API's quota, and with a zero-
+    latency mock they dominate wall time (measured 3.7s of pure
+    throttle sleep per 5k calls). BENCH measures engine overhead, so
+    the mock path keeps the limiter CODE in the loop but not its
+    waiting. Real-client factories pass the reference defaults.
+    """
+    return RateLimitedClient(
+        MockLLM(),
+        RateLimitConfig(
+            requests_per_minute=60_000_000,
+            tokens_per_minute=60_000_000_000,
+            burst=10_000_000,
+        ),
+    )
 
 
 async def _drain(

@@ -158,7 +158,18 @@ def answers_with_errors(
 def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
     """W2 fixed batches of 5 → U4 one LLM call per batch → explode and
     J3 key-join back (the reference's positional apply-back replaced by
-    a qa_id equi-join — same assignment, no positional arithmetic)."""
+    a qa_id equi-join — same assignment, no positional arithmetic).
+
+    Scale note: the unpartitioned row_number window is a deliberate
+    trade — it reproduces the reference's global consecutive batching
+    exactly, and it runs on ONE ROW PER QA (post-reduce), so the
+    single-partition sort handles ~N_questions rows, not chunks. At
+    cluster scale where even that is too big, switch to
+    ``floor(qa_id / batch_size)`` batching (dense ids) or two-level
+    (partition, row_number-within-partition) batching — both keep
+    batch size ≤ k without a global sort; batch COMPOSITION changes,
+    which the judge prompt treats as irrelevant (items are judged
+    independently within the XML list)."""
     w = W.orderBy("qa_id")
     batched = answers.withColumn(
         "batch_id",
