@@ -1,0 +1,114 @@
+"""CLI batch entry point — parity with the reference's primary surface
+(§3.1: ``python main_async.py --dataset financebench --approach
+mapreduce --format_type hybrid`` + PipelineFactory validation,
+main_async.py:40-101, src/core/factory.py:21-68).
+
+Spark-first translation: argument surface and registry validation are
+preserved; the "pipeline object graph" the reference factory builds is
+here just the declarative DAG (plans/mapreduce.py, plans/truncation.py)
+applied to loader output. The LLM client defaults to the deterministic
+mock (hermetic runs); a real OpenAI-compatible client plugs in through
+the same factory seam (llm/client.py).
+
+  python -m finmapreduce_spark --dataset financebench \
+      --data_path qa.jsonl --docs_glob 'docs/*.md' \
+      --approach mapreduce --format_type hybrid --num_samples 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DATASETS = ("financebench", "finqa")
+APPROACHES = ("mapreduce", "truncation")
+FORMATS = ("json", "hybrid", "plain_text")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="finmapreduce_spark")
+    p.add_argument("--dataset", choices=DATASETS, default="financebench")
+    p.add_argument("--approach", choices=APPROACHES, default="mapreduce")
+    p.add_argument("--format_type", choices=FORMATS, default="hybrid")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--docs_glob", required=True, help="markdown corpus glob")
+    p.add_argument("--output_dir", default="results")
+    p.add_argument("--num_samples", type=int, default=None)
+    # reference defaults: main_async.py:44-51
+    p.add_argument("--chunk_size", type=int, default=32768)
+    p.add_argument("--chunk_overlap", type=int, default=4096)
+    p.add_argument("--score_threshold", type=int, default=None,
+                   help="default 5 (json/hybrid) or 50 (plain_text)")
+    p.add_argument("--truncation_strategy", choices=("start", "end", "smart"),
+                   default="start")
+    p.add_argument("--max_doc_tokens", type=int, default=8192)
+    return p
+
+
+def run(argv: list[str] | None = None, spark=None) -> str:
+    """Execute one batch run; returns the results directory path."""
+    args = build_parser().parse_args(argv)
+    threshold = args.score_threshold
+    if threshold is None:
+        threshold = 50 if args.format_type == "plain_text" else 5
+
+    from finmapreduce_spark.llm.prompts import load_prompt_set
+    from finmapreduce_spark.session import get_spark
+    from finmapreduce_spark.sources.readers import (
+        load_financebench,
+        load_finqa,
+        load_markdown_documents,
+    )
+    from finmapreduce_spark.sources.sinks import save_results
+
+    load_prompt_set(args.format_type)  # S12 validation, factory posture
+    spark = spark or get_spark("finmapreduce_cli")
+
+    loader = load_financebench if args.dataset == "financebench" else load_finqa
+    qa_raw = loader(spark, args.data_path, num_samples=args.num_samples)
+    qa = qa_raw.withColumn(
+        "qa_id",
+        F.row_number().over(Window.orderBy("doc_name", "question")).cast("long"),
+    ).select("qa_id", F.col("doc_name").alias("doc_id"), "question", "answer")
+
+    docs = load_markdown_documents(spark, args.docs_glob).select(
+        F.col("doc_name").alias("doc_id"), F.col("content").alias("text")
+    )
+
+    if args.approach == "mapreduce":
+        from finmapreduce_spark.plans.mapreduce import MapReduceConfig, run_mapreduce
+
+        cfg = MapReduceConfig(
+            chunk_size=args.chunk_size,
+            chunk_overlap=args.chunk_overlap,
+            score_threshold=threshold,
+        )
+        answers = run_mapreduce(qa, docs, cfg)["answers"]
+    else:
+        from finmapreduce_spark.plans.truncation import (
+            TruncationConfig,
+            run_truncation,
+        )
+
+        cfg = TruncationConfig(
+            max_doc_tokens=args.max_doc_tokens,
+            strategy=args.truncation_strategy,
+        )
+        answers = run_truncation(qa, docs, cfg)["answered"]
+
+    out_dir = save_results(
+        answers,
+        args.output_dir,
+        config={k: v for k, v in vars(args).items()},
+    )
+    with open(f"{out_dir}/_summary.json") as f:
+        print(json.dumps(json.load(f)["stats"]))
+    return out_dir
+
+
+def main() -> None:  # pragma: no cover - thin shell
+    run(sys.argv[1:])

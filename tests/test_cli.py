@@ -1,0 +1,98 @@
+"""CLI batch entry (§3.1 parity): end-to-end run over a tiny
+FinanceBench-style fixture with the mock LLM."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from finmapreduce_spark.cli import run
+
+
+@pytest.fixture()
+def fixture_dirs(tmp_path):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "acme_2023.md").write_text(
+        "Acme revenue grew nine percent in fiscal 2023. " * 40
+    )
+    (docs / "beta_2022.md").write_text("Beta filed a 10-K. " * 40)
+    qa_path = tmp_path / "qa.jsonl"
+    rows = [
+        {
+            "financebench_id": "q1",
+            "doc_name": "acme_2023",
+            "question": "What was revenue growth?",
+            "answer": "nine percent",
+            "justification": None,
+            "evidence": [{"evidence_text": "revenue grew nine percent"}],
+            "question_type": "metrics-generated",
+            "question_reasoning": None,
+        },
+        {
+            "financebench_id": "q2",
+            "doc_name": "beta_2022",
+            "question": "What did Beta file?",
+            "answer": "a 10-K",
+            "justification": "filed annually",
+            "evidence": [],
+            "question_type": "domain-relevant",
+            "question_reasoning": "recall",
+        },
+        {
+            "financebench_id": "q3",
+            "doc_name": "missing_doc",
+            "question": "Where is this?",
+            "answer": "nowhere",
+            "justification": None,
+            "evidence": [],
+            "question_type": "novel-generated",
+            "question_reasoning": None,
+        },
+    ]
+    with open(qa_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(qa_path), str(docs), str(tmp_path / "out")
+
+
+@pytest.mark.parametrize("approach", ["mapreduce", "truncation"])
+def test_cli_end_to_end(spark, fixture_dirs, approach):
+    qa_path, docs_dir, out_root = fixture_dirs
+    out_dir = run(
+        [
+            "--dataset", "financebench",
+            "--approach", approach,
+            "--format_type", "hybrid",
+            "--data_path", qa_path,
+            "--docs_glob", docs_dir,
+            "--output_dir", out_root,
+            "--chunk_size", "256",
+            "--chunk_overlap", "32",
+        ],
+        spark=spark,
+    )
+    assert os.path.isdir(out_dir)
+    rows = [
+        json.loads(l)
+        for p in os.listdir(out_dir)
+        if p.startswith("part-") and p.endswith(".json")
+        for l in open(os.path.join(out_dir, p))
+    ]
+    summary = json.load(open(os.path.join(out_dir, "_summary.json")))
+    if approach == "mapreduce":
+        assert len(rows) == 3  # error row for missing_doc included
+        assert any(r.get("doc_error") == "document not found" for r in rows)
+    else:
+        assert len(rows) >= 2
+    assert summary["config"]["approach"] == approach
+    assert summary["stats"]["n_rows"] == len(rows)
+
+
+def test_cli_rejects_bad_registry_values(spark, fixture_dirs):
+    qa_path, docs_dir, out_root = fixture_dirs
+    with pytest.raises(SystemExit):
+        run(["--dataset", "unknown", "--data_path", qa_path,
+             "--docs_glob", docs_dir], spark=spark)
