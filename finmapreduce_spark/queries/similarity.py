@@ -270,8 +270,91 @@ FROM ranked WHERE rk = 1 AND similarity > {SIM_JOIN_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Sign-bit LSH ANN: bucket = sign pattern of the first SIGN_BITS dims
+# (an axis-aligned hyperplane family — the degenerate but fully
+# engine-reproducible member of random-hyperplane LSH; swap the raw
+# dims for pre-rotated projections and the plan is unchanged).
+# ---------------------------------------------------------------------------
+
+SIGN_BITS = 8
+
+
+def _sign_sig(v):
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIGN_BITS)
+        ],
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: hash every vector to its sign signature (a
+    narrow map, no shuffle), then search only the query's bucket via
+    an equi-join on the signature.
+
+    Scale: 2^SIGN_BITS buckets partition the corpus; the join shuffles
+    on the bucket key, so per-task work is bucket-sized, and recall is
+    traded for a 2^bits candidate reduction — the standard LSH-ANN
+    deal. Compare with ann_bruteforce_topk (exact) and ann_ivf_topk
+    (data-dependent cells).
+    """
+    emb = _emb(spark, sf_dir).withColumn("sig", _sign_sig(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("norm").alias("q_norm"),
+        "sig",
+    )
+    cand = F.broadcast(q).join(
+        emb.filter(F.col("vec_id") >= N_QUERIES), "sig"
+    )
+    cos = _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
+    ranked = cand.select(
+        "q_id",
+        "sig",
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id", "sig", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_SIGN_SQL = " || ".join(
+    f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(SIGN_BITS)
+)
+
+ANN_LSH_ORACLE = f"""
+WITH v AS ({_EMB_SQL}),
+sigs AS (SELECT *, {_SIGN_SQL} AS sig FROM v),
+q AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm, sig
+      FROM sigs WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.q_id, q.sig, c.vec_id AS neighbor_id,
+         list_inner_product(q.q_v, c.v) / (q.q_norm * c.norm) AS cosine
+  FROM q JOIN sigs c USING (sig) WHERE c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT q_id, sig, CAST(rank AS INT) AS rank, neighbor_id,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BF_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE),
     "j4_similarity_join": QuerySpec(j4_similarity_join, J4_ORACLE),
 }

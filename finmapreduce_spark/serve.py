@@ -1,0 +1,73 @@
+"""Single-QA serving API — parity with the webapp's
+``process_single_qa_async`` surface (§3.2; reference
+webapp/backend/api/endpoints.py:183-304: one uploaded document + one
+question → answer/reasoning/evidence + token stats, no judge).
+
+The same declarative DAG runs on a 1-row DataFrame — latency is
+dominated by the LLM call exactly as in the reference; Spark overhead
+at n=1 is the price of one code path for both serving and batch (the
+reference keeps a pipeline-instance cache for the same reason we keep
+the shared SparkSession). For sustained request streams, use
+streaming/pipeline.py::serve_mapreduce (micro-batched foreachBatch).
+
+Also here: ``preview`` — the reference's POST /preview (full-doc load
++ first-2000-chars, endpoints.py:351-423).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.plans.mapreduce import MapReduceConfig, run_mapreduce
+from finmapreduce_spark.sources.readers import load_upload
+
+PREVIEW_CHARS = 2000  # W6 (endpoints.py:398-401)
+
+
+def answer_single(
+    spark: SparkSession,
+    path: str,
+    question: str,
+    cfg: MapReduceConfig | None = None,
+) -> dict:
+    """Answer one question about one uploaded file; returns the
+    AnswerResponse-shaped dict (answer/reasoning/evidence, token and
+    chunk stats, error if the document was unusable)."""
+    cfg = cfg or MapReduceConfig()
+    qa_row = load_upload(spark, path, question)
+    qa = qa_row.select(
+        "qa_id",
+        F.col("doc_name").alias("doc_id"),
+        "question",
+        F.lit(None).cast("string").alias("answer"),  # no gold in serving
+    )
+    docs = qa_row.select(
+        F.col("doc_name").alias("doc_id"), F.col("content").alias("text")
+    )
+    stages = run_mapreduce(qa, docs, cfg)
+    answers = stages["answers"].persist()  # one execution, several reads
+    row = answers.collect()[0].asDict()
+    n_chunks = stages["chunks"].count()
+    answers.unpersist()
+    return {
+        "answer": row.get("llm_answer"),
+        "reasoning": row.get("llm_reasoning"),
+        "evidence": row.get("llm_evidence"),
+        "error": row.get("doc_error") or row.get("error"),
+        "input_tokens": row.get("input_tokens"),
+        "output_tokens": row.get("output_tokens"),
+        "n_chunks": n_chunks,
+        "n_kept": row.get("n_kept"),
+    }
+
+
+def preview(spark: SparkSession, path: str) -> dict:
+    """Full-document load + first-2000-chars preview (P6-validated)."""
+    row = load_upload(spark, path, question="").collect()[0]
+    content = row["content"] or ""
+    return {
+        "doc_name": row["doc_name"],
+        "preview": content[:PREVIEW_CHARS],
+        "n_chars": len(content),
+    }

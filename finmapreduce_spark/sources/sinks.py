@@ -28,6 +28,11 @@ def save_results(
     _summary.json with config and aggregate stats (A3/A4-shaped)."""
     ts = run_ts or datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
     out_dir = os.path.join(out_root, f"results_{ts}")
+    # Two actions follow (write + stats agg). Persist so the upstream
+    # DAG — which may contain PAID LLM stages — executes exactly once;
+    # without this the agg would re-fire every API call (SURVEY §4:
+    # no duplicated paid work).
+    answers = answers.persist()
     answers.write.mode("overwrite").json(out_dir)
     agg_cols = [c for c in ("input_tokens", "output_tokens") if c in answers.columns]
     summary: dict = {"config": config or {}, "timestamp": ts}
@@ -41,6 +46,7 @@ def save_results(
         summary["stats"] = {"n_rows": answers.count()}
     with open(os.path.join(out_dir, "_summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
+    answers.unpersist()
     return out_dir
 
 
