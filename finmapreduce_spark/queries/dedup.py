@@ -475,6 +475,57 @@ FROM walk GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# The end-to-end keep-list: corpus minus exact-dup losers minus
+# near-dup cluster non-canonicals — what actually ships to training.
+# Both removals are left_anti joins (no row widening, broadcastable
+# removal sets — the removal side is |dups|, far smaller than corpus).
+# ---------------------------------------------------------------------------
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", F.md5(F.trim(F.lower("text"))).alias("content_hash")
+    )
+    keepers = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("keeper"))
+    exact_losers = (
+        hashed.join(keepers, "content_hash")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    near_losers = (
+        dedup_cluster_canonical(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(exact_losers, "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
+    )
+
+
+DEDUP_KEEP_ORACLE = f"""
+WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
+hashed AS (
+  SELECT doc_id, md5(trim(lower(text))) AS content_hash FROM documents
+),
+keepers AS (
+  SELECT content_hash, min(doc_id) AS keeper FROM hashed GROUP BY 1
+),
+exact_losers AS (
+  SELECT doc_id FROM hashed JOIN keepers USING (content_hash)
+  WHERE doc_id <> keeper
+),
+near_losers AS (
+  SELECT doc_id FROM clusters WHERE NOT is_canonical
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)
+  AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
@@ -485,4 +536,5 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_canonical": QuerySpec(
         dedup_cluster_canonical, DEDUP_CLUSTER_ORACLE
     ),
+    "dedup_keep_list": QuerySpec(dedup_keep_list, DEDUP_KEEP_ORACLE),
 }

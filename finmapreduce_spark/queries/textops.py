@@ -12,7 +12,7 @@ oracle-checkable in ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from finmapreduce_spark.functions.chunking import explode_chunks
@@ -488,7 +488,94 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction: scrub email / phone / SSN-shaped spans before a corpus
+# ships to training. Pure regexp_replace chain — codegen'd, no UDF, no
+# shuffle; the redaction count comes from measuring length deltas, so
+# the text is scanned once per pattern.
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{3}[-.\s]\d{3}[-.\s]\d{4}", "<PHONE>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+]
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact PII-shaped spans; emit the scrubbed text hash + per-class
+    hit counts (ordering matters: SSN runs after phone so a phone-
+    shaped SSN match is consistent across engines)."""
+    docs = _docs(spark, sf_dir)
+    out = docs.select("doc_id", F.col("text").alias("t"))
+    counts = []
+    for name, pat, tag in _PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0)))
+        ).withColumn("t", F.regexp_replace("t", pat, tag))
+        counts.append(f"n_{name}")
+    return out.select("doc_id", F.md5("t").alias("redacted_hash"), *counts)
+
+
+_PII_SQL_STEPS = "regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'), '{s}', '<SSN>', 'g')".format(
+    e=_PII_PATTERNS[0][1], p=_PII_PATTERNS[1][1], s=_PII_PATTERNS[2][1]
+)
+
+PII_ORACLE = f"""
+SELECT doc_id,
+       md5({_PII_SQL_STEPS}) AS redacted_hash,
+       len(regexp_extract_all(text, '{_PII_PATTERNS[0][1]}')) AS n_email,
+       len(regexp_extract_all(regexp_replace(text, '{_PII_PATTERNS[0][1]}', '<EMAIL>', 'g'), '{_PII_PATTERNS[1][1]}')) AS n_phone,
+       len(regexp_extract_all(regexp_replace(regexp_replace(text, '{_PII_PATTERNS[0][1]}', '<EMAIL>', 'g'), '{_PII_PATTERNS[1][1]}', '<PHONE>', 'g'), '{_PII_PATTERNS[2][1]}')) AS n_ssn
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus token frequency top-k: the wordcount that sizes a tokenizer
+# vocabulary. explode → two-level agg (map-side combine on (token)
+# collapses each partition before the shuffle) → global top-k.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 50
+
+
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counted = toks.groupBy("token").agg(F.count("*").alias("n"))
+    ranked = counted.withColumn(
+        "rank",
+        F.row_number().over(
+            # single global ordering over |vocab| rows, not |corpus|
+            W.orderBy(F.desc("n"), F.asc("token"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= VOCAB_TOP_K).select(
+        F.col("rank").cast("int").alias("rank"), "token", "n"
+    )
+
+
+TOKEN_TOPK_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+counted AS (
+  SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counted
+)
+SELECT CAST(rank AS INT) AS rank, token, n FROM ranked WHERE rank <= {VOCAB_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_pii_redact": QuerySpec(text_pii_redact, PII_ORACLE),
+    "text_token_topk": QuerySpec(text_token_topk, TOKEN_TOPK_ORACLE),
     "f9_xml_render": QuerySpec(f9_xml_render, _f9_oracle()),
     "f2_chunk_documents": QuerySpec(f2_chunk_documents, F2_ORACLE),
     "f3_truncate_start": QuerySpec(f3_truncate_start, F3_ORACLE),
