@@ -159,14 +159,24 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² cross), verified with exact Jaccard over distinct shingles.
     """
     docs = with_shingles(_docs(spark, sf_dir))
-    sig = docs.select("doc_id", "shingles", *_minhash_cols(F.col("shingles")))
+    # Verify on 64-bit shingle hashes, not the shingle strings: the
+    # intersection COUNT is hash-invariant (collision odds within one
+    # pair ≈ |sh|²/2⁶⁴ ≈ 1e-14), the shuffle payload drops ~3× and the
+    # per-pair set work runs on longs. The distinct-shingle set is
+    # hashed AFTER array_distinct, so |A|, |B| and |A∩B| are exactly
+    # the string-set cardinalities the oracle computes.
+    sig = docs.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashed"),
+        *_minhash_cols(F.col("shingles")),
+    )
     band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
     band1 = F.md5(
         F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
     )
     buckets = sig.select(
         "doc_id",
-        "shingles",
+        F.col("sh_hashed").alias("shingles"),
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band_id"), band0.alias("key")),

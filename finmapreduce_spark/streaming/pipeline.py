@@ -118,6 +118,20 @@ def windowed_event_rollup(events: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once ingest dedup: drop replayed event_ids within the
+    watermark horizon (at-least-once upstream delivery → exactly-once
+    downstream, the first stage of any streaming training-data feed).
+
+    ``dropDuplicatesWithinWatermark`` keeps state per key only until
+    the watermark passes — bounded memory on an unbounded stream,
+    unlike plain dropDuplicates which would grow state forever.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 SESSION_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),

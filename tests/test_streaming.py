@@ -125,3 +125,23 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmpdir):
     want = {tuple(r) for r in closed.collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_dedup_drops_replays(spark, sf_dir, tmpdir):
+    """At-least-once input (every event delivered twice) -> exactly-once
+    output within the watermark horizon."""
+    from finmapreduce_spark.streaming.pipeline import streaming_dedup
+
+    events = read_table(spark, sf_dir, "events").limit(500)
+    doubled = events.union(events)
+    stage_dir = f"{tmpdir}/events_doubled"
+    doubled.repartition(1).write.mode("overwrite").parquet(stage_dir)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stage_dir)
+    out = run_stream_to_memory(
+        spark, streaming_dedup(stream), "dedup_out", output_mode="append"
+    )
+    n_distinct = events.select("event_id").distinct().count()
+    got = out.count()
+    assert got == n_distinct
+    assert doubled.count() == 2 * n_distinct
