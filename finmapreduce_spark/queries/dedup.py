@@ -536,6 +536,45 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Built-in path: spark.ml MinHashLSH (SURVEY §7 M4). Kept alongside the
+# explicit band-join implementation above: ml.MinHashLSH brings
+# OR-amplified banding + approxSimilarityJoin planning for free, at the
+# cost of opaque hash coefficients (seeded, Spark-reproducible, but not
+# expressible in the DuckDB oracle — registered rows-only; the custom
+# dedup_lsh_pairs carries the hash-equivalence burden for both).
+# ---------------------------------------------------------------------------
+
+def dedup_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via ml.feature.MinHashLSH.approxSimilarityJoin:
+    shingles -> binary CountVectorizer features -> 4 seeded hash
+    tables -> candidate join -> EXACT Jaccard distance filter (the
+    distance approxSimilarityJoin computes on survivors is exact, so
+    precision is 1.0; only recall depends on the banding)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = with_shingles(_docs(spark, sf_dir)).select("doc_id", "shingles")
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
+    )
+    feat = cv.fit(docs).transform(docs).filter(F.size("shingles") > 0)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    ).fit(feat)
+    pairs = model.approxSimilarityJoin(
+        feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
@@ -547,4 +586,5 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_cluster_canonical, DEDUP_CLUSTER_ORACLE
     ),
     "dedup_keep_list": QuerySpec(dedup_keep_list, DEDUP_KEEP_ORACLE),
+    "dedup_ml_minhash_lsh": QuerySpec(dedup_ml_minhash_lsh, None),
 }

@@ -56,3 +56,22 @@ def log_prompts(df: DataFrame, prompt_col: str, log_dir: str) -> None:
         F.monotonically_increasing_id().alias("prompt_id"),
         F.col(prompt_col).alias("prompt"),
     ).write.mode("append").json(log_dir)
+
+
+def save_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet corpus sink — the layout a 100 TB corpus
+    actually ships in.
+
+    ``partitionBy`` turns each named column into a directory level, so
+    downstream readers with a predicate on it scan ONLY the matching
+    directories (partition pruning — PartitionFilters in the plan, no
+    footer reads outside the slice). Choose low-cardinality columns
+    (lang, date, source); high-cardinality partitioning creates a
+    small-files problem instead of pruning.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)

@@ -162,3 +162,24 @@ def test_load_pdf_documents_fake_parser(spark, tmp_path):
     gated = load_pdf_documents(spark, d, parser="pypdf")
     err = {r["doc_name"]: r["parse_error"] for r in gated.collect()}
     assert all(e and "pypdf" in e for e in err.values())
+
+
+def test_save_corpus_partition_pruning(spark, sf_dir, tmpdir):
+    """Partitioned sink + pruned read-back: a lang predicate must reach
+    the scan as a PartitionFilter, not a row filter."""
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.sources.sinks import save_corpus
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = f"{tmpdir}/corpus"
+    save_corpus(docs, out, partition_by=("lang",))
+
+    back = spark.read.parquet(out)
+    en = back.filter(F.col("lang") == "en")
+    plan = en._jdf.queryExecution().explainString(
+        en._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert en.count() == docs.filter(F.col("lang") == "en").count()
+    assert back.count() == docs.count()
