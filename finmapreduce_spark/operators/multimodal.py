@@ -13,7 +13,7 @@ At 100 TB: binary payloads ride in parquet (or are late-materialized
 via paths + ``spark.read.format("binaryFile")``); decode stages are
 narrow maps, so the only knobs are ``spark.sql.files.maxPartitionBytes``
 (bound batch memory — payloads are big) and partition count for
-decoder parallelism. Feature vectors come back as ``array<float>``
+decoder parallelism. Feature vectors come back as ``array<double>``
 columns that flow straight into the similarity/dedup operators
 (queries/similarity.py).
 """
@@ -66,7 +66,7 @@ def _stub_decode(payload: bytes) -> bytes:
 
 DECODED_SCHEMA = (
     "asset_id long, kind string, n_bytes long, decoded_md5 string, "
-    "feature array<float>"
+    "feature array<double>"
 )
 
 

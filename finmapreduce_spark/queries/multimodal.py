@@ -83,3 +83,87 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
     "multimodal_decode_features": QuerySpec(multimodal_decode_features, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# End-to-end multimodal retrieval: binary asset → decode/featurize
+# (REAL mapInPandas plumbing; the stub codec is md5-derived, so the
+# oracle can recompute the identical feature vectors in SQL) → ANN
+# brute-force top-k among image assets. This value-checks the entire
+# multimodal chain, not just its metadata.
+# ---------------------------------------------------------------------------
+
+MM_N_QUERIES = 10
+MM_TOP_K = 3
+
+
+def multimodal_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from finmapreduce_spark.queries.dedup import _dot
+
+    feats = (
+        decode_and_featurize(_assets(spark, sf_dir))
+        .filter(F.col("kind") == "image")
+        .select(
+            "asset_id",
+            F.col("feature").alias("v"),
+        )
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    q = feats.filter(F.col("asset_id") < MM_N_QUERIES * 3).select(
+        F.col("asset_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = F.broadcast(q).crossJoin(
+        feats.filter(F.col("asset_id") >= MM_N_QUERIES * 3)
+    )
+    cos = _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
+    ranked = pairs.select(
+        "q_id", F.col("asset_id").alias("neighbor_id"), cos.alias("cosine")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= MM_TOP_K).select(
+        "q_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# The stub decode is md5(payload).digest() cycled; feature[i] =
+# digest_byte[i] / 255 for i in 0..15 — reconstructed from the hex
+# string: byte i = 16*hex[2i] + hex[2i+1].
+_MM_FEATURE_SQL = """
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, 17), i ->
+           ((strpos('0123456789abcdef', substring(md5(text), 2*i - 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substring(md5(text), 2*i, 1)) - 1) / 255.0
+         ) AS v
+  FROM documents WHERE doc_id % 3 = 0
+"""
+
+MM_ANN_ORACLE = f"""
+WITH feats AS (
+  SELECT asset_id, v,
+         sqrt(list_inner_product(v, v)) AS norm
+  FROM ({_MM_FEATURE_SQL})
+),
+q AS (SELECT asset_id AS q_id, v AS q_v, norm AS q_norm
+      FROM feats WHERE asset_id < {MM_N_QUERIES * 3}),
+scored AS (
+  SELECT q.q_id, c.asset_id AS neighbor_id,
+         list_inner_product(q.q_v, c.v) / (q.q_norm * c.norm) AS cosine
+  FROM q CROSS JOIN feats c WHERE c.asset_id >= {MM_N_QUERIES * 3}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {MM_TOP_K}
+"""
+
+QUERIES["multimodal_ann_topk"] = QuerySpec(multimodal_ann_topk, MM_ANN_ORACLE)
