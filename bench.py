@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "ann_ivf_topk",
     "pipeline_e2e_answers",
+    "multimodal_ann_topk",
+    "text_token_topk",
 ]
 
 

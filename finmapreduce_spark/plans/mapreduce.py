@@ -52,6 +52,14 @@ class MapReduceConfig:
     judge_batch_size: int = 5  # reference async_evaluation.py:261
     client_factory: object = mock_client_factory
     llm_partitions: int | None = None  # repartition before LLM stages
+    # Persist each LLM stage's output before anything consumes it.
+    # Protects paid API calls from double execution when (a) multiple
+    # downstream consumers act on the same stage (answers feed both
+    # the sink and the judge) or (b) lineage recompute after executor
+    # loss would otherwise re-fire requests (SURVEY §4/§7 M5). Off by
+    # default for fixture-scale tests; ANY real-client run should set
+    # it.
+    persist_llm_outputs: bool = False
 
 
 def join_documents(qa: DataFrame, docs: DataFrame) -> DataFrame:
@@ -257,8 +265,12 @@ def run_mapreduce(
     qa_docs = join_documents(qa, docs)
     chunks = chunk_stage(qa_docs, cfg)
     mapped = map_stage(chunks, cfg)
+    if cfg.persist_llm_outputs:
+        mapped = mapped.persist()
     kept = filter_stage(mapped, cfg)
     reduced = reduce_stage(kept, qa, cfg)
+    if cfg.persist_llm_outputs:
+        reduced = reduced.persist()
     answers = answers_with_errors(qa, qa_docs, reduced)
     judgments = judge_stage(answers, cfg)
     return {

@@ -74,3 +74,30 @@ def test_strict_threshold(spark, fixture_tables):
     stages = fixture_tables
     kept = stages["kept"].select("score").distinct().collect()
     assert all(r["score"] > CFG.score_threshold for r in kept)
+
+
+def test_persist_llm_outputs_flag(spark, sf_dir):
+    """With persist_llm_outputs, the paid stages carry a storage level
+    (multiple consumers / lineage recompute won't re-fire LLM calls);
+    results are unchanged."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.plans.mapreduce import MapReduceConfig, run_mapreduce
+    from finmapreduce_spark.queries.pipeline import synthetic_qa, _docs
+
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    base_cfg = MapReduceConfig()
+    pers_cfg = MapReduceConfig(persist_llm_outputs=True)
+    plain = run_mapreduce(qa, docs, base_cfg)
+    persisted = run_mapreduce(qa, docs, pers_cfg)
+    # (the plain run's storage level is NOT asserted: Spark's cache
+    # manager matches by logical plan, so the identical plain plan
+    # reports the persisted run's level)
+    assert persisted["mapped"].storageLevel.useMemory
+    assert persisted["reduced"].storageLevel.useMemory
+    a = sorted(map(tuple, plain["answers"].select("qa_id", "llm_answer").collect()))
+    b = sorted(map(tuple, persisted["answers"].select("qa_id", "llm_answer").collect()))
+    assert a == b
+    persisted["mapped"].unpersist()
+    persisted["reduced"].unpersist()
