@@ -49,6 +49,10 @@ HEADLINE = [
 def main():
     spark = get_spark("bench")
     spark.range(1).count()  # warm up JVM/session so q1 isn't charged startup
+    from finmapreduce_spark.session import TABLES, read_table
+
+    for t in TABLES:  # resolve schemas (footer metadata only, no compute)
+        read_table(spark, SF_DIR, t)
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(os.environ.get("BENCH_EXTRA", "").split(",")) if n in qs
