@@ -650,6 +650,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Exact multi-percentile aggregation (the latency-report shape: p50/p90/p99).
+# Spark's percentile() interpolates identically to ANSI quantile_cont;
+# at 100 TB swap to percentile_approx and accept the sketch error — the
+# plan shape (partial agg -> merge) is the same.
+# ---------------------------------------------------------------------------
+
+def a_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
+A_QUANTILES_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont("value", 0.5), 6) AS p50,
+       round(quantile_cont("value", 0.9), 6) AS p90,
+       round(quantile_cont("value", 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -659,6 +687,7 @@ QUERIES: dict[str, QuerySpec] = {
     "j_anti_join": QuerySpec(j_anti_join, J_ANTI_ORACLE),
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_ORACLE),
     "a5_group_stats_median": QuerySpec(a5_group_stats_median, A5_ORACLE),
+    "a_quantiles_by_type": QuerySpec(a_quantiles_by_type, A_QUANTILES_ORACLE),
     "a9_pivot_counts": QuerySpec(a9_pivot_counts, A9_ORACLE),
     "a12_confusion_matrix": QuerySpec(a12_confusion_matrix, A12_ORACLE),
     "a_rollup_counts": QuerySpec(a_rollup_counts, ROLLUP_ORACLE),

@@ -352,9 +352,76 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance θ-join: best same-lang match by Levenshtein over a
+# normalized prefix. Blocking (lang, length bucket) bounds candidates;
+# the O(n·m) distance runs only on the 80-char prefixes of survivors —
+# the fuzzy-matching shape of the reference generalized to edit
+# distance (vs token-set Jaccard in j4).
+# ---------------------------------------------------------------------------
+
+LEV_PREFIX = 80
+LEV_BUCKET = 400
+
+
+def j_levenshtein_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / LEV_BUCKET).alias("bucket"),
+        F.substring(F.trim(F.lower("text")), 1, LEV_PREFIX).alias("prefix"),
+    )
+    left = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("l_id"), F.col("lang").alias("l_lang"),
+        F.col("bucket").alias("l_bucket"), F.col("prefix").alias("l_prefix"),
+    )
+    pairs = left.join(
+        docs,
+        (F.col("l_lang") == F.col("lang"))
+        & (F.col("l_bucket") == F.col("bucket"))
+        & (F.col("l_id") != F.col("doc_id")),
+    )
+    scored = pairs.select(
+        "l_id",
+        F.col("doc_id").alias("r_id"),
+        F.levenshtein("l_prefix", "prefix").alias("distance"),
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("l_id").orderBy(F.asc("distance"), F.asc("r_id"))
+        ),
+    )
+    return best.filter(F.col("rk") == 1).select("l_id", F.col("r_id").alias("best_match"), "distance")
+
+
+LEV_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / {LEV_BUCKET}) AS BIGINT) AS bucket,
+         substring(trim(lower(text)), 1, {LEV_PREFIX}) AS prefix
+  FROM documents
+),
+pairs AS (
+  SELECT l.doc_id AS l_id, r.doc_id AS r_id,
+         levenshtein(l.prefix, r.prefix) AS distance
+  FROM d l JOIN d r
+    ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id <> r.doc_id
+  WHERE l.doc_id % 20 = 0
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY distance, r_id) AS rk
+  FROM pairs
+)
+SELECT l_id, r_id AS best_match, distance FROM best WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BF_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE),
     "j4_similarity_join": QuerySpec(j4_similarity_join, J4_ORACLE),
+    "j_levenshtein_best_match": QuerySpec(j_levenshtein_best_match, LEV_ORACLE),
 }
