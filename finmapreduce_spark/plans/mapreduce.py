@@ -52,6 +52,10 @@ class MapReduceConfig:
     judge_batch_size: int = 5  # reference async_evaluation.py:261
     client_factory: object = mock_client_factory
     llm_partitions: int | None = None  # repartition before LLM stages
+    # Per-group size guard for the reduce gather (SURVEY §7 risk 4):
+    # keep at most N chunks per QA (top score, then chunk order).
+    # None = reference semantics (no bound).
+    max_reduce_chunks: int | None = None
     # Persist each LLM stage's output before anything consumes it.
     # Protects paid API calls from double execution when (a) multiple
     # downstream consumers act on the same stage (answers feed both
@@ -114,7 +118,24 @@ def filter_stage(map_out: DataFrame, cfg: MapReduceConfig) -> DataFrame:
 
 
 def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFrame:
-    """A1+W1 gather (sorted collect_list) → U2 one LLM call per QA."""
+    """A1+W1 gather (sorted collect_list) → U2 one LLM call per QA.
+
+    ``max_reduce_chunks`` is the per-group size guard (SURVEY §7 risk
+    4): a pathological million-chunk document would otherwise blow up
+    both the collect_list buffer and the reduce prompt. When set, only
+    the top-N kept chunks per QA (score desc, then chunk order) reach
+    the gather — the same keep-the-best posture as the score filter,
+    applied with a hard cardinality bound.
+    """
+    if cfg.max_reduce_chunks is not None:
+        w = W.partitionBy("qa_id").orderBy(
+            F.desc("score"), F.asc("chunk_index")
+        )
+        kept = (
+            kept.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cfg.max_reduce_chunks)
+            .drop("__rk")
+        )
     gathered = kept.groupBy("qa_id").agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(

@@ -101,3 +101,30 @@ def test_persist_llm_outputs_flag(spark, sf_dir):
     assert a == b
     persisted["mapped"].unpersist()
     persisted["reduced"].unpersist()
+
+
+def test_max_reduce_chunks_guard(spark, sf_dir):
+    """Per-group size guard: with max_reduce_chunks=2, no QA gathers
+    more than 2 chunks, the survivors are the top-scored ones, and
+    unguarded QAs with <=2 kept chunks are unchanged."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.plans.mapreduce import MapReduceConfig, run_mapreduce
+    from finmapreduce_spark.queries.pipeline import synthetic_qa, _docs
+
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    # small chunks so fixture-scale documents keep >2 chunks per QA
+    free = run_mapreduce(qa, docs, MapReduceConfig(chunk_size=96, chunk_overlap=8))
+    guarded = run_mapreduce(
+        qa,
+        docs,
+        MapReduceConfig(chunk_size=96, chunk_overlap=8, max_reduce_chunks=2),
+    )
+    free_kept = {r["qa_id"]: r["n_kept"] for r in free["reduced"].collect()}
+    g_kept = {r["qa_id"]: r["n_kept"] for r in guarded["reduced"].collect()}
+    assert set(g_kept) == set(free_kept)  # same QAs reach reduce
+    assert max(g_kept.values()) <= 2
+    assert any(v > 2 for v in free_kept.values())  # the guard actually bit
+    for k, v in g_kept.items():
+        assert v == min(2, free_kept[k])
