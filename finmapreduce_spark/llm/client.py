@@ -276,16 +276,32 @@ class RateLimitedClient:
         cfg: RateLimitConfig | None = None,
         *,
         sleep=asyncio.sleep,
+        request_cache_size: int = 0,
     ):
         self.inner = inner
         self.cfg = cfg or RateLimitConfig()
         self.bucket = DualTokenBucket(self.cfg)
         self.stats = RetryStats()
         self._sleep = sleep
+        # Request-key idempotency cache (SURVEY §4): identical
+        # (kind, prompt) pairs — duplicate docs, repeated questions,
+        # task retries within a worker — pay the API exactly once per
+        # executor. SUCCESSFUL responses only (failed parses must
+        # retry fresh); FIFO-bounded. 0 = off (tests measure the raw
+        # path). Cross-run idempotency belongs to a response-cache
+        # table + dropDuplicates upstream, not here.
+        self._cache_size = request_cache_size
+        self._cache: dict[tuple[str, str], LLMResponse] = {}
 
     async def acomplete(
         self, prompt: str, *, kind: str = "map", expect_json: bool = False
     ) -> LLMResponse:
+        key = None
+        if self._cache_size:
+            key = (kind, hashlib.md5(prompt.encode()).hexdigest())
+            hit = self._cache.get(key)
+            if hit is not None:
+                return hit
         backoff = self.cfg.base_backoff_s
         last_err: Exception | None = None
         for _ in range(self.cfg.max_retries):
@@ -298,6 +314,10 @@ class RateLimitedClient:
                 )
                 if expect_json:
                     robust_json_parse(resp.content)  # parse failure → retry
+                if key is not None:
+                    if len(self._cache) >= self._cache_size:
+                        self._cache.pop(next(iter(self._cache)))
+                    self._cache[key] = resp
                 return resp
             except JSONParseError as e:
                 self.stats.parse_retries += 1

@@ -219,3 +219,49 @@ def test_prompt_sets_and_formatting(spark):
     got = [r["p"] for r in df.collect()]
     assert got[0] == render_prompt(ps["map"], "What?", "chunk text")
     assert got[1] == render_prompt(ps["map"], "Why?", None)
+
+
+def test_request_key_cache_dedupes_identical_calls():
+    """Identical (kind, prompt) hit the inner client once; distinct
+    kinds/prompts and disabled cache pay every time; bounded FIFO."""
+    import asyncio
+
+    from finmapreduce_spark.llm.client import (
+        LLMResponse,
+        RateLimitConfig,
+        RateLimitedClient,
+    )
+
+    calls = []
+
+    class Counting:
+        async def acomplete(self, prompt, *, kind="map"):
+            calls.append((kind, prompt))
+            return LLMResponse(content=f"r:{kind}:{prompt}", input_tokens=1)
+
+    cfg = RateLimitConfig(requests_per_minute=10**7, burst=10**6)
+    cached = RateLimitedClient(Counting(), cfg, request_cache_size=2)
+
+    async def run():
+        a = await cached.acomplete("p1", kind="map")
+        b = await cached.acomplete("p1", kind="map")       # hit
+        c = await cached.acomplete("p1", kind="reduce")    # distinct kind
+        await cached.acomplete("p2", kind="map")
+        await cached.acomplete("p3", kind="map")           # evicts oldest
+        await cached.acomplete("p1", kind="map")           # evicted -> refetch
+        return a, b, c
+
+    a, b, c = asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+    assert a.content == b.content and a.content != c.content
+    assert calls.count(("map", "p1")) == 2  # initial + post-eviction
+    assert len(calls) == 5
+
+    calls.clear()
+    off = RateLimitedClient(Counting(), cfg)  # cache off by default
+
+    async def run_off():
+        await off.acomplete("p1")
+        await off.acomplete("p1")
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run_off())
+    assert len(calls) == 2
