@@ -86,6 +86,9 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             chunk_size=args.chunk_size,
             chunk_overlap=args.chunk_overlap,
             score_threshold=threshold,
+            # real-run posture: the sink's write+stats and the judge all
+            # consume `answers`; persist so LLM stages fire exactly once
+            persist_llm_outputs=True,
         )
         answers = run_mapreduce(qa, docs, cfg)["answers"]
     else:

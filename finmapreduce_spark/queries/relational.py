@@ -678,6 +678,86 @@ FROM events GROUP BY 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped breadth: q6 (the pushdown showcase — pure filter+agg,
+# every predicate must reach the scan) and q3 (join + agg + top-k with
+# date predicates on both sides of the join).
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filters on 3 scan columns, single global agg — the whole query
+    should compile to scan(PushedFilters)+partial/final agg, zero
+    joins, one tiny shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed before a date joined to lineitems shipped after
+    it; top-10 orders by revenue. Date filters prune BOTH scan sides
+    before the join; the top-k is a global sort of the aggregated
+    (small) result, not the fact table."""
+    cutoff = "1998-01-01"
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+Q3_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -686,6 +766,8 @@ QUERIES: dict[str, QuerySpec] = {
     "j_semi_join": QuerySpec(j_semi_join, J_SEMI_ORACLE),
     "j_anti_join": QuerySpec(j_anti_join, J_ANTI_ORACLE),
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_ORACLE),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_ORACLE),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
     "a5_group_stats_median": QuerySpec(a5_group_stats_median, A5_ORACLE),
     "a_quantiles_by_type": QuerySpec(a_quantiles_by_type, A_QUANTILES_ORACLE),
     "a9_pivot_counts": QuerySpec(a9_pivot_counts, A9_ORACLE),
