@@ -183,3 +183,30 @@ def test_save_corpus_partition_pruning(spark, sf_dir, tmpdir):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     assert en.count() == docs.filter(F.col("lang") == "en").count()
     assert back.count() == docs.count()
+
+
+def test_load_financebench_corrupt_line(spark, tmpdir):
+    """A malformed JSONL line must not fail the load: with the explicit
+    schema it becomes an all-null row (PERMISSIVE), which the J1 join
+    then turns into a typed 'document not found' error row — corrupt
+    input degrades to an error answer, never a crashed job."""
+    import json
+    import os
+
+    from finmapreduce_spark.sources.readers import load_financebench
+
+    path = os.path.join(tmpdir, "qa.jsonl")
+    good = {
+        "financebench_id": "q1", "doc_name": "d1", "question": "Q?",
+        "answer": "A", "justification": None,
+        "evidence": [{"evidence_text": "e"}],
+        "question_type": "t", "question_reasoning": None,
+    }
+    with open(path, "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write("{this is not json\n")
+        f.write(json.dumps({**good, "financebench_id": "q2"}) + "\n")
+    rows = load_financebench(spark, path).collect()
+    assert len(rows) == 3
+    by_doc = [r["doc_name"] for r in rows]
+    assert by_doc.count("d1") == 2 and None in by_doc
