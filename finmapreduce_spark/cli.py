@@ -65,7 +65,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     )
     from finmapreduce_spark.sources.sinks import save_results
 
-    load_prompt_set(args.format_type)  # S12 validation, factory posture
+    prompt_set = load_prompt_set(args.format_type)  # S12 registry + validation
     spark = spark or get_spark("finmapreduce_cli")
 
     loader = load_financebench if args.dataset == "financebench" else load_finqa
@@ -86,6 +86,8 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             chunk_size=args.chunk_size,
             chunk_overlap=args.chunk_overlap,
             score_threshold=threshold,
+            map_template=prompt_set["map"],
+            reduce_template=prompt_set["reduce"],
             # real-run posture: the sink's write+stats and the judge all
             # consume `answers`; persist so LLM stages fire exactly once
             persist_llm_outputs=True,

@@ -207,6 +207,21 @@ class RateLimitConfig:
     request_timeout_s: float = 600.0
 
 
+def per_executor_budget(cfg: RateLimitConfig, n_executors: int) -> RateLimitConfig:
+    """Split a GLOBAL rate budget across executors (SURVEY §4: the
+    limiter is executor-local, so each executor gets budget/n). Retry
+    and timeout semantics are per-call and stay unchanged."""
+    from dataclasses import replace
+
+    n = max(1, n_executors)
+    return replace(
+        cfg,
+        requests_per_minute=max(1, cfg.requests_per_minute // n),
+        tokens_per_minute=max(1, cfg.tokens_per_minute // n),
+        burst=max(1, cfg.burst // n),
+    )
+
+
 class DualTokenBucket:
     """Two coupled buckets (requests + tokens); acquire blocks until
     both grant. Executor-local: at cluster scale each executor gets

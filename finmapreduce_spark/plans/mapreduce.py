@@ -52,6 +52,12 @@ class MapReduceConfig:
     judge_batch_size: int = 5  # reference async_evaluation.py:261
     client_factory: object = mock_client_factory
     llm_partitions: int | None = None  # repartition before LLM stages
+    # S12/F15: prompt templates (format_string %s slots). Defaults
+    # reproduce the historical inline prompts exactly, so the pipeline
+    # oracles are template-independent; the CLI swaps in a prompt set
+    # by format name (llm/prompts.py).
+    map_template: str = "%s\n\n%s"  # (question, chunk)
+    reduce_template: str = "Question: %s\n\n%s"  # (question, gathered)
     # Per-group size guard for the reduce gather (SURVEY §7 risk 4):
     # keep at most N chunks per QA (top score, then chunk order).
     # None = reference semantics (no bound).
@@ -96,7 +102,8 @@ def map_stage(chunks: DataFrame, cfg: MapReduceConfig) -> DataFrame:
     """U1: one LLM call per chunk. The prompt is question + chunk; the
     stage is repartitioned to shape global request concurrency."""
     with_prompt = chunks.withColumn(
-        "prompt", F.concat(F.col("question"), F.lit("\n\n"), F.col("chunk_text"))
+        "prompt",
+        F.format_string(cfg.map_template, F.col("question"), F.col("chunk_text")),
     )
     if cfg.llm_partitions:
         with_prompt = with_prompt.repartition(cfg.llm_partitions)
@@ -148,7 +155,7 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
     )
     with_q = gathered.join(qa.select("qa_id", "question"), "qa_id").withColumn(
         "prompt",
-        F.concat(F.lit("Question: "), F.col("question"), F.lit("\n\n"), F.col("serialized")),
+        F.format_string(cfg.reduce_template, F.col("question"), F.col("serialized")),
     )
     reduced = run_llm_stage(
         with_q,

@@ -265,3 +265,14 @@ def test_request_key_cache_dedupes_identical_calls():
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run_off())
     assert len(calls) == 2
+
+
+def test_per_executor_budget_split():
+    from finmapreduce_spark.llm.client import RateLimitConfig, per_executor_budget
+
+    g = RateLimitConfig()  # 30k rpm / 150M tpm / burst 3000
+    c = per_executor_budget(g, 100)
+    assert (c.requests_per_minute, c.tokens_per_minute, c.burst) == (300, 1_500_000, 30)
+    assert c.max_retries == g.max_retries and c.request_timeout_s == g.request_timeout_s
+    tiny = per_executor_budget(g, 10**9)
+    assert tiny.requests_per_minute >= 1 and tiny.burst >= 1
