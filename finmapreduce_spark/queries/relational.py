@@ -758,6 +758,100 @@ LIMIT 10
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Brand × supplier-nation revenue: the remaining star legs (part,
+# supplier) — two broadcast dims against the fact, two-key agg.
+# ---------------------------------------------------------------------------
+
+def q_brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy("p_brand", F.col("n_name").alias("supp_nation")).agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+Q_BRAND_ORACLE = """
+SELECT p_brand, n_name AS supp_nation, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention: users bucketed by first-active week; for
+# each (cohort, week-offset), the fraction still active. The canonical
+# product-analytics query: two aggs + one self-join on user_id, all
+# keys uniform.
+# ---------------------------------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    activity = ev.distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sized = cohorts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    joined = activity.join(cohorts, "user_id")
+    per_offset = joined.groupBy(
+        "cohort_week",
+        F.floor(
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7
+        ).alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    return (
+        per_offset.join(sized, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+COHORT_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1
+),
+sized AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+  FROM cohorts GROUP BY 1
+),
+per_offset AS (
+  SELECT c.cohort_week,
+         CAST(floor(date_diff('day', c.cohort_week, a.week) / 7) AS BIGINT) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(p.cohort_week, '%Y-%m-%d') AS cohort_week, week_offset, n_active,
+       round(n_active / cohort_size, 6) AS retention
+FROM per_offset p JOIN sized s USING (cohort_week)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -768,6 +862,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_ORACLE),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_ORACLE),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
+    "q_brand_nation_revenue": QuerySpec(q_brand_nation_revenue, Q_BRAND_ORACLE),
+    "cohort_retention": QuerySpec(cohort_retention, COHORT_ORACLE),
     "a5_group_stats_median": QuerySpec(a5_group_stats_median, A5_ORACLE),
     "a_quantiles_by_type": QuerySpec(a_quantiles_by_type, A_QUANTILES_ORACLE),
     "a9_pivot_counts": QuerySpec(a9_pivot_counts, A9_ORACLE),
