@@ -852,6 +852,40 @@ FROM per_offset p JOIN sized s USING (cohort_week)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Running totals + lag deltas per user (cumulative window frame and
+# offset functions — the W-family members the batching/top-k queries
+# don't cover).
+# ---------------------------------------------------------------------------
+
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 6
+        ).alias("running_value"),
+        F.round(
+            F.col("value") - F.lag("value", 1).over(w), 6
+        ).alias("delta_prev"),
+        F.row_number().over(w).alias("purchase_seq"),
+    )
+
+
+W_RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       round(sum("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       round("value" - lag("value", 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_prev,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS purchase_seq
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -864,6 +898,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
     "q_brand_nation_revenue": QuerySpec(q_brand_nation_revenue, Q_BRAND_ORACLE),
     "cohort_retention": QuerySpec(cohort_retention, COHORT_ORACLE),
+    "w_running_total": QuerySpec(w_running_total, W_RUNNING_ORACLE),
     "a5_group_stats_median": QuerySpec(a5_group_stats_median, A5_ORACLE),
     "a_quantiles_by_type": QuerySpec(a_quantiles_by_type, A_QUANTILES_ORACLE),
     "a9_pivot_counts": QuerySpec(a9_pivot_counts, A9_ORACLE),
