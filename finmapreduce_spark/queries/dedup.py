@@ -184,6 +184,13 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "shingles", "b.band_id", "b.key")
+    # Self-join under a broadcast plan gets NO exchange reuse — without
+    # this persist both sides recompute the whole shingle+minhash
+    # pipeline (measured ~2.5s of the 6.8s at sf0.1). MEMORY_AND_DISK
+    # default: at cluster scale the bucket table spills rather than
+    # OOMs; it is |docs|×2 rows of long-arrays, far smaller than the
+    # corpus.
+    buckets = buckets.persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (
