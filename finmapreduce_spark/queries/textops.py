@@ -573,8 +573,106 @@ SELECT CAST(rank AS INT) AS rank, token, n FROM ranked WHERE rank <= {VOCAB_TOP_
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: hash-bucket the STABLE key, not
+# rand() — reshuffling the data or adding rows never reassigns an
+# existing doc's split, which is what makes the split reproducible
+# across runs/engines and safe for dedup-then-split pipelines.
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _hash_bucket_expr(col):
+    """First 4 hex chars of md5(key) as an int in [0, 65536) — the
+    same arithmetic the oracle does, digit by digit."""
+    h = F.md5(col.cast("string"))
+    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+
+
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = _hash_bucket_expr(F.col("doc_id")) % 100
+    assigned = docs.select(
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split")
+    )
+    return assigned.groupBy("split").agg(F.count("*").alias("n"))
+
+
+SPLIT_SQL_BUCKET = (
+    "(((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1"
+)
+
+SPLIT_ORACLE = f"""
+SELECT CASE WHEN ({SPLIT_SQL_BUCKET}) % 100 < 80 THEN 'train'
+            WHEN ({SPLIT_SQL_BUCKET}) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus data-profile: the per-column quality report that gates a
+# training ingest (row counts, null rates, distinct cardinality,
+# length stats) — one aggregation pass, unioned per column.
+# ---------------------------------------------------------------------------
+
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+
+    def prof(col, is_text):
+        return docs.agg(
+            F.lit(col).alias("column"),
+            F.count("*").alias("n_rows"),
+            F.count_if(F.col(col).isNull()).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            (
+                F.round(F.avg(F.length(col)), 6)
+                if is_text
+                else F.lit(None).cast("double")
+            ).alias("avg_len"),
+        )
+
+    return (
+        prof("text", True)
+        .unionByName(prof("lang", True))
+        .unionByName(prof("source", True))
+        .unionByName(prof("n_chars", False))
+    )
+
+
+PROFILE_ORACLE = """
+SELECT 'text' AS "column", count(*) AS n_rows,
+       count(*) FILTER (text IS NULL) AS n_null,
+       count(DISTINCT text) AS n_distinct,
+       round(avg(length(text)), 6) AS avg_len
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) FILTER (lang IS NULL),
+       count(DISTINCT lang), round(avg(length(lang)), 6) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) FILTER (source IS NULL),
+       count(DISTINCT source), round(avg(length(source)), 6) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) FILTER (n_chars IS NULL),
+       count(DISTINCT n_chars), NULL FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_pii_redact": QuerySpec(text_pii_redact, PII_ORACLE),
+    "split_train_val": QuerySpec(split_train_val, SPLIT_ORACLE),
+    "data_profile": QuerySpec(data_profile, PROFILE_ORACLE),
     "text_token_topk": QuerySpec(text_token_topk, TOKEN_TOPK_ORACLE),
     "f9_xml_render": QuerySpec(f9_xml_render, _f9_oracle()),
     "f2_chunk_documents": QuerySpec(f2_chunk_documents, F2_ORACLE),
