@@ -145,3 +145,24 @@ def test_streaming_dedup_drops_replays(spark, sf_dir, tmpdir):
     got = out.count()
     assert got == n_distinct
     assert doubled.count() == 2 * n_distinct
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
+    """Stream-static join: the event stream enriches against a static
+    user-dimension without any stateful operator — each micro-batch
+    broadcast-joins the dim, so results equal the batch join."""
+    events = read_table(spark, sf_dir, "events").limit(1000)
+    stage_dir = f"{tmpdir}/events_enrich"
+    events.write.mode("overwrite").parquet(stage_dir)
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"))
+    )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stage_dir)
+    enriched = stream.join(dim, "user_id").select("event_id", "user_id", "tier")
+    got = run_stream_to_memory(spark, enriched, "enrich_out", output_mode="append")
+
+    want = events.join(dim, "user_id").select("event_id", "user_id", "tier")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert got.count() == 1000
