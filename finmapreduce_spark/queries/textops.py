@@ -669,10 +669,92 @@ SELECT 'n_chars', count(*), count(*) FILTER (n_chars IS NULL),
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (upsert): open-source Spark has no MERGE INTO without a
+# table format (Delta/Iceberg), so the portable pattern is a keyed
+# full-outer join + coalesce — new keys insert, matched keys take the
+# update, unmatched base rows persist. The updates table here is
+# synthesized (every 10th doc re-texted + 5 fresh ids) so the oracle
+# can rebuild the identical merge in SQL.
+# ---------------------------------------------------------------------------
+
+N_MERGE_INSERTS = 5
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    updates = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.concat(F.lit("updated: "), "text").alias("text"))
+        .unionByName(
+            spark.range(N_MERGE_INSERTS).select(
+                (F.lit(5_000_000) + F.col("id")).alias("doc_id"),
+                F.concat(F.lit("inserted doc "), F.col("id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    merged = (
+        base.select("doc_id", F.col("text").alias("base_text"))
+        .join(
+            updates.select("doc_id", F.col("text").alias("upd_text")),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("upd_text", "base_text").alias("text"),
+            F.when(F.col("base_text").isNull(), "insert")
+            .when(F.col("upd_text").isNull(), "keep")
+            .otherwise("update")
+            .alias("action"),
+        )
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", F.col("doc_id"), F.md5("text")))
+                ),
+            )
+        ).alias("content_fingerprint"),
+    )
+
+
+MERGE_ORACLE = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+updates AS (
+  SELECT doc_id, 'updated: ' || text AS text FROM base WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 5000000 + t.i, 'inserted doc ' || CAST(t.i AS VARCHAR)
+  FROM range(0, {N_MERGE_INSERTS}) t(i)
+),
+merged AS (
+  SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+         coalesce(u.text, b.text) AS text,
+         CASE WHEN b.doc_id IS NULL THEN 'insert'
+              WHEN u.doc_id IS NULL THEN 'keep'
+              ELSE 'update' END AS action
+  FROM base b FULL OUTER JOIN updates u USING (doc_id)
+)
+SELECT action, count(*) AS n,
+       md5(array_to_string(
+             list_sort(list(CAST(doc_id AS VARCHAR) || ':' || md5(text))), '|'
+           )) AS content_fingerprint
+FROM merged GROUP BY action
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_pii_redact": QuerySpec(text_pii_redact, PII_ORACLE),
     "split_train_val": QuerySpec(split_train_val, SPLIT_ORACLE),
     "data_profile": QuerySpec(data_profile, PROFILE_ORACLE),
+    "merge_upsert": QuerySpec(merge_upsert, MERGE_ORACLE),
     "text_token_topk": QuerySpec(text_token_topk, TOKEN_TOPK_ORACLE),
     "f9_xml_render": QuerySpec(f9_xml_render, _f9_oracle()),
     "f2_chunk_documents": QuerySpec(f2_chunk_documents, F2_ORACLE),
