@@ -886,6 +886,40 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Order-priority check (TPC-H q4 shape): EXISTS-correlated subquery as
+# a left-semi join — the fact side only has to prove existence, so no
+# row multiplication and the semi side's dedup is free.
+# ---------------------------------------------------------------------------
+
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # EXISTS (line shipped after the order half-year mark)
+    evidence = li.filter(F.col("l_shipdate") >= "1996-07-01").select("l_orderkey")
+    qualified = orders.join(
+        evidence, orders.o_orderkey == evidence.l_orderkey, "left_semi"
+    )
+    return qualified.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= TIMESTAMP '1996-07-01')
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -895,6 +929,7 @@ QUERIES: dict[str, QuerySpec] = {
     "j_anti_join": QuerySpec(j_anti_join, J_ANTI_ORACLE),
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_ORACLE),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_ORACLE),
+    "q4_priority_check": QuerySpec(q4_priority_check, Q4_ORACLE),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
     "q_brand_nation_revenue": QuerySpec(q_brand_nation_revenue, Q_BRAND_ORACLE),
     "cohort_retention": QuerySpec(cohort_retention, COHORT_ORACLE),
