@@ -750,11 +750,51 @@ FROM merged GROUP BY action
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: N docs per class (lang), ordered by the SAME
+# deterministic hash bucket as the split — class balancing that is
+# stable across runs and engines (no rand(), no sampleBy seed drift).
+# ---------------------------------------------------------------------------
+
+STRATUM_N = 40
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", _hash_bucket_expr(F.col("doc_id")).alias("hb")
+    )
+    ranked = docs.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.asc("hb"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.filter(F.col("rk") <= STRATUM_N).select(
+        "lang", F.col("rk").cast("int").alias("rk"), "doc_id"
+    )
+
+
+SAMPLE_STRAT_ORACLE = f"""
+WITH hb AS (
+  SELECT doc_id, lang, {SPLIT_SQL_BUCKET} AS hb FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rk
+  FROM hb
+)
+SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM ranked WHERE rk <= {STRATUM_N}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_pii_redact": QuerySpec(text_pii_redact, PII_ORACLE),
     "split_train_val": QuerySpec(split_train_val, SPLIT_ORACLE),
     "data_profile": QuerySpec(data_profile, PROFILE_ORACLE),
     "merge_upsert": QuerySpec(merge_upsert, MERGE_ORACLE),
+    "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRAT_ORACLE),
     "text_token_topk": QuerySpec(text_token_topk, TOKEN_TOPK_ORACLE),
     "f9_xml_render": QuerySpec(f9_xml_render, _f9_oracle()),
     "f2_chunk_documents": QuerySpec(f2_chunk_documents, F2_ORACLE),
