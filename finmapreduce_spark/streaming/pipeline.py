@@ -118,6 +118,54 @@ def windowed_event_rollup(events: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+def stream_stream_attribution(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase (stream B)
+    to every click (stream A) by the same user within the preceding
+    ``window_minutes``.
+
+    Both sides carry watermarks + the time-range predicate, so Spark
+    can bound the join state: clicks older than purchase-side watermark
+    minus the window are evicted instead of accumulating forever —
+    the state-retention contract that makes a stream-stream join
+    runnable on an unbounded feed. The batch twin is the band join
+    (queries/temporal.py::range_join_band_count shape).
+    """
+    clicks = (
+        events_a.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events_b.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return purchases.join(clicks, cond).select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once ingest dedup: drop replayed event_ids within the
     watermark horizon (at-least-once upstream delivery → exactly-once

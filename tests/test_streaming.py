@@ -166,3 +166,39 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
     want = events.join(dim, "user_id").select("event_id", "user_id", "tier")
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     assert got.count() == 1000
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmpdir):
+    """Stream-stream interval join over a replayed file stream equals
+    the batch inequality join over the same rows (single availableNow
+    pass -> nothing is dropped by the watermark)."""
+    from finmapreduce_spark.streaming.pipeline import stream_stream_attribution
+
+    events = read_table(spark, sf_dir, "events")
+    stage_dir = f"{tmpdir}/events_ss"
+    events.repartition(1).write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stage_dir)
+
+    joined = stream_stream_attribution(stream, stream, window_minutes=30)
+    got = run_stream_to_memory(spark, joined, "ss_out", output_mode="append")
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert len(w) > 0
+    assert g == w
