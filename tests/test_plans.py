@@ -88,3 +88,57 @@ def test_llm_stages_are_arrow_batched(spark, sf_dir, name):
     plan = plan_of(QS[name].spark(spark, sf_dir))
     assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
     assert "!BatchEvalPython" not in plan.replace("ArrowEvalPython", "")
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Both sides written bucketed on the join key -> the sort-merge
+    join reads co-located buckets and the plan has NO Exchange. This
+    is the storage-layout contract for repeated big-big joins at
+    100 TB (bucketBy at write time amortizes the shuffle across every
+    downstream join)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.session import read_table
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    suffix = uuid.uuid4().hex[:8]
+    li_tbl, o_tbl = f"li_b_{suffix}", f"o_b_{suffix}"
+    try:
+        # external-table paths keep the warehouse out of the repo cwd
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", str(tmp_path / "li")
+        ).saveAsTable(li_tbl)
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", str(tmp_path / "o")
+        ).saveAsTable(o_tbl)
+
+        joined = spark.table(li_tbl).join(
+            spark.table(o_tbl),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # buckets are co-located: no shuffle
+        n = joined.count()
+        want = (
+            read_table(spark, sf_dir, "lineitem")
+            .join(
+                read_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
