@@ -202,3 +202,40 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmpdir):
     w = {tuple(r) for r in want.collect()}
     assert len(w) > 0
     assert g == w
+
+
+def test_serve_checkpoint_recovery_exactly_once(spark, sf_dir, tmpdir):
+    """Restarting the serving query against the same checkpoint must
+    process ONLY files that arrived since — earlier requests are not
+    re-answered (exactly-once across restarts)."""
+    landing = f"{tmpdir}/landing"
+    out = f"{tmpdir}/out"
+    ckpt = f"{tmpdir}/ckpt"
+    import os
+
+    os.makedirs(landing)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def drop(fname, reqs):
+        with open(f"{landing}/{fname}", "w") as f:
+            for r in reqs:
+                f.write(json.dumps(r) + "\n")
+
+    drop("b0.json", [
+        {"qa_id": 1, "doc_id": 0, "question": "What is document 0 about?", "answer": "g"},
+        {"qa_id": 2, "doc_id": 1, "question": "What is document 1 about?", "answer": "g"},
+    ])
+    q = serve_mapreduce(read_request_stream(spark, landing), docs, out, ckpt).start()
+    q.awaitTermination()
+
+    drop("b1.json", [
+        {"qa_id": 3, "doc_id": 2, "question": "What is document 2 about?", "answer": "g"},
+    ])
+    q2 = serve_mapreduce(read_request_stream(spark, landing), docs, out, ckpt).start()
+    q2.awaitTermination()
+
+    rows = [r.asDict() for r in spark.read.json(out).collect()]
+    seen = sorted(r["qa_id"] for r in rows)
+    assert seen == [1, 2, 3]  # qa 1/2 answered exactly once, 3 picked up
+    epochs = {r["qa_id"]: r["epoch_id"] for r in rows}
+    assert epochs[3] > epochs[1]  # second run resumed at a later epoch
