@@ -58,13 +58,15 @@ def main():
         n for n in sorted(os.environ.get("BENCH_EXTRA", "").split(",")) if n in qs
     ]
     timings = {}
+    rows = {}
     total = 0.0
     for name in names:
         t0 = time.time()
         df = qs[name].spark(spark, SF_DIR)
-        df.count()
+        n = df.count()
         dt = round(time.time() - t0, 3)
         timings[name] = dt
+        rows[name] = n  # cardinality: catches silent result drift across rounds
         total += dt
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
@@ -74,6 +76,7 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "rows": rows,
                 "sf": float(sf) if sf else None,
             }
         )
