@@ -920,6 +920,44 @@ GROUP BY 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive-predicate join (TPC-H q19 shape): OR across
+# (brand, quantity-band) conjunctions. The join key (partkey) still
+# hash-joins; only the residual disjunction evaluates post-match —
+# the plan to check is that the OR did NOT force a nested loop.
+# ---------------------------------------------------------------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#19") & F.col("l_quantity").between(1, 11)
+         & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20)
+           & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(20, 30)
+           & (F.col("p_size") <= 15))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#19' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -930,6 +968,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_ORACLE),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_ORACLE),
     "q4_priority_check": QuerySpec(q4_priority_check, Q4_ORACLE),
+    "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_ORACLE),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
     "q_brand_nation_revenue": QuerySpec(q_brand_nation_revenue, Q_BRAND_ORACLE),
     "cohort_retention": QuerySpec(cohort_retention, COHORT_ORACLE),

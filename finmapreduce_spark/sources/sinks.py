@@ -75,3 +75,27 @@ def save_corpus(
     small-files problem instead of pruning.
     """
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def save_corpus_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    key: str = "doc_id",
+    n_buckets: int = 64,
+    sort_by: str | None = None,
+) -> None:
+    """Bucketed corpus table (ROADMAP #2): pre-shuffle the corpus ONCE
+    at write time so every downstream equi-join/self-join on ``key``
+    (qa×docs, dedup candidate joins) reads co-located buckets with no
+    Exchange (proven in tests/test_plans.py bucketed-join test).
+
+    bucketBy requires the table catalog; ``path`` keeps the data
+    external so nothing lands in a default warehouse dir. Reader side:
+    ``spark.table(table_name)`` — plain parquet reads do NOT see
+    bucket metadata.
+    """
+    writer = df.write.bucketBy(n_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.option("path", path).mode("overwrite").saveAsTable(table_name)

@@ -210,3 +210,31 @@ def test_load_financebench_corrupt_line(spark, tmpdir):
     assert len(rows) == 3
     by_doc = [r["doc_name"] for r in rows]
     assert by_doc.count("d1") == 2 and None in by_doc
+
+
+def test_save_corpus_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two corpora bucketed on doc_id join with zero Exchange."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.sources.sinks import save_corpus_bucketed
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sfx = uuid.uuid4().hex[:8]
+    a, b = f"corp_a_{sfx}", f"corp_b_{sfx}"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_corpus_bucketed(docs, a, str(tmp_path / "a"), n_buckets=4, sort_by="doc_id")
+        save_corpus_bucketed(docs, b, str(tmp_path / "b"), n_buckets=4, sort_by="doc_id")
+        j = spark.table(a).join(spark.table(b).withColumnRenamed("lang", "lang_b"), "doc_id")
+        plan = j._jdf.queryExecution().explainString(
+            j._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in plan
+        assert j.count() == docs.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
