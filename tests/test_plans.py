@@ -142,3 +142,23 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """The pushdown showcase: every q6 predicate reaches the parquet
+    scan; no join, no wide op besides the single agg exchange."""
+    plan = plan_of(QS["q6_forecast_revenue"].spark(spark, sf_dir))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in ("l_shipdate", "l_discount", "l_quantity", "GreaterThanOrEqual",
+                 "LessThan"):
+        assert frag in pushed
+    assert "Join" not in plan
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """OR'd residual predicates must not demote the equi join to a
+    nested loop."""
+    plan = plan_of(QS["q19_disjunctive_revenue"].spark(spark, sf_dir))
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
