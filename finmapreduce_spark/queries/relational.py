@@ -958,6 +958,58 @@ WHERE (p_brand = 'Brand#19' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Cross-nation volume shipping (TPC-H q7 shape): revenue flows between
+# nation PAIRS — the same fact row joins two different dimension paths
+# (supplier-nation and customer-nation), with a disjunctive pair
+# filter. All four dims broadcast; one agg shuffle on the pair key.
+# ---------------------------------------------------------------------------
+
+def q7_nation_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy("supp_nation", "cust_nation").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -969,6 +1021,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_ORACLE),
     "q4_priority_check": QuerySpec(q4_priority_check, Q4_ORACLE),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_ORACLE),
+    "q7_nation_flows": QuerySpec(q7_nation_flows, Q7_ORACLE),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
     "q_brand_nation_revenue": QuerySpec(q_brand_nation_revenue, Q_BRAND_ORACLE),
     "cohort_retention": QuerySpec(cohort_retention, COHORT_ORACLE),
