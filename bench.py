@@ -29,6 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q5_regional_revenue",
+    "q8_market_share",
     "j1_broadcast_left_join",
     "w3_topk_per_group",
     "w2_fixed_batches",

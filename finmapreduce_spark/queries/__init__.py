@@ -34,11 +34,13 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         temporal,
         textops,
+        tpch_shapes,
     )
 
     out: dict[str, QuerySpec] = {}
     for mod in (
         relational,
+        tpch_shapes,
         textops,
         dedup,
         similarity,

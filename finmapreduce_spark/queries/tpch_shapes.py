@@ -1,0 +1,451 @@
+"""Remaining classic decision-support plan shapes (TPC-H q8/q10/q11/
+q13/q14/q15/q17/q18/q22 analogues on the synthetic star schema).
+
+These complete the relational surface beyond what the reference's own
+statistics layer needs (SURVEY §2.4/§2.6 note the missing shapes come
+"free" once declared): scalar-subquery thresholds, decorrelated
+per-group averages, HAVING-then-join-back, argmax-with-ties, outer-
+join count-of-counts, and conditional-ratio aggregates. Each docstring
+records the 1000-executor plan rationale; oracles are exact DuckDB
+twins.
+
+Schema adaptations (no partsupp / l_shipmode in the synthetic data):
+q8/q14 use p_type domains {ECONOMY..PROMO}; q11's "value" is supplier
+line revenue; q22's idle-customer predicate is "no orders in the final
+year" (every customer has lifetime orders at these densities).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# q8: market share — the widest join tree in the suite (fact + 5 dims,
+# nation twice) feeding a conditional-ratio aggregate.
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-year share of ASIA ECONOMY revenue supplied by
+    NATION_5.
+
+    Scale: every dimension (part filtered to one type, customer,
+    supplier, nation×2, region) broadcasts, so the fact table crosses
+    the wire exactly once — into the 7-row final agg. The ratio is a
+    single conditional sum over the same rows, not a self-join of two
+    aggregates.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nation = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue()
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nation), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10: returned-item reporting — 3-way join + global top-k.
+# ---------------------------------------------------------------------------
+
+def q10_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue on returned lines in a half-year.
+
+    Scale: the orderdate filter prunes the orders scan before the
+    join; the top-k runs on the post-agg (≤|customers|) rows as
+    TakeOrderedAndProject — per-partition heaps of 20, no global
+    sort of the fact table.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11: supplier value vs a global scalar threshold (HAVING against an
+# aggregate of the same aggregate).
+# ---------------------------------------------------------------------------
+
+def q11_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose line revenue exceeds 1.05× the mean supplier
+    revenue.
+
+    Scale: one shuffle builds the per-supplier aggregate
+    (|suppliers| rows); the global mean of that small relation is a
+    1-row broadcast cross join, not a second pass over the fact
+    table. persist() keeps the shared subplan from recomputing.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("value"))
+    sv = sv.persist()
+    threshold = sv.agg((F.avg("value") * 1.05).alias("threshold"))
+    return (
+        sv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_suppkey", F.round("value", 2).alias("supplier_value"))
+    )
+
+
+Q11_ORACLE = """
+WITH sv AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, round(value, 2) AS supplier_value
+FROM sv WHERE value > 1.05 * (SELECT avg(value) FROM sv)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13: customer order-count distribution — outer join + count-of-counts.
+# ---------------------------------------------------------------------------
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, … orders.
+
+    Scale: orders pre-aggregate to ≤|customers| rows BEFORE the join
+    (manual aggregate pushdown below the outer join — Catalyst won't
+    move an agg through a join), so the join moves counts, not order
+    rows. Zero-order customers come from the left join's nulls; the
+    second agg is over ≤|customers| rows.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    counts = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14: promotion revenue ratio — conditional agg over one join, one scan.
+# ---------------------------------------------------------------------------
+
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of two months' revenue from PROMO parts. Numerator and
+    denominator share one scan (conditional sum), part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-03-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _revenue()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-03-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier — argmax WITH ties over an aggregated view.
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with max revenue in 1996 Q1; ties all kept.
+
+    Scale: revenue aggregates to |suppliers| rows; the scalar max of
+    that small relation broadcasts back as a 1-row cross join (never
+    an unpartitioned window, which would funnel everything through
+    one task). Equality against each engine's own computed max keeps
+    the tie semantics engine-consistent.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_revenue"))
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("revenue"))
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17: small-quantity revenue — decorrelated per-group average.
+# ---------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-ized revenue of Brand#12 lines below 20% of their part's
+    average quantity.
+
+    Scale: the correlated subquery (per-part avg over the SAME rows)
+    decorrelates to a window over l_partkey — ONE shuffle of the
+    brand-pruned lines instead of the agg+join-back's two. The brand
+    filter applies before the shuffle via a broadcast of the filtered
+    part keys.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = W.partitionBy("l_partkey")
+    flagged = li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+    return flagged.filter(
+        F.col("l_quantity") < 0.2 * F.col("part_avg_qty")
+    ).agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18: large-volume customers — HAVING on a big agg, then join back.
+# ---------------------------------------------------------------------------
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders totalling > 300 units, with customer detail.
+
+    Scale: the HAVING filter collapses the per-order aggregate to a
+    handful of keys; that tiny survivor set broadcasts into the
+    orders/customer joins, so neither dimension shuffles. (The
+    per-order agg itself is the only full shuffle — unavoidable and
+    partial-agg'd map-side.)
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, round(sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22: idle high-balance customers — anti join + global scalar subquery.
+# ---------------------------------------------------------------------------
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers above the positive-balance average with
+    no orders in the final data year.
+
+    Scale: the scalar average is a 1-row broadcast; the NOT EXISTS is
+    a left_anti join against date-pruned orders (the filter cuts the
+    anti-join build side ~7×). Customer never shuffles twice: filter →
+    anti join → small groupBy.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_ORACLE = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q8_market_share": QuerySpec(q8_market_share, Q8_ORACLE),
+    "q10_returned_top_customers": QuerySpec(q10_returned_top_customers, Q10_ORACLE),
+    "q11_value_threshold": QuerySpec(q11_value_threshold, Q11_ORACLE),
+    "q13_order_count_distribution": QuerySpec(
+        q13_order_count_distribution, Q13_ORACLE
+    ),
+    "q14_promo_ratio": QuerySpec(q14_promo_ratio, Q14_ORACLE),
+    "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_ORACLE),
+    "q17_small_quantity_revenue": QuerySpec(
+        q17_small_quantity_revenue, Q17_ORACLE
+    ),
+    "q18_large_volume_customers": QuerySpec(
+        q18_large_volume_customers, Q18_ORACLE
+    ),
+    "q22_idle_customers": QuerySpec(q22_idle_customers, Q22_ORACLE),
+}
