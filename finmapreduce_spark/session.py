@@ -20,8 +20,15 @@ from pyspark.sql import SparkSession
 _LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "finmapreduce_spark") -> SparkSession:
+def get_spark(
+    app_name: str = "finmapreduce_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
+
+    ``extra_conf`` overlays diagnostic settings (e.g. the skew-report
+    tool re-enables the UI for its REST status API) — only effective
+    when this call actually creates the session.
 
     Scale posture:
     - AQE on: runtime shuffle-partition coalescing + skew-join
@@ -51,6 +58,8 @@ def get_spark(app_name: str = "finmapreduce_spark") -> SparkSession:
         # speculation off engine-wide (SURVEY §4 "needs custom work").
         .config("spark.speculation", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if "SPARK_GRAFT_DRIVER_MEM" in os.environ:
         builder = builder.config(
             "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]

@@ -47,3 +47,37 @@ def test_salted_join_rejects_unsupported_how(spark, skewed):
     facts, dim = skewed
     with pytest.raises(ValueError):
         salted_join(facts, dim, "doc_id", how="full")
+
+
+def test_skew_report_tool_emits_stage_metrics():
+    """tools/skew_report.py (ROADMAP #3): runs in its own process (it
+    needs a UI-enabled session the shared test session can't provide)
+    and must emit per-stage task quantiles with skew ratios."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "skew_report.py"),
+            "q1_pricing_summary",
+            "--sf",
+            "/root/testdata/sf0.001",
+            "--top",
+            "3",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["query"] == "q1_pricing_summary"
+    assert report["stages"], "expected at least one multi-task stage"
+    for st in report["stages"]:
+        assert st["tasks"] >= 2
+        assert st["dur_skew"] >= 1.0
+        assert len(st["dur_ms"]) == 3 and st["dur_ms"][0] <= st["dur_ms"][2]
