@@ -239,3 +239,20 @@ def test_serve_checkpoint_recovery_exactly_once(spark, sf_dir, tmpdir):
     assert seen == [1, 2, 3]  # qa 1/2 answered exactly once, 3 picked up
     epochs = {r["qa_id"]: r["epoch_id"] for r in rows}
     assert epochs[3] > epochs[1]  # second run resumed at a later epoch
+
+
+def test_latency_characterization_reports_percentiles(spark):
+    """ROADMAP #4: the serving-latency harness commits the requested
+    number of non-empty batches and reports positive row-latency and
+    trigger-execution percentiles (structure-checked only — absolute
+    numbers are machine-dependent)."""
+    from finmapreduce_spark.streaming.latency import characterize_latency
+
+    rep = characterize_latency(
+        spark, rows_per_second=400, n_batches=3, timeout_s=90
+    )
+    assert rep["batches"] >= 3
+    assert rep["rows_total"] > 0
+    assert rep["row_latency_s"]["p50"] > 0
+    assert rep["row_latency_s"]["p95"] >= rep["row_latency_s"]["p50"]
+    assert rep["trigger_exec_ms"]["p50"] > 0
