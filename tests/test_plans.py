@@ -162,3 +162,67 @@ def test_q19_disjunction_stays_hash_join(spark, sf_dir):
     assert "HashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- M47 decision-support shapes: scale contracts pinned -------------------
+
+
+def test_q8_all_dims_broadcast_and_filters_pushed(spark, sf_dir):
+    """The widest join tree stays broadcast-only (fact shuffles once,
+    into the agg) and the two selective dim filters reach the scans."""
+    plan = plan_of(QS["q8_market_share"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_q10_topk_is_heap_not_global_sort(spark, sf_dir):
+    plan = plan_of(QS["q10_returned_top_customers"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date filter pushed
+
+
+def test_q13_aggregates_below_outer_join(spark, sf_dir):
+    """Orders collapse to per-customer counts BEFORE the outer join
+    (manual agg pushdown); the pre-agg then broadcasts. If a refactor
+    joins raw orders first, the BroadcastExchange-over-HashAggregate
+    sandwich disappears and this fails."""
+    plan = plan_of(QS["q13_order_count_distribution"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin LeftOuter" in plan
+    agg_ids = [
+        int(line.split("(")[-1].rstrip(")").strip())
+        for line in plan.splitlines()
+        if line.strip().endswith(")") and "HashAggregate (" in line
+    ]
+    join_line = next(l for l in plan.splitlines() if "BroadcastHashJoin" in l)
+    join_id = int(join_line.split("(")[-1].rstrip(")").strip())
+    assert any(a < join_id for a in agg_ids), "no aggregate below the join"
+
+
+def test_q17_single_window_exchange_no_second_scan(spark, sf_dir):
+    """Decorrelation contract: ONE shuffle (the l_partkey window), not
+    the agg+join-back's two, and only one lineitem scan."""
+    plan = plan_of(QS["q17_small_quantity_revenue"].spark(spark, sf_dir))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    n_scans = sum(
+        1
+        for l in plan.splitlines()
+        if l.startswith("(") and "Scan parquet" in l
+    )
+    assert n_scans == 2  # lineitem once, part once
+    # exchanges: window shuffle + final single-partition agg only
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_q18_having_survivors_broadcast(spark, sf_dir):
+    plan = plan_of(QS["q18_large_volume_customers"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_with_pruned_build_side(spark, sf_dir):
+    plan = plan_of(QS["q22_idle_customers"].spark(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,2001-01-01" in plan
