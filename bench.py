@@ -44,6 +44,8 @@ HEADLINE = [
     "pipeline_e2e_answers",
     "multimodal_ann_topk",
     "text_token_topk",
+    "text_tfidf_topk",
+    "contamination_ngram_overlap",
 ]
 
 

@@ -35,6 +35,7 @@ def all_queries() -> dict[str, QuerySpec]:
         temporal,
         textops,
         tpch_shapes,
+        training,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -49,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         evaluation,
         temporal,
         scoring,
+        training,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,249 @@
+"""Training-data pipeline operators (north-star extensions): sequence
+packing, TF-IDF vocabulary ranking, and benchmark-contamination
+detection over the ``documents`` corpus.
+
+These are the ops a 100 TB pretraining pipeline runs after dedup/
+quality filtering (which live in queries/dedup.py and
+queries/textops.py): pack documents into fixed token-budget training
+sequences, rank salient vocabulary, and audit the corpus for eval-set
+leakage. All three are pure DataFrame plans — no UDFs — so every row
+stays JVM-side under whole-stage codegen, and each has an exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.queries.dedup import SHINGLE_K, with_shingles
+from finmapreduce_spark.session import read_table
+
+# Packing: concat-then-chunk at sequence-budget boundaries, the
+# standard pretraining layout (documents are concatenated in a
+# deterministic order and split every SEQ_BUDGET tokens; a document can
+# straddle two sequences). Buckets bound the window sort: each bucket
+# packs independently, so parallelism = N_PACK_BUCKETS. 32 matches
+# local cores; at cluster scale it is a config (≥ executor count).
+N_PACK_BUCKETS = 32
+SEQ_BUDGET = 512
+
+TFIDF_TOP_K = 5
+
+# Pseudo-benchmark: every 97th doc stands in for an eval set. In a
+# real pipeline this is the actual benchmark corpus (small), which is
+# exactly why the contamination join broadcasts it.
+BENCH_MOD = 97
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a (bucket, seq_id, offset) in the packed
+    training layout.
+
+    Scale: ONE shuffle (window over bucket); each bucket's cumulative
+    sum is an independent sorted run, so the sort is corpus/32 per
+    task and buckets scale out linearly. No collect, no UDF — the
+    whole layout is a window cumulative sum. Deterministic: bucket and
+    order derive from doc_id alone, so re-runs (or task retries)
+    produce byte-identical layouts.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(N_PACK_BUCKETS)).alias("bucket"),
+        F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(F.col("cum_before") / SEQ_BUDGET).cast("long").alias("seq_id"),
+        F.pmod(F.col("cum_before"), F.lit(SEQ_BUDGET)).cast("long").alias(
+            "seq_offset"
+        ),
+    )
+
+
+PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {N_PACK_BUCKETS} AS bucket,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS cum_before
+  FROM toks
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
+FROM packed
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per doc (tf × ln((N+1)/(df+1))).
+
+    Scale: term counts partial-agg map-side before the (doc, word)
+    shuffle; document frequency aggregates the TERM-COUNT table (one
+    row per distinct (doc, word)), never re-reading text. The df table
+    (|vocab| rows) joins the tf table on word — a shuffle join AQE can
+    skew-split if a stopword-like term dominates. Ranking rounds the
+    score FIRST so cross-engine float noise below 1e-6 cannot flip
+    ranks (ties then break on the word itself).
+    """
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    terms = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    tf = terms.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rank")
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination audit
+# ---------------------------------------------------------------------------
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training doc: fraction of its distinct {k}-gram shingles
+    that appear in the (pseudo-)benchmark set — the eval-leakage audit
+    run before any training job ships.
+
+    Scale: benchmark shingles are DISTINCT'd then broadcast (real
+    benchmarks are ≪ the corpus — that asymmetry is the whole
+    design); the training side explodes shingles and left-joins the
+    broadcast, so the corpus never shuffles. Per-doc ratios are one
+    partial-agg'd groupBy. Reuses the exact shingle semantics of the
+    dedup family (queries/dedup.py) so contamination and near-dup
+    numbers are comparable.
+    """
+    sh = with_shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    bench = (
+        sh.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) != 0)
+    joined = train.join(F.broadcast(bench), "s", "left")
+    report = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+    )
+    return report.filter(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+_SHINGLE_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(1, len(words) - {SHINGLE_K - 1}) + 1),
+      i -> list_extract(words, i) || ' ' || list_extract(words, i + 1)
+           || ' ' || list_extract(words, i + 2)
+  ))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+        FROM documents)
+"""
+
+CONTAMINATION_ORACLE = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+report AS (
+  SELECT t.doc_id, count(*) AS n_shingles,
+         count(b.s) AS n_contaminated
+  FROM train t LEFT JOIN bench b ON t.s = b.s
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       round(n_contaminated / n_shingles, 6) AS contamination_ratio
+FROM report WHERE n_contaminated > 0
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pack_training_sequences": QuerySpec(pack_training_sequences, PACK_ORACLE),
+    "text_tfidf_topk": QuerySpec(text_tfidf_topk, TFIDF_ORACLE),
+    "contamination_ngram_overlap": QuerySpec(
+        contamination_ngram_overlap, CONTAMINATION_ORACLE
+    ),
+}
