@@ -247,3 +247,218 @@ QUERIES: dict[str, QuerySpec] = {
         contamination_ngram_overlap, CONTAMINATION_ORACLE
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix sampling
+# ---------------------------------------------------------------------------
+
+# Target language mix for a 200-doc training sample (fractions of
+# MIX_BUDGET). Real pipelines read this from config; the shape is the
+# point: per-domain quotas filled in deterministic hash order.
+MIX_BUDGET = 200
+MIX_TARGET = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample the corpus to a target per-language mix.
+
+    Scale: one window per language partition (parallel across
+    domains), ordered by md5(doc_id) — a deterministic shuffle-proof
+    stand-in for random order, so re-runs and task retries pick the
+    SAME sample (the property rand() cannot give). Quota lookup is a
+    broadcast map; under-populated domains yield what they have.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    quota = F.create_map(
+        *[
+            x
+            for lang, frac in MIX_TARGET.items()
+            for x in (F.lit(lang), F.lit(int(frac * MIX_BUDGET)))
+        ]
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota[F.col("lang")])
+        .select("doc_id", "lang")
+    )
+
+
+_QUOTA_CASE = " ".join(
+    f"WHEN '{lang}' THEN {int(frac * MIX_BUDGET)}"
+    for lang, frac in MIX_TARGET.items()
+)
+
+DOMAIN_MIX_ORACLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= CASE lang {_QUOTA_CASE} ELSE 0 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed inference batching
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET_WIDTH = 64
+LEN_BUCKET_MAX = 15
+INFER_BATCH_SIZE = 8
+
+
+def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group docs of similar token length into fixed-size inference
+    batches (minimizes padding waste in batched model calls — the U6
+    scorers consume exactly this layout).
+
+    Scale: buckets are FIXED-WIDTH (n_tokens ÷ 64, capped), not
+    ntile — no global sort; each bucket's row_number window is an
+    independent partition. Batch membership is deterministic
+    (md5-hash order), so a re-run shards identically.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    bucketed = toks.withColumn(
+        "len_bucket",
+        F.least(
+            F.floor(F.col("n_tokens") / LEN_BUCKET_WIDTH),
+            F.lit(LEN_BUCKET_MAX),
+        ).cast("long"),
+    )
+    w = W.partitionBy("len_bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return bucketed.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / INFER_BATCH_SIZE)
+        .cast("long"),
+    ).select("doc_id", "n_tokens", "len_bucket", "batch_id")
+
+
+BATCH_BY_LENGTH_ORACLE = f"""
+SELECT doc_id, n_tokens, len_bucket,
+       CAST((row_number() OVER (PARTITION BY len_bucket
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+         // {INFER_BATCH_SIZE} AS BIGINT) AS batch_id
+FROM (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         least(CAST(floor(
+           len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           / {LEN_BUCKET_WIDTH}) AS BIGINT), {LEN_BUCKET_MAX}) AS len_bucket
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("hash", "join", "merge", "sort")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} docs for a fixed term query under BM25 (Lucene idf) —
+    the term-based retrieval twin of the embedding ANN family
+    (queries/similarity.py).
+
+    Scale: the corpus reduces to a (doc, term, tf) table filtered to
+    QUERY terms before any join — a semi-join-sized relation. df,
+    avgdl and N are tiny aggregates broadcast back; the final top-k is
+    TakeOrderedAndProject over per-doc scores. Scores round to 6
+    before ranking so cross-engine float noise cannot flip ranks.
+    """
+    docs = _docs(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY], ["word"]
+    )
+    dl = docs.select(
+        "doc_id", F.size(_words(F.col("text"))).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n_docs")
+    )
+    terms = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    tf = (
+        terms.join(F.broadcast(qterms), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", idf * F.col("tf") * (BM25_K1 + 1) / denom)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE)
+           AS dl
+  FROM documents
+), stats AS (
+  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl
+), terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+  FROM terms WHERE word IN ({_BM25_TERMS}) GROUP BY 1, 2
+), df AS (
+  SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.dl / stats.avgdl)) AS term_score
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(term_score), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+QUERIES.update(
+    {
+        "sample_domain_mix": QuerySpec(sample_domain_mix, DOMAIN_MIX_ORACLE),
+        "batch_by_length": QuerySpec(batch_by_length, BATCH_BY_LENGTH_ORACLE),
+        "bm25_retrieval_topk": QuerySpec(bm25_retrieval_topk, BM25_ORACLE),
+    }
+)
