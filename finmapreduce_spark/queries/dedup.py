@@ -582,6 +582,123 @@ def dedup_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: an incoming batch probes the HISTORICAL
+# signature store (the production pattern: history is pre-computed and
+# persisted; only the delta pays shingle+minhash cost each ingest).
+# ---------------------------------------------------------------------------
+
+INGEST_MOD = 4  # doc_id % 4 == 0 plays the "incoming batch"
+
+
+def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which incoming docs are near-dups of the existing corpus.
+
+    Split: doc_id % {m} == 0 is the incoming batch, the rest is
+    history. Incoming band keys equi-join the history band table
+    (in production a persisted parquet keyed by band — only the
+    delta recomputes signatures); candidates verify with exact
+    Jaccard on hashed shingles; max Jaccard per incoming doc is the
+    verdict.
+
+    Scale: the join key is the band bucket, so cost tracks candidate
+    volume exactly as dedup_lsh_pairs; the incoming side is a DELTA
+    (ingest batches are ≪ corpus), so per-ingest work is
+    |delta| × bucket-hit-rate, never a corpus self-join. History
+    signatures amortize across ingests — the incremental property
+    batch dedup lacks.
+    """
+    docs = with_shingles(_docs(spark, sf_dir))
+    sig = docs.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
+        *_minhash_cols(F.col("shingles")),
+    )
+    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
+    band1 = F.md5(
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
+    )
+    buckets = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", "b.band_id", "b.key")
+    buckets = buckets.persist()
+    incoming = buckets.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = buckets.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    cand = (
+        incoming.alias("i")
+        .join(
+            history.alias("h"),
+            (F.col("i.band_id") == F.col("h.band_id"))
+            & (F.col("i.key") == F.col("h.key")),
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("hist_id"),
+            F.col("i.sh").alias("sh_i"),
+            F.col("h.sh").alias("sh_h"),
+        )
+        .dropDuplicates(["doc_id", "hist_id"])
+    )
+    inter = F.size(F.array_intersect("sh_i", "sh_h"))
+    jac = inter / (F.size("sh_i") + F.size("sh_h") - inter)
+    verdicts = (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .groupBy("doc_id")
+        .agg(
+            F.max("jaccard").alias("max_jaccard"),
+            F.count("*").alias("n_candidates"),
+        )
+    )
+    return verdicts.filter(F.col("max_jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_id",
+        "n_candidates",
+        "max_jaccard",
+        F.lit("reject_near_dup").alias("verdict"),
+    )
+
+
+dedup_incremental_vs_history.__doc__ = dedup_incremental_vs_history.__doc__.format(
+    m=INGEST_MOD
+)
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, shingles, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL})
+), buckets AS (
+  SELECT doc_id, shingles, 0 AS band_id, {_BAND0} AS key FROM sig
+  UNION ALL
+  SELECT doc_id, shingles, 1 AS band_id, {_BAND1} AS key FROM sig
+), cand AS (
+  SELECT DISTINCT i.doc_id AS doc_id, h.doc_id AS hist_id
+  FROM buckets i JOIN buckets h
+    ON i.band_id = h.band_id AND i.key = h.key
+  WHERE i.doc_id % {INGEST_MOD} = 0 AND h.doc_id % {INGEST_MOD} <> 0
+), verified AS (
+  SELECT c.doc_id,
+         round(len(list_intersect(a.shingles, b.shingles))
+               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+           AS jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_id
+  JOIN sig b ON b.doc_id = c.hist_id
+), verdicts AS (
+  SELECT doc_id, count(*) AS n_candidates, max(jaccard) AS max_jaccard
+  FROM verified GROUP BY 1
+)
+SELECT doc_id, n_candidates, max_jaccard,
+       'reject_near_dup' AS verdict
+FROM verdicts WHERE max_jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
@@ -594,4 +711,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_keep_list": QuerySpec(dedup_keep_list, DEDUP_KEEP_ORACLE),
     "dedup_ml_minhash_lsh": QuerySpec(dedup_ml_minhash_lsh, None),
+    "dedup_incremental_vs_history": QuerySpec(
+        dedup_incremental_vs_history, DEDUP_INCREMENTAL_ORACLE
+    ),
 }
