@@ -418,10 +418,78 @@ SELECT l_id, r_id AS best_match, distance FROM best WHERE rk = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN quality gate: recall@k of the approximate paths vs exact
+# ---------------------------------------------------------------------------
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of each approximate path (IVF, sign-bit LSH) against
+    the brute-force ground truth — the number that licenses switching
+    to the approximate path at 100 TB (where brute force is a
+    corpus×queries cross join you cannot afford).
+
+    Scale: ground truth is computed on a SAMPLE of queries (here all
+    {q}; on a real corpus a few hundred suffice), so the cross join is
+    |sample|×corpus — bounded by the evaluation budget, not the
+    workload. The recall join itself is top-k×top-k per query: trivial.
+    """
+    bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    bf = bf.persist()
+    base = bf.select("q_id").distinct()
+    parts = []
+    for method, fn in (("ivf", ann_ivf_topk), ("lsh", ann_lsh_topk)):
+        approx = fn(spark, sf_dir).select("q_id", "neighbor_id")
+        hits = (
+            approx.join(bf, ["q_id", "neighbor_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        parts.append(
+            base.join(hits, "q_id", "left").select(
+                "q_id",
+                F.lit(method).alias("method"),
+                F.coalesce("hits", F.lit(0)).cast("long").alias("n_hit"),
+                F.round(
+                    F.coalesce("hits", F.lit(0)) / F.lit(TOP_K), 6
+                ).alias("recall"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+ann_recall_at_k.__doc__ = ann_recall_at_k.__doc__.format(k=TOP_K, q=N_QUERIES)
+
+
+ANN_RECALL_ORACLE = f"""
+WITH bf AS (SELECT q_id, neighbor_id FROM ({ANN_BF_ORACLE})),
+ivf AS (SELECT q_id, neighbor_id FROM ({ANN_IVF_ORACLE})),
+lsh AS (SELECT q_id, neighbor_id FROM ({ANN_LSH_ORACLE})),
+base AS (SELECT DISTINCT q_id FROM bf),
+ivf_hit AS (
+  SELECT i.q_id, count(*) AS hits FROM ivf i
+  JOIN bf USING (q_id, neighbor_id) GROUP BY 1
+),
+lsh_hit AS (
+  SELECT l.q_id, count(*) AS hits FROM lsh l
+  JOIN bf USING (q_id, neighbor_id) GROUP BY 1
+)
+SELECT b.q_id, 'ivf' AS method,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.hits, 0) / {TOP_K}, 6) AS recall
+FROM base b LEFT JOIN ivf_hit h USING (q_id)
+UNION ALL
+SELECT b.q_id, 'lsh' AS method,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.hits, 0) / {TOP_K}, 6) AS recall
+FROM base b LEFT JOIN lsh_hit h USING (q_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BF_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE),
     "j4_similarity_join": QuerySpec(j4_similarity_join, J4_ORACLE),
     "j_levenshtein_best_match": QuerySpec(j_levenshtein_best_match, LEV_ORACLE),
+    "ann_recall_at_k": QuerySpec(ann_recall_at_k, ANN_RECALL_ORACLE),
 }
