@@ -432,6 +432,46 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q16: supplier diversity — DISTINCT aggregation + anti-join exclusion.
+# ---------------------------------------------------------------------------
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (p_brand, p_size): how many DISTINCT suppliers ship the
+    part, excluding suppliers in bad standing (negative balance).
+
+    Scale: the exclusion list is tiny → broadcast left_anti before
+    the expensive distinct; count(DISTINCT) expands to a two-phase
+    agg (dedup shuffle on the full grouping+supplier key, then count)
+    — Spark's expansion is exactly the scalable plan, and the
+    pre-join filter keeps excluded suppliers out of BOTH phases.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    kept = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q8_market_share": QuerySpec(q8_market_share, Q8_ORACLE),
     "q10_returned_top_customers": QuerySpec(q10_returned_top_customers, Q10_ORACLE),
@@ -448,4 +488,5 @@ QUERIES: dict[str, QuerySpec] = {
         q18_large_volume_customers, Q18_ORACLE
     ),
     "q22_idle_customers": QuerySpec(q22_idle_customers, Q22_ORACLE),
+    "q16_supplier_diversity": QuerySpec(q16_supplier_diversity, Q16_ORACLE),
 }
