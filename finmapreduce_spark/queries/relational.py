@@ -1010,6 +1010,38 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: JSON props column → typed aggregation
+# (the F7 parse-chain's happy path, applied to an event-stream scan;
+# at 100 TB the lesson is extract-then-agg, never agg-then-extract).
+# ---------------------------------------------------------------------------
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object stays inside whole-stage codegen (no UDF); the
+    extracted value is cast once and aggregated per event_type —
+    partial aggs collapse map-side so the shuffle carries |types|
+    rows, with the JSON parse cost paid exactly once per row."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -1043,4 +1075,5 @@ QUERIES: dict[str, QuerySpec] = {
     "f18_monthly_histogram": QuerySpec(f18_monthly_histogram, F18_ORACLE),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_ORACLE),
     "hourly_event_rollup": QuerySpec(hourly_event_rollup, HOURLY_ORACLE),
+    "events_json_extract": QuerySpec(events_json_extract, EVENTS_JSON_ORACLE),
 }
