@@ -226,3 +226,22 @@ def test_q22_anti_join_with_pruned_build_side(spark, sf_dir):
     plan = plan_of(QS["q22_idle_customers"].spark(spark, sf_dir))
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate,2001-01-01" in plan
+
+
+def test_q16_distinct_agg_two_phase_and_anti_broadcast(spark, sf_dir):
+    """count(DISTINCT) must expand to the two-phase agg (dedup then
+    count) and the bad-supplier exclusion must stay a broadcast anti
+    join — no SortMergeJoin anywhere."""
+    plan = plan_of(QS["q16_supplier_diversity"].spark(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 phases × partial/final
+
+
+def test_events_json_extract_no_python_udf(spark, sf_dir):
+    """JSON extraction stays JVM-side: no BatchEvalPython / Arrow eval
+    in the plan, and the shuffle carries the partial agg."""
+    plan = plan_of(QS["events_json_extract"].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_avg" in plan
