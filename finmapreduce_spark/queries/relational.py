@@ -1042,6 +1042,50 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE-frame window: 7-day moving average per user — the time-based
+# frame (rows frames cover "last N events"; range frames cover "last N
+# days", which is what product metrics actually ask for).
+# ---------------------------------------------------------------------------
+
+def w_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: the user's mean purchase value over the
+    trailing 7 days (inclusive), via a RANGE frame over epoch seconds.
+
+    Scale: identical shuffle profile to any user-window op — one
+    exchange on user_id, per-user sorted runs; the range frame is
+    evaluated with a sliding two-pointer pass, O(events) per user,
+    state bounded by the 7-day span (not the full history).
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # whole seconds in BOTH engines (DuckDB epoch() is fractional;
+    # Spark unix_timestamp truncates) so range peers match exactly
+    sec = F.unix_timestamp("ts").cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+W_MOVING_ORACLE = """
+SELECT user_id, event_id,
+       round(avg("value") OVER (PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 6) AS avg_7d,
+       count(*) OVER (PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_7d
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -1058,6 +1102,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_brand_nation_revenue": QuerySpec(q_brand_nation_revenue, Q_BRAND_ORACLE),
     "cohort_retention": QuerySpec(cohort_retention, COHORT_ORACLE),
     "w_running_total": QuerySpec(w_running_total, W_RUNNING_ORACLE),
+    "w_moving_avg_7d": QuerySpec(w_moving_avg_7d, W_MOVING_ORACLE),
     "a5_group_stats_median": QuerySpec(a5_group_stats_median, A5_ORACLE),
     "a_quantiles_by_type": QuerySpec(a_quantiles_by_type, A_QUANTILES_ORACLE),
     "a9_pivot_counts": QuerySpec(a9_pivot_counts, A9_ORACLE),
