@@ -419,6 +419,108 @@ SELECT l_id, r_id AS best_match, distance FROM best WHERE rk = 1
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe IVF: same index, top-N_PROBES cells searched per query.
+# ---------------------------------------------------------------------------
+
+N_PROBES = 2
+
+
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the standard recall fix: probe the top-{p} centroids
+    instead of 1 and re-rank the union of their cells (cells are
+    label-disjoint, so the union needs no dedup).
+
+    Scale: search cost scales linearly in probes ({p}× the single-
+    probe cell scan) while recall approaches brute force — the knob a
+    deployment turns until ann_recall_at_k clears its SLO. The probe
+    table stays a broadcast crossJoin against the (tiny) centroid
+    relation; only the cell scan fans out.
+    """
+    emb = _emb(spark, sf_dir)
+    comp = emb.select(
+        "label", F.posexplode("v").alias("idx", "val")
+    ).groupBy("label", "idx").agg(
+        F.round(F.avg(F.col("val").cast("double")), 9).alias("c")
+    )
+    centroids = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s.c
+        ).alias("cv")
+    ).withColumn("c_norm", F.sqrt(_dot(F.col("cv"), F.col("cv")))).select(
+        F.col("label").alias("c_label"), "cv", "c_norm"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("norm").alias("q_norm")
+    )
+    probe = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_cos",
+        F.round(_dot(F.col("q_v"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")), 9),
+    ).withColumn(
+        "c_rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+        ),
+    ).filter(F.col("c_rank") <= N_PROBES).select("q_id", "q_v", "q_norm", "c_label")
+    cell = probe.join(
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        probe.c_label == F.col("label"),
+    )
+    cos = _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
+    ranked = cell.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+ann_ivf_multiprobe_topk.__doc__ = ann_ivf_multiprobe_topk.__doc__.format(p=N_PROBES)
+
+
+ANN_IVF_MP_ORACLE = f"""
+WITH v AS ({_EMB_SQL}),
+comp AS (
+  SELECT label, CAST(t.i AS INT) AS idx, round(avg(v[t.i + 1]), 9) AS c
+  FROM v, LATERAL unnest(range(0, len(v))) AS t(i)
+  GROUP BY label, t.i
+),
+centroids AS (
+  SELECT label AS c_label, list(c ORDER BY idx) AS cv,
+         sqrt(list_inner_product(list(c ORDER BY idx), list(c ORDER BY idx))) AS c_norm
+  FROM comp GROUP BY label
+),
+q AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm FROM v WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT q_id, q_v, q_norm, c_label FROM (
+    SELECT q.*, c.c_label,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY round(list_inner_product(q.q_v, c.cv) / (q.q_norm * c.c_norm), 9) DESC,
+                      c.c_label) AS c_rank
+    FROM q CROSS JOIN centroids c
+  ) WHERE c_rank <= {N_PROBES}
+),
+cell AS (
+  SELECT p.q_id, e.vec_id AS neighbor_id,
+         list_inner_product(p.q_v, e.v) / (p.q_norm * e.norm) AS cosine
+  FROM probe p JOIN v e ON e.label = p.c_label AND e.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cell
+)
+SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN quality gate: recall@k of the approximate paths vs exact
 # ---------------------------------------------------------------------------
 
@@ -437,7 +539,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = bf.persist()
     base = bf.select("q_id").distinct()
     parts = []
-    for method, fn in (("ivf", ann_ivf_topk), ("lsh", ann_lsh_topk)):
+    for method, fn in (
+        ("ivf", ann_ivf_topk),
+        ("ivf_mp", ann_ivf_multiprobe_topk),
+        ("lsh", ann_lsh_topk),
+    ):
         approx = fn(spark, sf_dir).select("q_id", "neighbor_id")
         hits = (
             approx.join(bf, ["q_id", "neighbor_id"])
@@ -454,7 +560,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("recall"),
             )
         )
-    return parts[0].unionByName(parts[1])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 ann_recall_at_k.__doc__ = ann_recall_at_k.__doc__.format(k=TOP_K, q=N_QUERIES)
@@ -463,6 +572,7 @@ ann_recall_at_k.__doc__ = ann_recall_at_k.__doc__.format(k=TOP_K, q=N_QUERIES)
 ANN_RECALL_ORACLE = f"""
 WITH bf AS (SELECT q_id, neighbor_id FROM ({ANN_BF_ORACLE})),
 ivf AS (SELECT q_id, neighbor_id FROM ({ANN_IVF_ORACLE})),
+mp AS (SELECT q_id, neighbor_id FROM ({ANN_IVF_MP_ORACLE})),
 lsh AS (SELECT q_id, neighbor_id FROM ({ANN_LSH_ORACLE})),
 base AS (SELECT DISTINCT q_id FROM bf),
 ivf_hit AS (
@@ -472,11 +582,20 @@ ivf_hit AS (
 lsh_hit AS (
   SELECT l.q_id, count(*) AS hits FROM lsh l
   JOIN bf USING (q_id, neighbor_id) GROUP BY 1
+),
+mp_hit AS (
+  SELECT m.q_id, count(*) AS hits FROM mp m
+  JOIN bf USING (q_id, neighbor_id) GROUP BY 1
 )
 SELECT b.q_id, 'ivf' AS method,
        CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
        round(coalesce(h.hits, 0) / {TOP_K}, 6) AS recall
 FROM base b LEFT JOIN ivf_hit h USING (q_id)
+UNION ALL
+SELECT b.q_id, 'ivf_mp' AS method,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.hits, 0) / {TOP_K}, 6) AS recall
+FROM base b LEFT JOIN mp_hit h USING (q_id)
 UNION ALL
 SELECT b.q_id, 'lsh' AS method,
        CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
@@ -491,5 +610,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE),
     "j4_similarity_join": QuerySpec(j4_similarity_join, J4_ORACLE),
     "j_levenshtein_best_match": QuerySpec(j_levenshtein_best_match, LEV_ORACLE),
+    "ann_ivf_multiprobe_topk": QuerySpec(
+        ann_ivf_multiprobe_topk, ANN_IVF_MP_ORACLE
+    ),
     "ann_recall_at_k": QuerySpec(ann_recall_at_k, ANN_RECALL_ORACLE),
 }
