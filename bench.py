@@ -49,8 +49,39 @@ HEADLINE = [
 ]
 
 
+def _shuffle_probe(spark):
+    """Return a callable that diffs completed-stage shuffle totals via
+    the REST status API (None if the UI is unavailable — shuffle
+    accounting is additive, never a reason for bench to fail)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    url = f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}/stages?status=complete"
+
+    def snapshot():
+        try:
+            with urllib.request.urlopen(url, timeout=5) as r:
+                stages = json.load(r)
+        except Exception:
+            return None
+        return {
+            st["stageId"]: (
+                st.get("shuffleReadBytes", 0),
+                st.get("shuffleWriteBytes", 0),
+            )
+            for st in stages
+        }
+
+    return snapshot
+
+
 def main():
-    spark = get_spark("bench")
+    # UI on for shuffle accounting (per-query read/write bytes — a
+    # shuffle regression is as real as a wall-time one and survives
+    # machine-speed noise across rounds).
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     spark.range(1).count()  # warm up JVM/session so q1 isn't charged startup
     from finmapreduce_spark.session import TABLES, read_table
 
@@ -60,10 +91,13 @@ def main():
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(os.environ.get("BENCH_EXTRA", "").split(",")) if n in qs
     ]
+    probe = _shuffle_probe(spark)
     timings = {}
     rows = {}
+    shuffle = {}
     total = 0.0
     for name in names:
+        before = probe() if probe else None
         t0 = time.time()
         df = qs[name].spark(spark, SF_DIR)
         n = df.count()
@@ -71,19 +105,25 @@ def main():
         timings[name] = dt
         rows[name] = n  # cardinality: catches silent result drift across rounds
         total += dt
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "sf": float(sf) if sf else None,
+        after = probe() if probe else None
+        if before is not None and after is not None:
+            new = {k: v for k, v in after.items() if k not in before}
+            shuffle[name] = {
+                "read_mb": round(sum(v[0] for v in new.values()) / 1e6, 3),
+                "write_mb": round(sum(v[1] for v in new.values()) / 1e6, 3),
             }
-        )
-    )
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": float(sf) if sf else None,
+    }
+    if shuffle:
+        out["shuffle"] = shuffle
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
