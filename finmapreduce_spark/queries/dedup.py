@@ -591,24 +591,13 @@ def dedup_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 INGEST_MOD = 4  # doc_id % 4 == 0 plays the "incoming batch"
 
 
-def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which incoming docs are near-dups of the existing corpus.
-
-    Split: doc_id % {m} == 0 is the incoming batch, the rest is
-    history. Incoming band keys equi-join the history band table
-    (in production a persisted parquet keyed by band — only the
-    delta recomputes signatures); candidates verify with exact
-    Jaccard on hashed shingles; max Jaccard per incoming doc is the
-    verdict.
-
-    Scale: the join key is the band bucket, so cost tracks candidate
-    volume exactly as dedup_lsh_pairs; the incoming side is a DELTA
-    (ingest batches are ≪ corpus), so per-ingest work is
-    |delta| × bucket-hit-rate, never a corpus self-join. History
-    signatures amortize across ingests — the incremental property
-    batch dedup lacks.
-    """
-    docs = with_shingles(_docs(spark, sf_dir))
+def band_signature_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh, band_id, key): hashed-shingle array + exploded LSH
+    band keys — the persisted "signature store" schema. All narrow ops
+    (split/transform/explode), so it runs identically over a static
+    corpus or a streaming micro-batch (the streaming incremental-dedup
+    twin in streaming/pipeline.py reuses it verbatim)."""
+    docs = with_shingles(docs, text_col)
     sig = docs.select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
@@ -618,7 +607,7 @@ def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     band1 = F.md5(
         F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
     )
-    buckets = sig.select(
+    return sig.select(
         "doc_id",
         "sh",
         F.explode(
@@ -628,9 +617,14 @@ def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "sh", "b.band_id", "b.key")
-    buckets = buckets.persist()
-    incoming = buckets.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
-    history = buckets.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+
+
+def incremental_verdicts(
+    incoming: DataFrame, history: DataFrame
+) -> DataFrame:
+    """Join incoming band keys against the history signature store,
+    verify candidates with exact Jaccard, emit per-doc reject
+    verdicts. Both inputs carry the band_signature_table schema."""
     cand = (
         incoming.alias("i")
         .join(
@@ -662,6 +656,29 @@ def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_jaccard",
         F.lit("reject_near_dup").alias("verdict"),
     )
+
+
+def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which incoming docs are near-dups of the existing corpus.
+
+    Split: doc_id % {m} == 0 is the incoming batch, the rest is
+    history. Incoming band keys equi-join the history band table
+    (in production a persisted parquet keyed by band — only the
+    delta recomputes signatures); candidates verify with exact
+    Jaccard on hashed shingles; max Jaccard per incoming doc is the
+    verdict.
+
+    Scale: the join key is the band bucket, so cost tracks candidate
+    volume exactly as dedup_lsh_pairs; the incoming side is a DELTA
+    (ingest batches are ≪ corpus), so per-ingest work is
+    |delta| × bucket-hit-rate, never a corpus self-join. History
+    signatures amortize across ingests — the incremental property
+    batch dedup lacks.
+    """
+    buckets = band_signature_table(_docs(spark, sf_dir)).persist()
+    incoming = buckets.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = buckets.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    return incremental_verdicts(incoming, history)
 
 
 dedup_incremental_vs_history.__doc__ = dedup_incremental_vs_history.__doc__.format(

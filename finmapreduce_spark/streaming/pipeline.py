@@ -92,6 +92,52 @@ def serve_mapreduce(
     )
 
 
+
+def serve_incremental_dedup(
+    incoming_docs: DataFrame,
+    history_buckets: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous ingest dedup: each micro-batch of incoming documents
+    is signed (shingles → minhash → band keys; all narrow ops) and
+    probed against the STATIC history signature store; verdicts append
+    as JSON. The batch twin is queries/dedup.py::
+    dedup_incremental_vs_history — both call the same
+    band_signature_table / incremental_verdicts helpers, so stream and
+    batch produce identical verdicts for identical inputs (twin-tested
+    in tests/test_streaming.py).
+
+    Scale: the stream side is a delta (bounded by maxFilesPerTrigger);
+    history_buckets is the persisted store — broadcast when it fits,
+    shuffled stream-static join when it doesn't. In production the
+    admitted docs' signatures append back to the store each epoch
+    (exactly-once via the checkpoint), keeping the store current.
+    """
+    from finmapreduce_spark.queries.dedup import (
+        band_signature_table,
+        incremental_verdicts,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incoming = band_signature_table(batch_df)
+        (
+            incremental_verdicts(incoming, history_buckets)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .json(out_dir)
+        )
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+
 def windowed_event_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window rollup over a (possibly late)
     event stream — 1-hour windows per event_type.

@@ -256,3 +256,66 @@ def test_latency_characterization_reports_percentiles(spark):
     assert rep["row_latency_s"]["p50"] > 0
     assert rep["row_latency_s"]["p95"] >= rep["row_latency_s"]["p50"]
     assert rep["trigger_exec_ms"]["p50"] > 0
+
+
+def test_streaming_incremental_dedup_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Round-2 #3: incoming docs streamed through serve_incremental_
+    dedup produce EXACTLY the verdicts the batch operator computes for
+    the same split — stream and batch share band_signature_table /
+    incremental_verdicts, and this pins it."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.dedup import (
+        INGEST_MOD,
+        band_signature_table,
+        incremental_verdicts,
+    )
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.streaming.pipeline import serve_incremental_dedup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    history_buckets = band_signature_table(history).persist()
+
+    # batch ground truth
+    want = sorted(
+        map(
+            tuple,
+            incremental_verdicts(
+                band_signature_table(incoming), history_buckets
+            ).collect(),
+        )
+    )
+
+    # stream the incoming docs from a landing dir (2 files → ≥1 epochs)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [r.asDict() for r in incoming.collect()]
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(landing / f"batch_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "verdicts"
+    q = serve_incremental_dedup(
+        stream, history_buckets, str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    got_df = spark.read.json(str(out))
+    got = sorted(
+        tuple(r)
+        for r in got_df.select(
+            "doc_id", "n_candidates", "max_jaccard", "verdict"
+        ).collect()
+    )
+    assert got == want
+    assert want, "twin test is vacuous with no near-dup verdicts"
