@@ -50,6 +50,14 @@ class MapReduceConfig:
     score_threshold: int = 5  # strict `>`; P3 hybrid=5, P4 plain_text=50
     # (reference json_formatter.py:32, plain_text_formatter.py:30-56)
     judge_batch_size: int = 5  # reference async_evaluation.py:261
+    # "global" reproduces the reference's consecutive batches exactly
+    # (one unpartitioned window over ~|questions| rows); "bucketed" is
+    # the cluster-scale path: hash-bucket qa_ids, batch within bucket —
+    # no global sort, batch size still ≤ k, composition differs (items
+    # are judged independently, so verdicts are batching-invariant —
+    # twin-tested).
+    judge_batching: str = "global"
+    judge_buckets: int = 32
     client_factory: object = mock_client_factory
     llm_partitions: int | None = None  # repartition before LLM stages
     # S12/F15: prompt templates (format_string %s slots). Defaults
@@ -206,11 +214,28 @@ def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
     batch size ≤ k without a global sort; batch COMPOSITION changes,
     which the judge prompt treats as irrelevant (items are judged
     independently within the XML list)."""
-    w = W.orderBy("qa_id")
-    batched = answers.withColumn(
-        "batch_id",
-        F.floor((F.row_number().over(w) - 1) / cfg.judge_batch_size),
-    )
+    if cfg.judge_batching == "bucketed":
+        # scale path: per-bucket windows sort |qa|/buckets rows each;
+        # batch_id = bucket + buckets × chunk-within-bucket is unique
+        # across buckets without coordination.
+        bucket = F.pmod(F.xxhash64(F.col("qa_id").cast("string")), F.lit(cfg.judge_buckets))
+        wb = W.partitionBy("__bucket").orderBy("qa_id")
+        batched = (
+            answers.withColumn("__bucket", bucket)
+            .withColumn(
+                "batch_id",
+                F.col("__bucket")
+                + cfg.judge_buckets
+                * F.floor((F.row_number().over(wb) - 1) / cfg.judge_batch_size),
+            )
+            .drop("__bucket")
+        )
+    else:
+        w = W.orderBy("qa_id")
+        batched = answers.withColumn(
+            "batch_id",
+            F.floor((F.row_number().over(w) - 1) / cfg.judge_batch_size),
+        )
     item = F.concat(
         F.lit("<item><llm_answer>"),
         F.coalesce("llm_answer", F.lit("")),
