@@ -238,3 +238,57 @@ def test_save_corpus_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_save_corpus_sorted_rowgroup_stats_are_tight(spark, sf_dir, tmp_path):
+    """save_corpus_sorted must produce per-file monotone doc_id row
+    groups (non-overlapping min/max), the property footer-stats
+    skipping needs; and the range predicate must still push into the
+    scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.sources.sinks import save_corpus_sorted
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "sorted_corpus")
+    save_corpus_sorted(docs, out)
+
+    files = glob.glob(f"{out}/lang=*/*.parquet")
+    assert files
+    checked = 0
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.row_group(0).num_columns)
+        }["doc_id"]
+        prev_max = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max  # non-overlapping: skippable
+            prev_max = st.max
+            checked += 1
+    assert checked >= len(files)
+
+    back = spark.read.parquet(out).filter(
+        "doc_id >= 100 AND doc_id < 200 AND lang = 'en'"
+    )
+    jexec = back._jdf.queryExecution()
+    plan = jexec.explainString(
+        back._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    assert "GreaterThanOrEqual(doc_id,100)" in plan
+    assert back.count() == docs.filter(
+        "doc_id >= 100 AND doc_id < 200 AND lang = 'en'"
+    ).count()
