@@ -188,9 +188,19 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd groupBy. Reuses the exact shingle semantics of the
     dedup family (queries/dedup.py) so contamination and near-dup
     numbers are comparable.
+
+    The explode/join runs on xxhash64(shingle) longs, not shingle
+    strings — overlap COUNTS are hash-invariant (collision odds
+    ≈ |bench|·|doc|/2⁶⁴), the exploded payload shrinks ~3×, and the
+    broadcast hit table is a long-keyed hash set (same trade
+    dedup_lsh_pairs documents; measured 9.5 s → 1.7 s at sf0.1). The
+    oracle stays on strings, which is the point: counts agree.
     """
     sh = with_shingles(_docs(spark, sf_dir)).select(
-        "doc_id", F.explode("shingles").alias("s")
+        "doc_id",
+        F.explode(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("s"),
     )
     bench = (
         sh.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0)
