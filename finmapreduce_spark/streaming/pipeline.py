@@ -326,3 +326,58 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+def serve_incremental_dedup_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Ingest dedup with a LIVE signature store (round-3 #2): each
+    epoch re-reads the store, probes the micro-batch against it,
+    appends verdicts, and appends the ADMITTED docs' signatures back —
+    so a doc admitted in epoch N rejects its near-dup in epoch N+1
+    (pinned by test). Epochs are sequential, so the read-modify-append
+    cycle is race-free; the checkpoint gives exactly-once epochs, and
+    re-running a replayed epoch re-appends the same admitted rows
+    (dedup by doc_id on read if at-least-once file sinks matter).
+
+    Scope: the batch is probed against the store, not against itself —
+    intra-batch duplicates both admit (production pipelines self-dedup
+    the delta first via dedup_lsh_pairs on the batch).
+
+    Scale: store grows by admitted-delta per epoch; compaction is a
+    periodic rewrite (sorted by band key — save_corpus_sorted's
+    layout) that also keeps the probe join's scan stats tight.
+    """
+    from finmapreduce_spark.queries.dedup import (
+        band_signature_table,
+        incremental_verdicts,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        incoming = band_signature_table(batch_df).persist()
+        try:
+            history = spark.read.parquet(store_dir)
+            verdicts = incremental_verdicts(incoming, history).persist()
+            (
+                verdicts.withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("append")
+                .json(out_dir)
+            )
+            admitted = incoming.join(
+                verdicts.select("doc_id"), "doc_id", "left_anti"
+            )
+            admitted.write.mode("append").parquet(store_dir)
+            verdicts.unpersist()
+        finally:
+            incoming.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -319,3 +319,64 @@ def test_streaming_incremental_dedup_matches_batch_twin(spark, sf_dir, tmp_path)
     )
     assert got == want
     assert want, "twin test is vacuous with no near-dup verdicts"
+
+
+def test_continuous_dedup_store_grows_across_epochs(spark, tmp_path):
+    """Round-3 #2: a doc ADMITTED in epoch 0 must reject its near-dup
+    arriving in epoch 1 — i.e., the signature store actually updates
+    between micro-batches."""
+    import json as _json
+
+    from finmapreduce_spark.queries.dedup import band_signature_table
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_dedup_continuous,
+    )
+
+    base_text = " ".join(f"tok{i}" for i in range(60))
+    near_dup = " ".join(f"tok{i}" for i in range(58)) + " novel1 novel2"
+    unrelated = " ".join(f"other{i}" for i in range(60))
+
+    # seed store: one unrelated doc
+    store = tmp_path / "store"
+    seed = spark.createDataFrame([(1, unrelated)], "doc_id long, text string")
+    band_signature_table(seed).write.parquet(str(store))
+
+    # epoch 0 delivers the base doc; epoch 1 its near-dup
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    import os as _os
+    import time as _time
+
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 100, "text": base_text}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 200, "text": near_dup}) + "\n"
+    )
+    # file source orders batches by modification time — make e0
+    # strictly older so the epochs arrive in the intended order
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "verdicts"
+    q = serve_incremental_dedup_continuous(
+        stream, str(store), str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    verdicts = {
+        r["doc_id"]: r["verdict"] for r in spark.read.json(str(out)).collect()
+    }
+    assert 100 not in verdicts  # base doc admitted (only unrelated in store)
+    assert verdicts.get(200) == "reject_near_dup"  # caught by updated store
+    # store now holds seed + admitted base doc, NOT the rejected dup
+    stored_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(store)).select("doc_id").distinct().collect()
+    }
+    assert stored_ids == {1, 100}
