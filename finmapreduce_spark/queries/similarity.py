@@ -425,7 +425,7 @@ SELECT l_id, r_id AS best_match, distance FROM best WHERE rk = 1
 N_PROBES = 2
 
 
-def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_probe_topk(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
     """IVF with the standard recall fix: probe the top-{p} centroids
     instead of 1 and re-rank the union of their cells (cells are
     label-disjoint, so the union needs no dedup).
@@ -460,7 +460,7 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
         ),
-    ).filter(F.col("c_rank") <= N_PROBES).select("q_id", "q_v", "q_norm", "c_label")
+    ).filter(F.col("c_rank") <= n_probes).select("q_id", "q_v", "q_norm", "c_label")
     cell = probe.join(
         emb.filter(F.col("vec_id") >= N_QUERIES),
         probe.c_label == F.col("label"),
@@ -481,7 +481,46 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ann_ivf_multiprobe_topk.__doc__ = ann_ivf_multiprobe_topk.__doc__.format(p=N_PROBES)
+_ivf_probe_topk.__doc__ = _ivf_probe_topk.__doc__.format(p="n_probes")
+
+
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: the parametrized IVF at N_PROBES cells (see
+    _ivf_probe_topk for the plan rationale)."""
+    return _ivf_probe_topk(spark, sf_dir, N_PROBES)
+
+
+def pick_n_probes(
+    spark: SparkSession,
+    sf_dir: str,
+    target_recall: float,
+    max_probes: int = 5,
+) -> dict:
+    """Recall-targeted probe tuning (ROADMAP round-3 #3): walk n_probes
+    upward until mean recall@k on the query sample clears the target;
+    return the chosen setting plus the measured curve.
+
+    Driver-side loop over ≤max_probes distributed jobs — legitimate
+    control flow (each iteration is one bounded evaluation on the
+    query SAMPLE, the same budget argument as ann_recall_at_k); no
+    per-row driver work. The ground truth is computed once and
+    persisted across iterations.
+    """
+    bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    bf = bf.persist()
+    n_q = bf.select("q_id").distinct().count()
+    curve = {}
+    chosen = max_probes
+    for n in range(1, max_probes + 1):
+        approx = _ivf_probe_topk(spark, sf_dir, n).select("q_id", "neighbor_id")
+        hits = approx.join(bf, ["q_id", "neighbor_id"]).count()
+        recall = hits / (n_q * TOP_K)
+        curve[n] = round(recall, 6)
+        if recall >= target_recall:
+            chosen = n
+            break
+    bf.unpersist()
+    return {"n_probes": chosen, "target": target_recall, "curve": curve}
 
 
 ANN_IVF_MP_ORACLE = f"""

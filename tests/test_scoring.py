@@ -46,3 +46,19 @@ def test_real_model_path_raises():
     with pytest.raises(NotImplementedError):
         scoring._load_model("bert-base-uncased")
     scoring._MODEL = None
+
+
+def test_pick_n_probes_monotone_and_meets_target(spark, sf_dir):
+    """Round-3 #3: the probe tuner's recall curve is nondecreasing in
+    n_probes, and the chosen setting clears the target (or is the cap
+    when the target is unreachable on this data)."""
+    from finmapreduce_spark.queries.similarity import pick_n_probes
+
+    out = pick_n_probes(spark, sf_dir, target_recall=0.25, max_probes=4)
+    curve = out["curve"]
+    vals = [curve[n] for n in sorted(curve)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    if vals[-1] >= 0.25:
+        assert curve[out["n_probes"]] >= 0.25
+    else:
+        assert out["n_probes"] == 4
