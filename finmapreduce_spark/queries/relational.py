@@ -1086,6 +1086,144 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+# ---------------------------------------------------------------------------
+# Funnel conversion: ordered-step completion per user (view → click →
+# purchase). One shuffle (per-user agg of step-min timestamps); step
+# ordering is a pure column comparison — no self-joins, no windows.
+# ---------------------------------------------------------------------------
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts users completing each prefix of the funnel IN ORDER
+    (a later step only counts if it happens after the earlier one).
+
+    Scale: conditional-min aggregation collapses each user's history
+    map-side; the funnel logic runs on one row per user. The classic
+    alternative (k-way self-join on user_id) shuffles the event table
+    k times — this shuffles it once.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    step1 = F.col("t_view").isNotNull()
+    step2 = step1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    step3 = (
+        step2
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_click"))
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(step1.cast("long")).alias("reached_view"),
+        F.sum(step2.cast("long")).alias("reached_click"),
+        F.sum(step3.cast("long")).alias("reached_purchase"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS reached_click,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click THEN 1 ELSE 0 END) AS reached_purchase
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
+# Value histogram via width_bucket — fixed bins, no sort, the
+# profiling primitive percentile sketches don't give you (shape).
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+HIST_LO, HIST_HI = 0.0, 100000.0
+
+
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of o_totalprice in fixed-width bins: one narrow map
+    (arithmetic bin id, identical expression in the oracle) + one tiny
+    groupBy — shuffle carries ≤ bins+2 rows regardless of table size.
+    Bin 0 and bins+1 are the under/overflow gutters."""
+    orders = _t(spark, sf_dir, "orders")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    x = F.col("o_totalprice")
+    bin_ = (
+        F.when(x < HIST_LO, F.lit(0))
+        .when(x >= HIST_HI, F.lit(HIST_BINS + 1))
+        .otherwise(F.floor((x - HIST_LO) / width) + 1)
+    ).cast("long")
+    return (
+        orders.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+HISTOGRAM_ORACLE = f"""
+SELECT CAST(CASE WHEN o_totalprice < {HIST_LO} THEN 0
+            WHEN o_totalprice >= {HIST_HI} THEN {HIST_BINS + 1}
+            ELSE floor((o_totalprice - {HIST_LO})
+                       / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})) + 1
+       END AS BIGINT) AS bin,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id — the third leg of the
+# rollup/cube family (arbitrary set lists, not just prefixes/powerset).
+# ---------------------------------------------------------------------------
+
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (returnflag, linestatus), by returnflag alone, and
+    grand total — one pass, one shuffle; grouping_id disambiguates the
+    null-as-aggregate rows from genuine nulls."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT)
+                 AS grouping_level,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+         AS grouping_level,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "s1_scan_project": QuerySpec(s1_scan_project, S1_ORACLE),
@@ -1121,4 +1259,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_ORACLE),
     "hourly_event_rollup": QuerySpec(hourly_event_rollup, HOURLY_ORACLE),
     "events_json_extract": QuerySpec(events_json_extract, EVENTS_JSON_ORACLE),
+    "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_ORACLE),
+    "histogram_order_totals": QuerySpec(histogram_order_totals, HISTOGRAM_ORACLE),
+    "a_grouping_sets": QuerySpec(a_grouping_sets, GROUPING_SETS_ORACLE),
 }
