@@ -472,7 +472,315 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q2: min-cost supplier per part — correlated scalar-min subquery with
+# tie-preserving join-back (no partsupp in the synthetic schema; unit
+# cost comes from shipped lines).
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each STANDARD part of size < 10, the supplier(s) offering
+    the minimum observed unit price (l_extendedprice / l_quantity),
+    with nation detail. TPC-H q2's shape (`WHERE cost = (SELECT
+    min(cost) ... WHERE same part)`) on the tables we have.
+
+    Scale: the correlated min decorrelates to a window over l_partkey
+    on the part-pruned lines — one shuffle, same rows compute the min
+    and survive the filter (no agg+join-back second shuffle). Both
+    dims broadcast. Tie equality compares each engine's own double
+    division, so it is engine-consistent like q15's max.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 10))
+        .select("p_partkey", "p_name")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+    w = W.partitionBy("l_partkey")
+    best = li.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .distinct()
+    )
+
+
+Q2_ORACLE = """
+WITH costs AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         l_extendedprice / l_quantity AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size < 10
+)
+SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+       round(unit_cost, 4) AS unit_cost
+FROM costs c
+JOIN supplier ON c.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE unit_cost = (SELECT min(unit_cost) FROM costs c2
+                   WHERE c2.p_partkey = c.p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q9: product-type profit by nation and year — the classic 5-way join
+# into a two-key agg (cost proxy from p_retailprice; no ps_supplycost).
+# ---------------------------------------------------------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on *widget* parts per supplier nation per order year,
+    where profit = discounted revenue − 10% of retail cost of the
+    shipped quantity.
+
+    Scale: part (name-pruned), supplier, and nation all broadcast;
+    orders is the only co-shuffled join (orderkey), so the fact table
+    crosses the wire once into a |nations|×|years| result. The profit
+    expression folds into the scan projection — no post-join pass.
+    The subtraction amplifies double summation-order error past the
+    cent, so the sum accumulates in decimal(18,4) (exact, associative
+    — safe under Spark's unordered partial aggregation) and only the
+    final per-group value returns to double.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _revenue() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(amount.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.1 * p_retailprice * l_quantity
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12: priority-split conditional counts (no l_shipmode column; the
+# CASE-pivot runs over l_returnflag instead).
+# ---------------------------------------------------------------------------
+
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag in ship-year 1997: how many lines belong to
+    urgent/high-priority orders vs the rest — q12's dual conditional
+    count after a fact×orders join.
+
+    Scale: the shipdate filter pushes into the parquet scan; the two
+    CASE sums share one pass and partial-agg map-side; orders project
+    to two columns before the (only) co-shuffled join.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20: dominant-share suppliers — nested agg subquery feeding a
+# semi-join chain (ps_availqty replaced by shipped-quantity share).
+# ---------------------------------------------------------------------------
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than 10% of some PROMO part's total
+    shipped quantity — q20's nested-IN shape: an aggregate subquery
+    derives a per-part threshold, qualifying (part, supplier) pairs
+    reduce to a distinct supplier set, which semi-joins the dim.
+
+    Scale: the per-(part,supplier) agg and the per-part total come
+    from the SAME grouped relation (window over the agg output — a
+    shuffle of |parts×suppliers| pre-aggregated rows, not raw lines).
+    The distinct supplier set is tiny → broadcast semi join.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    pair_qty = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = W.partitionBy("l_partkey")
+    qualifying = (
+        pair_qty.withColumn("part_total", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") > 0.1 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(
+            F.broadcast(qualifying),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty,
+           sum(sum(l_quantity)) OVER (PARTITION BY l_partkey) AS part_total
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+    GROUP BY 1, 2
+  ) shares
+  WHERE supp_qty > 0.1 * part_total
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21: sole-blame late suppliers — the double EXISTS/NOT-EXISTS
+# self-join collapsed into one per-order aggregate pass.
+# ---------------------------------------------------------------------------
+
+def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: the number of finished multi-supplier orders where
+    that supplier was the ONLY one shipping late (> 90 days after the
+    order date). TPC-H q21's semantics — EXISTS(another supplier's
+    line) AND NOT EXISTS(another supplier's late line) — restated as:
+    orders whose distinct-late-supplier set is exactly {S} and whose
+    distinct-supplier count is > 1.
+
+    Scale: the classic formulation self-joins lineitem twice (semi +
+    anti) — three shuffles of the fact table. The set-valued per-order
+    aggregate needs ONE shuffle on l_orderkey (late-supplier sets are
+    bounded by suppliers-per-order, a handful), then explodes the
+    singleton sets into a |suppliers|-sized count. The SQL oracle keeps
+    the EXISTS form, pinning the rewrite's equivalence.
+    """
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.collect_set(F.when(late, F.col("l_suppkey"))).alias("late_supps"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.size("late_supps") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.select(F.explode("late_supps").alias("suppkey"))
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_ORACLE),
+    "q9_product_profit": QuerySpec(q9_product_profit, Q9_ORACLE),
+    "q12_priority_counts": QuerySpec(q12_priority_counts, Q12_ORACLE),
+    "q20_dominant_suppliers": QuerySpec(q20_dominant_suppliers, Q20_ORACLE),
+    "q21_sole_late_suppliers": QuerySpec(q21_sole_late_suppliers, Q21_ORACLE),
     "q8_market_share": QuerySpec(q8_market_share, Q8_ORACLE),
     "q10_returned_top_customers": QuerySpec(q10_returned_top_customers, Q10_ORACLE),
     "q11_value_threshold": QuerySpec(q11_value_threshold, Q11_ORACLE),
