@@ -330,10 +330,9 @@ FROM documents
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length / stopword-ratio / uniqueness quality heuristic — the
-    pre-training-data quality gate pattern."""
-    docs = _docs(spark, sf_dir)
+def _quality_select(docs: DataFrame) -> DataFrame:
+    """Quality-heuristic projection shared by the plain and
+    sorted-layout scans."""
     words = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
@@ -352,6 +351,44 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uniq_ratio, 6).alias("uniq_ratio"),
         F.round(quality, 6).alias("quality"),
     )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / uniqueness quality heuristic — the
+    pre-training-data quality gate pattern."""
+    return _quality_select(_docs(spark, sf_dir))
+
+
+def text_quality_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same quality gate routed through the production corpus
+    layout: a ``save_corpus_sorted`` copy (lang partition dirs,
+    doc_id-sorted row groups), read back with a lang + doc_id-range
+    predicate.
+
+    Scale: the lang predicate prunes whole partition DIRECTORIES
+    (never opened), and the doc_id range skips row groups on footer
+    min/max alone — at 100 TB the scan touches ~range-selectivity of
+    one partition instead of the corpus. The measured sorted-vs-
+    shuffled touch ratio is pinned in tests/test_sources.py; this
+    catalog entry pins end-to-end correctness of the adopted path
+    against the unsorted original (the oracle reads the plain table).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from finmapreduce_spark.sources.sinks import save_corpus_sorted
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"fmr_sorted_corpus_{tag}")
+    save_corpus_sorted(docs, path, row_group_bytes=256 * 1024)
+    back = spark.read.parquet(path).filter(
+        (F.col("lang") == "en")
+        & (F.col("doc_id") >= 100)
+        & (F.col("doc_id") < 400)
+    )
+    return _quality_select(back)
 
 
 QUALITY_ORACLE = f"""
@@ -375,6 +412,15 @@ FROM (
   )
 )
 """
+
+# Same computation restricted to the sorted-scan predicate; the oracle
+# reads the PLAIN table, so a hash match proves the sorted layout
+# round-trips values exactly.
+QUALITY_SORTED_ORACLE = QUALITY_ORACLE.replace(
+    "AS words FROM documents)",
+    "AS words FROM documents"
+    " WHERE lang = 'en' AND doc_id >= 100 AND doc_id < 400)",
+)
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,6 +852,9 @@ QUERIES: dict[str, QuerySpec] = {
     "f12_extract_numbers": QuerySpec(f12_extract_numbers, F12_ORACLE),
     "text_token_count": QuerySpec(text_token_count, TOKEN_COUNT_ORACLE),
     "text_quality_score": QuerySpec(text_quality_score, QUALITY_ORACLE),
+    "text_quality_sorted_scan": QuerySpec(
+        text_quality_sorted_scan, QUALITY_SORTED_ORACLE
+    ),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_ORACLE),
     "text_langid": QuerySpec(text_langid, LANGID_ORACLE),
 }

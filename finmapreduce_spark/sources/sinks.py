@@ -107,6 +107,7 @@ def save_corpus_sorted(
     partition_by: str = "lang",
     sort_col: str = "doc_id",
     mode: str = "overwrite",
+    row_group_bytes: int | None = None,
 ) -> None:
     """Partitioned + row-group-sorted corpus sink (ROADMAP round-2 #4).
 
@@ -118,11 +119,29 @@ def save_corpus_sorted(
     Z-ordering, and the difference between touching one row group and
     scanning the partition at 100 TB. (Stats-tightness is pinned in
     tests/test_sources.py with pyarrow footer inspection.)
+
+    ``row_group_bytes`` caps the parquet row-group size so a partition
+    splits into many skippable groups even at small data sizes — at
+    100 TB the default (128 MB) already yields thousands of groups per
+    partition; locally a small cap is what makes the skip measurable
+    (tests/test_sources.py pins the sorted-vs-shuffled touch ratio).
     """
-    (
+    writer = (
         df.repartition(F.col(partition_by))
         .sortWithinPartitions(partition_by, sort_col)
         .write.mode(mode)
         .partitionBy(partition_by)
-        .parquet(path)
     )
+    if row_group_bytes is not None:
+        # parquet-mr only re-checks the in-memory row-group size every
+        # `row.check` records (default min 100) — with a small cap the
+        # check cadence must shrink too, or tiny partitions still land
+        # in one group.
+        writer = (
+            writer.option("parquet.block.size", str(row_group_bytes))
+            # page-size check cadence also gates the block-size check
+            # in parquet-mr's InternalParquetRecordWriter
+            .option("parquet.page.size.row.check.min", "10")
+            .option("parquet.page.size.row.check.max", "10")
+        )
+    writer.parquet(path)

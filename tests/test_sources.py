@@ -292,3 +292,82 @@ def test_save_corpus_sorted_rowgroup_stats_are_tight(spark, sf_dir, tmp_path):
     assert back.count() == docs.filter(
         "doc_id >= 100 AND doc_id < 200 AND lang = 'en'"
     ).count()
+
+
+def _touched_row_groups(pattern: str, lo: int, hi: int) -> tuple[int, int]:
+    """(row groups a stats-respecting reader must touch, total row
+    groups) for predicate lo <= doc_id < hi over the parquet files
+    matching ``pattern`` — exactly the footer-stats decision Spark's
+    vectorized reader makes per row group."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    touched = total = 0
+    for fp in glob.glob(pattern):
+        meta = pq.ParquetFile(fp).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.row_group(0).num_columns)
+        }["doc_id"]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            total += 1
+            if st.min < hi and st.max >= lo:
+                touched += 1
+    return touched, total
+
+
+def test_sorted_layout_measured_rowgroup_skip(spark, sf_dir, tmp_path):
+    """The sorted layout's range-scan win, measured: with small row
+    groups forced, a doc_id range touches a small fraction of the
+    sorted layout's row groups but (nearly) all of a shuffled layout's
+    — same data, same predicate, same row-group size."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.sources.sinks import save_corpus_sorted
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    rg_bytes = 4 * 1024
+    sorted_out = str(tmp_path / "sorted")
+    save_corpus_sorted(docs, sorted_out, row_group_bytes=rg_bytes)
+    shuffled_out = str(tmp_path / "shuffled")
+    (
+        docs.repartition(F.col("lang"))
+        .sortWithinPartitions("lang", F.xxhash64("doc_id"))
+        .write.option("parquet.block.size", str(rg_bytes))
+        .option("parquet.page.size.row.check.min", "10")
+        .option("parquet.page.size.row.check.max", "10")
+        .partitionBy("lang")
+        .parquet(shuffled_out)
+    )
+
+    # ~30% of the doc_id domain: tight enough to skip, wide enough
+    # that a shuffled row group (~12 random ids) almost surely hits.
+    lo, hi = 100, 250
+    s_touch, s_total = _touched_row_groups(f"{sorted_out}/lang=en/*.parquet", lo, hi)
+    r_touch, r_total = _touched_row_groups(f"{shuffled_out}/lang=en/*.parquet", lo, hi)
+    assert s_total > 3, "row-group cap did not split the partition"
+    assert r_total > 3
+    # Sorted: touch ratio tracks range selectivity. Shuffled: every
+    # group straddles the range (that's why sorting is the fix).
+    assert s_touch / s_total < 0.6
+    assert r_touch / r_total > 0.9
+    assert s_touch / s_total < 0.7 * (r_touch / r_total)
+
+    # And the adopted read path returns exactly the plain-table result.
+    from finmapreduce_spark.queries.textops import (
+        _quality_select,
+        text_quality_sorted_scan,
+    )
+
+    via_sorted = text_quality_sorted_scan(spark, sf_dir)
+    plain = _quality_select(
+        docs.filter("lang = 'en' AND doc_id >= 100 AND doc_id < 400")
+    )
+    assert sorted(map(tuple, via_sorted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
