@@ -413,6 +413,79 @@ FROM (
 )
 """
 
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics, adapted to this
+    corpus's single-line word streams: per document, the fraction of
+    word bigrams covered by the MOST COMMON bigram (top_bigram_frac)
+    and the fraction of bigram occurrences that are duplicates of an
+    earlier one (dup_bigram_frac). High values flag boilerplate /
+    degenerate-generation documents before pretraining.
+
+    Scale: bigrams are built JVM-side (sequence + transform + slice —
+    no Python), then ONE shuffle on (doc_id, bigram) counts them and
+    one map-side-combined shuffle on doc_id folds counts into the two
+    fractions. Shuffle volume is O(distinct bigrams), not O(words);
+    both aggs partial-aggregate. The per-doc group is bounded by doc
+    length, so no key can outgrow an executor.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+    # guard single-word docs explicitly (DuckDB's generate_series(1,0)
+    # is empty, so both engines then agree: no bigrams, no row).
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.explode(grams).alias("bigram")
+    )
+    counts = exploded.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.col("cnt") - 1).alias("dup_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(F.col("top_cnt") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("dup_cnt") / F.col("n_bigrams"), 6).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+
+
+REPETITION_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         words[i] || ' ' || words[i + 1] AS bigram
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents),
+       LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)
+),
+counts AS (
+  SELECT doc_id, bigram, count(*) AS cnt FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       round(max(cnt) / sum(cnt), 6) AS top_bigram_frac,
+       round(sum(cnt - 1) / sum(cnt), 6) AS dup_bigram_frac
+FROM counts GROUP BY 1
+"""
+
+
 # Same computation restricted to the sorted-scan predicate; the oracle
 # reads the PLAIN table, so a hash match proves the sorted layout
 # round-trips values exactly.
@@ -854,6 +927,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_score": QuerySpec(text_quality_score, QUALITY_ORACLE),
     "text_quality_sorted_scan": QuerySpec(
         text_quality_sorted_scan, QUALITY_SORTED_ORACLE
+    ),
+    "text_repetition_metrics": QuerySpec(
+        text_repetition_metrics, REPETITION_ORACLE
     ),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_ORACLE),
     "text_langid": QuerySpec(text_langid, LANGID_ORACLE),
