@@ -643,7 +643,139 @@ FROM base b LEFT JOIN lsh_hit h USING (q_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) cell training — the iterative algorithm behind a
+# real IVF index, as pure DataFrame ops with an unrolled SQL oracle.
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2
+
+
+def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine (spherical k-means):
+    broadcast the K-row centroid table, rank per vector. Cosine is
+    rounded to 9 dp before ranking (both engines), cid breaks ties."""
+    cos = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("c_norm")), 9
+    )
+    ranked = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("cos", cos)
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("crank") == 1).select("vec_id", "v", "norm", "cid")
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean per cluster: posexplode → (cid, idx) partial
+    avg → re-assemble sorted. Components round to 9 dp so the next
+    assignment is summation-order-independent across engines."""
+    comp = assigned.select(
+        "cid", F.posexplode("v").alias("idx", "val")
+    ).groupBy("cid", "idx").agg(F.round(F.avg("val"), 9).alias("c"))
+    return (
+        comp.groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "c"))
+            ).alias("pairs")
+        )
+        .select(
+            "cid",
+            F.transform(F.col("pairs"), lambda p: p["c"]).alias("cv"),
+        )
+        .withColumn("c_norm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+
+
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of spherical k-means over the embedding
+    table (seeds = the first K vectors by vec_id), reporting final
+    cluster sizes and centroid norms — the training step that turns
+    the label-cell IVF into a real data-driven index.
+
+    Scale: each iteration is two shuffles — the assignment window on
+    vec_id, and the (cid, idx) mean, which partial-aggregates
+    map-side so the wire carries K×dim×partitions pre-combined sums,
+    not N×dim rows. The centroid table stays K rows and broadcasts;
+    iteration count is a fixed config (Lloyd converges in few rounds;
+    at 100 TB train on a sample, assign the full corpus once). The
+    oracle unrolls both iterations as CTEs — exact equivalence, not
+    rows-only.
+    """
+    v = _emb(spark, sf_dir)
+    cents = (
+        v.filter(F.col("vec_id") < K_CLUSTERS)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(v, cents))
+    final = _assign(v, cents)
+    return (
+        final.groupBy("cid")
+        .agg(F.count("*").alias("n_members"))
+        .join(F.broadcast(cents.select("cid", "c_norm")), "cid")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.round("c_norm", 6).alias("c_norm"),
+        )
+    )
+
+
+def _km_assign_sql(vrel: str, crel: str) -> str:
+    return f"""
+  SELECT vec_id, v, norm, cid FROM (
+    SELECT {vrel}.vec_id, {vrel}.v, {vrel}.norm, {crel}.cid,
+           row_number() OVER (PARTITION BY {vrel}.vec_id
+             ORDER BY round(list_inner_product({vrel}.v, {crel}.cv)
+                            / ({vrel}.norm * {crel}.c_norm), 9) DESC,
+                      {crel}.cid) AS crank
+    FROM {vrel} CROSS JOIN {crel}
+  ) WHERE crank = 1
+"""
+
+
+def _km_recompute_sql(arel: str) -> str:
+    return f"""
+  SELECT cid, list(c ORDER BY idx) AS cv,
+         sqrt(list_inner_product(list(c ORDER BY idx), list(c ORDER BY idx))) AS c_norm
+  FROM (
+    SELECT cid, CAST(t.i AS INT) AS idx, round(avg(v[t.i + 1]), 9) AS c
+    FROM {arel}, LATERAL unnest(range(0, len(v))) AS t(i)
+    GROUP BY cid, t.i
+  ) GROUP BY cid
+"""
+
+
+KMEANS_ORACLE = f"""
+WITH v AS ({_EMB_SQL}),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv, norm AS c_norm
+       FROM v WHERE vec_id < {K_CLUSTERS}),
+a1 AS ({_km_assign_sql('v', 'c0')}),
+c1 AS ({_km_recompute_sql('a1')}),
+a2 AS ({_km_assign_sql('v', 'c1')}),
+c2 AS ({_km_recompute_sql('a2')}),
+a3 AS ({_km_assign_sql('v', 'c2')})
+SELECT a3.cid, CAST(count(*) AS BIGINT) AS n_members,
+       round(any_value(c2.c_norm), 6) AS c_norm
+FROM a3 JOIN c2 ON a3.cid = c2.cid
+GROUP BY a3.cid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "kmeans_cluster_sizes": QuerySpec(kmeans_cluster_sizes, KMEANS_ORACLE),
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BF_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE),
