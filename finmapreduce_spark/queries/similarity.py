@@ -758,15 +758,18 @@ def _km_recompute_sql(arel: str) -> str:
 """
 
 
-KMEANS_ORACLE = f"""
-WITH v AS ({_EMB_SQL}),
+_KM_CTES = f"""v AS ({_EMB_SQL}),
 c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv, norm AS c_norm
        FROM v WHERE vec_id < {K_CLUSTERS}),
 a1 AS ({_km_assign_sql('v', 'c0')}),
 c1 AS ({_km_recompute_sql('a1')}),
 a2 AS ({_km_assign_sql('v', 'c1')}),
 c2 AS ({_km_recompute_sql('a2')}),
-a3 AS ({_km_assign_sql('v', 'c2')})
+a3 AS ({_km_assign_sql('v', 'c2')})"""
+
+
+KMEANS_ORACLE = f"""
+WITH {_KM_CTES}
 SELECT a3.cid, CAST(count(*) AS BIGINT) AS n_members,
        round(any_value(c2.c_norm), 6) AS c_norm
 FROM a3 JOIN c2 ON a3.cid = c2.cid
@@ -774,8 +777,82 @@ GROUP BY a3.cid
 """
 
 
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train→index→search chain: IVF top-k over the k-means
+    cells from kmeans_cluster_sizes instead of the given labels.
+
+    A query's probe cell IS its own final assignment (queries live in
+    the corpus here), so probing costs nothing extra; the cell search
+    is an equi join on cid — the same one-cell pruning as ann_ivf_topk
+    but against data-driven cells. Scale: identical plan shape to the
+    label IVF (broadcast centroids, cell equi join, per-query window);
+    training cost amortizes across every subsequent query batch.
+    """
+    v = _emb(spark, sf_dir)
+    cents = (
+        v.filter(F.col("vec_id") < K_CLUSTERS)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(v, cents))
+    assigned = _assign(v, cents)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("norm").alias("q_norm"),
+        F.col("cid").alias("probed_cid"),
+    )
+    cell = q.join(
+        assigned.filter(F.col("vec_id") >= N_QUERIES),
+        q.probed_cid == F.col("cid"),
+    )
+    cos = _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
+    ranked = cell.select(
+        "q_id",
+        F.col("probed_cid").cast("int").alias("probed_cid"),
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id", "probed_cid", F.col("rank").cast("int").alias("rank"),
+        "neighbor_id", F.round("cosine", 6).alias("cosine"),
+    )
+
+
+ANN_IVF_KMEANS_ORACLE = f"""
+WITH {_KM_CTES},
+q AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm, cid AS probed_cid
+      FROM a3 WHERE vec_id < {N_QUERIES}),
+cell AS (
+  SELECT q.q_id, q.probed_cid, e.vec_id AS neighbor_id,
+         list_inner_product(q.q_v, e.v) / (q.q_norm * e.norm) AS cosine
+  FROM q JOIN a3 e ON e.cid = q.probed_cid AND e.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cell
+)
+SELECT q_id, probed_cid, CAST(rank AS INT) AS rank, neighbor_id,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "kmeans_cluster_sizes": QuerySpec(kmeans_cluster_sizes, KMEANS_ORACLE),
+    "ann_ivf_kmeans_topk": QuerySpec(
+        ann_ivf_kmeans_topk, ANN_IVF_KMEANS_ORACLE
+    ),
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BF_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE),
