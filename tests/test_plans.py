@@ -245,3 +245,44 @@ def test_events_json_extract_no_python_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_avg" in plan
+
+
+def test_q21_single_lineitem_scan_no_self_join(spark, sf_dir):
+    """The q21 rewrite's whole point: the double EXISTS/NOT-EXISTS
+    must NOT become two extra lineitem self-joins — one scan of the
+    fact table, one set-valued per-order aggregate."""
+    plan = plan_of(QS["q21_sole_late_suppliers"].spark(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "lineitem self-join crept back"
+    assert "ObjectHashAggregate" in plan  # collect_set per order
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_dims_broadcast_fact_crosses_once(spark, sf_dir):
+    """part/supplier/nation broadcast; at most the orders join may
+    shuffle the fact table — never a dim sort-merge."""
+    plan = plan_of(QS["q9_product_profit"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l and "p_name" in l)
+    assert "StringContains" in pushed  # LIKE '%widget%' reaches the scan
+
+
+def test_q2_decorrelated_min_is_single_window_scan(spark, sf_dir):
+    """The correlated scalar-min subquery must decorrelate to ONE
+    window over one scan of the part-pruned lines — not an aggregate
+    plus a join back to a second scan."""
+    plan = plan_of(QS["q2_min_cost_supplier"].spark(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q20_window_over_preaggregated_pairs(spark, sf_dir):
+    """The per-part total is a window over the (part, supplier) AGG
+    output — raw lines never reach the window — and the qualifying
+    supplier set enters as a broadcast semi join."""
+    plan = plan_of(QS["q20_dominant_suppliers"].spark(spark, sf_dir))
+    assert "Window" in plan
+    assert "LeftSemi" in plan
+    # partial agg below the window's exchange: HashAggregate appears
+    # on the map side before any window node
+    assert plan.index("HashAggregate") < plan.index("Window")
