@@ -46,6 +46,11 @@ HEADLINE = [
     "text_token_topk",
     "text_tfidf_topk",
     "contamination_ngram_overlap",
+    # round-4 additions: the collapsed double-EXISTS, the Gopher
+    # repetition gate, and the iterative k-means trainer
+    "q21_sole_late_suppliers",
+    "text_repetition_metrics",
+    "kmeans_cluster_sizes",
 ]
 
 
