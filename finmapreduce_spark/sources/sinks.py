@@ -145,3 +145,55 @@ def save_corpus_sorted(
             .option("parquet.page.size.row.check.max", "10")
         )
     writer.parquet(path)
+
+
+def compact_signature_store(
+    spark,
+    store_dir: str,
+    target_files: int = 4,
+) -> dict:
+    """Periodic offline compaction for the incremental-dedup signature
+    store (the gap left open by serve_incremental_dedup_continuous:
+    every epoch APPENDS a small file, and a replayed epoch re-appends
+    identical rows — so the store accretes files and duplicates).
+
+    Rewrite = dropDuplicates on the logical key (doc_id, band_id, key)
+    → repartition to ``target_files`` on the probe key → sort within
+    files by key, so the rewritten row groups carry tight key min/max
+    and the store's point-probe joins (key equality) skip on footer
+    stats. The new store is written beside the old one and swapped in
+    with two directory renames — readers see either the old store or
+    the new one, never a half-written mix; the pre-compaction store is
+    kept at ``<store>.pre-compact`` until the caller deletes it.
+
+    Scale: this is the standard small-file compaction pattern — at
+    100 TB run it per key-range partition on a schedule; epoch appends
+    stay cheap and reads stay wide-file. Returns before/after file and
+    row counts so the scheduler can decide when compaction pays.
+    """
+    import glob
+    import shutil
+
+    files_before = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+    df = spark.read.parquet(store_dir)
+    rows_before = df.count()
+    compacted = (
+        df.dropDuplicates(["doc_id", "band_id", "key"])
+        .repartition(target_files, F.col("key"))
+        .sortWithinPartitions("key")
+    )
+    tmp_dir = store_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(tmp_dir)
+    rows_after = spark.read.parquet(tmp_dir).count()
+    old_dir = store_dir.rstrip("/") + ".pre-compact"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(store_dir, old_dir)
+    os.rename(tmp_dir, store_dir)
+    files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }

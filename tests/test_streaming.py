@@ -380,3 +380,64 @@ def test_continuous_dedup_store_grows_across_epochs(spark, tmp_path):
         for r in spark.read.parquet(str(store)).select("doc_id").distinct().collect()
     }
     assert stored_ids == {1, 100}
+
+
+def test_compact_signature_store_collapses_files_and_replays(spark, tmp_path):
+    """Compaction closes the continuous-ingest loop: many epoch-append
+    files (including a replayed epoch's duplicate rows) rewrite into
+    few key-sorted files with duplicates collapsed, the swap keeps a
+    rollback copy, and — the part that matters — incremental dedup
+    probed against the compacted store returns the SAME verdicts."""
+    import glob
+
+    from finmapreduce_spark.queries.dedup import (
+        band_signature_table,
+        incremental_verdicts,
+    )
+    from finmapreduce_spark.sources.sinks import compact_signature_store
+
+    store = str(tmp_path / "store")
+    docs = [
+        (i, " ".join(f"d{i}w{j}" for j in range(60))) for i in range(1, 6)
+    ]
+    for doc in docs:  # one append per epoch → one small file each
+        seed = spark.createDataFrame([doc], "doc_id long, text string")
+        band_signature_table(seed).coalesce(1).write.mode("append").parquet(store)
+    # replayed epoch: doc 3's rows land twice
+    replay = spark.createDataFrame([docs[2]], "doc_id long, text string")
+    band_signature_table(replay).coalesce(1).write.mode("append").parquet(store)
+
+    near_dup_of_2 = " ".join(f"d2w{j}" for j in range(58)) + " x y"
+    delta = spark.createDataFrame(
+        [(100, near_dup_of_2), (200, "totally fresh words only")],
+        "doc_id long, text string",
+    )
+    delta_sig = band_signature_table(delta).persist()
+    before = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_verdicts(
+            delta_sig, spark.read.parquet(store)
+        ).collect()
+    }
+
+    assert before.get(100) == "reject_near_dup" and 200 not in before
+
+    stats = compact_signature_store(spark, store, target_files=2)
+    assert stats["files_before"] >= 6
+    assert stats["files_after"] <= 2
+    assert stats["rows_after"] < stats["rows_before"]  # replay collapsed
+
+    after_df = spark.read.parquet(store)
+    assert after_df.count() == stats["rows_after"]
+    # logical content: distinct (doc_id, band_id, key) unchanged
+    assert (
+        after_df.select("doc_id", "band_id", "key").distinct().count()
+        == stats["rows_after"]
+    )
+    after = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_verdicts(delta_sig, after_df).collect()
+    }
+    assert after == before
+    # rollback copy kept
+    assert glob.glob(store + ".pre-compact/*.parquet")
