@@ -1188,6 +1188,61 @@ FROM orders GROUP BY 1
 """
 
 
+def histogram_equidepth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH decile histogram of o_totalprice: exact decile
+    cutpoints, then each row counts the cutpoints below it to find its
+    bucket — two passes, both ending in tiny aggregates.
+
+    Scale: exact percentile collects a sorted sample per partition —
+    fine for a cutpoint pass, but at 100 TB swap in percentile_approx
+    (error-bounded in tests) and the plan is otherwise unchanged: the
+    9-double cutpoint row broadcasts, bucketing is a narrow map, and
+    the final shuffle carries 10 rows. Cutpoint interpolation never
+    lands exactly on a data value here ((n-1)/10 is non-integral at
+    every SF), so bucket membership is engine-stable.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = orders.agg(
+        F.percentile("o_totalprice", F.lit(qs)).alias("cuts")
+    )
+    x = F.col("o_totalprice")
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(x > c, 1).otherwise(0),
+        )
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+EQUIDEPTH_ORACLE = """
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+  FROM orders
+)
+SELECT CAST(1 + len(list_filter(cs, c -> o_totalprice > c)) AS BIGINT)
+         AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Explicit GROUPING SETS with grouping_id — the third leg of the
 # rollup/cube family (arbitrary set lists, not just prefixes/powerset).
@@ -1261,5 +1316,8 @@ QUERIES: dict[str, QuerySpec] = {
     "events_json_extract": QuerySpec(events_json_extract, EVENTS_JSON_ORACLE),
     "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_ORACLE),
     "histogram_order_totals": QuerySpec(histogram_order_totals, HISTOGRAM_ORACLE),
+    "histogram_equidepth_orders": QuerySpec(
+        histogram_equidepth_orders, EQUIDEPTH_ORACLE
+    ),
     "a_grouping_sets": QuerySpec(a_grouping_sets, GROUPING_SETS_ORACLE),
 }
