@@ -908,12 +908,58 @@ SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM ranked WHERE rk <= {STRATUM_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling without RNG: Efraimidis–Spirakis exponential keys
+# over hash-derived uniforms. key = ln(u)/w with u = hash-uniform and
+# w = doc length; the top-k keys ARE a weight-proportional sample
+# without replacement — deterministic, reproducible across engines and
+# re-runs (no seed state to lose).
+# ---------------------------------------------------------------------------
+
+SAMPLE_WEIGHTED_K = 20
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} weight-proportional sample of documents (weight =
+    n_chars, so long docs are proportionally likelier — the standard
+    token-budget-aware corpus draw).
+
+    Scale: one narrow map computes the key, then a global top-k —
+    Spark plans orderBy+limit as TakeOrdered (per-partition heap +
+    driver merge of k×partitions rows), never a full sort. Keys round
+    to 9 dp with doc_id tiebreak so ln() ulp differences between libm
+    implementations cannot reorder the boundary.
+    """
+    docs = _docs(spark, sf_dir)
+    u = (_hash_bucket_expr(F.col("doc_id")) + 1) / F.lit(65537.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(SAMPLE_WEIGHTED_K)
+    )
+
+
+SAMPLE_WEIGHTED_ORACLE = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       round(ln(({SPLIT_SQL_BUCKET} + 1) / 65537.0) / n_chars, 9) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT {SAMPLE_WEIGHTED_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_pii_redact": QuerySpec(text_pii_redact, PII_ORACLE),
     "split_train_val": QuerySpec(split_train_val, SPLIT_ORACLE),
     "data_profile": QuerySpec(data_profile, PROFILE_ORACLE),
     "merge_upsert": QuerySpec(merge_upsert, MERGE_ORACLE),
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRAT_ORACLE),
+    "sample_weighted": QuerySpec(sample_weighted, SAMPLE_WEIGHTED_ORACLE),
     "text_token_topk": QuerySpec(text_token_topk, TOKEN_TOPK_ORACLE),
     "f9_xml_render": QuerySpec(f9_xml_render, _f9_oracle()),
     "f2_chunk_documents": QuerySpec(f2_chunk_documents, F2_ORACLE),
