@@ -234,7 +234,77 @@ GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension build: collapse each user's event_type stream into
+# type-2 history rows (valid_from / valid_to / version / is_current).
+# The standard warehouse pattern for "what was this entity's state at
+# time T" — built from an append-only event log in one pass.
+# ---------------------------------------------------------------------------
+
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension over (user_id, event_type):
+    only CHANGES open a new version (consecutive duplicates collapse);
+    each version carries [valid_from, valid_to) with valid_to = next
+    change's start, null/'current' on the open row.
+
+    Scale: both windows (change detection, then version numbering +
+    lead over the surviving changes) partition on user_id with the
+    same ordering, so Spark plans ONE shuffle and chains the Window
+    nodes; per-user state is one user's history, never global. The
+    change filter runs before the second window, so version numbering
+    works on the (much smaller) change set.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    out = (
+        changes.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_to_ts", F.lead("ts").over(w))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("version").cast("int").alias("version"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to_ts", fmt), F.lit("current")
+        ).alias("valid_to"),
+        F.col("valid_to_ts").isNull().alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT * FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       CAST(row_number() OVER w2 AS INT) AS version,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S'),
+                'current') AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scd2_event_type_history": QuerySpec(
+        scd2_event_type_history, SCD2_ORACLE
+    ),
     "asof_join_events": QuerySpec(asof_join_events, ASOF_ORACLE),
     "range_join_band_count": QuerySpec(range_join_band_count, RANGE_BAND_ORACLE),
     "sliding_window_revenue": QuerySpec(sliding_window_revenue, SLIDING_ORACLE),

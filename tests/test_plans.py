@@ -286,3 +286,20 @@ def test_q20_window_over_preaggregated_pairs(spark, sf_dir):
     # partial agg below the window's exchange: HashAggregate appears
     # on the map side before any window node
     assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Change-detection and version-numbering windows partition and
+    order identically, so the plan must contain exactly ONE shuffle —
+    chained Window nodes, not one per window."""
+    plan = plan_of(QS["scd2_event_type_history"].spark(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_sample_weighted_is_takeordered_not_sort(spark, sf_dir):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full global Sort."""
+    plan = plan_of(QS["sample_weighted"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
