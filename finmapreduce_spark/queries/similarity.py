@@ -848,8 +848,166 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance scoring: split the
+# vector into subspaces, k-means each subspace (reusing the Lloyd
+# machinery above), encode every vector as (cid per subspace), score
+# query→candidate from the per-query centroid dot tables — compressed-
+# domain search, the memory-side complement of IVF's pruning.
+# ---------------------------------------------------------------------------
+
+K_PQ = 4                       # centroids per subspace
+PQ_SUBS = [(1, 32), (33, 32)]  # (start, len), 1-based — dim 64 split in two
+
+
+def _pq_subspace(emb: DataFrame, start: int, length: int) -> DataFrame:
+    sub = F.slice(F.col("full_v"), start, length)
+    return emb.select(
+        "vec_id",
+        sub.alias("v"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k: one Lloyd iteration trains {K_PQ} centroids per
+    subspace; every corpus vector stores only its per-subspace code;
+    each query computes a {K_PQ}×{M} dot table once and candidates
+    score by TABLE LOOKUP — no full-vector arithmetic per pair.
+
+    Scale: the codes table is |corpus| × M ints (the compression),
+    centroid and query-dot tables are tiny broadcasts, so scoring is
+    two broadcast hash joins + arithmetic on scalars. Corpus vectors
+    are read once (train+encode); at 100 TB train on a sample and
+    encode in one narrow pass. approx_cosine is the cosine against
+    the candidate's reconstruction [c0; c1] — quality is bounded by
+    codebook size by construction, and the SQL oracle reproduces the
+    whole train→encode→lookup chain exactly.
+    """
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("v").alias("full_v"), F.col("norm").alias("full_norm")
+    )
+    cents_by_sub, codes_by_sub = [], []
+    for m, (start, length) in enumerate(PQ_SUBS):
+        sub = _pq_subspace(emb, start, length)
+        cents = sub.filter(F.col("vec_id") < K_PQ).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("c_norm"),
+        )
+        cents = _recompute(_assign(sub, cents))
+        codes = _assign(sub, cents).select(
+            "vec_id", F.col("cid").alias(f"cid{m}")
+        )
+        cents_by_sub.append(cents)
+        codes_by_sub.append(codes)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("full_v").alias("q_v"),
+        F.col("full_norm").alias("q_norm"),
+    )
+    qtabs = []
+    for m, (start, length) in enumerate(PQ_SUBS):
+        qsub = F.slice(F.col("q_v"), start, length)
+        qt = (
+            q.crossJoin(F.broadcast(cents_by_sub[m]))
+            .select(
+                "q_id",
+                *(["q_norm"] if m == 0 else []),
+                F.col("cid").alias(f"cid{m}"),
+                _dot(qsub, F.col("cv")).alias(f"qdot{m}"),
+                (F.col("c_norm") * F.col("c_norm")).alias(f"cn2_{m}"),
+            )
+        )
+        qtabs.append(qt)
+
+    cand = (
+        codes_by_sub[0]
+        .join(codes_by_sub[1], "vec_id")
+        .filter(F.col("vec_id") >= N_QUERIES)
+    )
+    scored = (
+        cand.join(F.broadcast(qtabs[0]), "cid0")
+        .join(F.broadcast(qtabs[1]), ["q_id", "cid1"])
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                (F.col("qdot0") + F.col("qdot1"))
+                / (F.col("q_norm") * F.sqrt(F.col("cn2_0") + F.col("cn2_1"))),
+                9,
+            ).alias("approx_cos"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(
+                F.desc("approx_cos"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        F.round("approx_cos", 6).alias("approx_cos"),
+    )
+
+
+def _pq_sub_sql(tag: str, lo: int, hi: int) -> str:
+    """CTE chain training one subspace: slice → seed → one Lloyd
+    iteration → final codes (reuses the generic assign/recompute SQL)."""
+    return f"""
+s{tag} AS (SELECT vec_id, v[{lo}:{hi}] AS v,
+                  sqrt(list_inner_product(v[{lo}:{hi}], v[{lo}:{hi}])) AS norm
+           FROM v),
+p{tag}c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv, norm AS c_norm
+             FROM s{tag} WHERE vec_id < {K_PQ}),
+p{tag}a1 AS ({_km_assign_sql(f's{tag}', f'p{tag}c0')}),
+p{tag}c1 AS ({_km_recompute_sql(f'p{tag}a1')}),
+p{tag}a2 AS ({_km_assign_sql(f's{tag}', f'p{tag}c1')})"""
+
+
+ANN_PQ_ORACLE = f"""
+WITH v AS ({_EMB_SQL}),
+{_pq_sub_sql('0', 1, 32)},
+{_pq_sub_sql('1', 33, 64)},
+q AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm FROM v
+      WHERE vec_id < {N_QUERIES}),
+qt0 AS (SELECT q_id, q_norm, cid AS cid0,
+               list_inner_product(q_v[1:32], cv) AS qdot0,
+               c_norm * c_norm AS cn2_0
+        FROM q CROSS JOIN p0c1),
+qt1 AS (SELECT q_id, cid AS cid1,
+               list_inner_product(q_v[33:64], cv) AS qdot1,
+               c_norm * c_norm AS cn2_1
+        FROM q CROSS JOIN p1c1),
+cand AS (SELECT a0.vec_id, a0.cid AS cid0, a1.cid AS cid1
+         FROM p0a2 a0 JOIN p1a2 a1 USING (vec_id)
+         WHERE a0.vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT qt0.q_id, cand.vec_id AS neighbor_id,
+         round((qdot0 + qdot1)
+               / (q_norm * sqrt(cn2_0 + cn2_1)), 9) AS approx_cos
+  FROM cand
+  JOIN qt0 ON cand.cid0 = qt0.cid0
+  JOIN qt1 ON qt1.q_id = qt0.q_id AND qt1.cid1 = cand.cid1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY approx_cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(approx_cos, 6) AS approx_cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "kmeans_cluster_sizes": QuerySpec(kmeans_cluster_sizes, KMEANS_ORACLE),
+    "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ORACLE),
     "ann_ivf_kmeans_topk": QuerySpec(
         ann_ivf_kmeans_topk, ANN_IVF_KMEANS_ORACLE
     ),
