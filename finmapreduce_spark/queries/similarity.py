@@ -582,6 +582,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ann_ivf_topk),
         ("ivf_mp", ann_ivf_multiprobe_topk),
         ("lsh", ann_lsh_topk),
+        ("pq", ann_pq_adc_topk),
     ):
         approx = fn(spark, sf_dir).select("q_id", "neighbor_id")
         hits = (
@@ -1002,6 +1003,25 @@ ranked AS (
 SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,
        round(approx_cos, 6) AS approx_cos
 FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# PQ joins the recall gate: splice its CTE + hit count + union leg
+# into the recall oracle (defined above, before PQ existed).
+ANN_RECALL_ORACLE = ANN_RECALL_ORACLE.replace(
+    "base AS (SELECT DISTINCT q_id FROM bf),",
+    f"pq AS (SELECT q_id, neighbor_id FROM ({ANN_PQ_ORACLE})),\n"
+    "base AS (SELECT DISTINCT q_id FROM bf),\n"
+    "pq_hit AS (\n"
+    "  SELECT p.q_id, count(*) AS hits FROM pq p\n"
+    "  JOIN bf USING (q_id, neighbor_id) GROUP BY 1\n"
+    "),",
+) + f"""
+UNION ALL
+SELECT b.q_id, 'pq' AS method,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.hits, 0) / {TOP_K}, 6) AS recall
+FROM base b LEFT JOIN pq_hit h USING (q_id)
 """
 
 
