@@ -807,7 +807,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("q_norm"),
         F.col("cid").alias("probed_cid"),
     )
-    cell = q.join(
+    # q derives from a window+filter, so Catalyst has no size stats —
+    # hint the broadcast explicitly or the tiny query set sort-merges
+    # against the corpus.
+    cell = F.broadcast(q).join(
         assigned.filter(F.col("vec_id") >= N_QUERIES),
         q.probed_cid == F.col("cid"),
     )

@@ -303,3 +303,28 @@ def test_sample_weighted_is_takeordered_not_sort(spark, sf_dir):
     plan = plan_of(QS["sample_weighted"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["kmeans_cluster_sizes", "ann_ivf_kmeans_topk"]
+)
+def test_ann_training_family_never_sort_merges(spark, sf_dir, name):
+    """Train and cell-search join only tiny relations (centroid
+    tables, the query set) against the corpus: a SortMergeJoin means
+    a broadcast was lost — window-derived sides have no stats, so the
+    implementations must HINT the broadcast explicitly."""
+    plan = plan_of(QS[name].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_only_corpus_codes_join_may_shuffle(spark, sf_dir):
+    """PQ's centroid and query-dot-table joins broadcast; the ONE
+    permitted shuffle join is codes0⋈codes1 — a corpus-sized self
+    join where co-partitioning is the correct plan at scale and a
+    broadcast would be the bug."""
+    plan = plan_of(QS["ann_pq_adc_topk"].spark(spark, sf_dir))
+    nodes = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "SortMergeJoin" in l
+    ]
+    assert len(nodes) <= 1, nodes
