@@ -12,8 +12,11 @@ Usage: python tools/compare.py [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 

@@ -10,7 +10,10 @@ trusting the timing.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from finmapreduce_spark.queries import all_queries
 from finmapreduce_spark.session import get_spark
