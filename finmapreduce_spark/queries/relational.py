@@ -410,6 +410,57 @@ WHERE rk <= 8
 """
 
 
+def w3_topk_per_group_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 twin with explicit partition-local pruning: each input
+    partition keeps only its own top-8 per group in one bounded Arrow
+    pass (state is O(|groups|×8) rows, merged batch by batch). Any row
+    in a group's global top-8 is in that group's top-8 within its own
+    partition (total order: price desc, key asc), so the prune is
+    lossless and the result — and oracle — are identical to
+    w3_topk_per_group.
+
+    Honesty note (measured, test_plans pins both): Spark ≥3.5 already
+    prunes the rank-filter window's exchange via
+    Sort(local) → WindowGroupLimit(Partial), so the plain w3 shuffles
+    ≤8/group/partition too. What this variant changes is the map side:
+    the JVM pushdown still SORTS each full partition (O(n log n),
+    spillable on wide rows); the bounded prune never materializes more
+    than |groups|×8 rows. It is the pattern to reach for when the
+    pushdown does not apply — rank keys the optimizer can't push
+    (UDF-scored ordering, per-group quotas that vary by key) — at the
+    price of one Arrow round-trip of the scan.
+    """
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+
+    def local_topk(batches):
+        best = None
+        for pdf in batches:
+            cand = pd.concat([best, pdf]) if best is not None else pdf
+            cand = cand.sort_values(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cand.groupby("o_orderpriority", sort=False).head(8)
+        if best is not None:
+            yield best
+
+    pruned = orders.mapInPandas(local_topk, orders.schema)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select("o_orderpriority", "rk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
 # W4: argmax per group (reference augment_finqa.py:138-160 —
 # best-match-per-sentence)
 
@@ -1303,6 +1354,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a_rollup_counts": QuerySpec(a_rollup_counts, ROLLUP_ORACLE),
     "w2_fixed_batches": QuerySpec(w2_fixed_batches, W2_ORACLE),
     "w3_topk_per_group": QuerySpec(w3_topk_per_group, W3_ORACLE),
+    "w3_topk_per_group_pruned": QuerySpec(w3_topk_per_group_pruned, W3_ORACLE),
     "w4_argmax_per_group": QuerySpec(w4_argmax_per_group, W4_ORACLE),
     "w6_preview": QuerySpec(w6_preview, W6_ORACLE),
     "setop_union_error_rows": QuerySpec(setop_union_error_rows, SETOP_UNION_ORACLE),

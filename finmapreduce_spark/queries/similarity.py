@@ -862,6 +862,7 @@ FROM ranked WHERE rank <= {TOP_K}
 
 K_PQ = 4                       # centroids per subspace
 PQ_SUBS = [(1, 32), (33, 32)]  # (start, len), 1-based — dim 64 split in two
+PQ_DIM = 64
 
 
 def _pq_subspace(emb: DataFrame, start: int, length: int) -> DataFrame:
@@ -872,28 +873,21 @@ def _pq_subspace(emb: DataFrame, start: int, length: int) -> DataFrame:
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ top-k: one Lloyd iteration trains {K_PQ} centroids per
-    subspace; every corpus vector stores only its per-subspace code;
-    each query computes a {K_PQ}×{M} dot table once and candidates
-    score by TABLE LOOKUP — no full-vector arithmetic per pair.
-
-    Scale: the codes table is |corpus| × M ints (the compression),
-    centroid and query-dot tables are tiny broadcasts, so scoring is
-    two broadcast hash joins + arithmetic on scalars. Corpus vectors
-    are read once (train+encode); at 100 TB train on a sample and
-    encode in one narrow pass. approx_cosine is the cosine against
-    the candidate's reconstruction [c0; c1] — quality is bounded by
-    codebook size by construction, and the SQL oracle reproduces the
-    whole train→encode→lookup chain exactly.
-    """
+def _pq_topk(
+    spark: SparkSession, sf_dir: str, k_pq: int, subs: list
+) -> DataFrame:
+    """Parameterized PQ/ADC search: `k_pq` centroids per subspace over
+    the `subs` slices. The plan shape is identical for every config —
+    codes fold-join on vec_id, per-query dot tables broadcast, score
+    by table lookup — so tuning (k_pq, |subs|) moves only codebook
+    size, never the shuffle structure."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("v").alias("full_v"), F.col("norm").alias("full_norm")
     )
     cents_by_sub, codes_by_sub = [], []
-    for m, (start, length) in enumerate(PQ_SUBS):
+    for m, (start, length) in enumerate(subs):
         sub = _pq_subspace(emb, start, length)
-        cents = sub.filter(F.col("vec_id") < K_PQ).select(
+        cents = sub.filter(F.col("vec_id") < k_pq).select(
             F.col("vec_id").cast("int").alias("cid"),
             F.col("v").alias("cv"),
             F.col("norm").alias("c_norm"),
@@ -911,7 +905,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("full_norm").alias("q_norm"),
     )
     qtabs = []
-    for m, (start, length) in enumerate(PQ_SUBS):
+    for m, (start, length) in enumerate(subs):
         qsub = F.slice(F.col("q_v"), start, length)
         qt = (
             q.crossJoin(F.broadcast(cents_by_sub[m]))
@@ -925,23 +919,22 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qtabs.append(qt)
 
-    cand = (
-        codes_by_sub[0]
-        .join(codes_by_sub[1], "vec_id")
-        .filter(F.col("vec_id") >= N_QUERIES)
-    )
-    scored = (
-        cand.join(F.broadcast(qtabs[0]), "cid0")
-        .join(F.broadcast(qtabs[1]), ["q_id", "cid1"])
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                (F.col("qdot0") + F.col("qdot1"))
-                / (F.col("q_norm") * F.sqrt(F.col("cn2_0") + F.col("cn2_1"))),
-                9,
-            ).alias("approx_cos"),
-        )
+    cand = codes_by_sub[0]
+    for codes in codes_by_sub[1:]:
+        cand = cand.join(codes, "vec_id")
+    cand = cand.filter(F.col("vec_id") >= N_QUERIES)
+
+    scored = cand.join(F.broadcast(qtabs[0]), "cid0")
+    for m in range(1, len(subs)):
+        scored = scored.join(F.broadcast(qtabs[m]), ["q_id", f"cid{m}"])
+    qdot_sum = sum(F.col(f"qdot{m}") for m in range(len(subs)))
+    cn2_sum = sum(F.col(f"cn2_{m}") for m in range(len(subs)))
+    scored = scored.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            qdot_sum / (F.col("q_norm") * F.sqrt(cn2_sum)), 9
+        ).alias("approx_cos"),
     )
     ranked = scored.withColumn(
         "rank",
@@ -957,6 +950,81 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round("approx_cos", 6).alias("approx_cos"),
     )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k: one Lloyd iteration trains {K_PQ} centroids per
+    subspace; every corpus vector stores only its per-subspace code;
+    each query computes a {K_PQ}×{M} dot table once and candidates
+    score by TABLE LOOKUP — no full-vector arithmetic per pair.
+
+    Scale: the codes table is |corpus| × M ints (the compression),
+    centroid and query-dot tables are tiny broadcasts, so scoring is
+    two broadcast hash joins + arithmetic on scalars. Corpus vectors
+    are read once (train+encode); at 100 TB train on a sample and
+    encode in one narrow pass. approx_cosine is the cosine against
+    the candidate's reconstruction [c0; c1] — quality is bounded by
+    codebook size by construction, and the SQL oracle reproduces the
+    whole train→encode→lookup chain exactly.
+    """
+    return _pq_topk(spark, sf_dir, K_PQ, PQ_SUBS)
+
+
+def _pq_split(n_subs: int) -> list:
+    """Equal 1-based (start, len) slices of the {PQ_DIM}-dim vector."""
+    length = PQ_DIM // n_subs
+    return [(1 + m * length, length) for m in range(n_subs)]
+
+
+def pick_pq_config(
+    spark: SparkSession,
+    sf_dir: str,
+    target_recall: float,
+    configs: list | None = None,
+) -> dict:
+    """PQ codebook sizing (ROADMAP round-4 #3): walk (k_pq, n_subs)
+    configs in increasing code-size order, measure recall@{k} against
+    the persisted brute-force truth, stop at the first config clearing
+    the target. Returns the chosen config plus the measured curve —
+    the number that licenses the compressed path at a given budget.
+
+    Code size per vector is n_subs × log2(k_pq) bits; the walk order
+    is by that cost, so "chosen" is the cheapest codebook meeting the
+    SLO (or the largest tried when unreachable — the honest fallback).
+    Same budget argument as pick_n_probes: each step is one bounded
+    distributed evaluation on the query sample; truth is computed once.
+    """
+    import math
+
+    if configs is None:
+        configs = [(4, 2), (8, 2), (4, 4), (8, 4), (16, 4), (16, 8)]
+    configs = sorted(configs, key=lambda c: c[1] * math.log2(c[0]))
+    bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    bf = bf.persist()
+    n_q = bf.select("q_id").distinct().count()
+    curve = {}
+    chosen = configs[-1]
+    for k_pq, n_subs in configs:
+        approx = _pq_topk(spark, sf_dir, k_pq, _pq_split(n_subs)).select(
+            "q_id", "neighbor_id"
+        )
+        hits = approx.join(bf, ["q_id", "neighbor_id"]).count()
+        recall = hits / (n_q * TOP_K)
+        curve[(k_pq, n_subs)] = round(recall, 6)
+        if recall >= target_recall:
+            chosen = (k_pq, n_subs)
+            break
+    bf.unpersist()
+    return {
+        "k_pq": chosen[0],
+        "n_subspaces": chosen[1],
+        "code_bits": int(chosen[1] * math.log2(chosen[0])),
+        "target": target_recall,
+        "curve": {f"k{k}x{m}": r for (k, m), r in curve.items()},
+    }
+
+
+pick_pq_config.__doc__ = pick_pq_config.__doc__.format(k=TOP_K)
 
 
 def _pq_sub_sql(tag: str, lo: int, hi: int) -> str:

@@ -64,6 +64,34 @@ def test_asof_join_is_window_not_join(spark, sf_dir):
     assert plan.count("EqualTo(event_type,") >= 2
 
 
+def test_topk_window_gets_partial_group_limit(spark, sf_dir):
+    """The rank-filter window must keep Catalyst's map-side prune:
+    Sort(local) -> WindowGroupLimit(Partial) BEFORE the exchange, so
+    the shuffle carries <=k rows per group per partition, not the fact
+    table. Losing this (e.g., by rewriting the filter so the pushdown
+    no longer fires) is a 100-TB regression that results can't see."""
+    plan = plan_of(QS["w3_topk_per_group"].spark(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    # partial limit sits below the exchange: tree prints top-down, so
+    # the FIRST WindowGroupLimit line is the final one, the second the
+    # partial one under the Exchange
+    tree = plan[: plan.index("(1) Scan")]
+    lines = [l for l in tree.splitlines() if "WindowGroupLimit" in l or "Exchange" in l]
+    assert [("Exchange" in l) for l in lines] == [False, True, False]
+
+
+def test_topk_pruned_variant_single_exchange_after_arrow_prune(spark, sf_dir):
+    """The explicit bounded prune: scan reaches MapInPandas with no
+    exchange; the single exchange in the plan sits above it."""
+    plan = plan_of(QS["w3_topk_per_group_pruned"].spark(spark, sf_dir))
+    assert "MapInPandas" in plan
+    tree = plan[: plan.index("(1) Scan")]
+    assert tree.count("Exchange") == 1
+    # MapInPandas is deeper in the tree (printed later) than the Exchange
+    assert tree.index("Exchange") < tree.index("MapInPandas")
+
+
 def test_band_join_is_hash_join(spark, sf_dir):
     """Bucket blocking must turn the time-band inequality into an
     equi hash join; the inequality only post-filters candidates."""

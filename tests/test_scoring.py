@@ -62,3 +62,38 @@ def test_pick_n_probes_monotone_and_meets_target(spark, sf_dir):
         assert curve[out["n_probes"]] >= 0.25
     else:
         assert out["n_probes"] == 4
+
+
+def test_pick_pq_config_walks_code_size_and_meets_target(spark, sf_dir):
+    """Round-4 #3: the PQ tuner walks codebook configs in increasing
+    code-size order, the parameterized builder reproduces the default
+    catalog config exactly, and the chosen config clears the target
+    (or is the largest tried when unreachable on this data)."""
+    from finmapreduce_spark.queries.similarity import (
+        K_PQ,
+        PQ_SUBS,
+        _pq_split,
+        _pq_topk,
+        ann_pq_adc_topk,
+        pick_pq_config,
+    )
+
+    # the parameterized builder at the default config IS the catalog query
+    assert _pq_split(2) == PQ_SUBS
+    a = ann_pq_adc_topk(spark, sf_dir).collect()
+    b = _pq_topk(spark, sf_dir, K_PQ, _pq_split(2)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    configs = [(4, 2), (16, 4)]
+    out = pick_pq_config(spark, sf_dir, target_recall=0.2, configs=configs)
+    assert set(out["curve"]) <= {"k4x2", "k16x4"}
+    assert (out["k_pq"], out["n_subspaces"]) in configs
+    if out["curve"].get("k4x2", 0.0) >= 0.2:
+        assert (out["k_pq"], out["n_subspaces"]) == (4, 2)
+        assert out["code_bits"] == 4
+    else:
+        assert (out["k_pq"], out["n_subspaces"]) == (16, 4)
+        assert out["code_bits"] == 16
+    # measured recall of the chosen config is recorded in the curve
+    tag = f"k{out['k_pq']}x{out['n_subspaces']}"
+    assert tag in out["curve"]
