@@ -51,6 +51,9 @@ HEADLINE = [
     "q21_sole_late_suppliers",
     "text_repetition_metrics",
     "kmeans_cluster_sizes",
+    # round-5: span-level exact dedup (explode→group→in-row pairs→
+    # diagonal-chain windows — a plan shape nothing else covers)
+    "dedup_duplicate_passages",
 ]
 
 

@@ -20,7 +20,7 @@ north star.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from finmapreduce_spark.queries import QuerySpec
@@ -716,6 +716,172 @@ FROM verdicts WHERE max_jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-passage detection: exact substring-level dedup (the span
+# analogue of Lee et al. 2022's suffix-array dedup, re-expressed as a
+# shingle-hash diagonal chain — pure DataFrame ops, no suffix arrays).
+# Document-level near-dup (above) misses the boilerplate CASE: two
+# distinct documents sharing one long verbatim passage. This finds the
+# maximal shared spans themselves.
+# ---------------------------------------------------------------------------
+
+PASSAGE_K = 6        # words per positional shingle
+PASSAGE_MAX_DF = 10  # hot-shingle guard: drop grams in > this many docs
+PASSAGE_MIN_RUN = 2  # >= this many chained shingles (>= K+1 words)
+
+
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document verbatim passages: positional {k}-word
+    shingles → hash self-join across documents → chain consecutive
+    matches along each (doc_a, doc_b, pa−pb) DIAGONAL into maximal
+    spans (island detection: pa − row_number is constant within a
+    run), emit spans of ≥ {r} chained shingles with the passage text
+    sliced back out of the source document.
+
+    Scale: the position table is |tokens| rows but narrow (doc, pos,
+    hash-long), scanned ONCE — one groupBy on the 64-bit gram hash
+    collects each gram's occurrences, the classic df-cap (drop grams
+    in > {df} docs) doing double duty as boilerplate-noise filter AND
+    skew guard (the hottest keys are exactly the ones the cap
+    removes), and cross-document pairs are generated in-row from the
+    bounded occurrence list — no position-table self-join at all.
+    Matched pairs, not the corpus, hit the window; the diagonal trick
+    makes span merge one shuffle on (doc_a, doc_b, diag) with no
+    self-join of spans. Spark groups hash longs (xxhash64) while the
+    oracle joins gram strings — results agree unless 64-bit hashes
+    collide, the same contract the contamination audit uses.
+    """
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    n = F.size("words")
+    idx = F.sequence(F.lit(1), n - F.lit(PASSAGE_K - 1))
+    # hash every word once, then gram-hash K longs per position instead
+    # of building a K-word string (A/B at sf0.1: parity — gram hashing
+    # is not the bottleneck — but the long path never materializes
+    # per-position strings, which matters as words grow). Gram
+    # equality == equality of the K word hashes.
+    wh = w.filter(n >= PASSAGE_K).select(
+        "doc_id",
+        "words",
+        F.transform("words", lambda x: F.xxhash64(x)).alias("words_h"),
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.xxhash64(
+                *[
+                    F.element_at(F.col("words_h"), i + F.lit(j))
+                    for j in range(PASSAGE_K)
+                ]
+            ).alias("h"),
+        ),
+    )
+    sh = wh.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    # One groupBy(h) replaces both the df-cap join AND the self-join:
+    # each gram's occurrence list is collected once, the df cap filters
+    # the row, and cross-document pairs are generated IN-ROW by a
+    # nested array transform — the corpus is scanned once and the only
+    # pair-generation shuffle is the groupBy itself. The occurrence
+    # list is bounded by the df cap × within-doc repeats (a gram
+    # repeated pathologically inside one document would need a
+    # per-doc-occurrence cap too; the synthetic corpus — and real text
+    # after the df cap — keeps lists tiny).
+    occ = (
+        sh.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occs"))
+        .filter(
+            F.size(F.array_distinct(F.transform("occs", lambda o: o["doc_id"])))
+            .between(2, PASSAGE_MAX_DF)
+        )
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "occs",
+                lambda x: F.transform(
+                    "occs",
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        x["pos"].alias("pa"),
+                        y["doc_id"].alias("doc_b"),
+                        y["pos"].alias("pb"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    pairs = (
+        occ.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.pa", "p.doc_b", "p.pb")
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    wnd = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = pairs.withColumn("grp", F.col("pa") - F.row_number().over(wnd))
+    spans = (
+        islands.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            F.count("*").alias("run"),
+        )
+        .filter(F.col("run") >= PASSAGE_MIN_RUN)
+        .withColumn("n_words", (F.col("run") + F.lit(PASSAGE_K - 1)).cast("long"))
+    )
+    return spans.join(w, spans.doc_a == w.doc_id).select(
+        "doc_a",
+        "doc_b",
+        "a_start",
+        "b_start",
+        "n_words",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("words"),
+                F.col("a_start").cast("int"),
+                F.col("n_words").cast("int"),
+            ),
+        ).alias("passage"),
+    )
+
+
+dedup_duplicate_passages.__doc__ = dedup_duplicate_passages.__doc__.format(
+    k=PASSAGE_K, r=PASSAGE_MIN_RUN, df=PASSAGE_MAX_DF
+)
+
+
+DEDUP_PASSAGES_ORACLE = f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+           FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(words[i:i+{PASSAGE_K - 1}], ' ') AS g
+  FROM w, LATERAL unnest(range(1, greatest(0, len(words) - {PASSAGE_K - 1}) + 1)) AS t(i)
+),
+ok AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) <= {PASSAGE_MAX_DF}),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  WHERE a.g IN (SELECT g FROM ok)
+),
+isl AS (SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        FROM p),
+sp AS (
+  SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start, count(*) AS run
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) >= {PASSAGE_MIN_RUN}
+)
+SELECT s.doc_a, s.doc_b, s.a_start, s.b_start,
+       CAST(s.run + {PASSAGE_K - 1} AS BIGINT) AS n_words,
+       array_to_string(w.words[s.a_start : s.a_start + s.run + {PASSAGE_K - 2}], ' ') AS passage
+FROM sp s JOIN w ON w.doc_id = s.doc_a
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
@@ -730,5 +896,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ml_minhash_lsh": QuerySpec(dedup_ml_minhash_lsh, None),
     "dedup_incremental_vs_history": QuerySpec(
         dedup_incremental_vs_history, DEDUP_INCREMENTAL_ORACLE
+    ),
+    "dedup_duplicate_passages": QuerySpec(
+        dedup_duplicate_passages, DEDUP_PASSAGES_ORACLE
     ),
 }
