@@ -730,29 +730,15 @@ PASSAGE_MAX_DF = 10  # hot-shingle guard: drop grams in > this many docs
 PASSAGE_MIN_RUN = 2  # >= this many chained shingles (>= K+1 words)
 
 
-def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal cross-document verbatim passages: positional {k}-word
-    shingles → hash self-join across documents → chain consecutive
-    matches along each (doc_a, doc_b, pa−pb) DIAGONAL into maximal
-    spans (island detection: pa − row_number is constant within a
-    run), emit spans of ≥ {r} chained shingles with the passage text
-    sliced back out of the source document.
-
-    Scale: the position table is |tokens| rows but narrow (doc, pos,
-    hash-long), scanned ONCE — one groupBy on the 64-bit gram hash
-    collects each gram's occurrences, the classic df-cap (drop grams
-    in > {df} docs) doing double duty as boilerplate-noise filter AND
-    skew guard (the hottest keys are exactly the ones the cap
-    removes), and cross-document pairs are generated in-row from the
-    bounded occurrence list — no position-table self-join at all.
-    Matched pairs, not the corpus, hit the window; the diagonal trick
-    makes span merge one shuffle on (doc_a, doc_b, diag) with no
-    self-join of spans. Spark groups hash longs (xxhash64) while the
-    oracle joins gram strings — results agree unless 64-bit hashes
-    collide, the same contract the contamination audit uses.
-    """
+def _passage_words(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    w = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    return docs.select("doc_id", _words(F.col("text")).alias("words"))
+
+
+def _passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span table (doc_a, doc_b, a_start, b_start, n_words) shared by
+    the passage report (text sliced back out) and the coverage op."""
+    w = _passage_words(spark, sf_dir)
     n = F.size("words")
     idx = F.sequence(F.lit(1), n - F.lit(PASSAGE_K - 1))
     # hash every word once, then gram-hash K longs per position instead
@@ -831,6 +817,33 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run") >= PASSAGE_MIN_RUN)
         .withColumn("n_words", (F.col("run") + F.lit(PASSAGE_K - 1)).cast("long"))
     )
+    return spans.select("doc_a", "doc_b", "a_start", "b_start", "n_words")
+
+
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document verbatim passages: positional {k}-word
+    shingles → one gram-hash groupBy with in-row cross-doc pair
+    generation → chain consecutive matches along each
+    (doc_a, doc_b, pa−pb) DIAGONAL into maximal spans (island
+    detection: pa − row_number is constant within a run), emit spans
+    of ≥ {r} chained shingles with the passage text sliced back out
+    of the source document.
+
+    Scale: the position table is |tokens| rows but narrow (doc, pos,
+    hash-long), scanned ONCE — one groupBy on the 64-bit gram hash
+    collects each gram's occurrences, the classic df-cap (drop grams
+    in > {df} docs) doing double duty as boilerplate-noise filter AND
+    skew guard (the hottest keys are exactly the ones the cap
+    removes), and cross-document pairs are generated in-row from the
+    bounded occurrence list — no position-table self-join at all.
+    Matched pairs, not the corpus, hit the window; the diagonal trick
+    makes span merge one shuffle on (doc_a, doc_b, diag) with no
+    self-join of spans. Spark groups hash longs (xxhash64) while the
+    oracle joins gram strings — results agree unless 64-bit hashes
+    collide, the same contract the contamination audit uses.
+    """
+    spans = _passage_spans(spark, sf_dir)
+    w = _passage_words(spark, sf_dir)
     return spans.join(w, spans.doc_a == w.doc_id).select(
         "doc_a",
         "doc_b",
@@ -882,6 +895,92 @@ FROM sp s JOIN w ON w.doc_id = s.doc_a
 """
 
 
+def dedup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage coverage: take every detected
+    span on BOTH of its sides, union the (possibly overlapping) word
+    intervals per document with one interval-sweep window (running
+    max-end over earlier starts → island ids → per-island extents),
+    and report covered_words / total_words. This is the signal a
+    keep/trim policy acts on — a doc that is 80% shared boilerplate
+    is a removal candidate even when no WHOLE-document near-dup fires.
+
+    Scale: input is the span table (already tiny relative to the
+    corpus); the sweep is one shuffle on doc_id and the two windows
+    share its sort. Interval union via running-max is order-correct
+    for any overlap structure; ties are deterministic (order by
+    start, end). Total words joins back to the corpus scan — the only
+    full-corpus cost, a narrow projection.
+    """
+    spans = _passage_spans(spark, sf_dir)
+    a = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("a_start").alias("s"),
+        (F.col("a_start") + F.col("n_words") - 1).alias("e"),
+    )
+    b = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("n_words") - 1).alias("e"),
+    )
+    iv = a.unionByName(b)
+    wnd = W.partitionBy("doc_id").orderBy("s", "e")
+    swept = iv.withColumn(
+        "pme", F.max("e").over(wnd.rowsBetween(W.unboundedPreceding, -1))
+    ).withColumn(
+        "ni",
+        F.when(F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1).otherwise(0),
+    ).withColumn(
+        "isl", F.sum("ni").over(wnd.rowsBetween(W.unboundedPreceding, 0))
+    )
+    islands = swept.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    cov = islands.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered_words")
+    )
+    totals = _passage_words(spark, sf_dir).select(
+        "doc_id", F.size("words").cast("long").alias("total_words")
+    )
+    return cov.join(totals, "doc_id").select(
+        "doc_id",
+        "total_words",
+        F.col("covered_words").cast("long").alias("covered_words"),
+        F.round(F.col("covered_words") / F.col("total_words"), 6).alias("coverage"),
+    )
+
+
+DEDUP_COVERAGE_ORACLE = f"""
+WITH spans AS ({DEDUP_PASSAGES_ORACLE}),
+iv AS (
+  SELECT doc_a AS doc_id, a_start AS s, a_start + n_words - 1 AS e FROM spans
+  UNION ALL
+  SELECT doc_b AS doc_id, b_start AS s, b_start + n_words - 1 AS e FROM spans
+),
+swept AS (
+  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+),
+marked AS (
+  SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM swept
+),
+numbered AS (
+  SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM marked
+),
+islands AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM numbered GROUP BY 1, 2),
+cov AS (SELECT doc_id, sum(e - s + 1) AS covered_words FROM islands GROUP BY 1),
+tot AS (SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS total_words
+        FROM documents)
+SELECT c.doc_id, CAST(t.total_words AS BIGINT) AS total_words,
+       CAST(c.covered_words AS BIGINT) AS covered_words,
+       round(c.covered_words / t.total_words, 6) AS coverage
+FROM cov c JOIN tot t ON t.doc_id = c.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
@@ -899,5 +998,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_duplicate_passages": QuerySpec(
         dedup_duplicate_passages, DEDUP_PASSAGES_ORACLE
+    ),
+    "dedup_passage_coverage": QuerySpec(
+        dedup_passage_coverage, DEDUP_COVERAGE_ORACLE
     ),
 }
