@@ -716,6 +716,101 @@ FROM verdicts WHERE max_jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def pick_lsh_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    target_recall: float,
+    configs: list | None = None,
+) -> dict:
+    """Multi-band LSH tuning: walk (bands × rows) layouts of the
+    {n}-hash MinHash signature from strictest to loosest, measure
+    candidate-pair recall against exact-Jaccard truth (pairs with
+    J ≥ {t}), stop at the first layout clearing the target. Returns
+    the chosen layout plus the measured (recall, candidate-count)
+    curve — candidates ARE the verification workload, so the tuner
+    picks the cheapest layout meeting the recall SLO.
+
+    The doubling chain 1×8 ⊆ 2×4 ⊆ 4×2 ⊆ 8×1 nests candidate sets
+    (all 8 hashes equal ⇒ both 4-row bands equal ⇒ …), so recall and
+    cost are provably monotone along the default walk — pinned by
+    test. Truth is all-pairs exact Jaccard on the tuning sample (the
+    same bounded-evaluation budget as the ANN tuners: at 100 TB tune
+    on a few thousand docs, apply the layout to the corpus).
+    """
+    if configs is None:
+        configs = [(1, 8), (2, 4), (4, 2), (8, 1)]
+    docs = with_shingles(_docs(spark, sf_dir))
+    sig = docs.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
+        *_minhash_cols(F.col("shingles")),
+    ).persist()
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(jac >= F.lit(JACCARD_THRESHOLD))
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_truth = truth.count()
+    curve = {}
+    chosen = configs[-1]
+    for nb, nr in configs:
+        bands = [
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh_{j}") for j in range(i * nr, (i + 1) * nr)],
+                    )
+                ).alias("key"),
+            )
+            for i in range(nb)
+        ]
+        buckets = sig.select(
+            "doc_id", F.explode(F.array(*bands)).alias("bb")
+        ).select("doc_id", "bb.band_id", "bb.key")
+        cand = (
+            buckets.alias("l")
+            .join(
+                buckets.alias("r"),
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates()
+        )
+        n_cand = cand.count()
+        hits = cand.join(truth, ["doc_a", "doc_b"]).count()
+        recall = hits / n_truth if n_truth else 1.0
+        curve[f"{nb}x{nr}"] = {"recall": round(recall, 6), "candidates": n_cand}
+        if recall >= target_recall:
+            chosen = (nb, nr)
+            break
+    sig.unpersist()
+    truth.unpersist()
+    return {
+        "bands": chosen[0],
+        "rows": chosen[1],
+        "target": target_recall,
+        "n_truth": n_truth,
+        "curve": curve,
+    }
+
+
+pick_lsh_bands.__doc__ = pick_lsh_bands.__doc__.format(
+    n=N_HASHES, t=JACCARD_THRESHOLD
+)
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-passage detection: exact substring-level dedup (the span
 # analogue of Lee et al. 2022's suffix-array dedup, re-expressed as a

@@ -97,3 +97,23 @@ def test_pick_pq_config_walks_code_size_and_meets_target(spark, sf_dir):
     # measured recall of the chosen config is recorded in the curve
     tag = f"k{out['k_pq']}x{out['n_subspaces']}"
     assert tag in out["curve"]
+
+
+def test_pick_lsh_bands_nested_monotone(spark, sf_dir):
+    """Round-5: along the doubling chain 1x8 ⊆ 2x4 ⊆ 4x2 ⊆ 8x1 the
+    candidate sets nest, so recall AND candidate count are monotone
+    non-decreasing; the chosen layout clears the target (or is the
+    loosest when unreachable)."""
+    from finmapreduce_spark.queries.dedup import pick_lsh_bands
+
+    out = pick_lsh_bands(spark, sf_dir, target_recall=2.0)  # force full walk
+    curve = [out["curve"][f"{nb}x{nr}"] for nb, nr in [(1, 8), (2, 4), (4, 2), (8, 1)]]
+    recalls = [c["recall"] for c in curve]
+    cands = [c["candidates"] for c in curve]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert out["n_truth"] > 0
+    # unreachable target -> loosest layout returned
+    assert (out["bands"], out["rows"]) == (8, 1)
+    out2 = pick_lsh_bands(spark, sf_dir, target_recall=recalls[0])
+    assert (out2["bands"], out2["rows"]) == (1, 8)  # strictest suffices
