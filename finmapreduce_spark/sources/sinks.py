@@ -147,6 +147,83 @@ def save_corpus_sorted(
     writer.parquet(path)
 
 
+def save_events_zorder(
+    df: DataFrame,
+    path: str,
+    x_col: str = "user_id",
+    y_col: str = "ts",
+    bits: int = 12,
+    n_files: int = 4,
+    mode: str = "overwrite",
+    row_group_bytes: int | None = None,
+) -> None:
+    """Z-order (Morton-curve) layout: TWO-dimensional range pruning
+    from one physical sort. Both columns are min/max-scaled to
+    ``bits``-bit ranks, their bits interleaved into a z-value, and
+    rows range-partitioned + sorted by it — so row groups cover small
+    axis-aligned RECTANGLES of the (x, y) plane and carry tight
+    footer min/max on BOTH columns. A single-key sorted layout prunes
+    range scans on that key and nothing else; the z-layout prunes on
+    either dimension (neither as tightly as a dedicated sort — the
+    measured trade is pinned in tests/test_sources.py).
+
+    Scale: the layout job is one range shuffle on the z-value
+    (repartitionByRange samples it) + local sorts; the rank scaling
+    needs one tiny min/max agg up front. At 100 TB this is the
+    write-once cost that every later user-range OR time-range scan
+    amortizes — the same bargain as save_corpus_sorted, paid on two
+    dimensions at once. The z column is dropped before write;
+    projection after sort preserves row order.
+    """
+    lo_hi = df.agg(
+        F.min(F.col(x_col).cast("double")).alias("xmin"),
+        F.max(F.col(x_col).cast("double")).alias("xmax"),
+        F.min(F.col(y_col).cast("double")).alias("ymin"),
+        F.max(F.col(y_col).cast("double")).alias("ymax"),
+    ).first()
+
+    def rank(col, lo, hi):
+        span = (hi - lo) or 1.0
+        r = F.floor((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(2**bits))
+        return F.least(F.lit(2**bits - 1), r).cast("long")
+
+    xr = rank(F.col(x_col), lo_hi["xmin"], lo_hi["xmax"])
+    yr = rank(F.col(y_col), lo_hi["ymin"], lo_hi["ymax"])
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(xr, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(yr, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.mode(mode)
+    if row_group_bytes is not None:
+        writer = (
+            writer.option("parquet.block.size", str(row_group_bytes))
+            .option("parquet.page.size.row.check.min", "10")
+            .option("parquet.page.size.row.check.max", "10")
+        )
+    # INT96 timestamps (Spark's legacy parquet encoding) carry NO
+    # row-group min/max stats — which defeats the entire layout when
+    # y_col is a timestamp. Force the stats-bearing encoding for this
+    # write and restore the session's setting after.
+    spark = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
 def compact_signature_store(
     spark,
     store_dir: str,
