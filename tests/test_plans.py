@@ -92,6 +92,84 @@ def test_topk_pruned_variant_single_exchange_after_arrow_prune(spark, sf_dir):
     assert tree.index("Exchange") < tree.index("MapInPandas")
 
 
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """The 100-TB lever for selective fact×dim joins that cannot
+    broadcast: Spark's runtime bloom filter builds a filter from the
+    dim side's join keys and prunes fact rows BEFORE the shuffle
+    (might_contain on the fact scan). Locally the fact scan is far
+    under the 10 GB applicationSideScanSizeThreshold, so the test
+    zeroes it — at production scale the default threshold fires on
+    its own. Pins both halves of the mechanism (bloom_filter_agg on
+    the creation side, might_contain on the application side) and
+    result equality with the unfiltered plan."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from finmapreduce_spark.session import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast would subsume it
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+
+    def query():
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+
+    baseline = query().collect()
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = query()
+        plan = plan_of(df)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, baseline))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_corpus(spark, sf_dir, tmp_path):
+    """Joining the lang-partitioned corpus layout against a dim whose
+    lang set is only known at runtime (filtered on another attribute)
+    must prune partitions DYNAMICALLY — the scan's PartitionFilters
+    carries a dynamicpruning subquery fed by the dim. This is how a
+    corpus join touches 3 of 30 language dirs at 100 TB without the
+    query author listing them."""
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.sources.sinks import save_corpus
+
+    out = str(tmp_path / "corpus_dpp")
+    save_corpus(read_table(spark, sf_dir, "documents"), out)
+    part = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("en", "EU"), ("de", "EU"), ("fr", "EU"), ("es", "NA"), ("zh", "APAC")],
+        "lang string, region string",
+    ).filter("region = 'EU'")
+    j = part.join(dim, "lang").groupBy("lang").count()
+    plan = plan_of(j)
+    assert "dynamicpruningexpression" in plan
+    assert j.count() > 0
+
+
 def test_band_join_is_hash_join(spark, sf_dir):
     """Bucket blocking must turn the time-band inequality into an
     equi hash join; the inequality only post-filters candidates."""
