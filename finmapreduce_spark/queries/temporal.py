@@ -301,9 +301,56 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def events_range_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats for (user_id < 10 AND first 3 days) routed
+    through the production Z-ORDER layout: a ``save_events_zorder``
+    copy read back with both predicates.
+
+    Scale: the Morton layout gives this scan row-group skipping on
+    BOTH predicates at once (measured touch ratios pinned in
+    tests/test_sources.py); a single-key sort would serve only one of
+    them. This catalog entry pins end-to-end correctness of the
+    adopted path — the oracle reads the plain events table, so any
+    row lost or duplicated by the layout round-trip hash-mismatches.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from finmapreduce_spark.sources.sinks import save_events_zorder
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"fmr_zorder_events_{tag}")
+    save_events_zorder(ev, path, row_group_bytes=256 * 1024)
+    back = spark.read.parquet(path).filter(
+        (F.col("user_id") < 10) & (F.col("ts") < F.lit("2024-01-04"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+ZORDER_SCAN_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id < 10 AND ts < TIMESTAMP '2024-01-04'
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "scd2_event_type_history": QuerySpec(
         scd2_event_type_history, SCD2_ORACLE
+    ),
+    "events_range_zorder_scan": QuerySpec(
+        events_range_zorder_scan, ZORDER_SCAN_ORACLE
     ),
     "asof_join_events": QuerySpec(asof_join_events, ASOF_ORACLE),
     "range_join_band_count": QuerySpec(range_join_band_count, RANGE_BAND_ORACLE),
