@@ -472,3 +472,88 @@ QUERIES.update(
         "bm25_retrieval_topk": QuerySpec(bm25_retrieval_topk, BM25_ORACLE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# The composed corpus-preparation DAG: dedup keep-list ∘ quality gate ∘
+# passage-coverage trim → per-language data card. Each stage exists as
+# its own catalog query; this entry pins that they COMPOSE into one
+# Catalyst plan (shared scans, pushed predicates) and that the final
+# corpus a trainer would consume is value-identical to the SQL chain.
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.5       # quality-gate floor (text_quality_score units)
+COVERAGE_TRIM = 0.5     # drop docs > this duplicated-passage fraction
+
+
+def training_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language data card of the prepared training corpus:
+    survivors of (exact + near dedup keep-list) ∩ (quality ≥ {q}) ∖
+    (passage coverage > {c}), with doc counts, total words, and mean
+    quality — the one-look summary a pretraining run starts from.
+
+    Scale: this is deliberately a COMPOSITION of catalog operators
+    (dedup_keep_list, text_quality_score, dedup_passage_coverage) —
+    the engine's building blocks chain into one Catalyst plan without
+    materialization barriers. The keep-list's anti-joins, the quality
+    projection, and the coverage sweep each keep their pinned plan
+    shapes; the final agg is a partial+final groupBy on lang.
+    """
+    from finmapreduce_spark.queries.dedup import (
+        dedup_keep_list,
+        dedup_passage_coverage,
+    )
+    from finmapreduce_spark.queries.textops import text_quality_score
+
+    keep = dedup_keep_list(spark, sf_dir)
+    qual = text_quality_score(spark, sf_dir).filter(
+        F.col("quality") >= QUALITY_MIN
+    )
+    trim = dedup_passage_coverage(spark, sf_dir).filter(
+        F.col("coverage") > COVERAGE_TRIM
+    )
+    survivors = (
+        keep.join(qual, "doc_id")
+        .join(trim.select("doc_id"), "doc_id", "left_anti")
+    )
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+training_corpus_report.__doc__ = training_corpus_report.__doc__.format(
+    q=QUALITY_MIN, c=COVERAGE_TRIM
+)
+
+
+def _corpus_report_oracle() -> str:
+    from finmapreduce_spark.queries.dedup import (
+        DEDUP_COVERAGE_ORACLE,
+        DEDUP_KEEP_ORACLE,
+    )
+    from finmapreduce_spark.queries.textops import QUALITY_ORACLE
+
+    return f"""
+WITH keep AS ({DEDUP_KEEP_ORACLE}),
+qual AS ({QUALITY_ORACLE}),
+cov AS ({DEDUP_COVERAGE_ORACLE})
+SELECT k.lang, count(*) AS n_docs,
+       CAST(sum(q.n_words) AS BIGINT) AS total_words,
+       round(avg(q.quality), 6) AS avg_quality
+FROM keep k
+JOIN qual q USING (doc_id)
+WHERE q.quality >= {QUALITY_MIN}
+  AND k.doc_id NOT IN (SELECT doc_id FROM cov WHERE coverage > {COVERAGE_TRIM})
+GROUP BY k.lang
+"""
+
+
+QUERIES.update(
+    {
+        "training_corpus_report": QuerySpec(
+            training_corpus_report, _corpus_report_oracle()
+        ),
+    }
+)
