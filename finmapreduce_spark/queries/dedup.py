@@ -830,22 +830,23 @@ def _passage_words(spark, sf_dir):
     return docs.select("doc_id", _words(F.col("text")).alias("words"))
 
 
-def _passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span table (doc_a, doc_b, a_start, b_start, n_words) shared by
-    the passage report (text sliced back out) and the coverage op."""
-    w = _passage_words(spark, sf_dir)
-    n = F.size("words")
-    idx = F.sequence(F.lit(1), n - F.lit(PASSAGE_K - 1))
-    # hash every word once, then gram-hash K longs per position instead
-    # of building a K-word string (A/B at sf0.1: parity — gram hashing
-    # is not the bottleneck — but the long path never materializes
-    # per-position strings, which matters as words grow). Gram
-    # equality == equality of the K word hashes.
-    wh = w.filter(n >= PASSAGE_K).select(
+def passage_gram_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, h): positional {k}-word gram hashes — narrow ops
+    only (split/transform/explode), so it runs identically over a
+    static corpus, the incoming half of a batch split, or a streaming
+    micro-batch (the incremental twin in streaming/pipeline.py reuses
+    it verbatim). Words are hashed once, then each gram hashes K longs
+    per position instead of building a K-word string (A/B at sf0.1:
+    parity — gram hashing is not the bottleneck — but the long path
+    never materializes per-position strings, which matters as words
+    grow). Gram equality == equality of the K word hashes."""
+    w = docs.select("doc_id", _words(F.col(text_col)).alias("words"))
+    wh = w.filter(F.size("words") >= PASSAGE_K).select(
         "doc_id",
-        "words",
         F.transform("words", lambda x: F.xxhash64(x)).alias("words_h"),
     )
+    n = F.size("words_h")
+    idx = F.sequence(F.lit(1), n - F.lit(PASSAGE_K - 1))
     grams = F.transform(
         idx,
         lambda i: F.struct(
@@ -858,9 +859,18 @@ def _passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         ),
     )
-    sh = wh.select("doc_id", F.explode(grams).alias("g")).select(
+    return wh.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
     )
+
+
+passage_gram_table.__doc__ = passage_gram_table.__doc__.format(k=PASSAGE_K)
+
+
+def _passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span table (doc_a, doc_b, a_start, b_start, n_words) shared by
+    the passage report (text sliced back out) and the coverage op."""
+    sh = passage_gram_table(_docs(spark, sf_dir))
     # One groupBy(h) replaces both the df-cap join AND the self-join:
     # each gram's occurrence list is collected once, the df cap filters
     # the row, and cross-document pairs are generated IN-ROW by a
@@ -1076,6 +1086,110 @@ FROM cov c JOIN tot t ON t.doc_id = c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental passage dedup: probe newly ingested docs against the
+# persisted gram store (the passage-level twin of the band-signature
+# incremental near-dup above).
+# ---------------------------------------------------------------------------
+
+def passage_gram_store(docs: DataFrame, max_df: int = PASSAGE_MAX_DF) -> DataFrame:
+    """History gram store with the df-cap applied AT BUILD: grams in
+    > max_df history docs are dropped (boilerplate filter + probe-join
+    skew guard). As the store accretes appended epochs the cap drifts
+    (a gram can cross the threshold after build); re-apply it at
+    compaction, exactly like the band-signature store's compaction
+    collapses replayed epochs."""
+    g = passage_gram_table(docs)
+    ok = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    return g.join(ok, "h")
+
+
+def incremental_passage_spans(
+    incoming_grams: DataFrame, store_grams: DataFrame
+) -> DataFrame:
+    """Maximal verbatim spans each incoming doc shares with history:
+    equi join on the gram hash (incoming is a DELTA, so cost is
+    |delta grams| × store hit rate), then the same diagonal-chain
+    island merge as the batch passage op, partitioned by
+    (doc_id, hist_id, diag). Shared verbatim by the batch catalog
+    query and the streaming foreachBatch twin."""
+    inc = incoming_grams.select("doc_id", F.col("pos").alias("pa"), "h")
+    hist = store_grams.select(
+        F.col("doc_id").alias("hist_id"), F.col("pos").alias("pb"), "h"
+    )
+    pairs = inc.join(hist, "h").withColumn("diag", F.col("pa") - F.col("pb"))
+    wnd = W.partitionBy("doc_id", "hist_id", "diag").orderBy("pa")
+    islands = pairs.withColumn("grp", F.col("pa") - F.row_number().over(wnd))
+    return (
+        islands.groupBy("doc_id", "hist_id", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            F.count("*").alias("run"),
+        )
+        .filter(F.col("run") >= PASSAGE_MIN_RUN)
+        .select(
+            "doc_id",
+            "hist_id",
+            "a_start",
+            "b_start",
+            (F.col("run") + F.lit(PASSAGE_K - 1)).cast("long").alias("n_words"),
+        )
+    )
+
+
+def dedup_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which passages of the incoming batch (doc_id % {m} == 0) are
+    verbatim copies from the existing corpus — the ingest-time
+    complement of dedup_duplicate_passages, for trimming or
+    provenance-tagging newly crawled docs against what the corpus
+    already contains. Incoming grams probe the df-capped history
+    store; per-ingest cost is |delta| × store hit rate, never a
+    corpus self-join."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    incoming = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    return incremental_passage_spans(
+        passage_gram_table(incoming), passage_gram_store(history)
+    )
+
+
+dedup_incremental_passages.__doc__ = dedup_incremental_passages.__doc__.format(
+    m=INGEST_MOD
+)
+
+
+DEDUP_INC_PASSAGES_ORACLE = f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+           FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(words[i:i+{PASSAGE_K - 1}], ' ') AS g
+  FROM w, LATERAL unnest(range(1, greatest(0, len(words) - {PASSAGE_K - 1}) + 1)) AS t(i)
+),
+inc AS (SELECT * FROM sh WHERE doc_id % {INGEST_MOD} = 0),
+hist AS (SELECT * FROM sh WHERE doc_id % {INGEST_MOD} <> 0),
+ok AS (SELECT g FROM hist GROUP BY g HAVING count(DISTINCT doc_id) <= {PASSAGE_MAX_DF}),
+p AS (
+  SELECT i.doc_id, h.doc_id AS hist_id, i.pos AS pa, h.pos AS pb,
+         i.pos - h.pos AS diag
+  FROM inc i JOIN hist h ON i.g = h.g
+  WHERE i.g IN (SELECT g FROM ok)
+),
+isl AS (SELECT *, pa - row_number() OVER (PARTITION BY doc_id, hist_id, diag ORDER BY pa) AS grp
+        FROM p)
+SELECT doc_id, hist_id, min(pa) AS a_start, min(pb) AS b_start,
+       CAST(count(*) + {PASSAGE_K - 1} AS BIGINT) AS n_words
+FROM isl GROUP BY doc_id, hist_id, diag, grp
+HAVING count(*) >= {PASSAGE_MIN_RUN}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
@@ -1096,5 +1210,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_passage_coverage": QuerySpec(
         dedup_passage_coverage, DEDUP_COVERAGE_ORACLE
+    ),
+    "dedup_incremental_passages": QuerySpec(
+        dedup_incremental_passages, DEDUP_INC_PASSAGES_ORACLE
     ),
 }

@@ -137,6 +137,49 @@ def serve_incremental_dedup(
     )
 
 
+def serve_incremental_passages(
+    incoming_docs: DataFrame,
+    gram_store: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous ingest PASSAGE dedup: each micro-batch of incoming
+    documents is gram-hashed (narrow ops) and probed against the
+    STATIC df-capped gram store; maximal shared spans append as JSON.
+    The batch twin is queries/dedup.py::dedup_incremental_passages —
+    both call the same passage_gram_table / incremental_passage_spans
+    helpers, so stream and batch produce identical spans for
+    identical inputs (twin-tested in tests/test_streaming.py).
+
+    Scale: per-trigger cost is |batch grams| × store hit rate — the
+    store side of the join is the persisted table, the delta side is
+    bounded by maxFilesPerTrigger. Admitted docs' grams append back
+    to the store per epoch in the continuous variant of this pattern
+    (see serve_incremental_dedup_continuous for the epoch-append +
+    compaction lifecycle, which applies unchanged here)."""
+    from finmapreduce_spark.queries.dedup import (
+        incremental_passage_spans,
+        passage_gram_table,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = incremental_passage_spans(
+            passage_gram_table(batch_df), gram_store
+        )
+        (
+            spans.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .json(out_dir)
+        )
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
 
 def windowed_event_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window rollup over a (possibly late)

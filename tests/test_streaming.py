@@ -258,6 +258,69 @@ def test_latency_characterization_reports_percentiles(spark):
     assert rep["trigger_exec_ms"]["p50"] > 0
 
 
+def test_streaming_incremental_passages_match_batch_twin(spark, sf_dir, tmp_path):
+    """Round-5: incoming docs streamed through serve_incremental_
+    passages produce EXACTLY the spans the batch operator computes for
+    the same split — stream and batch share passage_gram_table /
+    incremental_passage_spans, and this pins it."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.dedup import (
+        INGEST_MOD,
+        incremental_passage_spans,
+        passage_gram_table,
+        passage_gram_store,
+    )
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.streaming.pipeline import serve_incremental_passages
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    store = passage_gram_store(history).persist()
+
+    want = sorted(
+        map(
+            tuple,
+            incremental_passage_spans(
+                passage_gram_table(incoming), store
+            ).collect(),
+        )
+    )
+    assert want, "twin test is vacuous with no shared passages"
+
+    landing = tmp_path / "p_landing"
+    landing.mkdir()
+    rows = [r.asDict() for r in incoming.collect()]
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(landing / f"batch_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "p_out"
+    q = serve_incremental_passages(
+        stream, store, str(out), str(tmp_path / "p_ckpt")
+    ).start()
+    q.awaitTermination()
+
+    got_df = spark.read.json(str(out))
+    got = sorted(
+        tuple(r)
+        for r in got_df.select(
+            "doc_id", "hist_id", "a_start", "b_start", "n_words"
+        ).collect()
+    )
+    assert got == want
+    store.unpersist()
+
+
 def test_streaming_incremental_dedup_matches_batch_twin(spark, sf_dir, tmp_path):
     """Round-2 #3: incoming docs streamed through serve_incremental_
     dedup produce EXACTLY the verdicts the batch operator computes for
