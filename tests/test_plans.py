@@ -92,6 +92,15 @@ def test_topk_pruned_variant_single_exchange_after_arrow_prune(spark, sf_dir):
     assert tree.index("Exchange") < tree.index("MapInPandas")
 
 
+def test_passage_text_join_broadcasts_spans(spark, sf_dir):
+    """The passage report's slice-back join must broadcast the tiny
+    span table onto the corpus scan — a sort-merge here would shuffle
+    the full corpus to decorate a few hundred spans."""
+    plan = plan_of(QS["dedup_duplicate_passages"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     """The 100-TB lever for selective fact×dim joins that cannot
     broadcast: Spark's runtime bloom filter builds a filter from the
