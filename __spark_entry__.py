@@ -17,9 +17,49 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
 
 from finmapreduce_spark.queries import all_queries  # noqa: E402
+
+# The driver imports this file from an UNKNOWN cwd with its own plain
+# SparkSession. The sys.path insert above fixes the DRIVER process,
+# but Python WORKERS spawned by the executors inherit neither it nor
+# the driver's cwd — so any mapInPandas/pandas_udf stage would die
+# with ModuleNotFoundError unless the package is shipped to workers.
+# addPyFile(zip) once per SparkContext makes every worker able to
+# import finmapreduce_spark regardless of where the driver ran from.
+_shipped: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if id(sc) in _shipped:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"finmapreduce_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        pkg = os.path.join(_REPO_DIR, "finmapreduce_spark")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, _REPO_DIR))
+    sc.addPyFile(zpath)
+    _shipped.add(id(sc))
+
+
+def _cwd_proof(fn: Callable[[SparkSession, str], DataFrame]):
+    def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return call
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,12 +67,13 @@ def entry(spark: SparkSession) -> DataFrame:
     on /root/testdata/sf0.001; driver checks rows>0."""
     from finmapreduce_spark.queries.relational import q1_pricing_summary
 
+    _ensure_workers_can_import(spark)
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in all_queries().items()}
+    return {name: _cwd_proof(spec.spark) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
