@@ -823,6 +823,7 @@ pick_lsh_bands.__doc__ = pick_lsh_bands.__doc__.format(
 PASSAGE_K = 6        # words per positional shingle
 PASSAGE_MAX_DF = 10  # hot-shingle guard: drop grams in > this many docs
 PASSAGE_MIN_RUN = 2  # >= this many chained shingles (>= K+1 words)
+PASSAGE_MAX_OCC = 5  # per-(gram, doc) occurrence cap: first N positions
 
 
 def _passage_words(spark, sf_dir):
@@ -867,25 +868,64 @@ def passage_gram_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 passage_gram_table.__doc__ = passage_gram_table.__doc__.format(k=PASSAGE_K)
 
 
+def _capped_occurrences(grams: DataFrame) -> DataFrame:
+    """(h, doc_id, poss): each gram's positions within each doc, capped
+    at the FIRST ``PASSAGE_MAX_OCC`` (ascending pos — deterministic and
+    SQL-reproducible as row_number over (g, doc) order by pos). The cap
+    is the second bound the df-cap alone doesn't give: a gram repeated
+    pathologically INSIDE one document (machine-generated logs, OCR
+    stutter) would otherwise grow every downstream occurrence list by
+    the repeat count. On clean text the cap is a no-op (the synthetic
+    corpus' max within-doc repeat is 1 — measured at sf0.01)."""
+    return grams.groupBy("h", "doc_id").agg(
+        F.slice(F.sort_array(F.collect_list("pos")), 1, PASSAGE_MAX_OCC).alias(
+            "poss"
+        )
+    )
+
+
 def _passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span table (doc_a, doc_b, a_start, b_start, n_words) shared by
     the passage report (text sliced back out) and the coverage op."""
-    sh = passage_gram_table(_docs(spark, sf_dir))
-    # One groupBy(h) replaces both the df-cap join AND the self-join:
-    # each gram's occurrence list is collected once, the df cap filters
-    # the row, and cross-document pairs are generated IN-ROW by a
-    # nested array transform — the corpus is scanned once and the only
-    # pair-generation shuffle is the groupBy itself. The occurrence
-    # list is bounded by the df cap × within-doc repeats (a gram
-    # repeated pathologically inside one document would need a
-    # per-doc-occurrence cap too; the synthetic corpus — and real text
-    # after the df cap — keeps lists tiny).
+    return passage_spans_of(_docs(spark, sf_dir))
+
+
+def passage_spans_of(docs: DataFrame) -> DataFrame:
+    """Cross-document span detection over an arbitrary docs frame
+    (doc_id, text) — the core of the passage family, factored out so
+    tests can drive it with pathological corpora."""
+    sh = passage_gram_table(docs)
+    # Every collected list is now bounded by CONSTANTS: the per-doc
+    # occurrence cap bounds each (h, doc) list at PASSAGE_MAX_OCC, and
+    # the df pre-filter (a count-only agg, fully map-side partial, then
+    # a semi-join shape) keeps hot corpus-wide grams from ever reaching
+    # the per-gram collect — so the final occurrence row is at most
+    # MAX_DF × MAX_OCC entries regardless of corpus pathology. Pairs
+    # are still generated IN-ROW from that bounded list — no
+    # position-table self-join at any point.
+    per = _capped_occurrences(sh)
+    ok = (
+        per.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, PASSAGE_MAX_DF))
+        .select("h")
+    )
     occ = (
-        sh.groupBy("h")
-        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occs"))
-        .filter(
-            F.size(F.array_distinct(F.transform("occs", lambda o: o["doc_id"])))
-            .between(2, PASSAGE_MAX_DF)
+        per.join(ok, "h")
+        .groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "poss")).alias("docs"))
+        .select(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda d: F.transform(
+                        d["poss"],
+                        lambda p: F.struct(
+                            d["doc_id"].alias("doc_id"), p.alias("pos")
+                        ),
+                    ),
+                )
+            ).alias("occs")
         )
     )
     pair_arr = F.filter(
@@ -974,10 +1014,16 @@ dedup_duplicate_passages.__doc__ = dedup_duplicate_passages.__doc__.format(
 DEDUP_PASSAGES_ORACLE = f"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
            FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
          array_to_string(words[i:i+{PASSAGE_K - 1}], ' ') AS g
   FROM w, LATERAL unnest(range(1, greatest(0, len(words) - {PASSAGE_K - 1}) + 1)) AS t(i)
+),
+sh AS (
+  SELECT doc_id, pos, g FROM (
+    SELECT doc_id, pos, g,
+           row_number() OVER (PARTITION BY g, doc_id ORDER BY pos) AS rn
+    FROM sh0) WHERE rn <= {PASSAGE_MAX_OCC}
 ),
 ok AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) <= {PASSAGE_MAX_DF}),
 p AS (
@@ -998,6 +1044,30 @@ SELECT s.doc_a, s.doc_b, s.a_start, s.b_start,
        array_to_string(w.words[s.a_start : s.a_start + s.run + {PASSAGE_K - 2}], ' ') AS passage
 FROM sp s JOIN w ON w.doc_id = s.doc_a
 """
+
+
+def interval_union_coverage(iv: DataFrame) -> DataFrame:
+    """(doc_id, covered_words) from possibly-overlapping word intervals
+    (doc_id, s, e): one interval-sweep — running max-end over earlier
+    starts marks island opens, a running sum numbers islands, per-island
+    extents sum. One shuffle on doc_id; the two windows share its sort.
+    Shared by the batch coverage op and the streaming ingest admit
+    policy (serve_incremental_passages_continuous)."""
+    wnd = W.partitionBy("doc_id").orderBy("s", "e")
+    swept = iv.withColumn(
+        "pme", F.max("e").over(wnd.rowsBetween(W.unboundedPreceding, -1))
+    ).withColumn(
+        "ni",
+        F.when(F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1).otherwise(0),
+    ).withColumn(
+        "isl", F.sum("ni").over(wnd.rowsBetween(W.unboundedPreceding, 0))
+    )
+    islands = swept.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    return islands.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered_words")
+    )
 
 
 def dedup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1027,22 +1097,7 @@ def dedup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_start").alias("s"),
         (F.col("b_start") + F.col("n_words") - 1).alias("e"),
     )
-    iv = a.unionByName(b)
-    wnd = W.partitionBy("doc_id").orderBy("s", "e")
-    swept = iv.withColumn(
-        "pme", F.max("e").over(wnd.rowsBetween(W.unboundedPreceding, -1))
-    ).withColumn(
-        "ni",
-        F.when(F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1).otherwise(0),
-    ).withColumn(
-        "isl", F.sum("ni").over(wnd.rowsBetween(W.unboundedPreceding, 0))
-    )
-    islands = swept.groupBy("doc_id", "isl").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    )
-    cov = islands.groupBy("doc_id").agg(
-        F.sum(F.col("e") - F.col("s") + 1).alias("covered_words")
-    )
+    cov = interval_union_coverage(a.unionByName(b))
     totals = _passage_words(spark, sf_dir).select(
         "doc_id", F.size("words").cast("long").alias("total_words")
     )
@@ -1093,20 +1148,23 @@ FROM cov c JOIN tot t ON t.doc_id = c.doc_id
 # ---------------------------------------------------------------------------
 
 def passage_gram_store(docs: DataFrame, max_df: int = PASSAGE_MAX_DF) -> DataFrame:
-    """History gram store with the df-cap applied AT BUILD: grams in
+    """History gram store with BOTH caps applied AT BUILD: grams in
     > max_df history docs are dropped (boilerplate filter + probe-join
-    skew guard). As the store accretes appended epochs the cap drifts
+    skew guard), and each kept gram carries at most PASSAGE_MAX_OCC
+    positions per doc. As the store accretes appended epochs the cap drifts
     (a gram can cross the threshold after build); re-apply it at
     compaction, exactly like the band-signature store's compaction
     collapses replayed epochs."""
-    g = passage_gram_table(docs)
+    per = _capped_occurrences(passage_gram_table(docs))
     ok = (
-        g.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        per.groupBy("h")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_df)
         .select("h")
     )
-    return g.join(ok, "h")
+    return per.join(ok, "h").select(
+        "doc_id", F.explode("poss").alias("pos"), "h"
+    )
 
 
 def incremental_passage_spans(
@@ -1117,8 +1175,14 @@ def incremental_passage_spans(
     |delta grams| × store hit rate), then the same diagonal-chain
     island merge as the batch passage op, partitioned by
     (doc_id, hist_id, diag). Shared verbatim by the batch catalog
-    query and the streaming foreachBatch twin."""
-    inc = incoming_grams.select("doc_id", F.col("pos").alias("pa"), "h")
+    query and the streaming foreachBatch twin. Both sides carry the
+    per-doc occurrence cap (the store at build, the incoming delta
+    here) so the probe join's fan-out per gram hash is bounded by
+    PASSAGE_MAX_OCC² × store df regardless of input pathology."""
+    inc = (
+        _capped_occurrences(incoming_grams)
+        .select("doc_id", F.explode("poss").alias("pa"), "h")
+    )
     hist = store_grams.select(
         F.col("doc_id").alias("hist_id"), F.col("pos").alias("pb"), "h"
     )
@@ -1167,10 +1231,16 @@ dedup_incremental_passages.__doc__ = dedup_incremental_passages.__doc__.format(
 DEDUP_INC_PASSAGES_ORACLE = f"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
            FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
          array_to_string(words[i:i+{PASSAGE_K - 1}], ' ') AS g
   FROM w, LATERAL unnest(range(1, greatest(0, len(words) - {PASSAGE_K - 1}) + 1)) AS t(i)
+),
+sh AS (
+  SELECT doc_id, pos, g FROM (
+    SELECT doc_id, pos, g,
+           row_number() OVER (PARTITION BY g, doc_id ORDER BY pos) AS rn
+    FROM sh0) WHERE rn <= {PASSAGE_MAX_OCC}
 ),
 inc AS (SELECT * FROM sh WHERE doc_id % {INGEST_MOD} = 0),
 hist AS (SELECT * FROM sh WHERE doc_id % {INGEST_MOD} <> 0),
