@@ -274,3 +274,80 @@ def compact_signature_store(
         "rows_before": rows_before,
         "rows_after": rows_after,
     }
+
+
+def compact_gram_store(
+    spark,
+    store_dir: str,
+    target_files: int = 4,
+    max_df: int | None = None,
+) -> dict:
+    """Periodic offline compaction for the passage GRAM store — the
+    lifecycle twin of compact_signature_store, closing the gap
+    passage_gram_store's docstring leaves open: per-epoch appends can
+    only apply the per-doc occurrence cap (the df cap needs the WHOLE
+    store), so as epochs accrete (a) replayed epochs duplicate rows,
+    (b) small files pile up, and (c) grams DRIFT past the df cap as
+    more docs carrying them are admitted.
+
+    Rewrite = dropDuplicates on (doc_id, pos, h) → re-apply BOTH caps
+    exactly as passage_gram_store does at build (so the invariant
+    ``compact(store) == passage_gram_store(admitted docs)`` holds — the
+    compaction test pins it) → repartition to ``target_files`` on the
+    probe key h → sort within files by h for tight row-group min/max on
+    the probe join. Atomic directory swap with a ``.pre-compact``
+    rollback copy, same as the signature store.
+
+    Scale: run per key-range partition on a schedule; the df
+    re-application is two count-only aggs + a semi join — no list
+    collection grows with store size.
+    """
+    import glob
+    import shutil
+
+    from finmapreduce_spark.queries.dedup import (
+        PASSAGE_MAX_DF,
+        PASSAGE_MAX_OCC,
+    )
+
+    if max_df is None:
+        max_df = PASSAGE_MAX_DF
+    files_before = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+    df = spark.read.parquet(store_dir)
+    rows_before = df.count()
+    per = (
+        df.dropDuplicates(["doc_id", "pos", "h"])
+        .groupBy("h", "doc_id")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("pos")), 1, PASSAGE_MAX_OCC).alias(
+                "poss"
+            )
+        )
+    )
+    ok = (
+        per.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    compacted = (
+        per.join(ok, "h")
+        .select("doc_id", F.explode("poss").alias("pos"), "h")
+        .repartition(target_files, F.col("h"))
+        .sortWithinPartitions("h")
+    )
+    tmp_dir = store_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(tmp_dir)
+    rows_after = spark.read.parquet(tmp_dir).count()
+    old_dir = store_dir.rstrip("/") + ".pre-compact"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(store_dir, old_dir)
+    os.rename(tmp_dir, store_dir)
+    files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }

@@ -181,6 +181,88 @@ def serve_incremental_passages(
     )
 
 
+def serve_incremental_passages_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_coverage: float = 0.5,
+):
+    """Continuous ingest PASSAGE dedup with a LIVE gram store — the
+    passage-level twin of serve_incremental_dedup_continuous. Each
+    epoch: gram-hash the micro-batch, probe it against the store for
+    maximal shared spans (appended as JSON with the epoch id), then
+    apply the ADMIT POLICY — union the incoming-side span intervals per
+    doc (the same interval sweep as dedup_passage_coverage) and reject
+    docs whose duplicated-word fraction exceeds ``max_coverage``; the
+    admitted docs' per-doc-capped grams append back to the store, so a
+    passage admitted in epoch N is detected verbatim in epoch N+1
+    (cross-epoch pin in tests).
+
+    Append-time caps: only the per-doc occurrence cap can be applied on
+    the delta (the df cap needs whole-store counts) — df drift across
+    epochs is re-applied by compact_gram_store, exactly the lifecycle
+    the band-signature store uses.
+
+    Scale: per-epoch cost is |delta grams| × store hit rate for the
+    probe plus the coverage sweep on matched spans only; the store-side
+    scan skips on h min/max after compaction's sorted rewrite."""
+    from finmapreduce_spark.queries.dedup import (
+        _capped_occurrences,
+        _words,
+        incremental_passage_spans,
+        interval_union_coverage,
+        passage_gram_table,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        grams = passage_gram_table(batch_df).persist()
+        try:
+            history = spark.read.parquet(store_dir)
+            spans = incremental_passage_spans(grams, history).persist()
+            (
+                spans.withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("append")
+                .json(out_dir)
+            )
+            iv = spans.select(
+                "doc_id",
+                F.col("a_start").alias("s"),
+                (F.col("a_start") + F.col("n_words") - 1).alias("e"),
+            )
+            totals = batch_df.select(
+                "doc_id",
+                F.size(_words(F.col("text"))).cast("long").alias("total_words"),
+            )
+            rejected = (
+                interval_union_coverage(iv)
+                .join(totals, "doc_id")
+                .filter(
+                    F.col("covered_words") / F.col("total_words")
+                    > F.lit(max_coverage)
+                )
+                .select("doc_id")
+            )
+            admitted = (
+                _capped_occurrences(grams)
+                .join(rejected, "doc_id", "left_anti")
+                .select("doc_id", F.explode("poss").alias("pos"), "h")
+            )
+            admitted.write.mode("append").parquet(store_dir)
+            spans.unpersist()
+        finally:
+            grams.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def windowed_event_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window rollup over a (possibly late)
     event stream — 1-hour windows per event_type.

@@ -504,3 +504,141 @@ def test_compact_signature_store_collapses_files_and_replays(spark, tmp_path):
     assert after == before
     # rollback copy kept
     assert glob.glob(store + ".pre-compact/*.parquet")
+
+
+def test_continuous_passages_store_grows_across_epochs(spark, tmp_path):
+    """Passage-level live-store ingest (M95): a doc ADMITTED in epoch 0
+    must have its passages detected in epoch 1 (gram store updates
+    between micro-batches), and a doc that is mostly duplicated
+    passage (> max_coverage) must be REJECTED — not appended."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from finmapreduce_spark.queries.dedup import passage_gram_store
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_passages_continuous,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(18))
+    base = passage + " " + " ".join(f"fill{i}" for i in range(30))
+    mostly_dup = passage + " fresh1 fresh2 fresh3 fresh4"
+    unrelated = " ".join(f"other{i}" for i in range(40))
+
+    store = tmp_path / "gstore"
+    seed = spark.createDataFrame([(1, unrelated)], "doc_id long, text string")
+    passage_gram_store(seed).write.parquet(str(store))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 100, "text": base}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 200, "text": mostly_dup}) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "spans"
+    q = serve_incremental_passages_continuous(
+        stream, str(store), str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    spans = spark.read.json(str(out)).collect()
+    # epoch 0: base vs unrelated seed — no spans; epoch 1: the shared
+    # passage is found against the doc admitted ONE EPOCH EARLIER
+    assert {(r["doc_id"], r["hist_id"]) for r in spans} == {(200, 100)}
+    assert max(r["n_words"] for r in spans) == 18
+    stored_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(store)).select("doc_id").distinct().collect()
+    }
+    # 200 is 18/22 duplicated words (> 0.5) — rejected from the store
+    assert stored_ids == {1, 100}
+
+
+def test_compact_gram_store_reapplies_caps_and_swaps(spark, tmp_path):
+    """Gram-store compaction (M95): per-epoch appends can only apply
+    the per-doc cap, so a gram carried by more and more admitted docs
+    DRIFTS past the df cap. Compaction must collapse replays + small
+    files AND re-apply the df cap — pinned by the strong invariant
+    compact(store) == passage_gram_store(all admitted docs)."""
+    import glob
+
+    from finmapreduce_spark.queries.dedup import (
+        PASSAGE_MAX_DF,
+        _capped_occurrences,
+        incremental_passage_spans,
+        passage_gram_table,
+        passage_gram_store,
+    )
+    from finmapreduce_spark.sources.sinks import compact_gram_store
+
+    common = " ".join(f"c{i}" for i in range(6))
+    n_docs = PASSAGE_MAX_DF + 2
+    docs = [
+        (i, common + " " + " ".join(f"u{i}w{j}" for j in range(12)))
+        for i in range(1, n_docs + 1)
+    ]
+    store = str(tmp_path / "gstore")
+    for doc in docs:  # one append per epoch, per-doc cap only
+        d = spark.createDataFrame([doc], "doc_id long, text string")
+        (
+            _capped_occurrences(passage_gram_table(d))
+            .select("doc_id", F.explode("poss").alias("pos"), "h")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(store)
+        )
+    # replayed epoch: doc 3's grams land twice
+    d3 = spark.createDataFrame([docs[2]], "doc_id long, text string")
+    (
+        _capped_occurrences(passage_gram_table(d3))
+        .select("doc_id", F.explode("poss").alias("pos"), "h")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(store)
+    )
+
+    # drift visible BEFORE compaction: a delta carrying the common gram
+    # matches it in every stored doc
+    delta = spark.createDataFrame(
+        [(500, common + " zz1 zz2 zz3 zz4 zz5 zz6")], "doc_id long, text string"
+    )
+    # run >= MIN_RUN needs 2 chained grams -> probe with doc 2's tail
+    delta2 = spark.createDataFrame(
+        [(600, " ".join(f"u2w{j}" for j in range(12)))], "doc_id long, text string"
+    )
+    before2 = incremental_passage_spans(
+        passage_gram_table(delta2), spark.read.parquet(store)
+    ).collect()
+    assert {r["hist_id"] for r in before2} == {2}
+
+    stats = compact_gram_store(spark, store, target_files=2)
+    assert stats["files_before"] >= n_docs + 1
+    assert stats["files_after"] <= 2
+    assert stats["rows_after"] < stats["rows_before"]  # replay + drift gone
+
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in passage_gram_store(all_docs).collect()
+    }
+    got = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == want  # the invariant: rebuild-equivalent store
+    # unique-tail probe unchanged; drifted common gram no longer matches
+    after2 = incremental_passage_spans(
+        passage_gram_table(delta2), spark.read.parquet(store)
+    ).collect()
+    assert {r["hist_id"] for r in after2} == {2}
+    assert glob.glob(store + ".pre-compact/*.parquet")
