@@ -661,8 +661,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -1184,11 +1184,11 @@ WITH per_user AS (
   FROM events GROUP BY 1
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                THEN 1 ELSE 0 END) AS reached_click,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                AND t_purchase > t_click THEN 1 ELSE 0 END) AS reached_purchase
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
 FROM per_user
 """
 

@@ -50,9 +50,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read as long and convert in read_table.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         # Paid LLM stages must never run twice for the same row:
         # speculation off engine-wide (SURVEY §4 "needs custom work").
@@ -81,27 +78,16 @@ _READ_CACHE: dict[tuple[int, str, str], object] = {}
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark has
-    no nanosecond timestamp type, so it arrives as a long (nanos since
-    epoch) and is truncated to microseconds here — integer division,
-    exactly matching DuckDB's internal ns→µs truncation, so oracle
-    comparisons see identical instants.
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark
+    4.1.2 reads it natively as ``timestamp_ntz`` truncated to
+    microseconds — matching DuckDB's internal ns→µs truncation, so
+    oracle comparisons see identical instants with no conversion here.
     """
     key = (id(spark), sf_dir, name)
     cached = _READ_CACHE.get(key)
     if cached is not None:
         return cached
-    if name == "events":
-        # Defensive: the driver may pass a session built without this
-        # legacy conf; it is runtime-settable, so pin it here.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
     _READ_CACHE[key] = df
     return df
 

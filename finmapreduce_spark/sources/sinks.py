@@ -175,20 +175,30 @@ def save_events_zorder(
     dimensions at once. The z column is dropped before write;
     projection after sort preserves row order.
     """
+    def numeric(col_name: str):
+        # timestamp/timestamp_ntz have no cast to double on Spark 4.x;
+        # rank via epoch micros (monotonic, so rank order is identical).
+        dt = dict(df.dtypes).get(col_name, "")
+        c = F.col(col_name)
+        if dt.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp")).cast("double")
+        return c.cast("double")
+
+    xnum, ynum = numeric(x_col), numeric(y_col)
     lo_hi = df.agg(
-        F.min(F.col(x_col).cast("double")).alias("xmin"),
-        F.max(F.col(x_col).cast("double")).alias("xmax"),
-        F.min(F.col(y_col).cast("double")).alias("ymin"),
-        F.max(F.col(y_col).cast("double")).alias("ymax"),
+        F.min(xnum).alias("xmin"),
+        F.max(xnum).alias("xmax"),
+        F.min(ynum).alias("ymin"),
+        F.max(ynum).alias("ymax"),
     ).first()
 
     def rank(col, lo, hi):
         span = (hi - lo) or 1.0
-        r = F.floor((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(2**bits))
+        r = F.floor((col - F.lit(lo)) / F.lit(span) * F.lit(2**bits))
         return F.least(F.lit(2**bits - 1), r).cast("long")
 
-    xr = rank(F.col(x_col), lo_hi["xmin"], lo_hi["xmax"])
-    yr = rank(F.col(y_col), lo_hi["ymin"], lo_hi["ymax"])
+    xr = rank(xnum, lo_hi["xmin"], lo_hi["xmax"])
+    yr = rank(ynum, lo_hi["ymin"], lo_hi["ymax"])
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z + F.shiftleft(F.shiftright(xr, i).bitwiseAND(F.lit(1)), 2 * i)

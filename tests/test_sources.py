@@ -299,10 +299,19 @@ def _touched_row_groups(pattern: str, lo, hi, col: str = "doc_id") -> tuple[int,
     groups) for predicate lo <= col < hi over the parquet files
     matching ``pattern`` — exactly the footer-stats decision Spark's
     vectorized reader makes per row group."""
+    import datetime
     import glob
 
     import pyarrow.parquet as pq
 
+    def norm(v):
+        # stats may be tz-aware (TIMESTAMP_MICROS) or naive (NTZ)
+        # depending on the written logical type; compare in naive UTC
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+
+    lo, hi = norm(lo), norm(hi)
     touched = total = 0
     for fp in glob.glob(pattern):
         meta = pq.ParquetFile(fp).metadata
@@ -313,7 +322,7 @@ def _touched_row_groups(pattern: str, lo, hi, col: str = "doc_id") -> tuple[int,
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(idx).statistics
             total += 1
-            if st.min < hi and st.max >= lo:
+            if norm(st.min) < hi and norm(st.max) >= lo:
                 touched += 1
     return touched, total
 
@@ -408,12 +417,10 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
         F.min("user_id"), F.max("user_id"), F.min("ts"), F.max("ts")
     ).first()
     u_lo, u_hi = stats[0], stats[0] + max(1, (stats[1] - stats[0]) // 10)
-    # parquet TIMESTAMP_MICROS stats come back tz-aware (UTC); the
-    # collected driver datetimes are naive in the session tz (UTC here)
-    from datetime import timezone
-
+    # ts is timestamp_ntz: collected driver datetimes and NTZ parquet
+    # stats are both naive; _touched_row_groups normalizes either way
     t_span = stats[3] - stats[2]
-    t_lo = stats[2].replace(tzinfo=timezone.utc)
+    t_lo = stats[2]
     t_hi = t_lo + t_span / 10
 
     zu_touch, zu_total = _touched_row_groups(f"{z_out}/*.parquet", u_lo, u_hi, "user_id")
