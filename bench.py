@@ -126,12 +126,23 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "rows": rows,
         "sf": float(sf) if sf else None,
     }
-    if shuffle:
-        out["shuffle"] = shuffle
-    print(json.dumps(out))
+    # Row counts + shuffle bytes are regression signal too, but they
+    # triple the line length and the driver's capture truncates long
+    # stdout — keep the contract line compact and park detail in a
+    # sidecar next to this script.
+    detail = dict(out, rows=rows, shuffle=shuffle)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line is the contract
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
