@@ -54,9 +54,26 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     _shipped.add(id(sc))
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Runtime-settable engine tuning for the driver's plain session.
+
+    The driver builds SparkSession with defaults (shuffle.partitions=
+    200); at sf0.01 that is pure scheduling overhead per wide stage.
+    These are all runtime confs (safe to set on a live session) and
+    none change results — only task counts and exchange sizing.
+    """
+    try:
+        n = os.cpu_count() or 8
+        spark.conf.set("spark.sql.shuffle.partitions", str(min(32, n)))
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # a locked-down conf must never fail the contract
+
+
 def _cwd_proof(fn: Callable[[SparkSession, str], DataFrame]):
     def call(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_workers_can_import(spark)
+        _tune_session(spark)
         return fn(spark, sf_dir)
 
     return call

@@ -1178,14 +1178,35 @@ def incremental_passage_spans(
     query and the streaming foreachBatch twin. Both sides carry the
     per-doc occurrence cap (the store at build, the incoming delta
     here) so the probe join's fan-out per gram hash is bounded by
-    PASSAGE_MAX_OCC² × store df regardless of input pathology."""
+    PASSAGE_MAX_OCC² × store df regardless of input pathology.
+
+    The history side is re-guarded here rather than trusted: an
+    at-least-once replayed epoch can append duplicate (doc,pos,h)
+    rows (duplicate pb positions fragment the diagonal chaining into
+    wrong-n_words spans), and per-epoch appends apply only the
+    per-doc cap, so a hot gram can drift past PASSAGE_MAX_DF between
+    compactions. Both guards run on the PROBED SLICE of the store
+    (semi-join on the delta's gram hashes first), so their cost
+    scales with |delta| × hit rate, not store size — and they are
+    no-ops on a freshly compacted store."""
     inc = (
         _capped_occurrences(incoming_grams)
         .select("doc_id", F.explode("poss").alias("pa"), "h")
     )
-    hist = store_grams.select(
-        F.col("doc_id").alias("hist_id"), F.col("pos").alias("pb"), "h"
+    hist = (
+        store_grams.select(
+            F.col("doc_id").alias("hist_id"), F.col("pos").alias("pb"), "h"
+        )
+        .join(inc.select("h").distinct(), "h", "left_semi")
+        .dropDuplicates(["hist_id", "pb", "h"])
     )
+    hot = (
+        hist.groupBy("h")
+        .agg(F.count_distinct("hist_id").alias("df"))
+        .filter(F.col("df") > PASSAGE_MAX_DF)
+        .select("h")
+    )
+    hist = hist.join(hot, "h", "left_anti")
     pairs = inc.join(hist, "h").withColumn("diag", F.col("pa") - F.col("pb"))
     wnd = W.partitionBy("doc_id", "hist_id", "diag").orderBy("pa")
     islands = pairs.withColumn("grp", F.col("pa") - F.row_number().over(wnd))

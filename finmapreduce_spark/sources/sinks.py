@@ -234,6 +234,34 @@ def save_events_zorder(
             spark.conf.set(conf_key, prev)
 
 
+def _swap_in_compacted(store_dir: str, tmp_dir: str, seen: set) -> None:
+    """Two-rename store swap with a concurrent-append guard.
+
+    The compacted rewrite holds only rows read at compaction start, so
+    any file appended to the live store afterwards would be silently
+    dropped by the swap (stranded in ``.pre-compact``). Compaction is
+    documented offline-only; this makes a violation loud instead of
+    lossy by re-listing immediately before the swap and refusing if
+    the store gained files.
+    """
+    import glob
+    import shutil
+
+    now = set(glob.glob(os.path.join(store_dir, "*.parquet")))
+    added = now - seen
+    if added:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"{store_dir} gained {len(added)} file(s) during compaction "
+            "(concurrent appender?) — swap aborted; re-run while the "
+            "store is quiescent"
+        )
+    old_dir = store_dir.rstrip("/") + ".pre-compact"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(store_dir, old_dir)
+    os.rename(tmp_dir, store_dir)
+
+
 def compact_signature_store(
     spark,
     store_dir: str,
@@ -261,7 +289,8 @@ def compact_signature_store(
     import glob
     import shutil
 
-    files_before = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+    seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
+    files_before = len(seen)
     df = spark.read.parquet(store_dir)
     rows_before = df.count()
     compacted = (
@@ -273,10 +302,7 @@ def compact_signature_store(
     shutil.rmtree(tmp_dir, ignore_errors=True)
     compacted.write.mode("overwrite").parquet(tmp_dir)
     rows_after = spark.read.parquet(tmp_dir).count()
-    old_dir = store_dir.rstrip("/") + ".pre-compact"
-    shutil.rmtree(old_dir, ignore_errors=True)
-    os.rename(store_dir, old_dir)
-    os.rename(tmp_dir, store_dir)
+    _swap_in_compacted(store_dir, tmp_dir, seen)
     files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
     return {
         "files_before": files_before,
@@ -322,7 +348,8 @@ def compact_gram_store(
 
     if max_df is None:
         max_df = PASSAGE_MAX_DF
-    files_before = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+    seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
+    files_before = len(seen)
     df = spark.read.parquet(store_dir)
     rows_before = df.count()
     per = (
@@ -350,10 +377,7 @@ def compact_gram_store(
     shutil.rmtree(tmp_dir, ignore_errors=True)
     compacted.write.mode("overwrite").parquet(tmp_dir)
     rows_after = spark.read.parquet(tmp_dir).count()
-    old_dir = store_dir.rstrip("/") + ".pre-compact"
-    shutil.rmtree(old_dir, ignore_errors=True)
-    os.rename(store_dir, old_dir)
-    os.rename(tmp_dir, store_dir)
+    _swap_in_compacted(store_dir, tmp_dir, seen)
     files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
     return {
         "files_before": files_before,

@@ -22,6 +22,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _epoch_json(df: DataFrame, out_dir: str, epoch_id: int) -> None:
+    """Idempotent per-epoch JSON sink for foreachBatch writers.
+
+    foreachBatch is at-least-once between the sink write and the
+    checkpoint commit: a crash in that window replays the epoch, and a
+    plain append would re-emit identical rows with no compaction to
+    ever remove them. Writing each epoch to its own partition
+    directory (``out_dir/epoch_id=N``, mode=overwrite) makes a replay
+    overwrite its previous attempt instead. Readers load the whole
+    directory; ``epoch_id`` comes back as the partition column.
+    """
+    import os
+
+    df.write.mode("overwrite").json(os.path.join(out_dir, f"epoch_id={epoch_id}"))
+
+
 # Landing-directory request schema (webapp upload surface S10)
 REQUEST_SCHEMA = T.StructType(
     [
@@ -78,12 +94,7 @@ def serve_mapreduce(
         if batch_df.isEmpty():
             return
         stages = run_mapreduce(batch_df.drop("submitted_at"), docs, cfg)
-        (
-            stages["answers"]
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .json(out_dir)
-        )
+        _epoch_json(stages["answers"], out_dir, epoch_id)
 
     return (
         requests.writeStream.foreachBatch(process_batch)
@@ -123,11 +134,8 @@ def serve_incremental_dedup(
         if batch_df.isEmpty():
             return
         incoming = band_signature_table(batch_df)
-        (
-            incremental_verdicts(incoming, history_buckets)
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .json(out_dir)
+        _epoch_json(
+            incremental_verdicts(incoming, history_buckets), out_dir, epoch_id
         )
 
     return (
@@ -168,11 +176,7 @@ def serve_incremental_passages(
         spans = incremental_passage_spans(
             passage_gram_table(batch_df), gram_store
         )
-        (
-            spans.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .json(out_dir)
-        )
+        _epoch_json(spans, out_dir, epoch_id)
 
     return (
         incoming_docs.writeStream.foreachBatch(process_batch)
@@ -220,14 +224,13 @@ def serve_incremental_passages_continuous(
             return
         spark = batch_df.sparkSession
         grams = passage_gram_table(batch_df).persist()
+        spans = None
         try:
+            # Replay-duplicate and df-drift guards on the probed slice
+            # of the store live inside incremental_passage_spans.
             history = spark.read.parquet(store_dir)
             spans = incremental_passage_spans(grams, history).persist()
-            (
-                spans.withColumn("epoch_id", F.lit(epoch_id))
-                .write.mode("append")
-                .json(out_dir)
-            )
+            _epoch_json(spans, out_dir, epoch_id)
             iv = spans.select(
                 "doc_id",
                 F.col("a_start").alias("s"),
@@ -252,8 +255,9 @@ def serve_incremental_passages_continuous(
                 .select("doc_id", F.explode("poss").alias("pos"), "h")
             )
             admitted.write.mode("append").parquet(store_dir)
-            spans.unpersist()
         finally:
+            if spans is not None:
+                spans.unpersist()
             grams.unpersist()
 
     return (
@@ -485,20 +489,23 @@ def serve_incremental_dedup_continuous(
             return
         spark = batch_df.sparkSession
         incoming = band_signature_table(batch_df).persist()
+        verdicts = None
         try:
-            history = spark.read.parquet(store_dir)
-            verdicts = incremental_verdicts(incoming, history).persist()
-            (
-                verdicts.withColumn("epoch_id", F.lit(epoch_id))
-                .write.mode("append")
-                .json(out_dir)
+            # a replayed epoch may have appended duplicate store rows;
+            # harmless for verdicts (incremental_verdicts dedups
+            # candidates) but dropping them keeps join fan-out tight
+            history = spark.read.parquet(store_dir).dropDuplicates(
+                ["doc_id", "band_id", "key"]
             )
+            verdicts = incremental_verdicts(incoming, history).persist()
+            _epoch_json(verdicts, out_dir, epoch_id)
             admitted = incoming.join(
                 verdicts.select("doc_id"), "doc_id", "left_anti"
             )
             admitted.write.mode("append").parquet(store_dir)
-            verdicts.unpersist()
         finally:
+            if verdicts is not None:
+                verdicts.unpersist()
             incoming.unpersist()
 
     return (
