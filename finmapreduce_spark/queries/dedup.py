@@ -367,24 +367,79 @@ def _dot(a, b):
     )
 
 
+# Bounded-bucket target for the exact pair join: a label with more
+# vectors than this is grid-decomposed into hash chunks so no single
+# join group is ever larger than ~2×COSINE_CHUNK rows.
+COSINE_CHUNK = 512
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All same-label pairs with cosine ≥ θ — EXACT semantics (the
+    DuckDB oracle is the all-pairs-within-label join), so candidate
+    generation cannot be lossy LSH. The scale hazard is a HOT label:
+    naive label blocking makes one join group quadratic in the
+    label's size. Fix: grid decomposition. Each label with n vectors
+    splits into s = ⌈n/COSINE_CHUNK⌉ hash chunks; every chunk pair
+    (i ≤ j) is an independent join task keyed (label, i, j), so the
+    pair join key is a bounded bucket (≤ ~2×COSINE_CHUNK rows) no
+    matter how hot the label. Replication cost is the inherent
+    exact-all-pairs data movement (n·s rows per label); the
+    sub-quadratic path is the ANN family in queries/similarity.py,
+    which trades exactness for probe-only search. For labels with
+    n ≤ COSINE_CHUNK (s = 1) the plan degenerates to the plain
+    label-blocked join. Pair values are orientation-independent
+    (elementwise IEEE products commute; the fold order is the element
+    order on both engines), so chunk assignment cannot perturb the
+    rounded cosine."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").alias("v"),
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    splits = (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "label",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n") / F.lit(COSINE_CHUNK))
+            ).cast("int").alias("nsplits"),
+        )
     )
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    chunked = emb.join(F.broadcast(splits), "label").withColumn(
+        "chunk", F.pmod(F.xxhash64("vec_id"), F.col("nsplits")).cast("int")
+    )
+    a_side = chunked.withColumn(
+        "j", F.explode(F.sequence(F.col("chunk"), F.col("nsplits") - 1))
+    ).select(
+        "label",
+        F.col("chunk").alias("i"),
+        "j",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b_side = chunked.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.col("chunk")))
+    ).select(
+        "label",
+        "i",
+        F.col("chunk").alias("j"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = a_side.join(b_side, ["label", "i", "j"]).filter(
+        # same-chunk task: order within; cross-chunk task: every
+        # unordered pair appears exactly once already
+        (F.col("i") < F.col("j")) | (F.col("a_id") < F.col("b_id"))
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            F.least("a_id", "b_id").alias("vec_a"),
+            F.greatest("a_id", "b_id").alias("vec_b"),
+            "label",
             F.round(cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)

@@ -81,3 +81,21 @@ def test_skew_report_tool_emits_stage_metrics():
         assert st["tasks"] >= 2
         assert st["dur_skew"] >= 1.0
         assert len(st["dur_ms"]) == 3 and st["dur_ms"][0] <= st["dur_ms"][2]
+
+
+def test_embedding_cosine_grid_decomposition_equivalence(spark, monkeypatch):
+    """Forcing a tiny chunk size (every label grid-decomposed into
+    many tasks) must produce the identical pair set as the degenerate
+    single-chunk plan — the bounded-bucket rewrite is pure candidate
+    plumbing, not semantics."""
+    from finmapreduce_spark.queries import dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    baseline = dedup.dedup_embedding_cosine(spark, sf_dir)
+    base = {tuple(r) for r in baseline.collect()}
+    assert base, "no qualifying pairs at sf0.001 — test data drifted"
+
+    monkeypatch.setattr(dedup, "COSINE_CHUNK", 7)
+    chunked = dedup.dedup_embedding_cosine(spark, sf_dir)
+    got = {tuple(r) for r in chunked.collect()}
+    assert got == base
