@@ -344,3 +344,146 @@ class RateLimitedClient:
             backoff = min(backoff * 2, self.cfg.max_backoff_s)
         self.stats.failures += 1
         raise RuntimeError(f"LLM call failed after retries: {last_err}")
+
+
+# ---------------------------------------------------------------------------
+# Real OpenAI-compatible transport (reference async_llm_client.py:52-91
+# request shaping, :353-435 POST + response extraction). Stdlib-only:
+# urllib wrapped in asyncio.to_thread — no SDK assumed in the image.
+# Wrap in RateLimitedClient for the limiter/retry/backoff semantics.
+# ---------------------------------------------------------------------------
+
+class RetryableHTTPError(ConnectionError):
+    """HTTP 429 / 5xx — transient; RateLimitedClient's retry loop
+    already catches ConnectionError, so subclassing slots this into
+    the existing backoff path with no new except-arm."""
+
+    def __init__(self, status: int, body: str = ""):
+        super().__init__(f"HTTP {status}: {body[:200]}")
+        self.status = status
+
+
+class FatalHTTPError(RuntimeError):
+    """HTTP 4xx other than 429 — the request itself is wrong (bad
+    auth, bad model, oversized payload); retrying cannot help."""
+
+    def __init__(self, status: int, body: str = ""):
+        super().__init__(f"HTTP {status}: {body[:200]}")
+        self.status = status
+
+
+@dataclass
+class ProviderConfig:
+    """OpenAI-compatible endpoint config. ``api_key`` may be passed
+    directly (tests) or resolved from ``api_key_env`` at call time so
+    executors pick up their own environment."""
+
+    base_url: str = "https://api.openai.com/v1"
+    model: str = "gpt-4o-mini"
+    api_key_env: str = "OPENAI_API_KEY"
+    temperature: float = 0.0
+    max_tokens: int = 1024
+    system_prompt: str | None = None
+    connect_timeout_s: float = 30.0
+
+
+class OpenAICompatClient:
+    """POST {base_url}/chat/completions with the standard payload
+    (model, messages, temperature, max_tokens) and map the response to
+    the typed ``LLMResponse`` (F16).
+
+    ``transport`` is injectable: a callable ``(url, headers: dict,
+    payload: bytes) -> (status: int, body: bytes)``. The default is a
+    blocking urllib POST run in a worker thread per call; tests drive
+    the full client through a fake transport, which is also how the
+    limiter/retry stack is exercised without network.
+    """
+
+    def __init__(
+        self,
+        cfg: ProviderConfig | None = None,
+        *,
+        api_key: str | None = None,
+        transport=None,
+    ):
+        self.cfg = cfg or ProviderConfig()
+        self._api_key = api_key
+        self._transport = transport or self._urllib_post
+
+    # -- request shaping (reference async_llm_client.py:52-91) --------
+    def build_payload(self, prompt: str, kind: str) -> dict[str, Any]:
+        messages: list[dict[str, str]] = []
+        if self.cfg.system_prompt:
+            messages.append({"role": "system", "content": self.cfg.system_prompt})
+        messages.append({"role": "user", "content": prompt})
+        payload: dict[str, Any] = {
+            "model": self.cfg.model,
+            "messages": messages,
+            "temperature": self.cfg.temperature,
+            "max_tokens": self.cfg.max_tokens,
+        }
+        # JSON-emitting stages opt into the provider-side JSON mode;
+        # map replies are plain text with a trailing Score: line.
+        if kind in ("reduce", "judge", "truncation", "improve"):
+            payload["response_format"] = {"type": "json_object"}
+        return payload
+
+    def _resolve_key(self) -> str:
+        if self._api_key:
+            return self._api_key
+        import os
+
+        key = os.environ.get(self.cfg.api_key_env, "")
+        if not key:
+            raise FatalHTTPError(
+                401, f"no API key: set ${self.cfg.api_key_env} or pass api_key"
+            )
+        return key
+
+    def _urllib_post(self, url: str, headers: dict, payload: bytes):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=payload, headers=headers, method="POST")
+        try:
+            with urllib.request.urlopen(
+                req, timeout=self.cfg.connect_timeout_s
+            ) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:  # non-2xx: report status
+            return e.code, e.read()
+        except urllib.error.URLError as e:  # DNS/conn refused: retryable
+            raise ConnectionError(str(e.reason)) from e
+
+    # -- response extraction (reference :353-435) ----------------------
+    @staticmethod
+    def parse_response(body: bytes) -> LLMResponse:
+        data = json.loads(body)
+        try:
+            content = data["choices"][0]["message"]["content"] or ""
+        except (KeyError, IndexError, TypeError) as e:
+            raise RetryableHTTPError(502, f"malformed completion body: {e}")
+        usage = data.get("usage") or {}
+        cached = (usage.get("prompt_tokens_details") or {}).get("cached_tokens", 0)
+        return LLMResponse(
+            content=content,
+            input_tokens=int(usage.get("prompt_tokens", 0)),
+            output_tokens=int(usage.get("completion_tokens", 0)),
+            cache_read_tokens=int(cached or 0),
+        )
+
+    async def acomplete(self, prompt: str, *, kind: str = "map") -> LLMResponse:
+        url = self.cfg.base_url.rstrip("/") + "/chat/completions"
+        headers = {
+            "Content-Type": "application/json",
+            "Authorization": f"Bearer {self._resolve_key()}",
+        }
+        payload = json.dumps(self.build_payload(prompt, kind)).encode()
+        status, body = await asyncio.to_thread(
+            self._transport, url, headers, payload
+        )
+        if status == 429 or status >= 500:
+            raise RetryableHTTPError(status, body.decode("utf-8", "replace"))
+        if status >= 400:
+            raise FatalHTTPError(status, body.decode("utf-8", "replace"))
+        return self.parse_response(body)

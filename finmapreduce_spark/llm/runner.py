@@ -60,6 +60,30 @@ def mock_client_factory() -> RateLimitedClient:
     )
 
 
+def openai_client_factory() -> RateLimitedClient:
+    """Real-provider factory: the OpenAI-compatible transport behind
+    the SAME limiter/retry stack the mock runs under (reference
+    async_llm_client.py:52-91 request shaping, main_async.py:67-74
+    limiter defaults). Executor-local — one client per Python worker,
+    credentials resolved from the worker's own environment
+    (OPENAI_API_KEY; OPENAI_BASE_URL / OPENAI_MODEL to point at any
+    compatible endpoint). Pass as ``client_factory=`` to run_map /
+    run_reduce / judge stages to run the DAG against a live model."""
+    import os
+
+    from finmapreduce_spark.llm.client import OpenAICompatClient, ProviderConfig
+
+    cfg = ProviderConfig(
+        base_url=os.environ.get("OPENAI_BASE_URL", "https://api.openai.com/v1"),
+        model=os.environ.get("OPENAI_MODEL", "gpt-4o-mini"),
+    )
+    return RateLimitedClient(
+        OpenAICompatClient(cfg),
+        RateLimitConfig(),
+        request_cache_size=1024,
+    )
+
+
 async def _drain(
     client: RateLimitedClient,
     prompts: list[str],

@@ -276,3 +276,209 @@ def test_per_executor_budget_split():
     assert c.max_retries == g.max_retries and c.request_timeout_s == g.request_timeout_s
     tiny = per_executor_budget(g, 10**9)
     assert tiny.requests_per_minute >= 1 and tiny.burst >= 1
+
+
+# ---------------------------------------------------------------------------
+# OpenAICompatClient: real transport shape, fake wire
+# ---------------------------------------------------------------------------
+
+def _ok_body(content="Score: 7", pt=12, ct=5, cached=3):
+    import json
+
+    return json.dumps(
+        {
+            "choices": [{"message": {"role": "assistant", "content": content}}],
+            "usage": {
+                "prompt_tokens": pt,
+                "completion_tokens": ct,
+                "prompt_tokens_details": {"cached_tokens": cached},
+            },
+        }
+    ).encode()
+
+
+def test_openai_payload_shaping():
+    from finmapreduce_spark.llm.client import OpenAICompatClient, ProviderConfig
+
+    c = OpenAICompatClient(
+        ProviderConfig(model="m1", system_prompt="sys", max_tokens=77),
+        api_key="k",
+    )
+    p = c.build_payload("hello", "map")
+    assert p["model"] == "m1" and p["max_tokens"] == 77
+    assert p["messages"] == [
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "hello"},
+    ]
+    assert "response_format" not in p  # map is plain text
+    assert c.build_payload("x", "reduce")["response_format"] == {
+        "type": "json_object"
+    }
+
+
+def test_openai_success_parses_usage():
+    import asyncio
+
+    from finmapreduce_spark.llm.client import OpenAICompatClient
+
+    seen = {}
+
+    def transport(url, headers, payload):
+        seen["url"] = url
+        seen["auth"] = headers["Authorization"]
+        return 200, _ok_body()
+
+    c = OpenAICompatClient(api_key="sk-test", transport=transport)
+    r = asyncio.run(c.acomplete("prompt text"))
+    assert seen["url"].endswith("/chat/completions")
+    assert seen["auth"] == "Bearer sk-test"
+    assert r.content == "Score: 7"
+    assert (r.input_tokens, r.output_tokens, r.cache_read_tokens) == (12, 5, 3)
+
+
+def test_openai_429_retries_then_succeeds_under_limiter():
+    import asyncio
+
+    from finmapreduce_spark.llm.client import (
+        OpenAICompatClient,
+        RateLimitConfig,
+        RateLimitedClient,
+    )
+
+    calls = {"n": 0}
+
+    def transport(url, headers, payload):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            return 429, b"slow down"
+        return 200, _ok_body("recovered")
+
+    sleeps = []
+
+    async def fake_sleep(s):
+        sleeps.append(s)
+
+    inner = OpenAICompatClient(api_key="k", transport=transport)
+    client = RateLimitedClient(inner, RateLimitConfig(), sleep=fake_sleep)
+    r = asyncio.run(client.acomplete("q"))
+    assert r.content == "recovered"
+    assert calls["n"] == 3
+    assert client.stats.retries == 2
+    assert sleeps == [2.0, 4.0]  # same backoff contract as MockLLM path
+
+
+def test_openai_fatal_4xx_does_not_retry():
+    import asyncio
+
+    import pytest
+
+    from finmapreduce_spark.llm.client import (
+        FatalHTTPError,
+        OpenAICompatClient,
+        RateLimitConfig,
+        RateLimitedClient,
+    )
+
+    calls = {"n": 0}
+
+    def transport(url, headers, payload):
+        calls["n"] += 1
+        return 401, b"bad key"
+
+    async def fake_sleep(s):
+        pass
+
+    client = RateLimitedClient(
+        OpenAICompatClient(api_key="k", transport=transport),
+        RateLimitConfig(),
+        sleep=fake_sleep,
+    )
+    with pytest.raises(FatalHTTPError):
+        asyncio.run(client.acomplete("q"))
+    assert calls["n"] == 1  # no retry on a fatal request error
+
+
+def test_openai_connection_error_is_retryable():
+    import asyncio
+
+    from finmapreduce_spark.llm.client import (
+        OpenAICompatClient,
+        RateLimitConfig,
+        RateLimitedClient,
+    )
+
+    calls = {"n": 0}
+
+    def transport(url, headers, payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("connection refused")
+        return 200, _ok_body("back up")
+
+    async def fake_sleep(s):
+        pass
+
+    client = RateLimitedClient(
+        OpenAICompatClient(api_key="k", transport=transport),
+        RateLimitConfig(),
+        sleep=fake_sleep,
+    )
+    r = asyncio.run(client.acomplete("q"))
+    assert r.content == "back up" and calls["n"] == 2
+
+
+def test_openai_missing_key_is_fatal():
+    import asyncio
+
+    import pytest
+
+    from finmapreduce_spark.llm.client import (
+        FatalHTTPError,
+        OpenAICompatClient,
+        ProviderConfig,
+    )
+
+    c = OpenAICompatClient(ProviderConfig(api_key_env="NO_SUCH_ENV_VAR_SET"))
+    with pytest.raises(FatalHTTPError):
+        asyncio.run(c.acomplete("q"))
+
+
+def test_openai_malformed_body_is_retryable():
+    import asyncio
+
+    from finmapreduce_spark.llm.client import (
+        OpenAICompatClient,
+        RateLimitConfig,
+        RateLimitedClient,
+    )
+
+    calls = {"n": 0}
+
+    def transport(url, headers, payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 200, b'{"choices": []}'
+        return 200, _ok_body("fixed")
+
+    async def fake_sleep(s):
+        pass
+
+    client = RateLimitedClient(
+        OpenAICompatClient(api_key="k", transport=transport),
+        RateLimitConfig(),
+        sleep=fake_sleep,
+    )
+    r = asyncio.run(client.acomplete("q"))
+    assert r.content == "fixed" and calls["n"] == 2
+
+
+def test_openai_factory_builds_and_pickles():
+    import pickle
+
+    from finmapreduce_spark.llm.client import OpenAICompatClient
+    from finmapreduce_spark.llm.runner import openai_client_factory
+
+    client = openai_client_factory()
+    assert isinstance(client.inner, OpenAICompatClient)
+    # factories ship inside mapInPandas closures — must pickle by ref
+    assert pickle.loads(pickle.dumps(openai_client_factory)) is openai_client_factory
