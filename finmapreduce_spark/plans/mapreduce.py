@@ -50,13 +50,15 @@ class MapReduceConfig:
     score_threshold: int = 5  # strict `>`; P3 hybrid=5, P4 plain_text=50
     # (reference json_formatter.py:32, plain_text_formatter.py:30-56)
     judge_batch_size: int = 5  # reference async_evaluation.py:261
-    # "global" reproduces the reference's consecutive batches exactly
-    # (one unpartitioned window over ~|questions| rows); "bucketed" is
-    # the cluster-scale path: hash-bucket qa_ids, batch within bucket —
-    # no global sort, batch size still ≤ k, composition differs (items
-    # are judged independently, so verdicts are batching-invariant —
-    # twin-tested).
-    judge_batching: str = "global"
+    # "bucketed" (DEFAULT — the cluster-scale path): hash-bucket
+    # qa_ids, batch within bucket — no global sort, batch size still
+    # ≤ k. "global" reproduces the reference's consecutive batches
+    # exactly (one unpartitioned window over ~|questions| rows); only
+    # the reference-parity oracle query opts into it. Batch
+    # COMPOSITION differs between the two, but items are judged
+    # independently, so verdicts are batching-invariant (twin-tested
+    # + plan-pinned: no unpartitioned window under the default).
+    judge_batching: str = "bucketed"
     judge_buckets: int = 32
     client_factory: object = mock_client_factory
     llm_partitions: int | None = None  # repartition before LLM stages

@@ -32,7 +32,12 @@ from finmapreduce_spark.plans.mapreduce import (
 from finmapreduce_spark.queries import QuerySpec
 from finmapreduce_spark.session import read_table
 
-CFG = MapReduceConfig()  # 512/64 chunks, threshold 5, judge batch 5
+# 512/64 chunks, threshold 5, judge batch 5. judge_batching="global"
+# is the one deliberate non-default: these queries are the
+# reference-parity oracles, and global consecutive batching is what
+# the reference does (async_evaluation.py:261) — every serving/CLI
+# path uses the scale-safe "bucketed" default instead.
+CFG = MapReduceConfig(judge_batching="global")
 _STEP = CFG.chunk_size - CFG.chunk_overlap
 N_MISSING = 5
 

@@ -131,21 +131,40 @@ def test_max_reduce_chunks_guard(spark, sf_dir):
 
 
 def test_bucketed_judge_batching_verdicts_invariant(spark, fixture_tables):
-    """Round-2 #5: the scale-path judge batching (hash buckets, no
-    global sort) must produce the SAME per-QA verdicts as the
-    reference-exact global batching, every batch ≤ k, and a plan with
-    no unpartitioned window."""
+    """The scale-path judge batching (hash buckets, no global sort —
+    now the DEFAULT) must produce the SAME per-QA verdicts as the
+    reference-exact global batching, with every batch ≤ k."""
     from dataclasses import replace
 
     from finmapreduce_spark.plans.mapreduce import judge_stage
 
     stages = fixture_tables
     answers = stages["answers"]
+    cfg_g = replace(CFG, judge_batching="global")
     global_v = {
         (r["qa_id"], r["judgment"])
-        for r in stages["judgments"].collect()
+        for r in judge_stage(answers, cfg_g).collect()
     }
     cfg_b = replace(CFG, judge_batching="bucketed", judge_buckets=4)
     bucketed = judge_stage(answers, cfg_b)
     got = {(r["qa_id"], r["judgment"]) for r in bucketed.collect()}
     assert got == global_v
+
+
+def test_default_judge_batching_has_no_unpartitioned_window(spark, fixture_tables):
+    """Plan pin for the flipped default: the serving/CLI path
+    (MapReduceConfig() as-is) must contain NO unpartitioned window —
+    the global-sort batching is opt-in for the parity oracles only."""
+    from finmapreduce_spark.plans.mapreduce import MapReduceConfig, judge_stage
+
+    assert MapReduceConfig().judge_batching == "bucketed"
+    plan = judge_stage(
+        fixture_tables["answers"], MapReduceConfig()
+    )._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            # every window spec must carry at least one partition expr:
+            # unpartitioned specs render windowspecdefinition(ORDER...)
+            inner = line.lower().split("windowspecdefinition(", 1)[1]
+            assert not inner.lstrip().startswith("qa_id"), line
+            assert "__bucket" in inner or "pmod" in inner, line
