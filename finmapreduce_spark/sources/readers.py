@@ -172,18 +172,94 @@ def _fake_pdf_parse(payload: bytes) -> str:
     return "".join(c for c in text if c.isprintable() or c in "\n\t ")
 
 
-def _real_pdf_parse(method: str, payload: bytes) -> str:  # pragma: no cover
-    """Real parser chain, gated: none of the PDF libs ship in this
-    container. Mirrors the reference's method registry + fallback
-    order (document_processing.py:374-419)."""
-    try:
-        import pypdf  # noqa: F401
-    except ImportError as e:
+def _marker_parse(payload: bytes) -> str:
+    """marker CLI path (reference document_processing.py:194-243): no
+    Python lib needed — shell out to ``marker_single`` when the binary
+    is on PATH, read back the markdown it writes. Availability is
+    detected per call so each executor checks its own PATH."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    exe = shutil.which("marker_single")
+    if exe is None:
         raise NotImplementedError(
-            f"PDF parser {method!r} needs pypdf/marker (not installed); "
-            "use parser='fake' for hermetic runs"
-        ) from e
-    raise NotImplementedError(f"parser {method!r} wiring is intentionally stubbed")
+            "marker_single CLI not on PATH; install marker-pdf or use "
+            "another parser method"
+        )
+    with tempfile.TemporaryDirectory() as td:
+        pdf_path = os.path.join(td, "doc.pdf")
+        with open(pdf_path, "wb") as f:
+            f.write(payload)
+        out_dir = os.path.join(td, "out")
+        subprocess.run(
+            [exe, pdf_path, "--output_dir", out_dir],
+            check=True,
+            capture_output=True,
+            timeout=600,
+        )
+        # marker writes <out_dir>/<doc>/<doc>.md
+        for root, _dirs, files in os.walk(out_dir):
+            for fn in sorted(files):
+                if fn.endswith(".md"):
+                    with open(os.path.join(root, fn), encoding="utf-8") as f:
+                        return f.read()
+    raise RuntimeError("marker_single produced no markdown output")
+
+
+def _pypdf_parse(payload: bytes) -> str:
+    import io
+
+    try:
+        import pypdf
+    except ImportError as e:
+        raise NotImplementedError("pypdf not installed") from e
+    reader = pypdf.PdfReader(io.BytesIO(payload))
+    return "\n".join((page.extract_text() or "") for page in reader.pages)
+
+
+def _pdfminer_parse(payload: bytes) -> str:
+    import io
+
+    try:
+        from pdfminer.high_level import extract_text
+    except ImportError as e:
+        raise NotImplementedError("pdfminer.six not installed") from e
+    return extract_text(io.BytesIO(payload))
+
+
+_PDF_PARSERS = {
+    "marker": _marker_parse,
+    "pypdf": _pypdf_parse,
+    "pdfminer": _pdfminer_parse,
+}
+
+
+def _real_pdf_parse(method: str, payload: bytes) -> str:
+    """Real parser registry + fallback chain, availability-gated per
+    method (reference document_processing.py:374-419: marker first,
+    library extractors as fallback). ``auto`` walks the chain and
+    raises NotImplementedError listing every miss only if none of the
+    parsers is installed — which in this container becomes a
+    parse_error row, never a task failure."""
+    if method == "auto":
+        misses = []
+        for name in ("marker", "pypdf", "pdfminer"):
+            try:
+                return _PDF_PARSERS[name](payload)
+            except NotImplementedError as e:
+                misses.append(f"{name}: {e}")
+        raise NotImplementedError(
+            "no PDF parser available — " + "; ".join(misses)
+        )
+    try:
+        fn = _PDF_PARSERS[method]
+    except KeyError:
+        raise ValueError(
+            f"unknown parser {method!r}; one of "
+            f"{['fake', 'auto', *_PDF_PARSERS]}"
+        ) from None
+    return fn(payload)
 
 
 def load_pdf_documents(

@@ -439,3 +439,60 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert ut_touch / ut_total > 2 * (zt_touch / zt_total)
     # and the layout loses no rows
     assert spark.read.parquet(z_out).count() == ev.count()
+
+
+def test_marker_cli_parse_via_stub_binary(tmp_path, monkeypatch):
+    """Drives the real marker subprocess plumbing end-to-end with a
+    stub marker_single on PATH (the binary is absent in this image):
+    payload lands in a temp pdf, the CLI runs, its markdown comes
+    back."""
+    import os
+    import stat
+
+    from finmapreduce_spark.sources.readers import _marker_parse
+
+    stub = tmp_path / "marker_single"
+    stub.write_text(
+        "#!/bin/sh\n"
+        # args: <pdf> --output_dir <dir>; write <dir>/doc/doc.md
+        'mkdir -p "$3/doc"\n'
+        'printf "# parsed\\n%s bytes" "$(wc -c < "$1")" > "$3/doc/doc.md"\n'
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}" + os.environ["PATH"])
+
+    out = _marker_parse(b"%PDF-1.4 fake body")
+    assert out.startswith("# parsed")
+    assert "18 bytes" in out
+
+
+def test_pdf_parser_auto_falls_back_to_error_row(spark, tmp_path):
+    """With no parser installed, parser='auto' must yield parse_error
+    rows naming every missed method — the fallback-not-fail posture."""
+    from finmapreduce_spark.sources.readers import load_pdf_documents
+
+    d = str(tmp_path / "pdfs")
+    import os
+
+    os.makedirs(d)
+    with open(os.path.join(d, "a.pdf"), "wb") as f:
+        f.write(b"%PDF-1.4 payload")
+    rows = load_pdf_documents(spark, d, parser="auto").collect()
+    assert len(rows) == 1
+    err = rows[0]["parse_error"]
+    assert rows[0]["content"] is None
+    for name in ("marker", "pypdf", "pdfminer"):
+        assert name in err
+
+
+def test_pdf_parser_unknown_method_is_error_row(spark, tmp_path):
+    from finmapreduce_spark.sources.readers import load_pdf_documents
+
+    import os
+
+    d = str(tmp_path / "pdfs")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.pdf"), "wb") as f:
+        f.write(b"%PDF-1.4 x")
+    rows = load_pdf_documents(spark, d, parser="nope").collect()
+    assert rows[0]["parse_error"] and "unknown parser" in rows[0]["parse_error"]
