@@ -1,0 +1,46 @@
+"""Every catalog query must at least ANALYZE under the driver's plain
+SparkSession (builder defaults — none of get_spark's confs, Spark 4
+ANSI on). This is the r01 zorder bug class: a query that only works
+under the engine session's confs, or that trips an analysis-time type
+error (e.g. timestamp_ntz → double), fails here before the driver
+sees it. Runs in a subprocess so the repo session fixture can't leak
+its confs in."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import importlib.util, sys
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", sys.argv[1] + "/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = "/root/testdata/sf0.001"
+bad = []
+for name, fn in mod.queries().items():
+    try:
+        df = fn(spark, sf_dir)
+        df.schema  # forces full analysis, no execution
+    except Exception as e:
+        bad.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
+print("ANALYZED_OK" if not bad else "FAILED\n" + "\n".join(bad))
+"""
+
+
+def test_catalog_analyzes_under_plain_session(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, REPO],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(tmp_path),  # foreign cwd, like the driver
+    )
+    assert "ANALYZED_OK" in out.stdout, out.stdout[-3000:] + out.stderr[-2000:]

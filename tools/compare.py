@@ -59,26 +59,40 @@ def canon(rows, cols):
 
 
 def main():
-    from finmapreduce_spark.queries import all_queries
-    from finmapreduce_spark.session import get_spark
+    # Exact driver mimicry: import the entry module by path and run
+    # its queries() on a PLAIN SparkSession (builder defaults, none of
+    # get_spark's confs) — so conf-dependence bugs (the r01 zorder
+    # class) surface here before the driver sees them. Run from any
+    # cwd; the entry shim ships the package zip to workers.
+    import importlib.util
 
-    spark = get_spark("compare")
+    from pyspark.sql import SparkSession
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec_ = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(entry_mod)
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     con = duck_con()
-    qs = all_queries()
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
     wanted = sys.argv[1:] or list(qs)
     n_pass = n_fail = n_nooracle = 0
     for name in wanted:
-        spec = qs[name]
+        fn = qs[name]
         t0 = time.time()
-        sdf = spec.spark(spark, SF_DIR)
+        sdf = fn(spark, SF_DIR)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         t_spark = time.time() - t0
-        if spec.oracle is None:
+        if name not in oracles:
             print(f"NOORACLE {name}: rows={len(srows)} ({t_spark:.1f}s)")
             n_nooracle += 1
             continue
-        res = con.execute(spec.oracle)
+        res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
         ok = True
