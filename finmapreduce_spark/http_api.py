@@ -1,0 +1,155 @@
+"""REST serving layer — the webapp surface, stdlib-only.
+
+Reference parity: webapp/backend/main.py:76 (FastAPI app),
+endpoints.py:183-304 (single-QA answer), :351-423 (document preview).
+No web framework ships in this image, so the endpoint layer is
+``http.server.ThreadingHTTPServer`` + JSON bodies; the handlers call
+the same library functions (`serve.answer_single`, `serve.preview`)
+the reference's endpoints wrap, against ONE shared SparkSession.
+
+Endpoints:
+  GET  /health              → {"status": "ok"}
+  POST /preview             → {"path"} | {"content", "filename"}
+                              → doc_name / first-2000-chars / n_chars
+  POST /answer              → {"path"|"content"+"filename",
+                              "question"} → AnswerResponse dict
+
+Uploads: the reference takes multipart file uploads; here a request
+either names a server-visible path or inlines text content, which is
+staged to a temp file and fed through the same ``load_upload``
+validation (S10/P6 — unsupported extensions are a 400).
+
+Scale posture: single-QA serving is the LATENCY path — one request
+is one 1-row DataFrame through the batch DAG. Sustained THROUGHPUT
+belongs to streaming/pipeline.py::serve_mapreduce (micro-batched
+foreachBatch over a landing directory); this server is the
+interactive front door, and a lock serializes engine calls so
+concurrent requests queue instead of interleaving Spark actions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from finmapreduce_spark.plans.mapreduce import MapReduceConfig
+from finmapreduce_spark.serve import answer_single, preview
+
+
+def _stage_upload(body: dict) -> tuple[str, bool]:
+    """Resolve the request's document to a local path; returns
+    (path, is_temp). Inline content is staged with the caller's
+    filename so extension validation (P6) still applies."""
+    if "path" in body:
+        return body["path"], False
+    if "content" in body:
+        name = os.path.basename(body.get("filename") or "upload.txt")
+        fd, tmp = tempfile.mkstemp(suffix="_" + name)
+        with os.fdopen(fd, "w") as f:
+            f.write(body["content"])
+        return tmp, True
+    raise ValueError("request needs 'path' or 'content'")
+
+
+def make_server(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    cfg: MapReduceConfig | None = None,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; port=0 picks an ephemeral
+    port (read it back from ``server.server_address[1]``)."""
+    cfg = cfg or MapReduceConfig()
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet: no stderr spam
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server contract
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid JSON body"})
+                return
+            tmp = None
+            try:
+                if self.path == "/preview":
+                    path, is_tmp = _stage_upload(body)
+                    tmp = path if is_tmp else None
+                    with lock:
+                        self._send(200, preview(spark, path))
+                elif self.path == "/answer":
+                    question = body.get("question")
+                    if not question:
+                        raise ValueError("request needs 'question'")
+                    path, is_tmp = _stage_upload(body)
+                    tmp = path if is_tmp else None
+                    with lock:
+                        self._send(
+                            200, answer_single(spark, path, question, cfg)
+                        )
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+            except (ValueError, FileNotFoundError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — 500, keep serving
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                if tmp:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_http(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 8008,
+    cfg: MapReduceConfig | None = None,
+) -> None:
+    """Blocking entrypoint (CLI `serve-http`)."""
+    server = make_server(spark, host, port, cfg)
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+
+
+def main(argv=None) -> None:  # pragma: no cover - thin shell
+    import argparse
+
+    from finmapreduce_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(prog="python -m finmapreduce_spark.http_api")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8008)
+    args = ap.parse_args(argv)
+    serve_http(get_spark("serve_http"), args.host, args.port)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -41,3 +41,70 @@ def test_preview(spark, doc_file):
     assert out["doc_name"] == "report.md"
     assert len(out["preview"]) == PREVIEW_CHARS
     assert out["n_chars"] > PREVIEW_CHARS
+
+
+def test_http_api_endpoints(spark):
+    """Live REST server on an ephemeral port: health, preview and
+    answer round-trips (MockLLM engine underneath), plus the 400/404
+    error contract."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from finmapreduce_spark.http_api import make_server
+
+    server = make_server(spark, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(route, payload):
+        req = urllib.request.Request(
+            base + route,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            assert json.loads(r.read()) == {"status": "ok"}
+
+        body = "Revenue grew fifteen percent year over year. " * 40
+        status, prev = post(
+            "/preview", {"content": body, "filename": "report.txt"}
+        )
+        assert status == 200
+        assert prev["n_chars"] == len(body)
+        assert prev["preview"] == body[:2000]
+
+        status, ans = post(
+            "/answer",
+            {"content": body, "filename": "report.txt",
+             "question": "How much did revenue grow?"},
+        )
+        assert status == 200
+        assert ans["error"] is None
+        assert ans["answer"]
+        assert ans["n_chunks"] >= 1
+
+        # P6: unsupported extension → 400, engine validation intact
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": "x", "filename": "bad.exe",
+                             "question": "q?"})
+        assert ei.value.code == 400
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": "x", "filename": "a.txt"})
+        assert ei.value.code == 400  # missing question
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/nope", {})
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
