@@ -68,8 +68,14 @@ WHERE doc_id % 3 = 2
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode + featurize: rows-only driver check (no oracle —
-    the fake codec's byte-level output is not ANSI-SQL-expressible)."""
+    """Stubbed decode + featurize through the REAL mapInPandas stage.
+
+    Exact SQL oracle despite the binary hop: the stub's decoded buffer
+    is a fixed bijection of md5(payload) (digest cycled to 64 bytes),
+    so count(DISTINCT decoded_md5) == count(DISTINCT md5(text)); and
+    feature[0] is digest byte 0 / 255, which is hex-pair arithmetic on
+    the md5 string — both ANSI-expressible, so the driver can value-
+    check the whole Arrow decode stage, not just row counts."""
     decoded = decode_and_featurize(_assets(spark, sf_dir))
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_assets"),
@@ -78,10 +84,29 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECODE_FEATURES_ORACLE = """
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         md5(text) AS h
+  FROM documents
+)
+SELECT kind, count(*) AS n_assets,
+       count(DISTINCT h) AS n_distinct_decodes,
+       round(avg(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                 / 255.0), 6) AS avg_feat_0
+FROM a GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_asset_metadata": QuerySpec(multimodal_asset_metadata, ASSET_META_ORACLE),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
-    "multimodal_decode_features": QuerySpec(multimodal_decode_features, None),
+    "multimodal_decode_features": QuerySpec(
+        multimodal_decode_features, DECODE_FEATURES_ORACLE
+    ),
 }
 
 

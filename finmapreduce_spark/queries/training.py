@@ -557,3 +557,138 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality score (CCNet-style perplexity filter analogue,
+# Wenzek et al. 2020) — score each document by the mean information
+# content (bits/token) of its tokens under the corpus's OWN unigram
+# LM. High bits/token = tokens rare in this corpus = off-distribution
+# document; the standard pretraining quality gate when a real KenLM
+# isn't in the loop.
+# ---------------------------------------------------------------------------
+
+# Keep threshold in bits/token: documents whose mean surprisal
+# exceeds this are flagged for drop (tuned so both classes appear on
+# the synthetic corpus; real pipelines sweep it against held-out
+# quality labels).
+LOGPROB_MAX_BITS = 5.2
+
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean -log2 p(token) under the corpus unigram MLE.
+
+    Plan shape: one explode (narrow) → vocab groupBy (one shuffle on
+    the word key, partial aggregation map-side) → token×vocab equi
+    join on the word — at 100 TB the vocab is ~millions of rows, so
+    the join is left to AQE (broadcast when small, shuffle otherwise)
+    — → per-doc agg. The corpus total rides along as a broadcast
+    1-row cross join, never a driver scalar.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    bits = -F.log2(F.col("c") / F.col("n_total"))
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(bits), 6).alias("bits_per_token"),
+            F.count("*").alias("n_tokens"),
+        )
+        .withColumn("keep", F.col("bits_per_token") <= F.lit(LOGPROB_MAX_BITS))
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM vocab
+)
+SELECT doc_id,
+       round(avg(-log2(c / n_total)), 6) AS bits_per_token,
+       count(*) AS n_tokens,
+       round(avg(-log2(c / n_total)), 6) <= {LOGPROB_MAX_BITS} AS keep
+FROM tok JOIN vocab USING (w), tot
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary head coverage — the tokenizer-prep question "how much of
+# the corpus do the top-K tokens cover?" (vocab sizing / OOV-rate
+# planning).
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 25
+
+
+def vocab_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus tokens with rank and cumulative coverage.
+
+    Scale shape: the global ORDER BY c is applied AFTER a LIMIT-style
+    top-K (orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition top-K then a K-row driver merge, never a full
+    sort), so the only unpartitioned window runs over exactly K rows.
+    The corpus total joins in as a broadcast 1-row aggregate.
+    """
+    tok = _docs(spark, sf_dir).select(
+        F.explode(_words(F.col("text"))).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    top = vocab.orderBy(F.desc("c"), "w").limit(VOCAB_TOP_K)
+    w_rank = W.orderBy(F.desc("c"), "w")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "coverage",
+            F.round(
+                F.sum("c").over(
+                    w_rank.rowsBetween(W.unboundedPreceding, 0)
+                )
+                / F.col("n_total"),
+                6,
+            ),
+        )
+        .select(F.col("w").alias("token"), F.col("c").alias("freq"),
+                "rank", "coverage")
+    )
+
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM vocab
+), top AS (
+  SELECT w, c FROM vocab ORDER BY c DESC, w LIMIT {VOCAB_TOP_K}
+)
+SELECT w AS token, c AS freq,
+       CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank,
+       round(sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING)
+             / n_total, 6) AS coverage
+FROM top, tot
+"""
+
+
+QUERIES.update(
+    {
+        "unigram_logprob_quality": QuerySpec(
+            unigram_logprob_quality, UNIGRAM_LOGPROB_ORACLE
+        ),
+        "vocab_head_coverage": QuerySpec(
+            vocab_head_coverage, VOCAB_COVERAGE_ORACLE
+        ),
+    }
+)
