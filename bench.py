@@ -54,6 +54,10 @@ HEADLINE = [
     # round-5: span-level exact dedup (explode→group→in-row pairs→
     # diagonal-chain windows — a plan shape nothing else covers)
     "dedup_duplicate_passages",
+    # round-2 (judge round 2): grid-decomposed exact pair join under
+    # label skew, and the corpus-self-join unigram-LM scorer
+    "dedup_embedding_cosine",
+    "unigram_logprob_quality",
 ]
 
 
