@@ -24,17 +24,19 @@ from pyspark.sql import types as T
 
 EMBED_DIM = 64
 
-# Executor-local model handle: initialised on first batch, reused for
+# Executor-local model handles: initialised on first batch, reused for
 # the lifetime of the python worker (the pattern real torch models need
 # so model load cost is amortised across all batches of all tasks).
-_MODEL = None
+_MODELS: dict[str, object] = {}
 
 
 def _load_model(name: str):
-    global _MODEL
-    if _MODEL is None:
+    model = _MODELS.get(name)
+    if model is None:
         if name == "fake-hash":
-            _MODEL = _hash_embed_batch
+            model = _hash_embed_batch
+        elif name == "hashing-bow":
+            model = _hashing_bow_batch
         else:  # pragma: no cover - real models not installed here
             try:
                 import torch  # noqa: F401
@@ -42,13 +44,15 @@ def _load_model(name: str):
             except ImportError as e:
                 raise NotImplementedError(
                     f"model '{name}' needs torch/transformers (not in this "
-                    "environment); use model_name='fake-hash' for the "
-                    "deterministic test path"
+                    "environment); use model_name='hashing-bow' for the "
+                    "real dependency-free embedder or 'fake-hash' for the "
+                    "content-oblivious test path"
                 ) from e
             raise NotImplementedError(
                 f"real-model loading for '{name}' is intentionally stubbed"
             )
-    return _MODEL
+        _MODELS[name] = model
+    return model
 
 
 def _hash_embed_batch(texts: pd.Series) -> np.ndarray:
@@ -63,7 +67,28 @@ def _hash_embed_batch(texts: pd.Series) -> np.ndarray:
     return out
 
 
-def embed_text_udf(model_name: str = "fake-hash"):
+def _hashing_bow_batch(texts: pd.Series) -> np.ndarray:
+    """REAL lightweight embedder — the feature-hashing (hashing-trick)
+    bag-of-words of Weinberger et al. 2009 (sklearn HashingVectorizer
+    semantics, norm=None): each token md5-hashes to one of EMBED_DIM
+    buckets with a hash-derived sign; components are signed token
+    counts. Token overlap drives cosine similarity — unlike the
+    seeded-hash fake, which is content-oblivious — and it needs no
+    model weights, so it runs unstubbed in this image. Integer-valued
+    components keep downstream dot products FP-exact, which is what
+    lets the catalog value-check this UDF against ANSI SQL."""
+    import re
+
+    out = np.zeros((len(texts), EMBED_DIM), dtype=np.float64)
+    for i, t in enumerate(texts.fillna("")):
+        for w in re.split(r"\s+", t.strip().lower()):
+            d = hashlib.md5(w.encode()).digest()
+            idx = int.from_bytes(d[:4], "big") % EMBED_DIM
+            out[i, idx] += 1.0 if d[4] & 1 else -1.0
+    return out
+
+
+def embed_text_udf(model_name: str = "hashing-bow"):
     """pandas_udf: string column -> array<double> embedding column.
 
     Arrow-batched; model loaded once per worker. Attach with

@@ -63,6 +63,7 @@ _FRONT = [
     "asof_join_events",
     "events_range_zorder_scan",
     "u6_pair_cosine",
+    "u6_hashing_bow_cosine",
     "a12_prf1",
     "improve_questions",
     "bm25_retrieval_topk",

@@ -140,7 +140,77 @@ FROM m
 """
 
 
+def u6_hashing_bow_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL model-inference path, value-checked end-to-end: doc d
+    embedded by the feature-hashing BoW model inside the Arrow
+    pandas_udf (functions/scoring.py — executor-local model handle,
+    the exact plumbing a torch model rides), then cosine against doc
+    d+1 in native column algebra. The embedder's components are
+    signed integer token counts, so every downstream dot product is
+    FP-exact and the DuckDB oracle can reconstruct the identical
+    embedding relationally (md5 hex arithmetic for bucket and sign) —
+    the one catalog query whose oracle certifies a model UDF's actual
+    output, not a fake's.
+
+    Scale: embedding is a narrow Arrow map; the pair join is an
+    equi-join on derived ids; cosine is a 64-element fold. Linear,
+    shuffle only for the join."""
+    from finmapreduce_spark.functions.scoring import embed_text_udf
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = docs.withColumn("e", embed_text_udf("hashing-bow")(F.col("text")))
+    cand = emb.select(F.col("doc_id").alias("pair_id"), F.col("e").alias("c_e"))
+    ref = emb.select((F.col("doc_id") - 1).alias("pair_id"), F.col("e").alias("r_e"))
+    pairs = cand.join(ref, "pair_id")
+    na = F.sqrt(_dot(F.col("c_e"), F.col("c_e")))
+    nb = F.sqrt(_dot(F.col("r_e"), F.col("r_e")))
+    cos = F.round(
+        F.when(na * nb > 0, _dot(F.col("c_e"), F.col("r_e")) / (na * nb))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return pairs.select("pair_id", cos.alias("cosine"))
+
+
+# Bucket index = int(md5[:4 bytes]) % 64 — only the 4th byte's low 6
+# bits survive the modulus (256 ≡ 0 mod 64), i.e. hex chars 7-8; the
+# sign bit is the low bit of byte 4 (hex char 10).
+U6_HASHING_BOW_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), hx AS (
+  SELECT doc_id, md5(w) AS h FROM toks
+), feat AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(h, 8, 1)) - 1) % 64 AS idx,
+         CAST(sum(CASE WHEN (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) % 2 = 1
+                       THEN 1 ELSE -1 END) AS DOUBLE) AS wgt
+  FROM hx GROUP BY 1, 2
+), nrm AS (
+  SELECT doc_id, sqrt(sum(wgt * wgt)) AS nm FROM feat GROUP BY 1
+), dots AS (
+  SELECT c.doc_id AS pair_id, sum(c.wgt * r.wgt) AS dp
+  FROM feat c JOIN feat r ON r.doc_id = c.doc_id + 1 AND r.idx = c.idx
+  GROUP BY 1
+)
+SELECT c.doc_id AS pair_id,
+       round(CASE WHEN nc.nm * nr.nm > 0
+                  THEN coalesce(d.dp, 0) / (nc.nm * nr.nm)
+                  ELSE 0.0 END, 6) AS cosine
+FROM documents c
+JOIN documents r ON r.doc_id = c.doc_id + 1
+JOIN nrm nc ON nc.doc_id = c.doc_id
+JOIN nrm nr ON nr.doc_id = r.doc_id
+LEFT JOIN dots d ON d.pair_id = c.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "u6_pair_cosine": QuerySpec(u6_pair_cosine, U6_COSINE_ORACLE),
     "u6_bertscore_prf": QuerySpec(u6_bertscore_prf, U6_BERTSCORE_ORACLE),
+    "u6_hashing_bow_cosine": QuerySpec(
+        u6_hashing_bow_cosine, U6_HASHING_BOW_ORACLE
+    ),
 }

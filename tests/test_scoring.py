@@ -17,7 +17,7 @@ from finmapreduce_spark.functions.scoring import (
 def test_embed_udf_schema_and_determinism(spark):
     df = spark.createDataFrame(
         [(i, f"document number {i % 3}") for i in range(20)], "id long, text string"
-    ).withColumn("emb", embed_text_udf()(F.col("text")))
+    ).withColumn("emb", embed_text_udf("fake-hash")(F.col("text")))
     rows = {r["id"]: r["emb"] for r in df.collect()}
     assert all(len(v) == EMBED_DIM for v in rows.values())
     # pure function of the text: same text -> identical vector
@@ -33,19 +33,50 @@ def test_embed_matches_local_reference(spark):
     texts = ["alpha", "beta gamma", ""]
     local = _hash_embed_batch(pd.Series(texts))
     df = spark.createDataFrame([(t,) for t in texts], "text string").withColumn(
-        "emb", embed_text_udf()(F.col("text"))
+        "emb", embed_text_udf("fake-hash")(F.col("text"))
     )
     got = np.array([r["emb"] for r in df.select("emb").collect()])
     assert np.allclose(got, local)
 
 
+def test_hashing_bow_is_a_real_similarity_model(spark):
+    """The default embedder (feature-hashing BoW) is content-AWARE:
+    overlapping texts score high cosine, disjoint texts score ~0 —
+    the property the fake-hash stand-in cannot provide — and the UDF
+    matches the local reference exactly."""
+    import pandas as pd
+
+    from finmapreduce_spark.functions.scoring import _hashing_bow_batch
+
+    texts = [
+        "revenue grew fifteen percent this year",
+        "revenue grew ten percent this year",
+        "quarterly kumquat futures denominated elsewhere",
+        "",
+    ]
+    local = _hashing_bow_batch(pd.Series(texts))
+    df = spark.createDataFrame([(t,) for t in texts], "text string").withColumn(
+        "emb", embed_text_udf()(F.col("text"))
+    )
+    got = np.array([r["emb"] for r in df.select("emb").collect()])
+    assert np.allclose(got, local)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+
+    assert cos(got[0], got[1]) > 0.6  # 5/7 shared tokens
+    assert abs(cos(got[0], got[2])) < 0.35  # disjoint vocab
+    assert cos(got[0], got[0]) == pytest.approx(1.0)
+
+
 def test_real_model_path_raises():
     from finmapreduce_spark.functions import scoring
 
-    scoring._MODEL = None
+    scoring._MODELS.clear()
     with pytest.raises(NotImplementedError):
         scoring._load_model("bert-base-uncased")
-    scoring._MODEL = None
+    scoring._MODELS.clear()
 
 
 def test_pick_n_probes_monotone_and_meets_target(spark, sf_dir):
