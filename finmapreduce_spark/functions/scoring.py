@@ -81,7 +81,12 @@ def _hashing_bow_batch(texts: pd.Series) -> np.ndarray:
 
     out = np.zeros((len(texts), EMBED_DIM), dtype=np.float64)
     for i, t in enumerate(texts.fillna("")):
-        for w in re.split(r"\s+", t.strip().lower()):
+        # Tokenization matches the SQL oracle bit-for-bit: SQL trim()
+        # strips SPACES only, and RE2's \s is exactly [\t\n\f\r ] —
+        # so trim spaces (not Python's Unicode strip) and split on
+        # that same ASCII class (Python's \s would add \v + Unicode).
+        s = t.lower().strip(" ")
+        for w in re.split(r"[ \t\n\f\r]+", s):
             d = hashlib.md5(w.encode()).digest()
             idx = int.from_bytes(d[:4], "big") % EMBED_DIM
             out[i, idx] += 1.0 if d[4] & 1 else -1.0

@@ -41,18 +41,22 @@ from finmapreduce_spark.plans.mapreduce import MapReduceConfig
 from finmapreduce_spark.serve import answer_single, preview
 
 
-def _stage_upload(body: dict) -> tuple[str, bool]:
+def _stage_upload(body: dict) -> tuple[str, str | None]:
     """Resolve the request's document to a local path; returns
-    (path, is_temp). Inline content is staged with the caller's
-    filename so extension validation (P6) still applies."""
+    (path, temp_dir_to_cleanup | None). Inline content is staged in a
+    per-request temp directory UNDER ITS ORIGINAL BASENAME, so the
+    engine's extension validation (P6) applies and doc_name reports
+    the caller's filename (not a mkstemp alias); utf-8 is forced so a
+    C/latin-1 server locale cannot corrupt non-ASCII uploads."""
     if "path" in body:
-        return body["path"], False
+        return body["path"], None
     if "content" in body:
         name = os.path.basename(body.get("filename") or "upload.txt")
-        fd, tmp = tempfile.mkstemp(suffix="_" + name)
-        with os.fdopen(fd, "w") as f:
+        tmp_dir = tempfile.mkdtemp(prefix="fmr_upload_")
+        path = os.path.join(tmp_dir, name)
+        with open(path, "w", encoding="utf-8") as f:
             f.write(body["content"])
-        return tmp, True
+        return path, tmp_dir
     raise ValueError("request needs 'path' or 'content'")
 
 
@@ -92,35 +96,36 @@ def make_server(
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid JSON body"})
                 return
-            tmp = None
+            tmp_dir = None
             try:
+                # Compute under the lock, send OUTSIDE it: the lock
+                # only serializes Spark actions — holding it through
+                # the socket write would let one stalled client block
+                # every other request after the engine went idle.
                 if self.path == "/preview":
-                    path, is_tmp = _stage_upload(body)
-                    tmp = path if is_tmp else None
+                    path, tmp_dir = _stage_upload(body)
                     with lock:
-                        self._send(200, preview(spark, path))
+                        payload = preview(spark, path)
                 elif self.path == "/answer":
                     question = body.get("question")
                     if not question:
                         raise ValueError("request needs 'question'")
-                    path, is_tmp = _stage_upload(body)
-                    tmp = path if is_tmp else None
+                    path, tmp_dir = _stage_upload(body)
                     with lock:
-                        self._send(
-                            200, answer_single(spark, path, question, cfg)
-                        )
+                        payload = answer_single(spark, path, question, cfg)
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
+                    return
+                self._send(200, payload)
             except (ValueError, FileNotFoundError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — 500, keep serving
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
-                if tmp:
-                    try:
-                        os.unlink(tmp)
-                    except OSError:
-                        pass
+                if tmp_dir:
+                    import shutil
+
+                    shutil.rmtree(tmp_dir, ignore_errors=True)
 
     return ThreadingHTTPServer((host, port), Handler)
 

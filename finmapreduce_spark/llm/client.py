@@ -384,7 +384,13 @@ class ProviderConfig:
     temperature: float = 0.0
     max_tokens: int = 1024
     system_prompt: str | None = None
-    connect_timeout_s: float = 30.0
+    # urllib has ONE socket timeout covering connect + the full read:
+    # non-streaming completions send nothing until generation ends, so
+    # this must cover whole-generation latency. It matches the
+    # reference's 600 s request timeout (async_llm_client.py:371) and
+    # RateLimitedClient's request_timeout_s, which is the real
+    # per-attempt ceiling.
+    timeout_s: float = 600.0
 
 
 class OpenAICompatClient:
@@ -446,9 +452,7 @@ class OpenAICompatClient:
 
         req = urllib.request.Request(url, data=payload, headers=headers, method="POST")
         try:
-            with urllib.request.urlopen(
-                req, timeout=self.cfg.connect_timeout_s
-            ) as r:
+            with urllib.request.urlopen(req, timeout=self.cfg.timeout_s) as r:
                 return r.status, r.read()
         except urllib.error.HTTPError as e:  # non-2xx: report status
             return e.code, e.read()

@@ -247,10 +247,16 @@ def _real_pdf_parse(method: str, payload: bytes) -> str:
         for name in ("marker", "pypdf", "pdfminer"):
             try:
                 return _PDF_PARSERS[name](payload)
-            except NotImplementedError as e:
+            except NotImplementedError as e:  # lib/CLI absent
                 misses.append(f"{name}: {e}")
+            except Exception as e:  # noqa: BLE001 — installed parser
+                # CHOKED on this file (corrupt PDF, marker timeout):
+                # the reference order is marker first, library
+                # fallbacks next — a runtime failure moves down the
+                # chain exactly like an absent parser does.
+                misses.append(f"{name}: {type(e).__name__}: {e}")
         raise NotImplementedError(
-            "no PDF parser available — " + "; ".join(misses)
+            "no PDF parser succeeded — " + "; ".join(misses)
         )
     try:
         fn = _PDF_PARSERS[method]

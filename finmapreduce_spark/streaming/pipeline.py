@@ -227,8 +227,15 @@ def serve_incremental_passages_continuous(
         spans = None
         try:
             # Replay-duplicate and df-drift guards on the probed slice
-            # of the store live inside incremental_passage_spans.
-            history = spark.read.parquet(store_dir)
+            # of the store live inside incremental_passage_spans; the
+            # anti-join here removes the batch's OWN grams appended by
+            # a crashed attempt — otherwise every replayed doc matches
+            # itself as a full-length verbatim span and the epoch
+            # rewrite commits 100%-coverage false rejections. The
+            # batch probes PRIOR history only.
+            history = spark.read.parquet(store_dir).join(
+                grams.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
             spans = incremental_passage_spans(grams, history).persist()
             _epoch_json(spans, out_dir, epoch_id)
             iv = spans.select(
@@ -491,11 +498,21 @@ def serve_incremental_dedup_continuous(
         incoming = band_signature_table(batch_df).persist()
         verdicts = None
         try:
-            # a replayed epoch may have appended duplicate store rows;
-            # harmless for verdicts (incremental_verdicts dedups
-            # candidates) but dropping them keeps join fan-out tight
-            history = spark.read.parquet(store_dir).dropDuplicates(
-                ["doc_id", "band_id", "key"]
+            # Replay hazard, two forms: a replayed epoch may find (a)
+            # duplicate store rows (dedup keeps join fan-out tight)
+            # and (b) ITS OWN admitted signatures from the crashed
+            # attempt — without the anti-join every replayed doc
+            # matches itself at jaccard 1.0 and the epoch rewrite
+            # would commit false reject verdicts. The batch is
+            # defined as probed against PRIOR history only.
+            history = (
+                spark.read.parquet(store_dir)
+                .dropDuplicates(["doc_id", "band_id", "key"])
+                .join(
+                    incoming.select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
             )
             verdicts = incremental_verdicts(incoming, history).persist()
             _epoch_json(verdicts, out_dir, epoch_id)

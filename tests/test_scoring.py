@@ -148,3 +148,44 @@ def test_pick_lsh_bands_nested_monotone(spark, sf_dir):
     assert (out["bands"], out["rows"]) == (8, 1)
     out2 = pick_lsh_bands(spark, sf_dir, target_recall=recalls[0])
     assert (out2["bands"], out2["rows"]) == (1, 8)  # strictest suffices
+
+
+def test_hashing_bow_tokenizer_matches_oracle_on_boundary_whitespace():
+    """The UDF tokenizes with SQL-trim + RE2-\\s semantics exactly —
+    trailing newlines, NBSP, \\v and padded spaces all hash to the
+    same buckets the DuckDB oracle derives (the latent divergence a
+    Unicode str.strip()/\\s tokenizer would hit on real corpora)."""
+    import duckdb
+    import pandas as pd
+
+    from finmapreduce_spark.functions.scoring import (
+        EMBED_DIM,
+        _hashing_bow_batch,
+    )
+
+    texts = ["hello world\n", "  padded  ", "tab\tsep", "a\x0bvtab", "",
+             "nbsp\xa0word", "mixed \n\r\x0c end\n"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    for i, s in enumerate(texts):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    rows = con.execute("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM t
+        ), hx AS (SELECT doc_id, md5(w) AS h FROM toks),
+        feat AS (
+          SELECT doc_id,
+                 ((strpos('0123456789abcdef', substring(h,7,1)) - 1) * 16
+                  + strpos('0123456789abcdef', substring(h,8,1)) - 1) % 64 AS idx,
+                 CAST(sum(CASE WHEN (strpos('0123456789abcdef', substring(h,10,1)) - 1) % 2 = 1
+                          THEN 1 ELSE -1 END) AS DOUBLE) AS wgt
+          FROM hx GROUP BY 1,2)
+        SELECT doc_id, idx, wgt FROM feat
+    """).fetchall()
+    want = {i: np.zeros(EMBED_DIM) for i in range(len(texts))}
+    for doc_id, idx, wgt in rows:
+        want[doc_id][idx] = wgt
+    got = _hashing_bow_batch(pd.Series(texts))
+    for i in range(len(texts)):
+        assert np.allclose(got[i], want[i]), texts[i]

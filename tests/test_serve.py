@@ -75,12 +75,14 @@ def test_http_api_endpoints(spark):
             assert json.loads(r.read()) == {"status": "ok"}
 
         body = "Revenue grew fifteen percent year over year. " * 40
+        body += "café naïve 十五"  # non-ASCII must survive any locale
         status, prev = post(
             "/preview", {"content": body, "filename": "report.txt"}
         )
         assert status == 200
         assert prev["n_chars"] == len(body)
         assert prev["preview"] == body[:2000]
+        assert prev["doc_name"] == "report.txt"  # caller's name, not a temp alias
 
         status, ans = post(
             "/answer",

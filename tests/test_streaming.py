@@ -642,3 +642,86 @@ def test_compact_gram_store_reapplies_caps_and_swaps(spark, tmp_path):
     ).collect()
     assert {r["hist_id"] for r in after2} == {2}
     assert glob.glob(store + ".pre-compact/*.parquet")
+
+
+def test_replayed_epoch_does_not_self_match_band_store(spark, tmp_path):
+    """Crash-replay regression: if a crashed attempt already appended
+    the batch's OWN signatures to the store, the replayed epoch must
+    not match docs against themselves (jaccard 1.0 false rejections) —
+    the batch is probed against PRIOR history only."""
+    import json as _json
+
+    from finmapreduce_spark.queries.dedup import band_signature_table
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_dedup_continuous,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(60))
+    store = tmp_path / "store"
+    # simulate the crashed attempt: the store already holds THIS
+    # batch's signatures
+    crashed = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    band_signature_table(crashed).write.parquet(str(store))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 100, "text": text}) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "out"
+    q = serve_incremental_dedup_continuous(
+        stream, str(store), str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    verdicts = [r.asDict() for r in spark.read.json(str(out)).collect()]
+    assert verdicts == []  # no self-rejection
+
+
+def test_replayed_epoch_does_not_self_match_gram_store(spark, tmp_path):
+    """Passage twin of the band-store replay regression: the batch's
+    own grams left by a crashed attempt must not produce full-length
+    self-spans."""
+    import json as _json
+
+    from finmapreduce_spark.queries.dedup import (
+        passage_gram_table,
+        _capped_occurrences,
+    )
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_passages_continuous,
+    )
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"w{i}" for i in range(80))
+    crashed = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    store = tmp_path / "store"
+    (
+        _capped_occurrences(passage_gram_table(crashed))
+        .select("doc_id", F.explode("poss").alias("pos"), "h")
+        .write.parquet(str(store))
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 7, "text": text}) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "out"
+    q = serve_incremental_passages_continuous(
+        stream, str(store), str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    spans = [r.asDict() for r in spark.read.json(str(out)).collect()]
+    assert spans == []  # no self-span, doc stays admitted
