@@ -161,3 +161,46 @@ def test_f3_f4_truncation_invariants(spark):
             assert abs(
                 r["trunc_retention"] - min(1.0, budget / n_eng)
             ) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing BoW embedder invariants (pure Python — the UDF body)
+# ---------------------------------------------------------------------------
+
+_words_st = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_words_st)
+@settings(max_examples=60, deadline=None)
+def test_hashing_bow_permutation_invariant(words):
+    """Bag-of-words: token order cannot change the embedding."""
+    import numpy as np
+    import pandas as pd
+
+    from finmapreduce_spark.functions.scoring import _hashing_bow_batch
+
+    shuffled = list(words)
+    random.Random(42).shuffle(shuffled)
+    a, b = _hashing_bow_batch(pd.Series([" ".join(words), " ".join(shuffled)]))
+    assert np.array_equal(a, b)
+
+
+@given(_words_st, _words_st)
+@settings(max_examples=60, deadline=None)
+def test_hashing_bow_concat_additive(wa, wb):
+    """emb(a ++ b) == emb(a) + emb(b): signed counts are additive over
+    concatenation — the linearity that makes map-side partial
+    aggregation of document vectors correct."""
+    import numpy as np
+    import pandas as pd
+
+    from finmapreduce_spark.functions.scoring import _hashing_bow_batch
+
+    a, b, ab = _hashing_bow_batch(
+        pd.Series([" ".join(wa), " ".join(wb), " ".join(wa + wb)])
+    )
+    assert np.array_equal(ab, a + b)
