@@ -443,3 +443,48 @@ def test_pq_only_corpus_codes_join_may_shuffle(spark, sf_dir):
         if l.strip().startswith("(") and "SortMergeJoin" in l
     ]
     assert len(nodes) <= 1, nodes
+
+
+def test_vocab_head_coverage_plans_takeordered(spark, sf_dir):
+    """The top-K must compile to TakeOrderedAndProject (per-partition
+    heap + K-row merge) — never a full global sort — and the only
+    window in the plan runs after the K-row limit."""
+    df = QS["vocab_head_coverage"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [c" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
+    """The corpus-total 1-row aggregate must join in as a broadcast
+    (BroadcastNestedLoopJoin over one row), not a shuffled cross
+    join; the vocab join stays an equi-join on the word."""
+    df = QS["unigram_logprob_quality"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_grid_joins_on_bounded_keys(spark, sf_dir):
+    """The exact pair join's key set must include the chunk-task ids
+    (label, i, j) — the bounded-bucket guarantee — and the splits
+    dimension must broadcast."""
+    import re as _re
+
+    df = QS["dedup_embedding_cosine"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    # the pair join's equi-key list must be exactly (label, i, j) —
+    # whatever physical join strategy AQE picks for the data size
+    key_lists = _re.findall(r"Left keys \[\d+\]: \[([^\]]+)\]", plan)
+    assert any(
+        "label#" in k and "i#" in k and "j#" in k for k in key_lists
+    ), key_lists
+
+
+def test_hashing_bow_cosine_single_arrow_stage(spark, sf_dir):
+    """The model UDF must appear as ArrowEvalPython stages (vectorized
+    Arrow exchange), never row-at-a-time BatchEvalPython."""
+    df = QS["u6_hashing_bow_cosine"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
