@@ -310,3 +310,41 @@ def load_pdf_documents(
             )
 
     return raw.mapInPandas(parse, schema=PARSED_DOC_SCHEMA)
+
+
+def load_parquet_corpus(
+    spark: SparkSession,
+    path: str,
+    expected: dict[str, str] | None = None,
+    merge_schema: bool = True,
+) -> DataFrame:
+    """Corpus reader for parquet written over TIME — the 100 TB shape
+    where early partitions predate columns added later (schema drift).
+
+    ``mergeSchema`` makes the scan union all footer schemas (files
+    missing a column yield nulls for it — parquet's column-absence
+    semantics, no rewrite of old data needed). ``expected`` maps
+    column name → Spark type ddl; columns the corpus has NEVER seen
+    are added as typed nulls and the projection is reordered to the
+    expected order, so downstream plans bind against one stable
+    schema regardless of which vintages the glob matched.
+
+    Scale note: mergeSchema reads every file footer up front (a
+    driver-side listing + parallel footer fetch). For corpora with
+    millions of files, pin the schema instead: pass ``expected`` for
+    ALL columns and set merge_schema=False — the scan then trusts the
+    declared schema and still null-fills absent columns per file.
+    """
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+    if expected and not merge_schema:
+        from pyspark.sql import types as T
+
+        ddl = ", ".join(f"{c} {t}" for c, t in expected.items())
+        reader = reader.schema(T._parse_datatype_string(ddl))
+    df = reader.parquet(path)
+    if expected:
+        for col, dtype in expected.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.lit(None).cast(dtype))
+        df = df.select(*expected.keys())
+    return df

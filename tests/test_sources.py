@@ -496,3 +496,45 @@ def test_pdf_parser_unknown_method_is_error_row(spark, tmp_path):
         f.write(b"%PDF-1.4 x")
     rows = load_pdf_documents(spark, d, parser="nope").collect()
     assert rows[0]["parse_error"] and "unknown parser" in rows[0]["parse_error"]
+
+
+def test_load_parquet_corpus_schema_drift(spark, tmp_path):
+    """Corpus written over time: early files lack later columns.
+    mergeSchema unions the vintages (absent columns read as null,
+    no rewrite), `expected` adds never-seen columns as typed nulls
+    and pins one stable projection order."""
+    from finmapreduce_spark.sources.readers import load_parquet_corpus
+
+    out = str(tmp_path / "corpus")
+    v1 = spark.createDataFrame(
+        [(1, "early doc")], "doc_id long, text string"
+    )
+    v1.write.parquet(out + "/vintage=2024")
+    v2 = spark.createDataFrame(
+        [(2, "later doc", "en", 0.9)],
+        "doc_id long, text string, lang string, quality double",
+    )
+    v2.write.parquet(out + "/vintage=2025")
+
+    expected = {
+        "doc_id": "long",
+        "text": "string",
+        "lang": "string",
+        "quality": "double",
+        "license": "string",  # never seen anywhere yet
+    }
+    df = load_parquet_corpus(spark, out, expected=expected)
+    assert df.columns == list(expected)
+    rows = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert rows[1]["lang"] is None and rows[1]["quality"] is None
+    assert rows[2]["lang"] == "en" and rows[2]["quality"] == 0.9
+    assert all(r["license"] is None for r in rows.values())
+    assert dict(df.dtypes)["quality"] == "double"
+
+    # pinned-schema path (no footer merge): same stable projection
+    df2 = load_parquet_corpus(
+        spark, out, expected=expected, merge_schema=False
+    )
+    assert df2.columns == list(expected)
+    rows2 = {r["doc_id"]: r.asDict() for r in df2.collect()}
+    assert rows2[1]["quality"] is None and rows2[2]["quality"] == 0.9
