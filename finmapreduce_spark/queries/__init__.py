@@ -57,6 +57,7 @@ _FRONT = [
     "training_corpus_report",
     "contamination_ngram_overlap",
     "dedup_exact",
+    "dedup_semantic_verify",
     "dedup_minhash_signature",
     "dedup_embedding_cosine",
     "dedup_incremental_passages",

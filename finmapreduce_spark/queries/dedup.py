@@ -1336,8 +1336,136 @@ HAVING count(*) >= {PASSAGE_MIN_RUN}
 """
 
 
+# ---------------------------------------------------------------------------
+# Syntactic candidates, SEMANTIC verification — the modern near-dup
+# recipe: MinHash bands generate bounded-bucket candidate pairs (cheap,
+# no n²), then an embedding-cosine gate replaces exact Jaccard so
+# paraphrase-level duplicates survive token edits that break shingle
+# overlap. The verifier embeds each candidate doc with the REAL
+# hashing-BoW Arrow UDF (functions/scoring.py), so this query also
+# value-checks model inference inside a composed dedup DAG.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_COSINE_MIN = 0.99
+
+
+def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket candidates ∘ hashing-BoW cosine gate.
+
+    Scale: candidate generation is the same banded equi-join as
+    dedup_lsh_pairs (the only join that runs at 100 TB); embedding is
+    one narrow Arrow map over the corpus, persisted so the pair join's
+    two sides don't re-run the UDF; the verify is a 64-element fold
+    per candidate. The embedding's integer-valued components keep the
+    cosine FP-exact, so the DuckDB oracle reconstructs the whole DAG
+    — candidates AND model output — relationally."""
+    from finmapreduce_spark.functions.scoring import embed_text_udf
+
+    docs = with_shingles(_docs(spark, sf_dir))
+    sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
+    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
+    band1 = F.md5(
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.key")
+    cand = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    emb = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", embed_text_udf("hashing-bow")(F.col("text")).alias("e")
+        )
+        .withColumn("nm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .persist()
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+    )
+    cos = F.round(
+        F.when(
+            F.col("a.nm") * F.col("b.nm") > 0,
+            _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nm") * F.col("b.nm")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        pairs.select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_COSINE_MIN)
+    )
+
+
+DEDUP_SEMANTIC_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL})
+), buckets AS (
+  SELECT doc_id, 0 AS band_id, {_BAND0} AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, {_BAND1} AS key FROM sig
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), hx AS (
+  SELECT doc_id, md5(w) AS h FROM toks
+), feat AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(h, 8, 1)) - 1) % 64 AS idx,
+         CAST(sum(CASE WHEN (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) % 2 = 1
+                       THEN 1 ELSE -1 END) AS DOUBLE) AS wgt
+  FROM hx GROUP BY 1, 2
+), nrm AS (
+  SELECT doc_id, sqrt(sum(wgt * wgt)) AS nm FROM feat GROUP BY 1
+), dots AS (
+  SELECT c.doc_a, c.doc_b, sum(fa.wgt * fb.wgt) AS dp
+  FROM cand c
+  JOIN feat fa ON fa.doc_id = c.doc_a
+  JOIN feat fb ON fb.doc_id = c.doc_b AND fb.idx = fa.idx
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(CASE WHEN na.nm * nb.nm > 0
+                  THEN coalesce(d.dp, 0) / (na.nm * nb.nm)
+                  ELSE 0.0 END, 6) AS cosine
+FROM cand c
+JOIN nrm na ON na.doc_id = c.doc_a
+JOIN nrm nb ON nb.doc_id = c.doc_b
+LEFT JOIN dots d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b
+WHERE round(CASE WHEN na.nm * nb.nm > 0
+                 THEN coalesce(d.dp, 0) / (na.nm * nb.nm)
+                 ELSE 0.0 END, 6) >= {SEMANTIC_COSINE_MIN}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_semantic_verify": QuerySpec(
+        dedup_semantic_verify, DEDUP_SEMANTIC_ORACLE
+    ),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
     "dedup_lsh_pairs": QuerySpec(dedup_lsh_pairs, DEDUP_LSH_ORACLE),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
