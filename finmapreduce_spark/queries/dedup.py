@@ -1461,10 +1461,168 @@ WHERE round(CASE WHEN na.nm * nb.nm > 0
 """
 
 
+# Semantic INGEST gate: slightly looser than the pair-mining gate —
+# ingest rejects on "close enough to an existing doc", mining reports
+# only the tightest pairs.
+SEMANTIC_INGEST_MIN = 0.95
+
+
+def semantic_signature_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, e, nm, band_id, key): hashing-BoW embedding + LSH band
+    keys — the persisted store schema for SEMANTIC incremental dedup.
+    Candidate generation stays the MinHash band join (syntactic,
+    bounded buckets); the verification payload is the 64-dim embedding
+    (one fixed-width array per doc) instead of the shingle array. All
+    narrow ops + one Arrow UDF pass, identical over a static corpus or
+    a streaming micro-batch."""
+    from finmapreduce_spark.functions.scoring import embed_text_udf
+
+    docs = docs.withColumn(
+        "__e", embed_text_udf("hashing-bow")(F.col(text_col))
+    )
+    sig = with_shingles(docs, text_col).select(
+        "doc_id", "__e", *_minhash_cols(F.col("shingles"))
+    )
+    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
+    band1 = F.md5(
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
+    )
+    return (
+        sig.select(
+            "doc_id",
+            F.col("__e").alias("e"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                    F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+                )
+            ).alias("b"),
+        )
+        .withColumn("nm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .select("doc_id", "e", "nm", "b.band_id", "b.key")
+    )
+
+
+def incremental_semantic_verdicts(
+    incoming: DataFrame, history: DataFrame
+) -> DataFrame:
+    """Join incoming band keys against the history semantic store,
+    verify candidates with embedding cosine, emit per-doc reject
+    verdicts. Both inputs carry the semantic_signature_table schema."""
+    cand = (
+        incoming.alias("i")
+        .join(
+            history.alias("h"),
+            (F.col("i.band_id") == F.col("h.band_id"))
+            & (F.col("i.key") == F.col("h.key")),
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("hist_id"),
+            F.col("i.e").alias("e_i"),
+            F.col("i.nm").alias("nm_i"),
+            F.col("h.e").alias("e_h"),
+            F.col("h.nm").alias("nm_h"),
+        )
+        .dropDuplicates(["doc_id", "hist_id"])
+    )
+    cos = F.round(
+        F.when(
+            F.col("nm_i") * F.col("nm_h") > 0,
+            _dot(F.col("e_i"), F.col("e_h")) / (F.col("nm_i") * F.col("nm_h")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    verdicts = (
+        cand.withColumn("cosine", cos)
+        .groupBy("doc_id")
+        .agg(
+            F.max("cosine").alias("max_cosine"),
+            F.count("*").alias("n_candidates"),
+        )
+    )
+    return verdicts.filter(
+        F.col("max_cosine") >= SEMANTIC_INGEST_MIN
+    ).select(
+        "doc_id",
+        "n_candidates",
+        "max_cosine",
+        F.lit("reject_semantic_dup").alias("verdict"),
+    )
+
+
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which incoming docs are SEMANTIC near-dups of the existing
+    corpus — the ingest twin of dedup_semantic_verify, same split
+    convention as dedup_incremental_vs_history (doc_id % m == 0 is
+    the delta). The model UDF output is value-checked through the
+    composed probe DAG by the relational embedding reconstruction."""
+    sigs = semantic_signature_table(_docs(spark, sf_dir)).persist()
+    incoming = sigs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = sigs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    return incremental_semantic_verdicts(incoming, history)
+
+
+_SEMANTIC_FEAT_SQL = """
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(h, 8, 1)) - 1) % 64 AS idx,
+         CAST(sum(CASE WHEN (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) % 2 = 1
+                       THEN 1 ELSE -1 END) AS DOUBLE) AS wgt
+  FROM (SELECT doc_id, md5(w) AS h
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents))
+  GROUP BY 1, 2
+"""
+
+DEDUP_INC_SEMANTIC_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL})
+), buckets AS (
+  SELECT doc_id, 0 AS band_id, {_BAND0} AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, {_BAND1} AS key FROM sig
+), cand AS (
+  SELECT DISTINCT i.doc_id AS doc_id, h.doc_id AS hist_id
+  FROM buckets i JOIN buckets h
+    ON i.band_id = h.band_id AND i.key = h.key
+  WHERE i.doc_id % {INGEST_MOD} = 0 AND h.doc_id % {INGEST_MOD} <> 0
+), feat AS ({_SEMANTIC_FEAT_SQL}
+), nrm AS (
+  SELECT doc_id, sqrt(sum(wgt * wgt)) AS nm FROM feat GROUP BY 1
+), dots AS (
+  SELECT c.doc_id, c.hist_id, sum(fi.wgt * fh.wgt) AS dp
+  FROM cand c
+  JOIN feat fi ON fi.doc_id = c.doc_id
+  JOIN feat fh ON fh.doc_id = c.hist_id AND fh.idx = fi.idx
+  GROUP BY 1, 2
+), verified AS (
+  SELECT c.doc_id,
+         round(CASE WHEN ni.nm * nh.nm > 0
+                    THEN coalesce(d.dp, 0) / (ni.nm * nh.nm)
+                    ELSE 0.0 END, 6) AS cosine
+  FROM cand c
+  JOIN nrm ni ON ni.doc_id = c.doc_id
+  JOIN nrm nh ON nh.doc_id = c.hist_id
+  LEFT JOIN dots d ON d.doc_id = c.doc_id AND d.hist_id = c.hist_id
+), verdicts AS (
+  SELECT doc_id, count(*) AS n_candidates, max(cosine) AS max_cosine
+  FROM verified GROUP BY 1
+)
+SELECT doc_id, n_candidates, max_cosine,
+       'reject_semantic_dup' AS verdict
+FROM verdicts WHERE max_cosine >= {SEMANTIC_INGEST_MIN}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_semantic_verify": QuerySpec(
         dedup_semantic_verify, DEDUP_SEMANTIC_ORACLE
+    ),
+    "dedup_incremental_semantic": QuerySpec(
+        dedup_incremental_semantic, DEDUP_INC_SEMANTIC_ORACLE
     ),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
     "dedup_lsh_pairs": QuerySpec(dedup_lsh_pairs, DEDUP_LSH_ORACLE),

@@ -530,3 +530,66 @@ def serve_incremental_dedup_continuous(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_incremental_semantic_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """SEMANTIC ingest dedup with a live store — the embedding-gated
+    twin of serve_incremental_dedup_continuous. The store holds
+    semantic_signature_table rows (MinHash band keys for candidate
+    generation + the hashing-BoW embedding as the verification
+    payload); each epoch probes the micro-batch, rejects docs whose
+    best history cosine clears SEMANTIC_INGEST_MIN, and appends the
+    ADMITTED docs' rows back — so a paraphrase-close doc admitted in
+    epoch N rejects its variant in epoch N+1 even when token edits
+    have shifted exact-Jaccard below threshold.
+
+    Same replay hardening as the band twin: history drops duplicate
+    rows and anti-joins away the batch's own doc_ids (a crashed
+    attempt's appends must not make replayed docs match themselves).
+
+    Scale: per-epoch cost is |delta| × bucket-hit-rate for the probe
+    plus one Arrow embedding pass over the delta; the store carries a
+    fixed 64-double payload per doc — smaller than the shingle arrays
+    the exact-Jaccard store keeps."""
+    from finmapreduce_spark.queries.dedup import (
+        incremental_semantic_verdicts,
+        semantic_signature_table,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        incoming = semantic_signature_table(batch_df).persist()
+        verdicts = None
+        try:
+            history = (
+                spark.read.parquet(store_dir)
+                .dropDuplicates(["doc_id", "band_id", "key"])
+                .join(
+                    incoming.select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+            )
+            verdicts = incremental_semantic_verdicts(incoming, history).persist()
+            _epoch_json(verdicts, out_dir, epoch_id)
+            admitted = incoming.join(
+                verdicts.select("doc_id"), "doc_id", "left_anti"
+            )
+            admitted.write.mode("append").parquet(store_dir)
+        finally:
+            if verdicts is not None:
+                verdicts.unpersist()
+            incoming.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -725,3 +725,59 @@ def test_replayed_epoch_does_not_self_match_gram_store(spark, tmp_path):
 
     spans = [r.asDict() for r in spark.read.json(str(out)).collect()]
     assert spans == []  # no self-span, doc stays admitted
+
+
+def test_semantic_continuous_lifecycle(spark, tmp_path):
+    """Embedding-gated ingest lifecycle: epoch-0's admitted doc lands
+    in the store and rejects its epoch-1 near-variant on cosine (not
+    exact Jaccard); the variant's rows never enter the store."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from finmapreduce_spark.queries.dedup import semantic_signature_table
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_semantic_continuous,
+    )
+
+    base_text = " ".join(f"tok{i}" for i in range(60))
+    variant = " ".join(f"tok{i}" for i in range(58)) + " novel1 novel2"
+    unrelated = " ".join(f"other{i}" for i in range(60))
+
+    store = tmp_path / "store"
+    seed = spark.createDataFrame([(1, unrelated)], "doc_id long, text string")
+    semantic_signature_table(seed).write.parquet(str(store))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 100, "text": base_text}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 200, "text": variant}) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "out"
+    q = serve_incremental_semantic_continuous(
+        stream, str(store), str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    verdicts = {
+        r["doc_id"]: r.asDict() for r in spark.read.json(str(out)).collect()
+    }
+    assert 100 not in verdicts  # base admitted (store had only unrelated)
+    assert verdicts[200]["verdict"] == "reject_semantic_dup"
+    assert verdicts[200]["max_cosine"] >= 0.95
+    stored = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(store)).select("doc_id").distinct().collect()
+    }
+    assert stored == {1, 100}
