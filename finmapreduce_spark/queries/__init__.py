@@ -58,6 +58,7 @@ _FRONT = [
     "contamination_ngram_overlap",
     "dedup_exact",
     "dedup_semantic_verify",
+    "dedup_incremental_semantic",
     "dedup_minhash_signature",
     "dedup_embedding_cosine",
     "dedup_incremental_passages",
