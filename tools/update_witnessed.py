@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Regenerate queries/witnessed_rounds.json from driver CORRECTNESS files.
+
+Run after each round's CORRECTNESS_r{N}.json lands:
+
+    python tools/update_witnessed.py
+
+Later rounds overwrite earlier verdicts per query name, so the record
+always holds each query's LATEST driver round + verdict. Catalog
+witness ordering (finmapreduce_spark/queries/__init__.py) consumes it:
+failed-last first, never-witnessed next, oldest-green last.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "finmapreduce_spark" / "queries" / "witnessed_rounds.json"
+
+
+def row_verdict(row: dict) -> str:
+    ok = (
+        bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        # hash_match is None for rows-only (no-oracle) checks.
+        and row.get("hash_match") in (True, None)
+        and not row.get("err")
+    )
+    return "pass" if ok else "fail"
+
+
+def main() -> int:
+    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    if not files:
+        print("no CORRECTNESS_r*.json files found", file=sys.stderr)
+        return 1
+    record: dict[str, dict] = {}
+    for path in files:
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        rnd = int(m.group(1)) if m else 0
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            record[name] = {"round": rnd, "verdict": row_verdict(row)}
+    with open(OUT, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.write("\n")
+    fails = sorted(n for n, v in record.items() if v["verdict"] == "fail")
+    print(f"wrote {OUT.relative_to(REPO)}: {len(record)} witnessed, "
+          f"{len(fails)} open fails: {fails}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
