@@ -22,7 +22,6 @@ import json
 import sys
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 DATASETS = ("financebench", "finqa")
 APPROACHES = ("mapreduce", "truncation")
@@ -70,10 +69,21 @@ def run(argv: list[str] | None = None, spark=None) -> str:
 
     loader = load_financebench if args.dataset == "financebench" else load_finqa
     qa_raw = loader(spark, args.data_path, num_samples=args.num_samples)
+    # Deterministic, distributed id: a hash of the natural key instead
+    # of row_number() over a global (single-partition) window. Collision
+    # guard below — one tiny agg over the QA table, negligible next to
+    # the corpus scan — keeps the uniqueness contract explicit.
     qa = qa_raw.withColumn(
-        "qa_id",
-        F.row_number().over(Window.orderBy("doc_name", "question")).cast("long"),
+        "qa_id", F.xxhash64("doc_name", "question").cast("long")
     ).select("qa_id", F.col("doc_name").alias("doc_id"), "question", "answer")
+    dup = (
+        qa.groupBy("qa_id").count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise RuntimeError(
+            "qa_id hash collision on (doc_name, question); "
+            "deduplicate the QA input or extend the hash key"
+        )
 
     docs = load_markdown_documents(spark, args.docs_glob).select(
         F.col("doc_name").alias("doc_id"), F.col("content").alias("text")

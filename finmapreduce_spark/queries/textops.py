@@ -665,16 +665,16 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     counted = toks.groupBy("token").agg(F.count("*").alias("n"))
-    ranked = counted.withColumn(
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-K, K-row driver merge) so the only unpartitioned window runs
+    # over exactly K rows — never the full |vocab| table. Same shape as
+    # vocab_head_coverage (training.py).
+    top = counted.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_TOP_K)
+    ranked = top.withColumn(
         "rank",
-        F.row_number().over(
-            # single global ordering over |vocab| rows, not |corpus|
-            W.orderBy(F.desc("n"), F.asc("token"))
-        ),
+        F.row_number().over(W.orderBy(F.desc("n"), F.asc("token"))),
     )
-    return ranked.filter(F.col("rank") <= VOCAB_TOP_K).select(
-        F.col("rank").cast("int").alias("rank"), "token", "n"
-    )
+    return ranked.select(F.col("rank").cast("int").alias("rank"), "token", "n")
 
 
 TOKEN_TOPK_ORACLE = f"""

@@ -488,3 +488,42 @@ def test_hashing_bow_cosine_single_arrow_stage(spark, sf_dir):
     plan = plan_of(df)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_token_topk_is_heap_not_global_window(spark, sf_dir):
+    """text_token_topk must top-K the vocab via TakeOrderedAndProject
+    (per-partition heap + K-row merge), with the only unpartitioned
+    window running over K rows — never a single-partition sort of the
+    full distinct-token table."""
+    df = QS["text_token_topk"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # the window must sit ABOVE the take (limit), i.e. the plan has no
+    # global Sort node feeding the Window other than the K-row one
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_cli_qa_id_has_no_global_window(spark, sf_dir, tmp_path):
+    """CLI qa_id derives from xxhash64, not row_number over an
+    unpartitioned window — the QA DAG must contain no WindowExec that
+    moves the whole QA table to one partition."""
+    import json as _json
+
+    qa_path = tmp_path / "qa.jsonl"
+    rows = [
+        {"financebench_id": f"fb{i}", "doc_name": f"d{i%3}",
+         "question": f"q{i}?", "answer": str(i)}
+        for i in range(9)
+    ]
+    qa_path.write_text("\n".join(_json.dumps(r) for r in rows))
+    from finmapreduce_spark.sources.readers import load_financebench
+    from pyspark.sql import functions as F
+
+    qa_raw = load_financebench(spark, str(qa_path))
+    qa = qa_raw.withColumn(
+        "qa_id", F.xxhash64("doc_name", "question").cast("long")
+    )
+    plan = plan_of(qa)
+    assert "Window" not in plan
+    ids = [r.qa_id for r in qa.select("qa_id").collect()]
+    assert len(ids) == len(set(ids)) == 9
