@@ -1,0 +1,156 @@
+"""Pure-stdlib image codecs: PPM (P6) and BMP (24-bit uncompressed).
+
+These make the multimodal decode stage REAL without any third-party
+dependency: a payload whose magic bytes identify a supported container
+is decoded to raw RGB pixels; everything else falls back to the
+documented md5 test double (operators/multimodal.py).
+
+Both formats are trivially reversible (raw pixel dumps plus a fixed
+header), so encode/decode round-trips exactly — which is what lets
+the DuckDB oracle reconstruct the decoded features of a synthesized
+image from the same deterministic pixel formula the synthesizer used.
+
+Reference parity note: the reference ingests PDFs/markdown only
+(src/utils/document_processing.py); image decode is part of this
+repo's training-data-pipeline extension surface, not a reference port.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# PPM (P6, binary, maxval 255)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Raw RGB bytes (len == w*h*3) → binary P6 PPM."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb length {len(rgb)} != {width}x{height}x3 = {width * height * 3}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Binary P6 PPM → (width, height, raw RGB bytes).
+
+    Supports the common single-whitespace header layout plus comment
+    lines; maxval must be 255 (8-bit channels).
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # Tokenize the header: P6, width, height, maxval — whitespace
+    # separated, '#' comments run to end-of-line. The pixel block
+    # starts exactly one whitespace byte after maxval.
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = width * height * 3
+    rgb = payload[pos : pos + n]
+    if len(rgb) != n:
+        raise ValueError(f"truncated PPM pixel block: {len(rgb)} < {n}")
+    return width, height, rgb
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, 24 bpp, BI_RGB i.e. uncompressed)
+# ---------------------------------------------------------------------------
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")  # magic, size, res1, res2, offset
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+
+
+def _bmp_row_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Raw RGB bytes (top-down row order) → 24-bit BI_RGB BMP.
+
+    BMP stores rows bottom-up in BGR order; this writer performs both
+    conversions so decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb).
+    """
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length mismatch")
+    stride = _bmp_row_stride(width)
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]  # RGB → BGR
+        rows.append(bytes(bgr) + pad)
+    pixels = b"".join(rows)
+    offset = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
+    info = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_HEADER.size, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    head = _BMP_FILE_HEADER.pack(b"BM", offset + len(pixels), 0, 0, offset)
+    return head + info + pixels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """24-bit BI_RGB BMP → (width, height, raw RGB bytes, top-down)."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    _, _, _, _, offset = _BMP_FILE_HEADER.unpack_from(payload, 0)
+    (hsize, width, height, _planes, bpp, compression, *_rest) = (
+        _BMP_INFO_HEADER.unpack_from(payload, _BMP_FILE_HEADER.size)
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = _bmp_row_stride(width)
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = payload[offset + src_y * stride : offset + src_y * stride + width * 3]
+        if len(row) != width * 3:
+            raise ValueError("truncated BMP pixel block")
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]  # BGR → RGB
+        out[y * width * 3 : (y + 1) * width * 3] = bgr
+    return width, abs(height), bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def sniff(payload: bytes) -> str | None:
+    """Container kind from magic bytes, or None if unrecognized."""
+    if payload.startswith(b"P6"):
+        return "ppm"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    return None
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Decode any supported container; None when unrecognized (caller
+    falls back to the md5 test double)."""
+    kind = sniff(payload or b"")
+    if kind == "ppm":
+        return decode_ppm(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    return None

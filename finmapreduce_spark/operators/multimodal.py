@@ -2,12 +2,15 @@
 opaque ``binary`` payloads + typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step is STUBBED: the real implementation would use
-PIL/ffmpeg/torchaudio, none of which ship in this image. The stub is
-a clearly-marked deterministic fake behind the same interface, so the
-Spark-side plumbing — schema, binary Arrow transfer, batch shapes,
-partitioning — is real and tested; swapping in a real codec changes
-only the inner function.
+The decode step is REAL for image payloads: a pure-stdlib PPM/BMP
+pixel codec (operators/codecs.py) decodes recognized containers to raw
+RGB and the features are genuine pixel statistics. Payloads whose
+container is not recognized (the synthetic audio/video doubles, or any
+format needing PIL/ffmpeg — not in this image) fall back to a
+clearly-marked deterministic md5 double behind the same interface, so
+the Spark-side plumbing — schema, binary Arrow transfer, batch shapes,
+partitioning — is identical on both paths and swapping in a richer
+codec changes only the inner function.
 
 At 100 TB: binary payloads ride in parquet (or are late-materialized
 via paths + ``spark.read.format("binaryFile")``); decode stages are
@@ -26,40 +29,108 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from finmapreduce_spark.operators.codecs import decode_image, encode_ppm
 from finmapreduce_spark.schemas import ASSET_SCHEMA  # noqa: F401  (public contract)
 
-REAL_CODECS_AVAILABLE = False  # flipped when PIL/ffmpeg exist
+N_HIST_BINS = 12  # feature dims: 3 channel means + overall mean + 12 bins
+
+
+def synth_image_pixels(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic synthetic pixels: byte k = (31*doc_id + 7*k) % 256.
+
+    The formula is pure integer arithmetic so the DuckDB oracle can
+    reconstruct the decoded image (and therefore the pixel features)
+    of every synthesized asset in SQL — that is what upgrades the
+    decode stage's driver check from rows-only to full value-hash.
+    """
+    n = width * height * 3
+    return bytes((31 * doc_id + 7 * k) % 256 for k in range(n))
+
+
+def synth_image_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 16 + 4, doc_id % 12 + 4
+
+
+def _synth_ppm_fn(doc_id: pd.Series) -> pd.Series:
+    out = []
+    for d in doc_id:
+        d = int(d)
+        w, h = synth_image_dims(d)
+        out.append(encode_ppm(w, h, synth_image_pixels(d, w, h)))
+    return pd.Series(out)
+
+
+# Built lazily: pandas_udf needs a DataType (not a DDL string) to stay
+# importable without an active SparkSession.
+_synth_ppm = F.pandas_udf(_synth_ppm_fn, returnType=T.BinaryType())
 
 
 def fake_assets_from_documents(docs: DataFrame) -> DataFrame:
-    """Deterministic fake corpus: each document's utf-8 bytes become an
-    asset payload with metadata derived from its length. Lets every
-    downstream stage run for real on synthetic binaries."""
+    """Deterministic synthetic corpus: image assets are REAL binary PPM
+    images (decodable by the stdlib codec); audio/video payloads are
+    the document's utf-8 bytes (opaque to the codec — they exercise
+    the md5 fallback). Lets every downstream stage run for real on
+    synthetic binaries."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
+    is_img = F.col("doc_id") % 3 == 0
+    img_w = (F.col("doc_id") % 16 + 4).cast("int")
+    img_h = (F.col("doc_id") % 12 + 4).cast("int")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         kind.alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
-        (F.length("text") % 640 + 16).cast("int").alias("width"),
-        (F.length("text") % 480 + 16).cast("int").alias("height"),
+        F.when(is_img, _synth_ppm("doc_id"))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+        F.when(is_img, F.lit("image/x-portable-pixmap"))
+        .otherwise(F.concat(F.lit("application/x-fake-"), kind))
+        .alias("mime"),
+        F.when(is_img, img_w)
+        .otherwise((F.length("text") % 640 + 16).cast("int"))
+        .alias("width"),
+        F.when(is_img, img_h)
+        .otherwise((F.length("text") % 480 + 16).cast("int"))
+        .alias("height"),
         (F.length("text") * 10).cast("long").alias("duration_ms"),
     )
 
 
-def _stub_decode(payload: bytes) -> bytes:
-    """STUB decode. A real build decodes the container to raw frames.
+def pixel_features(rgb: bytes) -> list[float]:
+    """16-dim feature vector from raw RGB bytes.
 
-    Deterministic fake: the 'decoded' buffer is the md5 digest cycled
-    to 64 bytes — stable, content-derived, cheap.
+    [mean_R, mean_G, mean_B, mean_all] / 255 followed by a 12-bin
+    intensity histogram (fractions). Every entry is a ratio of exact
+    integers, so any engine recomputing it in double arithmetic gets
+    bit-identical values — the property the SQL oracle relies on.
     """
-    if REAL_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real codec path not wired in this image")
+    n = len(rgb)
+    if n == 0:
+        return [0.0] * (4 + N_HIST_BINS)
+    chan_sums = [0, 0, 0]
+    hist = [0] * N_HIST_BINS
+    total = 0
+    for k, b in enumerate(rgb):
+        chan_sums[k % 3] += b
+        hist[b * N_HIST_BINS // 256] += 1
+        total += b
+    m = n // 3
+    feats = [(s / m) / 255.0 for s in chan_sums]
+    feats.append((total / n) / 255.0)
+    feats.extend(c / n for c in hist)
+    return feats
+
+
+def _stub_decode(payload: bytes) -> bytes:
+    """Fallback decode DOUBLE for unrecognized containers. A real build
+    with PIL/ffmpeg would decode here; this image has neither, so the
+    'decoded' buffer is the md5 digest cycled to 64 bytes — stable,
+    content-derived, cheap, and reconstructible by the SQL oracle.
+    """
     digest = hashlib.md5(payload or b"").digest()
     return (digest * 4)[:64]
 
@@ -73,26 +144,35 @@ DECODED_SCHEMA = (
 def decode_and_featurize(assets: DataFrame, batch_limit: int = 1024) -> DataFrame:
     """mapInPandas decode + feature-extraction stage.
 
-    Per batch: decode payload (stub), emit byte stats and a 16-dim
-    feature vector (bytes of the digest normalized to [0,1]) — the
-    shape a real image/audio embedder would return, feeding the ANN
-    operators downstream.
+    Per batch: decode the payload — REAL pixel decode for PPM/BMP
+    containers (features = pixel statistics, decoded_md5 = digest of
+    the raw RGB buffer), md5 double otherwise (features = digest bytes
+    normalized). Both paths emit the same 16-dim array<double> shape
+    that feeds the ANN operators downstream.
     """
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            decoded = [_stub_decode(p) for p in pdf["payload"]]
+            md5s, feats = [], []
+            for p in pdf["payload"]:
+                dec = decode_image(p or b"")
+                if dec is not None:
+                    _, _, rgb = dec
+                    md5s.append(hashlib.md5(rgb).hexdigest())
+                    feats.append(pixel_features(rgb))
+                else:
+                    d = _stub_decode(p)
+                    md5s.append(hashlib.md5(d).hexdigest())
+                    feats.append([b / 255.0 for b in d[:16]])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].values,
                     "kind": pdf["kind"].values,
                     "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                    "decoded_md5": [hashlib.md5(d).hexdigest() for d in decoded],
-                    "feature": [
-                        [b / 255.0 for b in d[:16]] for d in decoded
-                    ],
+                    "decoded_md5": md5s,
+                    "feature": feats,
                 }
             )
 

@@ -1,10 +1,13 @@
 """Multimodal pipeline queries.
 
-``multimodal_asset_metadata`` and ``multimodal_frame_sample`` are
-pure-expression plans with full DuckDB oracles. The decode/featurize
-stage runs real mapInPandas plumbing over binary Arrow batches but its
-stub codec output is not SQL-expressible — the driver records the
-weaker rows-only check for it (by design; see operators/multimodal.py).
+All four queries carry full DuckDB oracles. Image assets are REAL
+binary PPM payloads decoded by the stdlib pixel codec
+(operators/codecs.py); their pixels follow a deterministic integer
+formula (byte k = (31*doc_id + 7*k) % 256), so the oracle reconstructs
+the decoded buffers — and therefore the pixel features — in pure SQL.
+Audio/video payloads are unrecognized containers that exercise the
+documented md5 fallback double, whose output is likewise
+SQL-reconstructible from md5(text).
 """
 
 from __future__ import annotations
@@ -40,14 +43,23 @@ def multimodal_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Image payload bytes = PPM header ("P6\n{w} {h}\n255\n" = 9 chars +
+# the two dim strings) + w*h*3 pixels, with w = doc_id%16+4,
+# h = doc_id%12+4 (operators/multimodal.py synth).
 ASSET_META_ORACLE = """
 SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS kind,
        count(*) AS n_assets,
-       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       round(avg(length(text) % 640 + 16), 6) AS avg_width,
-       round(avg(length(text) % 480 + 16), 6) AS avg_height,
+       CAST(sum(CASE WHEN doc_id % 3 = 0
+                     THEN 9 + length(CAST(doc_id % 16 + 4 AS VARCHAR))
+                          + length(CAST(doc_id % 12 + 4 AS VARCHAR))
+                          + (doc_id % 16 + 4) * (doc_id % 12 + 4) * 3
+                     ELSE octet_length(encode(text)) END) AS BIGINT) AS total_bytes,
+       round(avg(CASE WHEN doc_id % 3 = 0 THEN doc_id % 16 + 4
+                      ELSE length(text) % 640 + 16 END), 6) AS avg_width,
+       round(avg(CASE WHEN doc_id % 3 = 0 THEN doc_id % 12 + 4
+                      ELSE length(text) % 480 + 16 END), 6) AS avg_height,
        CAST(sum(length(text) * 10) AS BIGINT) AS total_duration_ms
 FROM documents GROUP BY 1
 """
@@ -68,14 +80,15 @@ WHERE doc_id % 3 = 2
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode + featurize through the REAL mapInPandas stage.
+    """REAL decode + featurize through the mapInPandas stage.
 
-    Exact SQL oracle despite the binary hop: the stub's decoded buffer
-    is a fixed bijection of md5(payload) (digest cycled to 64 bytes),
-    so count(DISTINCT decoded_md5) == count(DISTINCT md5(text)); and
-    feature[0] is digest byte 0 / 255, which is hex-pair arithmetic on
-    the md5 string — both ANSI-expressible, so the driver can value-
-    check the whole Arrow decode stage, not just row counts."""
+    Image assets go through the stdlib PPM codec and feature[0] is a
+    genuine pixel statistic (mean of the R channel / 255). The oracle
+    reconstructs it from the synth pixel formula; two image buffers
+    coincide iff doc_id ≡ doc_id' (mod 768) (pixel bytes repeat mod
+    256, dims repeat mod 48; lcm = 768), so count(DISTINCT decoded
+    buffer) == count(DISTINCT doc_id % 768). Audio/video exercise the
+    md5 fallback double, reconstructed from md5(text) hex pairs."""
     decoded = decode_and_featurize(_assets(spark, sf_dir))
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_assets"),
@@ -85,19 +98,31 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECODE_FEATURES_ORACLE = """
-WITH a AS (
-  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
-              WHEN doc_id % 3 = 1 THEN 'audio'
-              ELSE 'video' END AS kind,
+WITH img AS (
+  SELECT doc_id,
+         (list_aggregate(
+            list_transform(range(0, (doc_id % 16 + 4) * (doc_id % 12 + 4) * 3, 3),
+                           k -> (31 * doc_id + 7 * k) % 256),
+            'sum') * 1.0
+          / ((doc_id % 16 + 4) * (doc_id % 12 + 4))) / 255.0 AS f0
+  FROM documents WHERE doc_id % 3 = 0
+),
+oth AS (
+  SELECT CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
          md5(text) AS h
-  FROM documents
+  FROM documents WHERE doc_id % 3 <> 0
 )
+SELECT 'image' AS kind, count(*) AS n_assets,
+       count(DISTINCT doc_id % 768) AS n_distinct_decodes,
+       round(avg(f0), 6) AS avg_feat_0
+FROM img
+UNION ALL
 SELECT kind, count(*) AS n_assets,
        count(DISTINCT h) AS n_distinct_decodes,
        round(avg(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
                   + strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
                  / 255.0), 6) AS avg_feat_0
-FROM a GROUP BY 1
+FROM oth GROUP BY kind
 """
 
 
@@ -111,11 +136,11 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # ---------------------------------------------------------------------------
-# End-to-end multimodal retrieval: binary asset → decode/featurize
-# (REAL mapInPandas plumbing; the stub codec is md5-derived, so the
-# oracle can recompute the identical feature vectors in SQL) → ANN
-# brute-force top-k among image assets. This value-checks the entire
-# multimodal chain, not just its metadata.
+# End-to-end multimodal retrieval: binary PPM asset → REAL pixel
+# decode/featurize (mapInPandas over Arrow binary batches) → ANN
+# brute-force top-k among image assets. The oracle recomputes the
+# identical 16-dim pixel-feature vectors in SQL from the synth
+# formula, value-checking the entire multimodal chain.
 # ---------------------------------------------------------------------------
 
 MM_N_QUERIES = 10
@@ -158,15 +183,28 @@ def multimodal_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The stub decode is md5(payload).digest() cycled; feature[i] =
-# digest_byte[i] / 255 for i in 0..15 — reconstructed from the hex
-# string: byte i = 16*hex[2i] + hex[2i+1].
+# Image features = pixel_features(decoded RGB): 3 channel means + the
+# overall mean (each /255) + a 12-bin intensity histogram (fractions).
+# Reconstructed from the synth pixel formula byte k = (31*d + 7*k) % 256
+# over n = w*h*3 bytes, w = d%16+4, h = d%12+4. Every entry is a ratio
+# of exact integers so double arithmetic matches Spark bit-for-bit.
 _MM_FEATURE_SQL = """
   SELECT doc_id AS asset_id,
-         list_transform(range(1, 17), i ->
-           ((strpos('0123456789abcdef', substring(md5(text), 2*i - 1, 1)) - 1) * 16
-            + strpos('0123456789abcdef', substring(md5(text), 2*i, 1)) - 1) / 255.0
-         ) AS v
+         list_transform(range(0, 3), c ->
+           (list_aggregate(
+              list_transform(range(c, (doc_id % 16 + 4) * (doc_id % 12 + 4) * 3, 3),
+                             k -> (31 * doc_id + 7 * k) % 256),
+              'sum') * 1.0
+            / ((doc_id % 16 + 4) * (doc_id % 12 + 4))) / 255.0)
+         || [(list_aggregate(
+                list_transform(range(0, (doc_id % 16 + 4) * (doc_id % 12 + 4) * 3),
+                               k -> (31 * doc_id + 7 * k) % 256),
+                'sum') * 1.0
+              / ((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3)) / 255.0]
+         || list_transform(range(0, 12), j ->
+              len(list_filter(range(0, (doc_id % 16 + 4) * (doc_id % 12 + 4) * 3),
+                              k -> ((31 * doc_id + 7 * k) % 256) * 12 // 256 = j)) * 1.0
+              / ((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3)) AS v
   FROM documents WHERE doc_id % 3 = 0
 """
 

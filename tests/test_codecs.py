@@ -1,0 +1,96 @@
+"""Stdlib PPM/BMP codec + pixel-feature unit tests (no Spark)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from finmapreduce_spark.operators.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    sniff,
+)
+from finmapreduce_spark.operators.multimodal import (
+    N_HIST_BINS,
+    pixel_features,
+    synth_image_dims,
+    synth_image_pixels,
+)
+
+
+def _rgb(w, h, seed=0):
+    return bytes((seed + 5 * k) % 256 for k in range(w * h * 3))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 3), (19, 15), (7, 1)])
+def test_ppm_roundtrip(w, h):
+    rgb = _rgb(w, h, seed=w * h)
+    assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+
+def test_ppm_header_with_comments_and_multi_whitespace():
+    rgb = _rgb(2, 2)
+    payload = b"P6\n# a comment\n 2\t2\n# more\n255\n" + rgb
+    assert decode_ppm(payload) == (2, 2, rgb)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 3), (5, 2), (19, 15)])
+def test_bmp_roundtrip_including_row_padding(w, h):
+    # w=5 → stride 16 vs 15: exercises the 4-byte row padding
+    rgb = _rgb(w, h, seed=w + h)
+    assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+def test_sniff_and_dispatch():
+    rgb = _rgb(3, 3)
+    assert sniff(encode_ppm(3, 3, rgb)) == "ppm"
+    assert sniff(encode_bmp(3, 3, rgb)) == "bmp"
+    assert sniff(b"plain text") is None
+    assert decode_image(encode_bmp(3, 3, rgb)) == (3, 3, rgb)
+    assert decode_image(b"not an image") is None
+    assert decode_image(b"") is None
+
+
+def test_truncated_payloads_raise():
+    rgb = _rgb(4, 4)
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(4, 4, rgb)[:-5])
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(4, 4, rgb)[:-5])
+    with pytest.raises(ValueError):
+        encode_ppm(4, 4, rgb[:-1])
+
+
+def test_pixel_features_shape_and_values():
+    # 2x1 image: pixels RGB = (0,10,20),(30,40,50)
+    rgb = bytes([0, 10, 20, 30, 40, 50])
+    f = pixel_features(rgb)
+    assert len(f) == 4 + N_HIST_BINS
+    assert f[0] == ((0 + 30) / 2) / 255.0  # mean R
+    assert f[1] == ((10 + 40) / 2) / 255.0  # mean G
+    assert f[2] == ((20 + 50) / 2) / 255.0  # mean B
+    assert f[3] == (sum(rgb) / 6) / 255.0
+    # histogram: bin = b*12//256 → bins 0,0,0,1,1,2
+    assert f[4] == 3 / 6 and f[5] == 2 / 6 and f[6] == 1 / 6
+    assert abs(sum(f[4:]) - 1.0) < 1e-12
+    assert pixel_features(b"") == [0.0] * (4 + N_HIST_BINS)
+
+
+def test_synth_image_decodes_to_formula():
+    for d in (0, 3, 768, 771):
+        w, h = synth_image_dims(d)
+        px = synth_image_pixels(d, w, h)
+        payload = encode_ppm(w, h, px)
+        assert decode_image(payload) == (w, h, px)
+        assert px == bytes((31 * d + 7 * k) % 256 for k in range(w * h * 3))
+    # the mod-768 collision class the oracle relies on
+    a = synth_image_pixels(0, *synth_image_dims(0))
+    b = synth_image_pixels(768, *synth_image_dims(768))
+    assert synth_image_dims(0) == synth_image_dims(768)
+    assert hashlib.md5(a).hexdigest() == hashlib.md5(b).hexdigest()
+    c = synth_image_pixels(3, *synth_image_dims(3))
+    assert hashlib.md5(a).hexdigest() != hashlib.md5(c).hexdigest()
