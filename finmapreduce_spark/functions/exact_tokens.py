@@ -129,6 +129,10 @@ def truncate_words_exact(
     over words): encode once, slice the token ids, decode."""
     if strategy not in ("start", "end", "smart"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if max_tokens <= 0:
+        # toks[-0:] would keep EVERY token while reporting kept=0 —
+        # an inconsistent row, so a non-positive budget is an error.
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     effective = "start" if strategy == "smart" else strategy
     factory = encoder_factory or tiktoken_encoder_factory()
 

@@ -9,6 +9,8 @@ the reference's endpoints wrap, against ONE shared SparkSession.
 
 Endpoints:
   GET  /health              → {"status": "ok"}
+  GET  /models              → provider/model catalog + pipeline knobs
+                              (reference endpoints.py:325-348)
   POST /preview             → {"path"} | {"content", "filename"}
                               → doc_name / first-2000-chars / n_chars
   POST /answer              → {"path"|"content"+"filename",
@@ -17,7 +19,9 @@ Endpoints:
 Uploads: the reference takes multipart file uploads; here a request
 either names a server-visible path or inlines text content, which is
 staged to a temp file and fed through the same ``load_upload``
-validation (S10/P6 — unsupported extensions are a 400).
+validation (S10/P6 — unsupported extensions are a 400). Path mode is
+confined to ``doc_root`` (realpath-prefix check, default cwd) so a
+non-loopback bind cannot be used to read arbitrary server files.
 
 Scale posture: single-QA serving is the LATENCY path — one request
 is one 1-row DataFrame through the batch DAG. Sustained THROUGHPUT
@@ -41,15 +45,25 @@ from finmapreduce_spark.plans.mapreduce import MapReduceConfig
 from finmapreduce_spark.serve import answer_single, preview
 
 
-def _stage_upload(body: dict) -> tuple[str, str | None]:
+def _stage_upload(body: dict, doc_root: str) -> tuple[str, str | None]:
     """Resolve the request's document to a local path; returns
     (path, temp_dir_to_cleanup | None). Inline content is staged in a
     per-request temp directory UNDER ITS ORIGINAL BASENAME, so the
     engine's extension validation (P6) applies and doc_name reports
     the caller's filename (not a mkstemp alias); utf-8 is forced so a
-    C/latin-1 server locale cannot corrupt non-ASCII uploads."""
+    C/latin-1 server locale cannot corrupt non-ASCII uploads.
+
+    Path mode is confined to ``doc_root``: the request path must
+    realpath-resolve inside it (symlinks followed BEFORE the prefix
+    check), so clients cannot name arbitrary server-visible files."""
     if "path" in body:
-        return body["path"], None
+        root = os.path.realpath(doc_root)
+        resolved = os.path.realpath(
+            os.path.join(root, os.fspath(body["path"]))
+        )
+        if resolved != root and not resolved.startswith(root + os.sep):
+            raise ValueError("path escapes the configured document root")
+        return resolved, None
     if "content" in body:
         name = os.path.basename(body.get("filename") or "upload.txt")
         tmp_dir = tempfile.mkdtemp(prefix="fmr_upload_")
@@ -60,15 +74,40 @@ def _stage_upload(body: dict) -> tuple[str, str | None]:
     raise ValueError("request needs 'path' or 'content'")
 
 
+# Reference endpoints.py:325-348 — the static capability catalog the
+# webapp frontend populates its dropdowns from. Model lists mirror the
+# reference's published catalog; knob ranges match the CLI surface.
+MODELS_CATALOG = {
+    "models": {
+        "openai": ["gpt-4o-mini", "gpt-4o", "gpt-4-turbo", "gpt-3.5-turbo"],
+        "openrouter": [
+            "deepseek/deepseek-r1-0528:free",
+            "anthropic/claude-3-haiku",
+            "meta-llama/llama-3.1-8b-instruct:free",
+        ],
+    },
+    "pipeline_types": ["mapreduce", "truncation"],
+    "format_types": ["json", "hybrid", "plain_text"],
+    "truncation_strategies": ["start", "end", "smart"],
+    "pdf_parsers": ["marker", "pypdf", "pdfminer"],
+    "providers": ["openai", "openrouter"],
+    "temperature_range": {"min": 0.0, "max": 2.0, "step": 0.1},
+    "chunk_size_range": {"min": 1000, "max": 100000, "step": 1000},
+    "score_threshold_range": {"min": 1, "max": 100, "step": 1},
+}
+
+
 def make_server(
     spark: SparkSession,
     host: str = "127.0.0.1",
     port: int = 0,
     cfg: MapReduceConfig | None = None,
+    doc_root: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port=0 picks an ephemeral
     port (read it back from ``server.server_address[1]``)."""
     cfg = cfg or MapReduceConfig()
+    doc_root = doc_root or os.getcwd()
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -86,6 +125,8 @@ def make_server(
         def do_GET(self):  # noqa: N802 — http.server contract
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/models":
+                self._send(200, MODELS_CATALOG)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
@@ -103,14 +144,14 @@ def make_server(
                 # the socket write would let one stalled client block
                 # every other request after the engine went idle.
                 if self.path == "/preview":
-                    path, tmp_dir = _stage_upload(body)
+                    path, tmp_dir = _stage_upload(body, doc_root)
                     with lock:
                         payload = preview(spark, path)
                 elif self.path == "/answer":
                     question = body.get("question")
                     if not question:
                         raise ValueError("request needs 'question'")
-                    path, tmp_dir = _stage_upload(body)
+                    path, tmp_dir = _stage_upload(body, doc_root)
                     with lock:
                         payload = answer_single(spark, path, question, cfg)
                 else:
@@ -135,9 +176,10 @@ def serve_http(
     host: str = "127.0.0.1",
     port: int = 8008,
     cfg: MapReduceConfig | None = None,
+    doc_root: str | None = None,
 ) -> None:
     """Blocking entrypoint (CLI `serve-http`)."""
-    server = make_server(spark, host, port, cfg)
+    server = make_server(spark, host, port, cfg, doc_root)
     try:
         server.serve_forever()
     finally:
@@ -152,8 +194,12 @@ def main(argv=None) -> None:  # pragma: no cover - thin shell
     ap = argparse.ArgumentParser(prog="python -m finmapreduce_spark.http_api")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8008)
+    ap.add_argument("--doc_root", default=None,
+                    help="directory path-mode requests are confined to "
+                         "(default: cwd)")
     args = ap.parse_args(argv)
-    serve_http(get_spark("serve_http"), args.host, args.port)
+    serve_http(get_spark("serve_http"), args.host, args.port,
+               doc_root=args.doc_root)
 
 
 if __name__ == "__main__":  # pragma: no cover

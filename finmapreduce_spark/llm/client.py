@@ -393,6 +393,42 @@ class ProviderConfig:
     timeout_s: float = 600.0
 
 
+# Provider presets — reference parity with the factory's two explicit
+# arms (async_llm_client.py:52-91): "openai" resolves OPENAI_API_KEY
+# against the public OpenAI endpoint, "openrouter" resolves
+# OPENROUTER_API_KEY against the public OpenRouter endpoint. Both are
+# ordinary OpenAI-compatible chat/completions surfaces, so the client,
+# limiter, and retry stack are identical; only base_url/key/model
+# defaults differ.
+_PROVIDER_PRESETS: dict[str, dict[str, str]] = {
+    "openai": {
+        "base_url": "https://api.openai.com/v1",
+        "api_key_env": "OPENAI_API_KEY",
+        "model": "gpt-4o-mini",
+    },
+    "openrouter": {
+        "base_url": "https://openrouter.ai/api/v1",
+        "api_key_env": "OPENROUTER_API_KEY",
+        "model": "deepseek/deepseek-r1-0528:free",
+    },
+}
+
+
+def provider_config(provider: str = "openai", **overrides: Any) -> ProviderConfig:
+    """Build a ProviderConfig from a named provider preset.
+
+    ``overrides`` are ProviderConfig fields (model, base_url,
+    temperature, ...) applied on top of the preset, mirroring how the
+    reference factory lets LLMConfig override base_url per provider.
+    """
+    preset = _PROVIDER_PRESETS.get(provider.lower())
+    if preset is None:
+        raise ValueError(
+            f"unknown provider {provider!r}; known: {sorted(_PROVIDER_PRESETS)}"
+        )
+    return ProviderConfig(**{**preset, **overrides})
+
+
 class OpenAICompatClient:
     """POST {base_url}/chat/completions with the standard payload
     (model, messages, temperature, max_tokens) and map the response to

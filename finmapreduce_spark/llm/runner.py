@@ -60,28 +60,38 @@ def mock_client_factory() -> RateLimitedClient:
     )
 
 
-def openai_client_factory() -> RateLimitedClient:
+def provider_client_factory(provider: str = "openai") -> RateLimitedClient:
     """Real-provider factory: the OpenAI-compatible transport behind
     the SAME limiter/retry stack the mock runs under (reference
     async_llm_client.py:52-91 request shaping, main_async.py:67-74
     limiter defaults). Executor-local — one client per Python worker,
-    credentials resolved from the worker's own environment
-    (OPENAI_API_KEY; OPENAI_BASE_URL / OPENAI_MODEL to point at any
-    compatible endpoint). Pass as ``client_factory=`` to run_map /
+    credentials resolved from the worker's own environment. Providers
+    (reference factory's two explicit arms): "openai" (OPENAI_API_KEY;
+    OPENAI_BASE_URL / OPENAI_MODEL point it at any compatible
+    endpoint) and "openrouter" (OPENROUTER_API_KEY against the public
+    OpenRouter endpoint). Pass as ``client_factory=`` to run_map /
     run_reduce / judge stages to run the DAG against a live model."""
     import os
 
-    from finmapreduce_spark.llm.client import OpenAICompatClient, ProviderConfig
+    from finmapreduce_spark.llm.client import OpenAICompatClient, provider_config
 
-    cfg = ProviderConfig(
-        base_url=os.environ.get("OPENAI_BASE_URL", "https://api.openai.com/v1"),
-        model=os.environ.get("OPENAI_MODEL", "gpt-4o-mini"),
-    )
+    overrides: dict = {}
+    if provider.lower() == "openai":
+        if "OPENAI_BASE_URL" in os.environ:
+            overrides["base_url"] = os.environ["OPENAI_BASE_URL"]
+        if "OPENAI_MODEL" in os.environ:
+            overrides["model"] = os.environ["OPENAI_MODEL"]
+    cfg = provider_config(provider, **overrides)
     return RateLimitedClient(
         OpenAICompatClient(cfg),
         RateLimitConfig(),
         request_cache_size=1024,
     )
+
+
+def openai_client_factory() -> RateLimitedClient:
+    """Back-compat alias for provider_client_factory("openai")."""
+    return provider_client_factory("openai")
 
 
 async def _drain(

@@ -234,15 +234,52 @@ def save_events_zorder(
             spark.conf.set(conf_key, prev)
 
 
+def store_lock_path(store_dir: str) -> str:
+    """Lock file marking the store as under compaction. It sits BESIDE
+    the store directory (a lock inside would travel with the swap's
+    renames) and is honored by the continuous-ingest appenders
+    (streaming/pipeline.py), which fail fast instead of racing the
+    rewrite — closing the append-between-list-and-swap TOCTOU window
+    rather than merely narrowing it."""
+    return store_dir.rstrip("/") + ".lock"
+
+
+class _StoreLock:
+    """Exclusive compaction lock via O_CREAT|O_EXCL — atomic on POSIX
+    local and NFS; on object stores swap this for a conditional-put."""
+
+    def __init__(self, store_dir: str):
+        self.path = store_lock_path(store_dir)
+
+    def __enter__(self):
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"{self.path} exists — another compaction is running "
+                "(or crashed; remove the lock after checking)"
+            ) from None
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+        return False
+
+
 def _swap_in_compacted(store_dir: str, tmp_dir: str, seen: set) -> None:
     """Two-rename store swap with a concurrent-append guard.
 
     The compacted rewrite holds only rows read at compaction start, so
     any file appended to the live store afterwards would be silently
-    dropped by the swap (stranded in ``.pre-compact``). Compaction is
-    documented offline-only; this makes a violation loud instead of
-    lossy by re-listing immediately before the swap and refusing if
-    the store gained files.
+    dropped by the swap (stranded in ``.pre-compact``). The store lock
+    makes lock-honoring appenders fail fast for the whole compaction;
+    this re-list backstops against appenders that predate the lock or
+    ignore it.
     """
     import glob
     import shutil
@@ -289,27 +326,33 @@ def compact_signature_store(
     import glob
     import shutil
 
-    seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
-    files_before = len(seen)
-    df = spark.read.parquet(store_dir)
-    rows_before = df.count()
-    compacted = (
-        df.dropDuplicates(["doc_id", "band_id", "key"])
-        .repartition(target_files, F.col("key"))
-        .sortWithinPartitions("key")
-    )
-    tmp_dir = store_dir.rstrip("/") + ".compacting"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    compacted.write.mode("overwrite").parquet(tmp_dir)
-    rows_after = spark.read.parquet(tmp_dir).count()
-    _swap_in_compacted(store_dir, tmp_dir, seen)
-    files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
-    return {
-        "files_before": files_before,
-        "files_after": files_after,
-        "rows_before": rows_before,
-        "rows_after": rows_after,
-    }
+    with _StoreLock(store_dir):
+        seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
+        files_before = len(seen)
+        # mergeSchema: live epoch appends carry an epoch_id stamp the
+        # seed files lack. The rewrite DROPS the stamp — a compacted
+        # store is SEALED history, safe to probe from any epoch (incl.
+        # a fresh checkpoint whose epoch ids restart at 0).
+        df = spark.read.option("mergeSchema", "true").parquet(store_dir)
+        rows_before = df.count()
+        compacted = (
+            df.drop("epoch_id")
+            .dropDuplicates(["doc_id", "band_id", "key"])
+            .repartition(target_files, F.col("key"))
+            .sortWithinPartitions("key")
+        )
+        tmp_dir = store_dir.rstrip("/") + ".compacting"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        compacted.write.mode("overwrite").parquet(tmp_dir)
+        rows_after = spark.read.parquet(tmp_dir).count()
+        _swap_in_compacted(store_dir, tmp_dir, seen)
+        files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+        }
 
 
 def compact_gram_store(
@@ -350,38 +393,40 @@ def compact_gram_store(
         max_df = PASSAGE_MAX_DF
     seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
     files_before = len(seen)
-    df = spark.read.parquet(store_dir)
-    rows_before = df.count()
-    per = (
-        df.dropDuplicates(["doc_id", "pos", "h"])
-        .groupBy("h", "doc_id")
-        .agg(
-            F.slice(F.sort_array(F.collect_list("pos")), 1, PASSAGE_MAX_OCC).alias(
-                "poss"
+    with _StoreLock(store_dir):
+        df = spark.read.option("mergeSchema", "true").parquet(store_dir)
+        rows_before = df.count()
+        per = (
+            df.drop("epoch_id")  # sealed on rewrite, like the band store
+            .dropDuplicates(["doc_id", "pos", "h"])
+            .groupBy("h", "doc_id")
+            .agg(
+                F.slice(F.sort_array(F.collect_list("pos")), 1, PASSAGE_MAX_OCC).alias(
+                    "poss"
+                )
             )
         )
-    )
-    ok = (
-        per.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("h")
-    )
-    compacted = (
-        per.join(ok, "h")
-        .select("doc_id", F.explode("poss").alias("pos"), "h")
-        .repartition(target_files, F.col("h"))
-        .sortWithinPartitions("h")
-    )
-    tmp_dir = store_dir.rstrip("/") + ".compacting"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    compacted.write.mode("overwrite").parquet(tmp_dir)
-    rows_after = spark.read.parquet(tmp_dir).count()
-    _swap_in_compacted(store_dir, tmp_dir, seen)
-    files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
-    return {
-        "files_before": files_before,
-        "files_after": files_after,
-        "rows_before": rows_before,
-        "rows_after": rows_after,
-    }
+        ok = (
+            per.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("h")
+        )
+        compacted = (
+            per.join(ok, "h")
+            .select("doc_id", F.explode("poss").alias("pos"), "h")
+            .repartition(target_files, F.col("h"))
+            .sortWithinPartitions("h")
+        )
+        tmp_dir = store_dir.rstrip("/") + ".compacting"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        compacted.write.mode("overwrite").parquet(tmp_dir)
+        rows_after = spark.read.parquet(tmp_dir).count()
+        _swap_in_compacted(store_dir, tmp_dir, seen)
+        files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+        }

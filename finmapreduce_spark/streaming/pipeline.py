@@ -222,20 +222,21 @@ def serve_incremental_passages_continuous(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _check_store_unlocked(store_dir)
         spark = batch_df.sparkSession
         grams = passage_gram_table(batch_df).persist()
         spans = None
         try:
             # Replay-duplicate and df-drift guards on the probed slice
             # of the store live inside incremental_passage_spans; the
-            # anti-join here removes the batch's OWN grams appended by
-            # a crashed attempt — otherwise every replayed doc matches
-            # itself as a full-length verbatim span and the epoch
-            # rewrite commits 100%-coverage false rejections. The
-            # batch probes PRIOR history only.
-            history = spark.read.parquet(store_dir).join(
-                grams.select("doc_id").distinct(), "doc_id", "left_anti"
-            )
+            # epoch filter here removes the batch's OWN grams appended
+            # by a crashed attempt of THIS epoch — otherwise every
+            # replayed doc matches itself as a full-length verbatim
+            # span and the epoch rewrite commits 100%-coverage false
+            # rejections. Keyed on epoch_id, not doc_id, so a doc
+            # resubmitted in a later epoch still matches its own
+            # prior-epoch grams (verbatim dup → rejected).
+            history = _prior_history(spark, store_dir, epoch_id)
             spans = incremental_passage_spans(grams, history).persist()
             _epoch_json(spans, out_dir, epoch_id)
             iv = spans.select(
@@ -261,7 +262,9 @@ def serve_incremental_passages_continuous(
                 .join(rejected, "doc_id", "left_anti")
                 .select("doc_id", F.explode("poss").alias("pos"), "h")
             )
-            admitted.write.mode("append").parquet(store_dir)
+            stamp_store_epoch(admitted, epoch_id).write.mode("append").parquet(
+                store_dir
+            )
         finally:
             if spans is not None:
                 spans.unpersist()
@@ -463,6 +466,57 @@ def run_stream_to_memory(
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
 
+# ---------------------------------------------------------------------------
+# Live-store epoch stamping: every continuous-ingest append carries the
+# epoch_id that wrote it, and each epoch's probe excludes ONLY rows
+# stamped with its own epoch — i.e., rows a crashed attempt of this
+# very epoch appended. Rows from other epochs (including a prior
+# legitimate submission of the SAME doc_id) stay in history, so a
+# resubmitted exact duplicate is rejected instead of silently admitted
+# (the over-broad doc_id anti-join this replaces removed those too).
+# Seeded and compacted stores carry no epoch column — implicitly
+# SEALED: a store is bound to one checkpoint lineage, and compaction
+# (which drops the stamp) is the documented step before pointing a
+# FRESH checkpoint (epoch ids restart at 0) at an existing store.
+# ---------------------------------------------------------------------------
+
+SEALED_EPOCH = -1
+
+
+def _check_store_unlocked(store_dir: str) -> None:
+    """Fail the epoch fast if the store is locked for compaction —
+    an append racing the compaction swap would be silently stranded
+    in the ``.pre-compact`` rollback copy otherwise."""
+    import os
+
+    from finmapreduce_spark.sources.sinks import store_lock_path
+
+    lock = store_lock_path(store_dir)
+    if os.path.exists(lock):
+        raise RuntimeError(
+            f"store {store_dir} is locked for compaction ({lock}); "
+            "pause ingest until compaction finishes"
+        )
+
+
+def stamp_store_epoch(df: DataFrame, epoch_id: int) -> DataFrame:
+    """Stamp store rows with the epoch that appends them."""
+    return df.withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+
+
+def _prior_history(spark: SparkSession, store_dir: str, epoch_id: int) -> DataFrame:
+    """Store rows visible to this epoch's probe: everything except this
+    epoch's own (crashed-attempt) appends. Unstamped rows (seeds,
+    compacted rewrites) read as SEALED via mergeSchema + coalesce."""
+    raw = spark.read.option("mergeSchema", "true").parquet(store_dir)
+    if "epoch_id" in raw.columns:
+        raw = raw.filter(
+            F.coalesce(F.col("epoch_id"), F.lit(SEALED_EPOCH))
+            != F.lit(int(epoch_id))
+        ).drop("epoch_id")
+    return raw
+
+
 def serve_incremental_dedup_continuous(
     incoming_docs: DataFrame,
     store_dir: str,
@@ -494,6 +548,7 @@ def serve_incremental_dedup_continuous(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _check_store_unlocked(store_dir)
         spark = batch_df.sparkSession
         incoming = band_signature_table(batch_df).persist()
         verdicts = None
@@ -501,25 +556,23 @@ def serve_incremental_dedup_continuous(
             # Replay hazard, two forms: a replayed epoch may find (a)
             # duplicate store rows (dedup keeps join fan-out tight)
             # and (b) ITS OWN admitted signatures from the crashed
-            # attempt — without the anti-join every replayed doc
+            # attempt — without excluding them every replayed doc
             # matches itself at jaccard 1.0 and the epoch rewrite
-            # would commit false reject verdicts. The batch is
-            # defined as probed against PRIOR history only.
-            history = (
-                spark.read.parquet(store_dir)
-                .dropDuplicates(["doc_id", "band_id", "key"])
-                .join(
-                    incoming.select("doc_id").distinct(),
-                    "doc_id",
-                    "left_anti",
-                )
+            # would commit false reject verdicts. The exclusion is
+            # keyed on epoch_id (replay-specific), NOT doc_id: a doc
+            # legitimately resubmitted in a LATER epoch must still
+            # match its prior-epoch rows and be rejected.
+            history = _prior_history(spark, store_dir, epoch_id).dropDuplicates(
+                ["doc_id", "band_id", "key"]
             )
             verdicts = incremental_verdicts(incoming, history).persist()
             _epoch_json(verdicts, out_dir, epoch_id)
             admitted = incoming.join(
                 verdicts.select("doc_id"), "doc_id", "left_anti"
             )
-            admitted.write.mode("append").parquet(store_dir)
+            stamp_store_epoch(admitted, epoch_id).write.mode("append").parquet(
+                store_dir
+            )
         finally:
             if verdicts is not None:
                 verdicts.unpersist()
@@ -564,25 +617,22 @@ def serve_incremental_semantic_continuous(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _check_store_unlocked(store_dir)
         spark = batch_df.sparkSession
         incoming = semantic_signature_table(batch_df).persist()
         verdicts = None
         try:
-            history = (
-                spark.read.parquet(store_dir)
-                .dropDuplicates(["doc_id", "band_id", "key"])
-                .join(
-                    incoming.select("doc_id").distinct(),
-                    "doc_id",
-                    "left_anti",
-                )
+            history = _prior_history(spark, store_dir, epoch_id).dropDuplicates(
+                ["doc_id", "band_id", "key"]
             )
             verdicts = incremental_semantic_verdicts(incoming, history).persist()
             _epoch_json(verdicts, out_dir, epoch_id)
             admitted = incoming.join(
                 verdicts.select("doc_id"), "doc_id", "left_anti"
             )
-            admitted.write.mode("append").parquet(store_dir)
+            stamp_store_epoch(admitted, epoch_id).write.mode("append").parquet(
+                store_dir
+            )
         finally:
             if verdicts is not None:
                 verdicts.unpersist()

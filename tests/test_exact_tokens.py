@@ -116,3 +116,12 @@ def test_real_tiktoken_counts_drive_boundaries(spark):
     step = 56
     expect = 1 if n <= 64 else -(-(n - 64) // step) + 1
     assert out.count() == expect
+
+
+def test_truncate_exact_rejects_nonpositive_budget(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="max_tokens"):
+            truncate_words_exact(
+                df, "text", bad, strategy="end", encoder_factory=_factory
+            )

@@ -482,3 +482,59 @@ def test_openai_factory_builds_and_pickles():
     assert isinstance(client.inner, OpenAICompatClient)
     # factories ship inside mapInPandas closures — must pickle by ref
     assert pickle.loads(pickle.dumps(openai_client_factory)) is openai_client_factory
+
+
+def test_provider_config_presets():
+    from finmapreduce_spark.llm.client import provider_config
+
+    oa = provider_config("openai")
+    assert oa.base_url == "https://api.openai.com/v1"
+    assert oa.api_key_env == "OPENAI_API_KEY"
+
+    orr = provider_config("OpenRouter", model="anthropic/claude-3-haiku")
+    assert orr.base_url == "https://openrouter.ai/api/v1"
+    assert orr.api_key_env == "OPENROUTER_API_KEY"
+    assert orr.model == "anthropic/claude-3-haiku"
+
+    with pytest.raises(ValueError):
+        provider_config("azure")
+
+
+def test_openrouter_request_through_fake_transport(monkeypatch):
+    """The OpenRouter arm drives the same client/transport stack: the
+    request lands on the OpenRouter URL with the OPENROUTER_API_KEY
+    bearer, and the standard chat/completions response parses."""
+    import asyncio
+    import json as _json
+
+    from finmapreduce_spark.llm.client import OpenAICompatClient, provider_config
+
+    monkeypatch.setenv("OPENROUTER_API_KEY", "or-test-key")
+    seen = {}
+
+    def transport(url, headers, payload):
+        seen["url"] = url
+        seen["auth"] = headers.get("Authorization")
+        body = {
+            "choices": [{"message": {"content": "ok"}}],
+            "usage": {"prompt_tokens": 3, "completion_tokens": 1,
+                      "total_tokens": 4},
+            "model": _json.loads(payload)["model"],
+        }
+        return 200, _json.dumps(body).encode()
+
+    client = OpenAICompatClient(provider_config("openrouter"), transport=transport)
+    resp = asyncio.run(client.acomplete("hi", kind="map"))
+    assert resp.content == "ok"
+    assert seen["url"] == "https://openrouter.ai/api/v1/chat/completions"
+    assert seen["auth"] == "Bearer or-test-key"
+
+
+def test_provider_client_factory_openrouter_pickles():
+    import pickle
+
+    from finmapreduce_spark.llm.runner import provider_client_factory
+
+    client = provider_client_factory("openrouter")
+    assert client is not None
+    assert pickle.loads(pickle.dumps(provider_client_factory)) is provider_client_factory

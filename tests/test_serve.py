@@ -110,3 +110,59 @@ def test_http_api_endpoints(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_models_catalog_and_path_containment(spark, tmp_path):
+    """GET /models returns the capability catalog (reference
+    endpoints.py:325-348); path-mode requests are confined to
+    doc_root — inside resolves, escapes (absolute or ../) are 400."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from finmapreduce_spark.http_api import MODELS_CATALOG, make_server
+
+    root = tmp_path / "docs"
+    root.mkdir()
+    (root / "inside.txt").write_text("Revenue grew ten percent. " * 30)
+    secret = tmp_path / "secret.txt"
+    secret.write_text("not served")
+
+    server = make_server(spark, port=0, doc_root=str(root))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(route, payload):
+        req = urllib.request.Request(
+            base + route,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(base + "/models", timeout=10) as r:
+            cat = json.loads(r.read())
+        assert cat == MODELS_CATALOG
+        assert set(cat["providers"]) == {"openai", "openrouter"}
+        assert "mapreduce" in cat["pipeline_types"]
+
+        # relative path inside the root: allowed
+        status, prev = post("/preview", {"path": "inside.txt"})
+        assert status == 200 and prev["doc_name"] == "inside.txt"
+        # absolute path inside the root: allowed
+        status, _ = post("/preview", {"path": str(root / "inside.txt")})
+        assert status == 200
+
+        # escapes: absolute outside, ../ traversal → 400
+        for bad in (str(secret), "../secret.txt"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post("/preview", {"path": bad})
+            assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -654,14 +654,15 @@ def test_replayed_epoch_does_not_self_match_band_store(spark, tmp_path):
     from finmapreduce_spark.queries.dedup import band_signature_table
     from finmapreduce_spark.streaming.pipeline import (
         serve_incremental_dedup_continuous,
+        stamp_store_epoch,
     )
 
     text = " ".join(f"tok{i}" for i in range(60))
     store = tmp_path / "store"
     # simulate the crashed attempt: the store already holds THIS
-    # batch's signatures
+    # batch's signatures, stamped with the epoch that will replay (0)
     crashed = spark.createDataFrame([(100, text)], "doc_id long, text string")
-    band_signature_table(crashed).write.parquet(str(store))
+    stamp_store_epoch(band_signature_table(crashed), 0).write.parquet(str(store))
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -695,17 +696,19 @@ def test_replayed_epoch_does_not_self_match_gram_store(spark, tmp_path):
     )
     from finmapreduce_spark.streaming.pipeline import (
         serve_incremental_passages_continuous,
+        stamp_store_epoch,
     )
     from pyspark.sql import functions as F
 
     text = " ".join(f"w{i}" for i in range(80))
     crashed = spark.createDataFrame([(7, text)], "doc_id long, text string")
     store = tmp_path / "store"
-    (
-        _capped_occurrences(passage_gram_table(crashed))
-        .select("doc_id", F.explode("poss").alias("pos"), "h")
-        .write.parquet(str(store))
-    )
+    stamp_store_epoch(
+        _capped_occurrences(passage_gram_table(crashed)).select(
+            "doc_id", F.explode("poss").alias("pos"), "h"
+        ),
+        0,
+    ).write.parquet(str(store))
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -781,3 +784,114 @@ def test_semantic_continuous_lifecycle(spark, tmp_path):
         for r in spark.read.parquet(str(store)).select("doc_id").distinct().collect()
     }
     assert stored == {1, 100}
+
+
+def test_resubmitted_doc_rejected_not_readmitted(spark, tmp_path):
+    """The replay guard is keyed on epoch_id, not doc_id: a doc
+    ADMITTED in epoch 0 and resubmitted verbatim in epoch 1 (same
+    doc_id) must match its own prior-epoch store rows and be REJECTED
+    — and its rows must not re-enter the store."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_dedup_continuous,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(60))
+    store = tmp_path / "store"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 100, "text": text}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 100, "text": text}) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    store.mkdir()  # empty store; epoch 0 seeds it
+    # empty dir is not a parquet store — seed with an unrelated doc
+    from finmapreduce_spark.queries.dedup import band_signature_table
+
+    seed = spark.createDataFrame(
+        [(1, " ".join(f"other{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    band_signature_table(seed).write.mode("overwrite").parquet(str(store))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "out"
+    q = serve_incremental_dedup_continuous(
+        stream, str(store), str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    rows = [r.asDict() for r in spark.read.json(str(out)).collect()]
+    # exactly one verdict: the epoch-1 resubmission rejected against
+    # the epoch-0 admission (self-match at jaccard 1.0)
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 100 and rows[0]["verdict"] == "reject_near_dup"
+    # store: seed + ONE copy of doc 100's signatures (epoch 0's)
+    from pyspark.sql import functions as F
+
+    per_doc = (
+        spark.read.option("mergeSchema", "true").parquet(str(store))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("epoch_id").alias("n_epochs"))
+        .collect()
+    )
+    assert {r["doc_id"]: r["n_epochs"] for r in per_doc}[100] == 1
+
+
+def test_store_lock_blocks_ingest_and_double_compaction(spark, tmp_path):
+    """Compaction takes an exclusive side-car lock: a second compaction
+    fails fast, and a continuous-ingest epoch arriving mid-compaction
+    raises instead of racing the swap."""
+    import json as _json
+    import os
+
+    from finmapreduce_spark.queries.dedup import band_signature_table
+    from finmapreduce_spark.sources.sinks import (
+        _StoreLock,
+        compact_signature_store,
+        store_lock_path,
+    )
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_dedup_continuous,
+    )
+
+    store = str(tmp_path / "store")
+    seed = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(60)))], "doc_id long, text string"
+    )
+    band_signature_table(seed).write.parquet(store)
+
+    with _StoreLock(store):
+        # second compaction: the lock is held → fail fast
+        with pytest.raises(RuntimeError, match="lock"):
+            compact_signature_store(spark, store)
+        # ingest epoch during compaction: fail fast, nothing appended
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        (landing / "e0.json").write_text(
+            _json.dumps({"doc_id": 5, "text": "fresh words only"}) + "\n"
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(str(landing))
+        )
+        q = serve_incremental_dedup_continuous(
+            stream, store, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        ).start()
+        with pytest.raises(Exception, match="locked for compaction"):
+            q.awaitTermination()
+    # lock released → compaction now succeeds
+    assert not os.path.exists(store_lock_path(store))
+    stats = compact_signature_store(spark, store)
+    assert stats["files_after"] >= 1
