@@ -137,14 +137,32 @@ def main():
     # stdout — keep the contract line compact and park detail in a
     # sidecar next to this script.
     detail = dict(out, rows=rows, shuffle=shuffle)
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-    )
+    root = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(root, "BENCH_DETAILS.json")
     try:
         with open(sidecar, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: the stdout line is the contract
+    # Per-round archive so bench_trend can diff rounds including the
+    # shuffle sidecar (the driver's BENCH_r{N} keeps wall only). The
+    # current round = 1 + newest driver CORRECTNESS round on disk.
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in os.listdir(root)
+        if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    if rounds:
+        archive = os.path.join(
+            root, f"BENCH_DETAILS_r{max(rounds) + 1:02d}.json"
+        )
+        try:
+            with open(archive, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
     sys.stdout.flush()
     print(json.dumps(out), flush=True)
 

@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import json
+
+import pytest
 import subprocess
 import sys
 
@@ -76,3 +78,60 @@ def test_cli_exit_codes(tmp_path):
     )
     assert bad.returncode == 1
     assert "REGRESS" in bad.stdout
+
+
+def test_load_bench_unwraps_driver_wrapper(tmp_path):
+    from tools.bench_trend import load_bench
+
+    rec = _rec({"q1": 1.0})
+    wrapper = {"n": 2, "rc": 0, "tail": "...logs...", "parsed": rec}
+    p = tmp_path / "BENCH_r02.json"
+    p.write_text(json.dumps(wrapper, indent=1))
+    assert load_bench(str(p)) == rec
+
+    # pretty sidecar and raw-line shapes still load
+    q = tmp_path / "BENCH_DETAILS_r03.json"
+    q.write_text(json.dumps(rec, indent=1))
+    assert load_bench(str(q))["queries"] == {"q1": 1.0}
+    r = tmp_path / "line.json"
+    r.write_text("some log line\n" + json.dumps(rec))
+    assert load_bench(str(r))["queries"] == {"q1": 1.0}
+
+
+def test_round_archives_trend_no_shuffle_regression():
+    """Automated round-over-round trend: diff the two newest same-sf
+    bench records on disk. Shuffle regressions FAIL (plan-shape
+    deterministic signal); wall regressions only warn (local wall is
+    noisy and rounds may run on different machines)."""
+    import glob
+    import os
+
+    from tools.bench_trend import compare_rounds, load_bench, round_key
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json"))
+        + glob.glob(os.path.join(root, "BENCH_DETAILS_r*.json")),
+        key=lambda p: (round_key(p.replace("BENCH_DETAILS_", "BENCH_")), p),
+    )
+    recs = []
+    for p in paths:
+        try:
+            rec = load_bench(p)
+        except (ValueError, OSError):
+            continue
+        if rec.get("queries"):
+            recs.append((os.path.basename(p), rec))
+    same_sf = [
+        (a, b)
+        for a, b in zip(recs, recs[1:])
+        if a[1].get("sf") == b[1].get("sf")
+    ]
+    if not same_sf:
+        pytest.skip("fewer than two comparable bench records on disk")
+    (pname, prev), (cname, cur) = same_sf[-1]
+    flags = compare_rounds(prev, cur, threshold=0.2)
+    shuffle_flags = [f for f in flags if f["metric"] != "wall_sec"]
+    for f in flags:
+        print(f"trend {pname}->{cname}: {f}")
+    assert shuffle_flags == [], shuffle_flags

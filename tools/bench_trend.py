@@ -39,9 +39,17 @@ SHUFFLE_FLOOR_MB = 0.05
 def load_bench(path: str) -> dict:
     with open(path) as f:
         text = f.read().strip()
-    # bench.py prints exactly one JSON line, but tolerate leading logs.
-    line = text.splitlines()[-1]
-    return json.loads(line)
+    # Three shapes: the single JSON line bench.py prints (possibly
+    # with leading log lines), the pretty-printed BENCH_DETAILS
+    # sidecar, and the driver's BENCH_r{N}.json wrapper whose
+    # ``parsed`` field holds the bench record.
+    try:
+        rec = json.loads(text)
+    except json.JSONDecodeError:
+        rec = json.loads(text.splitlines()[-1])
+    if isinstance(rec, dict) and "parsed" in rec and "queries" not in rec:
+        rec = rec["parsed"] or {}
+    return rec
 
 
 def round_key(path: str) -> int:
@@ -75,7 +83,10 @@ def compare_rounds(
             )
         pmb = float(ps.get(name, {}).get("read_mb", 0.0))
         cmb = float(cs.get(name, {}).get("read_mb", 0.0))
-        if cmb > max(pmb * (1 + threshold), SHUFFLE_FLOOR_MB):
+        # A record with NO shuffle sidecar at all (e.g. the driver's
+        # wall-only capture) can't distinguish "0 MB broadcast plan"
+        # from "not measured" — only compare when prev measured.
+        if ps and cmb > max(pmb * (1 + threshold), SHUFFLE_FLOOR_MB):
             flags.append(
                 {
                     "query": name,
