@@ -468,28 +468,32 @@ WHERE round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) >= {COSINE_THRE
 
 MAX_CC_ITERS = 20
 
+# Flag (also settable via FMR_CC_ALGORITHM): "star" (default) is the
+# alternating large-star/small-star algorithm (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14) —
+# O(log n) rounds regardless of graph diameter, and measured faster
+# than minlabel even on the shallow near-dup graphs (SCALE.md: its
+# convergence probe is two scalar aggs vs a join+count per round).
+# "minlabel" (iterations = diameter) is kept as the equivalence
+# reference; both reach the identical unique fixpoint.
+CC_ALGORITHMS = ("star", "minlabel")
+DEFAULT_CC_ALGORITHM = "star"
 
-def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components by iterative min-label propagation over the
-    verified near-dup pairs; canonical = min doc_id per component.
 
-    Each iteration is one distributed join+agg (label := min(label,
-    neighbors' labels)); the driver only checks the converged flag —
-    no data crosses to the driver. Iterations needed = graph diameter;
-    near-dup graphs are shallow (dup clusters are cliques or short
-    chains), so this converges in 2-3 rounds where the alternating
-    large-star/small-star algorithm would also land. Deterministic:
-    fixpoint is unique regardless of execution order.
-    """
-    pairs = dedup_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+def _cc_minlabel(edges: DataFrame) -> DataFrame:
+    """Min-label propagation: label := min(label, neighbors' labels)
+    per iteration (one join+agg); driver sees only the converged flag.
+    Deterministic: the fixpoint is unique regardless of order."""
+    # localCheckpoint (not persist): the label table's plan nests one
+    # join deeper per iteration; past ~15 iterations even FORMATTING
+    # the plan (codegen tree strings) blows the heap. Checkpointing
+    # cuts lineage to a leaf each round; reliable checkpoint(dir) on a
+    # real cluster.
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
@@ -505,7 +509,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -514,19 +518,144 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            return labels
+    raise RuntimeError(f"components did not converge in {MAX_CC_ITERS} iters")
+
+
+def _cc_star(edges: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round is two map+agg+join passes over the EDGE set (vs
+    minlabel's pass over the label table): large-star hangs every
+    larger neighbor of u off min(N(u) ∪ {u}); small-star does the same
+    for the not-larger neighbors. The edge set converges to stars
+    rooted at component minima in O(log n) rounds INDEPENDENT of
+    diameter — a long chain collapses geometrically where minlabel
+    walks it one hop per round. Per round it shuffles ~2× more than a
+    minlabel round, so it wins only past the diameter crossover
+    (SCALE.md measures both).
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighbor view; m = min over {u} ∪ N(u)
+        sym = e.union(e.select(F.col("doc_b").alias("doc_a"),
+                               F.col("doc_a").alias("doc_b")))
+        m = sym.groupBy("doc_a").agg(
+            F.least(F.min("doc_b"), F.first("doc_a")).alias("m")
+        )
+        return (
+            sym.join(m, "doc_a")
+            .filter(F.col("doc_b") > F.col("doc_a"))
+            .select(F.col("doc_b").alias("doc_a"), F.col("m").alias("doc_b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges toward the smaller endpoint: u > v
+        directed = e.select(
+            F.greatest("doc_a", "doc_b").alias("doc_a"),
+            F.least("doc_a", "doc_b").alias("doc_b"),
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+        m = directed.groupBy("doc_a").agg(
+            F.min("doc_b").alias("m")
+        )
+        hang = (
+            directed.join(m, "doc_a")
+            .filter(F.col("doc_b") != F.col("m"))
+            .select(F.col("doc_b").alias("doc_a"), F.col("m").alias("doc_b"))
+        )
+        keep = m.select(F.col("doc_a"), F.col("m").alias("doc_b"))
+        return hang.union(keep).distinct()
+
+    # localCheckpoint (not persist): each round's plan embeds the
+    # previous round's TWICE (the symmetric-union self-reference), so
+    # lineage grows ~4^rounds and Catalyst's analysis itself blows up
+    # by round ~6. Checkpointing materializes the edge set and cuts
+    # the logical plan back to a leaf every round. On a cluster use
+    # reliable checkpoint(dir) for fault tolerance; local[] has no
+    # executor loss to survive.
+    cur = (
+        edges.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("doc_a"),
+            F.least("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERS):
+        nxt = small_star(large_star(cur)).localCheckpoint()
+        # Converged when the directed edge set is unchanged: compare
+        # count + order-independent hash XOR (two scalar aggs, no
+        # data to the driver; xor can't overflow under ANSI mode).
+        sig_old = cur.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("doc_a", "doc_b")).alias("h"),
+        ).first()
+        sig_new = nxt.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("doc_a", "doc_b")).alias("h"),
+        ).first()
+        done = (sig_old["n"] == sig_new["n"]) and (sig_old["h"] == sig_new["h"])
+        cur = nxt
+        if done:
             break
-    else:  # pragma: no cover
+    else:
         raise RuntimeError(f"components did not converge in {MAX_CC_ITERS} iters")
-    out = labels.select(
+    # converged stars: doc_a hangs off root doc_b; roots label themselves
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    out = (
+        nodes.join(cur, nodes.doc_id == cur.doc_a, "left")
+        .select("doc_id", F.coalesce("doc_b", "doc_id").alias("label"))
+    )
+    return out
+
+
+def connected_components(edges: DataFrame, algorithm: str | None = None) -> DataFrame:
+    """(doc_a, doc_b) edge list → (doc_id, label) with label = min
+    doc_id of the component. ``algorithm``: "minlabel" (default) or
+    "star"; FMR_CC_ALGORITHM overrides when the arg is None."""
+    import os
+
+    algorithm = algorithm or os.environ.get(
+        "FMR_CC_ALGORITHM", DEFAULT_CC_ALGORITHM
+    )
+    if algorithm not in CC_ALGORITHMS:
+        raise ValueError(f"unknown CC algorithm {algorithm!r}; known: {CC_ALGORITHMS}")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    try:
+        if algorithm == "star":
+            return _cc_star(sym)
+        return _cc_minlabel(sym)
+    finally:
+        sym.unpersist()
+
+
+def dedup_cluster_canonical(
+    spark: SparkSession, sf_dir: str, algorithm: str | None = None
+) -> DataFrame:
+    """Connected components over the verified near-dup pairs;
+    canonical = min doc_id per component. Default algorithm is the
+    O(log n)-round large-star/small-star ("star"); "minlabel"
+    (diameter-bound label propagation) is selectable via the arg or
+    FMR_CC_ALGORITHM as the equivalence reference. Both reach the
+    same unique fixpoint (equivalence-tested).
+    """
+    pairs = dedup_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, algorithm)
+    return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
-    edges.unpersist()
-    return out
 
 
 DEDUP_CLUSTER_ORACLE = f"""

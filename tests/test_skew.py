@@ -99,3 +99,81 @@ def test_embedding_cosine_grid_decomposition_equivalence(spark, monkeypatch):
     chunked = dedup.dedup_embedding_cosine(spark, sf_dir)
     got = {tuple(r) for r in chunked.collect()}
     assert got == base
+
+
+# ---------------------------------------------------------------------------
+# Connected-components algorithm equivalence: min-label vs alternating
+# large-star/small-star (the deep-graph escape hatch).
+# ---------------------------------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def _labels(df):
+    return {r["doc_id"]: r["label"] for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "pairs,want",
+    [
+        # chain 1-2-3-4-5: one component rooted at 1
+        ([(1, 2), (2, 3), (3, 4), (4, 5)],
+         {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}),
+        # clique {10,11,12} + pair {20,21} + reversed edge orientation
+        ([(10, 11), (11, 12), (12, 10), (21, 20)],
+         {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}),
+        # duplicate + self edges don't disturb labels
+        ([(7, 8), (8, 7), (7, 7), (8, 9)], {7: 7, 8: 7, 9: 7}),
+    ],
+)
+def test_cc_algorithms_agree_on_fixtures(spark, pairs, want):
+    from finmapreduce_spark.queries.dedup import connected_components
+
+    e = _edges_df(spark, pairs)
+    got_min = _labels(connected_components(e, "minlabel"))
+    got_star = _labels(connected_components(e, "star"))
+    assert got_min == want
+    assert got_star == want
+
+
+def test_cc_star_handles_diameter_past_minlabel_budget(spark):
+    """A 30-hop chain needs 29 min-label rounds (> MAX_CC_ITERS=20)
+    but collapses in O(log n) star rounds — the reason the flag
+    exists."""
+    from finmapreduce_spark.queries.dedup import (
+        MAX_CC_ITERS,
+        connected_components,
+    )
+
+    n = 30
+    assert n - 1 > MAX_CC_ITERS
+    chain = [(i, i + 1) for i in range(1, n)]
+    e = _edges_df(spark, chain)
+    got = _labels(connected_components(e, "star"))
+    assert got == {i: 1 for i in range(1, n + 1)}
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(e, "minlabel").collect()
+
+
+def test_cluster_canonical_star_flag_matches_default(spark, sf_dir, monkeypatch):
+    from finmapreduce_spark.queries.dedup import dedup_cluster_canonical
+
+    base = {
+        tuple(r)
+        for r in dedup_cluster_canonical(spark, sf_dir).collect()
+    }
+    via_arg = {
+        tuple(r)
+        for r in dedup_cluster_canonical(spark, sf_dir, "minlabel").collect()
+    }
+    assert via_arg == base
+    monkeypatch.setenv("FMR_CC_ALGORITHM", "minlabel")
+    via_env = {
+        tuple(r)
+        for r in dedup_cluster_canonical(spark, sf_dir).collect()
+    }
+    assert via_env == base
+    with pytest.raises(ValueError, match="unknown CC algorithm"):
+        dedup_cluster_canonical(spark, sf_dir, "nope")
