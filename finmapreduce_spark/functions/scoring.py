@@ -37,6 +37,15 @@ def _load_model(name: str):
             model = _hash_embed_batch
         elif name == "hashing-bow":
             model = _hashing_bow_batch
+        elif name == "torch-bow":
+            try:
+                import torch  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "model 'torch-bow' needs torch (not in this "
+                    "environment); 'hashing-bow' is the numpy twin"
+                ) from e
+            model = _torch_bow_batch
         else:  # pragma: no cover - real models not installed here
             try:
                 import torch  # noqa: F401
@@ -91,6 +100,33 @@ def _hashing_bow_batch(texts: pd.Series) -> np.ndarray:
             idx = int.from_bytes(d[:4], "big") % EMBED_DIM
             out[i, idx] += 1.0 if d[4] & 1 else -1.0
     return out
+
+
+def _torch_bow_batch(texts: pd.Series) -> np.ndarray:
+    """Torch twin of _hashing_bow_batch: identical hashing scheme, but
+    the accumulation runs through torch tensor ops (index_add_). Gives
+    the optional-deps lane a REAL torch execution path with an exact
+    numpy golden (the two must match bit-for-bit — integer-valued
+    components), without needing model weights or network access."""
+    import re
+
+    import torch
+
+    out = torch.zeros((len(texts), EMBED_DIM), dtype=torch.float64)
+    for i, t in enumerate(texts.fillna("")):
+        s = t.lower().strip(" ")
+        idxs, signs = [], []
+        for w in re.split(r"[ \t\n\f\r]+", s):
+            d = hashlib.md5(w.encode()).digest()
+            idxs.append(int.from_bytes(d[:4], "big") % EMBED_DIM)
+            signs.append(1.0 if d[4] & 1 else -1.0)
+        if idxs:
+            out[i].index_add_(
+                0,
+                torch.tensor(idxs, dtype=torch.long),
+                torch.tensor(signs, dtype=torch.float64),
+            )
+    return out.numpy()
 
 
 def embed_text_udf(model_name: str = "hashing-bow"):

@@ -1,0 +1,207 @@
+"""Optional-dependency validation lane (``pytest -m realdeps``).
+
+The engine's library seams — the tiktoken-exact tokenizer, the
+pypdf/pdfminer/marker PDF chain, the torch embedder — are injectable
+and fixture-tested everywhere else; THESE tests run the REAL library
+through each seam wherever it is installed, against golden outputs
+computed independently in-test. Where a library is absent the test
+SKIPS (visible in the report), so the lane documents exactly which
+real-dependency paths have been exercised in a given environment.
+A second always-on group pins the gate behavior when the library is
+missing (informative NotImplementedError, never a crash).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import shutil
+
+import pytest
+
+realdeps = pytest.mark.realdeps
+
+
+def _has(mod: str) -> bool:
+    return importlib.util.find_spec(mod) is not None
+
+
+# ---------------------------------------------------------------------------
+# Fixture: a minimal but structurally valid one-page PDF, assembled
+# with correct xref offsets so strict parsers accept it.
+# ---------------------------------------------------------------------------
+
+
+def minimal_pdf(text: str = "Hello World") -> bytes:
+    stream = f"BT /F1 24 Tf 72 720 Td ({text}) Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        ),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# tiktoken: exact chunker/truncation against direct-library goldens
+# ---------------------------------------------------------------------------
+
+
+@realdeps
+@pytest.mark.skipif(not _has("tiktoken"), reason="tiktoken not installed")
+def test_tiktoken_chunker_matches_direct_slicing(spark):
+    import tiktoken
+
+    from finmapreduce_spark.functions.exact_tokens import explode_chunks_exact
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    text = "The quick brown fox jumps over the lazy dog. " * 40
+    docs = spark.createDataFrame([("d1", text)], "doc_name string, content string")
+    got = {
+        r["chunk_index"]: r["chunk_text"]
+        for r in explode_chunks_exact(docs, chunk_size=50, chunk_overlap=10).collect()
+    }
+    # golden: slice the token ids directly with the real encoder
+    toks = enc.encode(text)
+    step = 40
+    want = {}
+    i = 0
+    pos = 0
+    while True:
+        want[i] = enc.decode(toks[pos : pos + 50])
+        if pos + 50 >= len(toks):
+            break
+        i += 1
+        pos += step
+    assert got == want
+
+
+@realdeps
+@pytest.mark.skipif(not _has("tiktoken"), reason="tiktoken not installed")
+def test_tiktoken_truncation_matches_direct_decode(spark):
+    import tiktoken
+
+    from finmapreduce_spark.functions.exact_tokens import truncate_words_exact
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    text = "Revenue grew fifteen percent year over year, driven by cloud. " * 30
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    row = truncate_words_exact(df, "text", 64, strategy="start").first()
+    toks = enc.encode(text)
+    assert row["trunc_original"] == len(toks)
+    assert row["trunc_tokens"] == min(64, len(toks))
+    assert row["trunc_text"] == enc.decode(toks[:64])
+    row_end = truncate_words_exact(df, "text", 64, strategy="end").first()
+    assert row_end["trunc_text"] == enc.decode(toks[-64:])
+
+
+# ---------------------------------------------------------------------------
+# PDF chain: each installed parser extracts the fixture text
+# ---------------------------------------------------------------------------
+
+
+@realdeps
+@pytest.mark.skipif(not _has("pypdf"), reason="pypdf not installed")
+def test_pypdf_extracts_fixture_text():
+    from finmapreduce_spark.sources.readers import _pypdf_parse
+
+    assert "Hello World" in _pypdf_parse(minimal_pdf())
+
+
+@realdeps
+@pytest.mark.skipif(not _has("pdfminer"), reason="pdfminer.six not installed")
+def test_pdfminer_extracts_fixture_text():
+    from finmapreduce_spark.sources.readers import _pdfminer_parse
+
+    assert "Hello World" in _pdfminer_parse(minimal_pdf())
+
+
+@realdeps
+@pytest.mark.skipif(
+    shutil.which("marker_single") is None, reason="marker CLI not on PATH"
+)
+def test_marker_cli_extracts_fixture_text():
+    from finmapreduce_spark.sources.readers import _marker_parse
+
+    assert "Hello World" in _marker_parse(minimal_pdf())
+
+
+@realdeps
+@pytest.mark.skipif(
+    not (_has("pypdf") or _has("pdfminer"))
+    and shutil.which("marker_single") is None,
+    reason="no PDF parser installed",
+)
+def test_pdf_auto_chain_succeeds_with_any_parser():
+    from finmapreduce_spark.sources.readers import _real_pdf_parse
+
+    assert "Hello World" in _real_pdf_parse("auto", minimal_pdf())
+
+
+# ---------------------------------------------------------------------------
+# torch: tensor-op embedder against its exact numpy golden
+# ---------------------------------------------------------------------------
+
+
+@realdeps
+@pytest.mark.skipif(not _has("torch"), reason="torch not installed")
+def test_torch_bow_matches_numpy_golden():
+    import numpy as np
+    import pandas as pd
+
+    from finmapreduce_spark.functions.scoring import (
+        _hashing_bow_batch,
+        _torch_bow_batch,
+    )
+
+    texts = pd.Series(
+        ["alpha beta beta gamma", "", "  spaced   out  tokens ", "alpha"]
+    )
+    got = _torch_bow_batch(texts)
+    want = _hashing_bow_batch(texts)
+    # integer-valued components: equality must be exact, not approx
+    assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Gate behavior when the library is MISSING (runs in this image):
+# informative NotImplementedError, never a crash.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(_has("torch"), reason="torch present — gate not reachable")
+def test_torch_bow_gate_raises_informatively():
+    from finmapreduce_spark.functions.scoring import _load_model
+
+    with pytest.raises(NotImplementedError, match="torch"):
+        _load_model("torch-bow")
+
+
+@pytest.mark.skipif(
+    _has("pypdf") or _has("pdfminer") or shutil.which("marker_single"),
+    reason="a PDF parser is present — gate not reachable",
+)
+def test_pdf_auto_gate_lists_every_miss():
+    from finmapreduce_spark.sources.readers import _real_pdf_parse
+
+    with pytest.raises(NotImplementedError) as ei:
+        _real_pdf_parse("auto", minimal_pdf())
+    msg = str(ei.value)
+    assert "marker" in msg and "pypdf" in msg and "pdfminer" in msg
