@@ -58,6 +58,12 @@ HEADLINE = [
     # label skew, and the corpus-self-join unigram-LM scorer
     "dedup_embedding_cosine",
     "unigram_logprob_quality",
+    # round-3: real-pixel multimodal decode (Arrow binary codec
+    # stages), banded-candidate + cosine-gated semantic dedup, and
+    # the BM25 broadcast retrieval join
+    "multimodal_decode_features",
+    "dedup_semantic_verify",
+    "bm25_retrieval_topk",
 ]
 
 

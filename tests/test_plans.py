@@ -527,3 +527,23 @@ def test_cli_qa_id_has_no_global_window(spark, sf_dir, tmp_path):
     assert "Window" not in plan
     ids = [r.qa_id for r in qa.select("qa_id").collect()]
     assert len(ids) == len(set(ids)) == 9
+
+
+def test_multimodal_codec_stages_are_arrow_batched(spark, sf_dir):
+    """The synth-PPM pandas_udf and the decode/featurize mapInPandas
+    must both run as Arrow-vectorized Python stages — never
+    row-at-a-time BatchEvalPython — and the decode must be a narrow
+    map (no Exchange between synth and featurize)."""
+    import re as _re
+
+    df = QS["multimodal_decode_features"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # synth-PPM pandas_udf
+    assert "MapInPandas" in plan  # decode/featurize stage
+    # decode is a narrow map: every Exchange sits ABOVE the Python
+    # stages (formatted-mode ids grow toward the root, so each
+    # Exchange id must exceed the MapInPandas id)
+    map_id = int(_re.search(r"\((\d+)\) MapInPandas", plan).group(1))
+    for m in _re.finditer(r"\((\d+)\) Exchange", plan):
+        assert int(m.group(1)) > map_id, plan
