@@ -1096,8 +1096,73 @@ FROM base b LEFT JOIN pq_hit h USING (q_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style clustered semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540): k-means partitions the embedding space, pairwise
+# cosine runs ONLY within each cluster, and every vector with a
+# smaller-id neighbor above the threshold is pruned. Clustering is
+# what makes semantic dedup subquadratic: the pair space shrinks from
+# N² to Σ|cluster|² — at 100 TB, K scales with N to hold the target
+# cluster size, centroids still broadcast, and a runaway hot cluster
+# falls back to the same grid decomposition dedup_embedding_cosine
+# uses (queries/dedup.py). Reuses the SQL-unrolled Lloyd iterations,
+# so the whole train→cluster→prune chain is value-checked exactly.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _emb(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(v, cents))
+    final = _assign(v, cents).persist()
+    a, b = final.alias("a"), final.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")), 6
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return final.join(pruned, "vec_id", "left").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("int").alias("cid"),
+        F.coalesce("pruned", F.lit(False)).alias("pruned"),
+    )
+
+
+SEMDEDUP_ORACLE = f"""
+WITH {_KM_CTES},
+pr AS (
+  SELECT DISTINCT a.vec_id
+  FROM a3 a JOIN a3 b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6)
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a3.vec_id, CAST(a3.cid AS INT) AS cid,
+       (pr.vec_id IS NOT NULL) AS pruned
+FROM a3 LEFT JOIN pr ON a3.vec_id = pr.vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "kmeans_cluster_sizes": QuerySpec(kmeans_cluster_sizes, KMEANS_ORACLE),
+    "dedup_semdedup_prune": QuerySpec(dedup_semdedup_prune, SEMDEDUP_ORACLE),
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ORACLE),
     "ann_ivf_kmeans_topk": QuerySpec(
         ann_ivf_kmeans_topk, ANN_IVF_KMEANS_ORACLE
