@@ -111,6 +111,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     """24-bit BI_RGB BMP → (width, height, raw RGB bytes, top-down)."""
     if not payload.startswith(b"BM"):
         raise ValueError("not a BMP payload")
+    if len(payload) < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size:
+        raise ValueError("truncated BMP header")
     _, _, _, _, offset = _BMP_FILE_HEADER.unpack_from(payload, 0)
     (hsize, width, height, _planes, bpp, compression, *_rest) = (
         _BMP_INFO_HEADER.unpack_from(payload, _BMP_FILE_HEADER.size)

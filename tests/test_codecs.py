@@ -94,3 +94,56 @@ def test_synth_image_decodes_to_formula():
     assert hashlib.md5(a).hexdigest() == hashlib.md5(b).hexdigest()
     c = synth_image_pixels(3, *synth_image_dims(3))
     assert hashlib.md5(a).hexdigest() != hashlib.md5(c).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Property-based round-trips (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        data=st.data(),
+    )
+    def test_ppm_bmp_roundtrip_property(w, h, data):
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+        assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=256),
+            st.binary(max_size=64).map(lambda b: b"P6" + b),
+            st.binary(max_size=64).map(lambda b: b"BM" + b),
+        )
+    )
+    def test_decode_image_never_crashes_on_garbage(payload):
+        """Garbage — including magic-prefixed garbage — either decodes,
+        returns None (unrecognized), or raises a typed ValueError;
+        never struct.error/IndexError/etc."""
+        try:
+            out = decode_image(payload)
+        except ValueError:
+            return  # recognized magic but malformed: loud, typed error
+        assert out is None or isinstance(out, tuple)
