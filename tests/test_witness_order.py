@@ -107,3 +107,25 @@ def test_record_matches_driver_files(tmp_path, monkeypatch):
     assert witnessed_rounds() == {}
     # And all_queries still returns the full catalog.
     assert len(all_queries()) >= 130
+
+
+def test_witnessed_record_is_current_with_driver_files():
+    """witnessed_rounds.json must reflect every CORRECTNESS_r*.json on
+    disk. When a new round's driver file lands, this fails until
+    `python tools/update_witnessed.py` is re-run — the loud reminder
+    that witness ordering is stale (ROADMAP round-3 note #1)."""
+    import json
+    import re
+    from pathlib import Path
+
+    from tools.update_witnessed import row_verdict
+
+    repo = Path(__file__).resolve().parent.parent
+    want: dict[str, dict] = {}
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path.name).group(1))
+        for name, row in json.loads(path.read_text()).items():
+            want[name] = {"round": rnd, "verdict": row_verdict(row)}
+    assert witnessed_rounds() == want, (
+        "witnessed_rounds.json is stale — run: python tools/update_witnessed.py"
+    )
