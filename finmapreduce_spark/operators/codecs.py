@@ -144,15 +144,81 @@ def sniff(payload: bytes) -> str | None:
         return "ppm"
     if payload.startswith(b"BM"):
         return "bmp"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return "wav"
     return None
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Decode any supported container; None when unrecognized (caller
-    falls back to the md5 test double)."""
+    """Decode any supported image container; None when unrecognized
+    (or an audio container — see decode_audio)."""
     kind = sniff(payload or b"")
     if kind == "ppm":
         return decode_ppm(payload)
     if kind == "bmp":
         return decode_bmp(payload)
     return None
+
+
+def decode_audio(payload: bytes) -> tuple[int, bytes] | None:
+    """Decode any supported audio container → (rate, pcm bytes);
+    None when unrecognized (caller falls back to the md5 double)."""
+    if sniff(payload or b"") == "wav":
+        return decode_wav(payload)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, 16-bit mono PCM little-endian)
+# ---------------------------------------------------------------------------
+
+_WAV_HEADER = struct.Struct("<4sI4s4sIHHIIHH4sI")
+
+
+def encode_wav(sample_rate: int, pcm: bytes) -> bytes:
+    """16-bit mono PCM bytes (little-endian, len even) → RIFF WAV."""
+    if len(pcm) % 2:
+        raise ValueError("PCM byte length must be even (16-bit samples)")
+    header = _WAV_HEADER.pack(
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return header + pcm
+
+
+def decode_wav(payload: bytes) -> tuple[int, bytes]:
+    """RIFF WAV → (sample_rate, raw 16-bit mono PCM bytes).
+
+    Walks the chunk list (tolerates extra chunks like LIST/fact before
+    data); requires PCM format 1, mono, 16-bit.
+    """
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={fmt} channels={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt")
+            if len(body) != size:
+                raise ValueError("truncated WAV data chunk")
+            return rate, body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
+
+
+def pcm_to_samples(pcm: bytes) -> list[int]:
+    """Little-endian 16-bit PCM bytes → signed ints in [-32768, 32767]."""
+    return list(struct.unpack("<%dh" % (len(pcm) // 2), pcm))

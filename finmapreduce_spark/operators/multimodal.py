@@ -2,10 +2,12 @@
 opaque ``binary`` payloads + typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step is REAL for image payloads: a pure-stdlib PPM/BMP
-pixel codec (operators/codecs.py) decodes recognized containers to raw
-RGB and the features are genuine pixel statistics. Payloads whose
-container is not recognized (the synthetic audio/video doubles, or any
+The decode step is REAL for image AND audio payloads: a pure-stdlib
+PPM/BMP pixel codec and RIFF/WAV PCM codec (operators/codecs.py)
+decode recognized containers, and the features are genuine signal
+statistics (pixel channel means/intensity histogram; waveform
+mean/RMS/zero-crossings/peak/amplitude histogram). Payloads whose
+container is not recognized (the synthetic video double, or any
 format needing PIL/ffmpeg — not in this image) fall back to a
 clearly-marked deterministic md5 double behind the same interface, so
 the Spark-side plumbing — schema, binary Arrow transfer, batch shapes,
@@ -24,6 +26,7 @@ columns that flow straight into the similarity/dedup operators
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,7 +34,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from finmapreduce_spark.operators.codecs import decode_image, encode_ppm
+from finmapreduce_spark.operators.codecs import (
+    decode_audio,
+    decode_image,
+    encode_ppm,
+    encode_wav,
+    pcm_to_samples,
+)
 from finmapreduce_spark.schemas import ASSET_SCHEMA  # noqa: F401  (public contract)
 
 N_HIST_BINS = 12  # feature dims: 3 channel means + overall mean + 12 bins
@@ -53,6 +62,25 @@ def synth_image_dims(doc_id: int) -> tuple[int, int]:
     return doc_id % 16 + 4, doc_id % 12 + 4
 
 
+AUDIO_RATE = 8000
+
+
+def synth_audio_n(doc_id: int) -> int:
+    return doc_id % 256 + 64
+
+
+def synth_audio_samples(doc_id: int) -> list[int]:
+    """Deterministic synthetic 16-bit samples:
+    s_k = ((17*doc_id + 11*k) % 4096) - 2048. Integer formula, so the
+    SQL oracle reconstructs the decoded waveform exactly (same
+    contract as the image pixels). Two audio buffers coincide iff
+    doc_id ≡ doc_id' (mod 4096) with equal n (mod 256 ⊂ mod 4096) —
+    and within the audio class (doc_id % 3 == 1) that needs a
+    doc_id gap of 3·4096 = 12288."""
+    n = synth_audio_n(doc_id)
+    return [((17 * doc_id + 11 * k) % 4096) - 2048 for k in range(n)]
+
+
 def _synth_ppm_fn(doc_id: pd.Series) -> pd.Series:
     out = []
     for d in doc_id:
@@ -62,32 +90,48 @@ def _synth_ppm_fn(doc_id: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _synth_wav_fn(doc_id: pd.Series) -> pd.Series:
+    import struct
+
+    out = []
+    for d in doc_id:
+        s = synth_audio_samples(int(d))
+        pcm = struct.pack("<%dh" % len(s), *s)
+        out.append(encode_wav(AUDIO_RATE, pcm))
+    return pd.Series(out)
+
+
 # Built lazily: pandas_udf needs a DataType (not a DDL string) to stay
 # importable without an active SparkSession.
 _synth_ppm = F.pandas_udf(_synth_ppm_fn, returnType=T.BinaryType())
+_synth_wav = F.pandas_udf(_synth_wav_fn, returnType=T.BinaryType())
 
 
 def fake_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic corpus: image assets are REAL binary PPM
-    images (decodable by the stdlib codec); audio/video payloads are
-    the document's utf-8 bytes (opaque to the codec — they exercise
-    the md5 fallback). Lets every downstream stage run for real on
-    synthetic binaries."""
+    images and audio assets are REAL RIFF WAVs (both decodable by the
+    stdlib codec, both from integer formulas the SQL oracles replay);
+    video payloads are the document's utf-8 bytes (opaque to the
+    codec — they exercise the md5 fallback). Lets every downstream
+    stage run for real on synthetic binaries."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
     is_img = F.col("doc_id") % 3 == 0
+    is_aud = F.col("doc_id") % 3 == 1
     img_w = (F.col("doc_id") % 16 + 4).cast("int")
     img_h = (F.col("doc_id") % 12 + 4).cast("int")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         kind.alias("kind"),
         F.when(is_img, _synth_ppm("doc_id"))
+        .when(is_aud, _synth_wav("doc_id"))
         .otherwise(F.encode("text", "utf-8"))
         .alias("payload"),
         F.when(is_img, F.lit("image/x-portable-pixmap"))
+        .when(is_aud, F.lit("audio/wav"))
         .otherwise(F.concat(F.lit("application/x-fake-"), kind))
         .alias("mime"),
         F.when(is_img, img_w)
@@ -125,6 +169,42 @@ def pixel_features(rgb: bytes) -> list[float]:
     return feats
 
 
+def audio_features(samples: list[int]) -> list[float]:
+    """16-dim feature vector from signed 16-bit samples.
+
+    [mean, rms, zero-crossing rate, peak] (amplitude terms / 32768,
+    full 16-bit scale) followed by a 12-bin amplitude histogram over
+    the full range (fractions). Every entry is a ratio of exact
+    integers or an IEEE sqrt of one, so any engine recomputing it in
+    double arithmetic matches bit-for-bit — the SQL-oracle contract.
+    """
+    n = len(samples)
+    if n == 0:
+        return [0.0] * (4 + N_HIST_BINS)
+    total = sumsq = peak = zc = 0
+    hist = [0] * N_HIST_BINS
+    prev_nonneg = samples[0] >= 0
+    for s in samples:
+        total += s
+        sumsq += s * s
+        a = -s if s < 0 else s
+        if a > peak:
+            peak = a
+        nonneg = s >= 0
+        if nonneg != prev_nonneg:
+            zc += 1
+        prev_nonneg = nonneg
+        hist[(s + 32768) * N_HIST_BINS // 65536] += 1
+    feats = [
+        (total / n) / 32768.0,
+        math.sqrt(sumsq / n) / 32768.0,
+        zc / (n - 1) if n > 1 else 0.0,
+        peak / 32768.0,
+    ]
+    feats.extend(c / n for c in hist)
+    return feats
+
+
 def _stub_decode(payload: bytes) -> bytes:
     """Fallback decode DOUBLE for unrecognized containers. A real build
     with PIL/ffmpeg would decode here; this image has neither, so the
@@ -157,11 +237,16 @@ def decode_and_featurize(assets: DataFrame, batch_limit: int = 1024) -> DataFram
                 continue
             md5s, feats = [], []
             for p in pdf["payload"]:
-                dec = decode_image(p or b"")
-                if dec is not None:
-                    _, _, rgb = dec
+                img = decode_image(p or b"")
+                aud = None if img else decode_audio(p or b"")
+                if img is not None:
+                    _, _, rgb = img
                     md5s.append(hashlib.md5(rgb).hexdigest())
                     feats.append(pixel_features(rgb))
+                elif aud is not None:
+                    _, pcm = aud
+                    md5s.append(hashlib.md5(pcm).hexdigest())
+                    feats.append(audio_features(pcm_to_samples(pcm)))
                 else:
                     d = _stub_decode(p)
                     md5s.append(hashlib.md5(d).hexdigest())

@@ -45,7 +45,8 @@ def multimodal_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Image payload bytes = PPM header ("P6\n{w} {h}\n255\n" = 9 chars +
 # the two dim strings) + w*h*3 pixels, with w = doc_id%16+4,
-# h = doc_id%12+4 (operators/multimodal.py synth).
+# h = doc_id%12+4; audio payload bytes = 44-byte RIFF header +
+# 2*(doc_id%256+64) PCM bytes (operators/multimodal.py synth).
 ASSET_META_ORACLE = """
 SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
@@ -55,6 +56,8 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      THEN 9 + length(CAST(doc_id % 16 + 4 AS VARCHAR))
                           + length(CAST(doc_id % 12 + 4 AS VARCHAR))
                           + (doc_id % 16 + 4) * (doc_id % 12 + 4) * 3
+                     WHEN doc_id % 3 = 1
+                     THEN 44 + 2 * (doc_id % 256 + 64)
                      ELSE octet_length(encode(text)) END) AS BIGINT) AS total_bytes,
        round(avg(CASE WHEN doc_id % 3 = 0 THEN doc_id % 16 + 4
                       ELSE length(text) % 640 + 16 END), 6) AS avg_width,
@@ -82,13 +85,15 @@ WHERE doc_id % 3 = 2
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode + featurize through the mapInPandas stage.
 
-    Image assets go through the stdlib PPM codec and feature[0] is a
-    genuine pixel statistic (mean of the R channel / 255). The oracle
-    reconstructs it from the synth pixel formula; two image buffers
-    coincide iff doc_id ≡ doc_id' (mod 768) (pixel bytes repeat mod
-    256, dims repeat mod 48; lcm = 768), so count(DISTINCT decoded
-    buffer) == count(DISTINCT doc_id % 768). Audio/video exercise the
-    md5 fallback double, reconstructed from md5(text) hex pairs."""
+    Image assets go through the stdlib PPM codec (feature[0] = mean of
+    the R channel / 255) and audio assets through the stdlib WAV codec
+    (feature[0] = mean amplitude / 32768); the oracle reconstructs
+    both from the synth formulas. Buffer-coincidence classes: images
+    repeat at doc_id mod 768 (pixel bytes mod 256, dims mod 48),
+    audio at doc_id mod 12288 (samples mod 4096, n mod 256, kind mod
+    3), so count(DISTINCT decoded buffer) is count(DISTINCT doc_id %
+    class) per kind. Video exercises the md5 fallback double,
+    reconstructed from md5(text) hex pairs."""
     decoded = decode_and_featurize(_assets(spark, sf_dir))
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_assets"),
@@ -107,22 +112,34 @@ WITH img AS (
           / ((doc_id % 16 + 4) * (doc_id % 12 + 4))) / 255.0 AS f0
   FROM documents WHERE doc_id % 3 = 0
 ),
-oth AS (
-  SELECT CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-         md5(text) AS h
-  FROM documents WHERE doc_id % 3 <> 0
+aud AS (
+  SELECT doc_id,
+         (list_aggregate(
+            list_transform(range(0, doc_id % 256 + 64),
+                           k -> ((17 * doc_id + 11 * k) % 4096) - 2048),
+            'sum') * 1.0
+          / (doc_id % 256 + 64)) / 32768.0 AS f0
+  FROM documents WHERE doc_id % 3 = 1
+),
+vid AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 2
 )
 SELECT 'image' AS kind, count(*) AS n_assets,
        count(DISTINCT doc_id % 768) AS n_distinct_decodes,
        round(avg(f0), 6) AS avg_feat_0
 FROM img
 UNION ALL
-SELECT kind, count(*) AS n_assets,
+SELECT 'audio' AS kind, count(*) AS n_assets,
+       count(DISTINCT doc_id % 12288) AS n_distinct_decodes,
+       round(avg(f0), 6) AS avg_feat_0
+FROM aud
+UNION ALL
+SELECT 'video' AS kind, count(*) AS n_assets,
        count(DISTINCT h) AS n_distinct_decodes,
        round(avg(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
                   + strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
                  / 255.0), 6) AS avg_feat_0
-FROM oth GROUP BY kind
+FROM vid
 """
 
 

@@ -147,3 +147,88 @@ if _HYP:
         except ValueError:
             return  # recognized magic but malformed: loud, typed error
         assert out is None or isinstance(out, tuple)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec + audio features
+# ---------------------------------------------------------------------------
+
+
+def _pcm(samples):
+    import struct as _struct
+
+    return _struct.pack("<%dh" % len(samples), *samples)
+
+
+def test_wav_roundtrip_and_extra_chunks():
+    from finmapreduce_spark.operators.codecs import (
+        decode_audio,
+        decode_wav,
+        encode_wav,
+        pcm_to_samples,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 7, -7]
+    payload = encode_wav(8000, _pcm(samples))
+    rate, pcm = decode_wav(payload)
+    assert rate == 8000 and pcm_to_samples(pcm) == samples
+    assert decode_audio(payload) == (8000, pcm)
+    assert decode_audio(b"not audio") is None
+    # a LIST chunk before data must be skipped (odd size → word pad)
+    body = payload[12:]
+    extra = b"RIFF" + payload[4:8] + b"WAVE" + b"LIST\x03\x00\x00\x00abc\x00" + body
+    assert decode_wav(extra) == (8000, pcm)
+
+
+def test_wav_malformed_payloads_raise():
+    from finmapreduce_spark.operators.codecs import decode_wav, encode_wav
+
+    good = encode_wav(8000, _pcm([1, 2, 3]))
+    with pytest.raises(ValueError):
+        decode_wav(good[:-3])  # truncated data chunk
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEdata\x04\x00\x00\x00abcd")  # no fmt
+    with pytest.raises(ValueError):
+        encode_wav(8000, b"odd")
+
+
+def test_audio_features_values():
+    from finmapreduce_spark.operators.multimodal import (
+        N_HIST_BINS,
+        audio_features,
+    )
+
+    s = [0, 100, -100, 200]
+    f = audio_features(s)
+    assert len(f) == 4 + N_HIST_BINS
+    assert f[0] == (sum(s) / 4) / 32768.0
+    import math
+
+    assert f[1] == math.sqrt(sum(x * x for x in s) / 4) / 32768.0
+    # sign pattern (>=0): + + - + → 2 crossings over 3 transitions
+    assert f[2] == 2 / 3
+    assert f[3] == 200 / 32768.0
+    assert abs(sum(f[4:]) - 1.0) < 1e-12
+    assert audio_features([]) == [0.0] * (4 + N_HIST_BINS)
+    # full-scale samples land in the outer bins
+    f2 = audio_features([-32768, 32767])
+    assert f2[4] == 0.5 and f2[15] == 0.5
+
+
+def test_synth_audio_decodes_to_formula():
+    from finmapreduce_spark.operators.codecs import decode_wav, pcm_to_samples
+    from finmapreduce_spark.operators.multimodal import (
+        AUDIO_RATE,
+        _synth_wav_fn,
+        synth_audio_samples,
+    )
+    import pandas as pd
+
+    for d in (1, 4, 12289):
+        payload = _synth_wav_fn(pd.Series([d]))[0]
+        rate, pcm = decode_wav(payload)
+        assert rate == AUDIO_RATE
+        assert pcm_to_samples(pcm) == synth_audio_samples(d)
+    # the mod-12288 coincidence class the oracle relies on
+    assert synth_audio_samples(1) == synth_audio_samples(1 + 12288)
+    assert synth_audio_samples(1) != synth_audio_samples(4)
