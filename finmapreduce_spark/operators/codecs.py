@@ -146,6 +146,8 @@ def sniff(payload: bytes) -> str | None:
         return "bmp"
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(b"YUV4MPEG2"):
+        return "y4m"
     return None
 
 
@@ -222,3 +224,74 @@ def decode_wav(payload: bytes) -> tuple[int, bytes]:
 def pcm_to_samples(pcm: bytes) -> list[int]:
     """Little-endian 16-bit PCM bytes → signed ints in [-32768, 32767]."""
     return list(struct.unpack("<%dh" % (len(pcm) // 2), pcm))
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, uncompressed C444 frames) — video container with
+# O(1) frame seek: fixed header + fixed-size FRAME records.
+# ---------------------------------------------------------------------------
+
+_Y4M_FRAME_MARK = b"FRAME\n"
+
+
+def encode_y4m(width: int, height: int, frames: list[bytes], fps: int = 25) -> bytes:
+    """Raw C444 frames (each len == 3*w*h: Y,U,V planes) → YUV4MPEG2."""
+    fsize = 3 * width * height
+    for f in frames:
+        if len(f) != fsize:
+            raise ValueError(f"frame length {len(f)} != 3*{width}*{height}")
+    header = b"YUV4MPEG2 W%d H%d F%d:1 Ip A0:0 C444\n" % (width, height, fps)
+    return header + b"".join(_Y4M_FRAME_MARK + f for f in frames)
+
+
+def _y4m_params(payload: bytes) -> tuple[int, int, int, int]:
+    """→ (width, height, fps, header_end_offset)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    end = payload.find(b"\n")
+    if end < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = fps = None
+    for tok in payload[10:end].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            fps = int(tok[1:].split(b":")[0])
+        elif tok.startswith(b"C") and tok != b"C444":
+            raise ValueError(f"unsupported Y4M colorspace {tok!r}")
+    if not (w and h and fps):
+        raise ValueError("Y4M header missing W/H/F")
+    return w, h, fps, end + 1
+
+
+def y4m_frame_count(payload: bytes) -> int:
+    w, h, _fps, off = _y4m_params(payload)
+    rec = len(_Y4M_FRAME_MARK) + 3 * w * h
+    body = len(payload) - off
+    if body % rec:
+        raise ValueError("truncated Y4M frame record")
+    return body // rec
+
+
+def decode_y4m_frame(payload: bytes, idx: int) -> bytes:
+    """O(1) random-access decode of frame ``idx`` — seek straight to
+    the fixed-size record; no full-container decode. This is what
+    makes distributed frame-SAMPLING cheap: each task touches only
+    the bytes of the frames it samples."""
+    w, h, _fps, off = _y4m_params(payload)
+    fsize = 3 * w * h
+    rec = len(_Y4M_FRAME_MARK) + fsize
+    n = (len(payload) - off) // rec
+    if not 0 <= idx < n:
+        raise ValueError(f"frame {idx} out of range (n={n})")
+    start = off + idx * rec
+    if payload[start : start + len(_Y4M_FRAME_MARK)] != _Y4M_FRAME_MARK:
+        raise ValueError("misaligned Y4M frame record")
+    return payload[start + len(_Y4M_FRAME_MARK) : start + rec]
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    w, h, _fps, _off = _y4m_params(payload)
+    return w, h, [decode_y4m_frame(payload, i) for i in range(y4m_frame_count(payload))]

@@ -37,9 +37,13 @@ from pyspark.sql import types as T
 from finmapreduce_spark.operators.codecs import (
     decode_audio,
     decode_image,
+    decode_y4m,
+    decode_y4m_frame,
     encode_ppm,
     encode_wav,
+    encode_y4m,
     pcm_to_samples,
+    sniff,
 )
 from finmapreduce_spark.schemas import ASSET_SCHEMA  # noqa: F401  (public contract)
 
@@ -63,6 +67,22 @@ def synth_image_dims(doc_id: int) -> tuple[int, int]:
 
 
 AUDIO_RATE = 8000
+VIDEO_FPS = 25  # 40 ms per frame
+
+
+def synth_video_dims(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for the synthetic Y4M asset."""
+    return doc_id % 8 + 4, doc_id % 6 + 4, doc_id % 12 + 2
+
+
+def synth_video_frame(doc_id: int, frame_idx: int, width: int, height: int) -> bytes:
+    """Deterministic C444 frame: byte k = (13*d + 5*f + 3*k) % 256.
+    Integer formula → the SQL oracle replays any decoded frame.
+    Buffers coincide iff doc_id ≡ doc_id' (mod 768): bytes repeat mod
+    256, dims mod 24, frame count mod 12 — lcm 768, and 768 ≡ 0 (mod
+    3) keeps the class inside the video kind."""
+    n = 3 * width * height
+    return bytes((13 * doc_id + 5 * frame_idx + 3 * k) % 256 for k in range(n))
 
 
 def synth_audio_n(doc_id: int) -> int:
@@ -101,10 +121,21 @@ def _synth_wav_fn(doc_id: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _synth_y4m_fn(doc_id: pd.Series) -> pd.Series:
+    out = []
+    for d in doc_id:
+        d = int(d)
+        w, h, nf = synth_video_dims(d)
+        frames = [synth_video_frame(d, f, w, h) for f in range(nf)]
+        out.append(encode_y4m(w, h, frames, VIDEO_FPS))
+    return pd.Series(out)
+
+
 # Built lazily: pandas_udf needs a DataType (not a DDL string) to stay
 # importable without an active SparkSession.
 _synth_ppm = F.pandas_udf(_synth_ppm_fn, returnType=T.BinaryType())
 _synth_wav = F.pandas_udf(_synth_wav_fn, returnType=T.BinaryType())
+_synth_y4m = F.pandas_udf(_synth_y4m_fn, returnType=T.BinaryType())
 
 
 def fake_assets_from_documents(docs: DataFrame) -> DataFrame:
@@ -123,24 +154,38 @@ def fake_assets_from_documents(docs: DataFrame) -> DataFrame:
     is_aud = F.col("doc_id") % 3 == 1
     img_w = (F.col("doc_id") % 16 + 4).cast("int")
     img_h = (F.col("doc_id") % 12 + 4).cast("int")
+    vid_w = (F.col("doc_id") % 8 + 4).cast("int")
+    vid_h = (F.col("doc_id") % 6 + 4).cast("int")
+    n_frames = F.col("doc_id") % 12 + 2
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         kind.alias("kind"),
         F.when(is_img, _synth_ppm("doc_id"))
         .when(is_aud, _synth_wav("doc_id"))
-        .otherwise(F.encode("text", "utf-8"))
+        .otherwise(_synth_y4m("doc_id"))
         .alias("payload"),
         F.when(is_img, F.lit("image/x-portable-pixmap"))
         .when(is_aud, F.lit("audio/wav"))
-        .otherwise(F.concat(F.lit("application/x-fake-"), kind))
+        .otherwise(F.lit("video/x-yuv4mpeg"))
         .alias("mime"),
         F.when(is_img, img_w)
-        .otherwise((F.length("text") % 640 + 16).cast("int"))
+        .when(is_aud, (F.length("text") % 640 + 16).cast("int"))
+        .otherwise(vid_w)
         .alias("width"),
         F.when(is_img, img_h)
-        .otherwise((F.length("text") % 480 + 16).cast("int"))
+        .when(is_aud, (F.length("text") % 480 + 16).cast("int"))
+        .otherwise(vid_h)
         .alias("height"),
-        (F.length("text") * 10).cast("long").alias("duration_ms"),
+        # video duration is REAL (frames / fps); image/audio keep the
+        # synthetic text-derived stamp (duration is not a property of
+        # a still image, and the WAV's true length is n/rate seconds —
+        # carried by the payload itself)
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            (n_frames * (1000 // VIDEO_FPS)).cast("long"),
+        )
+        .otherwise((F.length("text") * 10).cast("long"))
+        .alias("duration_ms"),
     )
 
 
@@ -237,16 +282,21 @@ def decode_and_featurize(assets: DataFrame, batch_limit: int = 1024) -> DataFram
                 continue
             md5s, feats = [], []
             for p in pdf["payload"]:
-                img = decode_image(p or b"")
-                aud = None if img else decode_audio(p or b"")
-                if img is not None:
-                    _, _, rgb = img
+                p = p or b""
+                container = sniff(p)
+                if container in ("ppm", "bmp"):
+                    _, _, rgb = decode_image(p)
                     md5s.append(hashlib.md5(rgb).hexdigest())
                     feats.append(pixel_features(rgb))
-                elif aud is not None:
-                    _, pcm = aud
+                elif container == "wav":
+                    _, pcm = decode_audio(p)
                     md5s.append(hashlib.md5(pcm).hexdigest())
                     feats.append(audio_features(pcm_to_samples(pcm)))
+                elif container == "y4m":
+                    _, _, frames = decode_y4m(p)
+                    buf = b"".join(frames)
+                    md5s.append(hashlib.md5(buf).hexdigest())
+                    feats.append(pixel_features(buf))
                 else:
                     d = _stub_decode(p)
                     md5s.append(hashlib.md5(d).hexdigest())
@@ -264,17 +314,55 @@ def decode_and_featurize(assets: DataFrame, batch_limit: int = 1024) -> DataFram
     return assets.mapInPandas(mapper, schema=DECODED_SCHEMA)
 
 
-def frame_sample(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan for video assets: one row per sampled
-    timestamp (the decode of each frame is the stub). Pure expression
-    fan-out — sequence+explode, no Python for the plan itself."""
-    vids = assets.filter(F.col("kind") == "video")
-    stamps = F.sequence(
-        F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)
+FRAME_SAMPLE_SCHEMA = (
+    "asset_id long, frame_ms long, frame_idx long, frame_key string, "
+    "f_mean double"
+)
+
+
+def frame_sample(assets: DataFrame, every_ms: int = 80) -> DataFrame:
+    """REAL frame sampling for video assets: one row per sampled
+    timestamp, each decoded by the Y4M codec's O(1) frame seek — a
+    task reads only the bytes of the frames it samples, never the
+    whole container. One mapInPandas pass per asset partition: the
+    payload is decoded once per asset (header parse), then each
+    sampled frame is sliced out and summarized (content digest over
+    the frame's lowercase hex + mean intensity).
+
+    At 100 TB: this is the narrow-map shape video curation needs —
+    payloads stay in their scan partitions, sampling cost is
+    (frames sampled) × (frame size), and the knob is
+    maxPartitionBytes. Containers with inter-frame compression would
+    swap the seek for a keyframe index; the stage contract (payload →
+    rows of (frame_ms, key, features)) is unchanged."""
+    ms_per_frame = 1000 // VIDEO_FPS
+    vids = assets.filter(F.col("kind") == "video").select(
+        "asset_id", "payload", "duration_ms"
     )
-    return vids.select(
-        "asset_id",
-        F.explode(stamps).alias("frame_ms"),
-        F.md5(F.concat(F.col("payload"), F.lit(":"), F.col("frame_ms").cast("string")))
-        .alias("frame_key"),
-    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                for ms in range(0, int(dur), every_ms):
+                    idx = ms // ms_per_frame
+                    frame = decode_y4m_frame(payload, idx)
+                    key = hashlib.md5(frame.hex().encode()).hexdigest()
+                    n = len(frame)
+                    rows.append(
+                        (int(aid), ms, idx, key, (sum(frame) / n) / 255.0)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "asset_id", "frame_ms", "frame_idx", "frame_key",
+                        "f_mean",
+                    ],
+                )
+
+    return vids.mapInPandas(mapper, schema=FRAME_SAMPLE_SCHEMA)

@@ -1,13 +1,14 @@
 """Multimodal pipeline queries.
 
-All four queries carry full DuckDB oracles. Image assets are REAL
-binary PPM payloads decoded by the stdlib pixel codec
-(operators/codecs.py); their pixels follow a deterministic integer
-formula (byte k = (31*doc_id + 7*k) % 256), so the oracle reconstructs
-the decoded buffers — and therefore the pixel features — in pure SQL.
-Audio/video payloads are unrecognized containers that exercise the
-documented md5 fallback double, whose output is likewise
-SQL-reconstructible from md5(text).
+All four queries carry full DuckDB oracles, and every payload is a
+REAL decodable container: binary PPM images, RIFF/WAV audio, and
+YUV4MPEG2 video, all decoded by the stdlib codecs
+(operators/codecs.py). Contents follow deterministic integer formulas
+(e.g. image byte k = (31*doc_id + 7*k) % 256), so the oracles
+reconstruct the decoded buffers — and therefore the pixel/waveform/
+frame features — in pure SQL. The md5 fallback double now covers only
+containers this image genuinely cannot decode (JPEG/MP3/MP4 need
+PIL/ffmpeg).
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from finmapreduce_spark.operators.multimodal import (
 from finmapreduce_spark.queries import QuerySpec
 from finmapreduce_spark.session import read_table
 
-FRAME_EVERY_MS = 1000
+FRAME_EVERY_MS = 80  # sample every other frame at 25 fps
 
 
 def _assets(spark, sf_dir):
@@ -43,10 +44,13 @@ def multimodal_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Image payload bytes = PPM header ("P6\n{w} {h}\n255\n" = 9 chars +
-# the two dim strings) + w*h*3 pixels, with w = doc_id%16+4,
-# h = doc_id%12+4; audio payload bytes = 44-byte RIFF header +
-# 2*(doc_id%256+64) PCM bytes (operators/multimodal.py synth).
+# Payload byte formulas (operators/multimodal.py synth):
+#   image: PPM header ("P6\n{w} {h}\n255\n" = 9 + dim strings) +
+#          w*h*3 pixels, w = d%16+4, h = d%12+4
+#   audio: 44-byte RIFF header + 2*(d%256+64) PCM bytes
+#   video: Y4M header ("YUV4MPEG2 W{w} H{h} F25:1 Ip A0:0 C444\n" =
+#          33 + dim strings) + nf*(6 + 3*w*h) frame records,
+#          w = d%8+4, h = d%6+4, nf = d%12+2; duration = nf*40 ms
 ASSET_META_ORACLE = """
 SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
@@ -58,26 +62,54 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                           + (doc_id % 16 + 4) * (doc_id % 12 + 4) * 3
                      WHEN doc_id % 3 = 1
                      THEN 44 + 2 * (doc_id % 256 + 64)
-                     ELSE octet_length(encode(text)) END) AS BIGINT) AS total_bytes,
+                     ELSE 33 + length(CAST(doc_id % 8 + 4 AS VARCHAR))
+                          + length(CAST(doc_id % 6 + 4 AS VARCHAR))
+                          + (doc_id % 12 + 2)
+                            * (6 + 3 * (doc_id % 8 + 4) * (doc_id % 6 + 4))
+                END) AS BIGINT) AS total_bytes,
        round(avg(CASE WHEN doc_id % 3 = 0 THEN doc_id % 16 + 4
-                      ELSE length(text) % 640 + 16 END), 6) AS avg_width,
+                      WHEN doc_id % 3 = 1 THEN length(text) % 640 + 16
+                      ELSE doc_id % 8 + 4 END), 6) AS avg_width,
        round(avg(CASE WHEN doc_id % 3 = 0 THEN doc_id % 12 + 4
-                      ELSE length(text) % 480 + 16 END), 6) AS avg_height,
-       CAST(sum(length(text) * 10) AS BIGINT) AS total_duration_ms
+                      WHEN doc_id % 3 = 1 THEN length(text) % 480 + 16
+                      ELSE doc_id % 6 + 4 END), 6) AS avg_height,
+       CAST(sum(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 12 + 2) * 40
+                     ELSE length(text) * 10 END) AS BIGINT) AS total_duration_ms
 FROM documents GROUP BY 1
 """
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir)
-    return frame_sample(assets, FRAME_EVERY_MS)
+    out = frame_sample(assets, FRAME_EVERY_MS)
+    return out.select(
+        "asset_id", "frame_ms", "frame_idx", "frame_key",
+        F.round("f_mean", 6).alias("f_mean"),
+    )
 
 
+# The sampled frame is REALLY decoded (O(1) Y4M seek); the oracle
+# rebuilds the frame's lowercase hex from the synth formula and
+# md5-hashes the same string, plus the mean intensity.
 FRAME_SAMPLE_ORACLE = f"""
 SELECT doc_id AS asset_id,
        CAST(t.ms AS BIGINT) AS frame_ms,
-       md5(text || ':' || CAST(t.ms AS VARCHAR)) AS frame_key
-FROM documents, LATERAL unnest(range(0, length(text) * 10, {FRAME_EVERY_MS})) AS t(ms)
+       CAST(t.ms // 40 AS BIGINT) AS frame_idx,
+       md5(list_aggregate(
+             list_transform(
+               range(0, 3 * (doc_id % 8 + 4) * (doc_id % 6 + 4)),
+               k -> format('{{:02x}}',
+                           (13 * doc_id + 5 * (t.ms // 40) + 3 * k) % 256)),
+             'string_agg', '')) AS frame_key,
+       round((list_aggregate(
+                list_transform(
+                  range(0, 3 * (doc_id % 8 + 4) * (doc_id % 6 + 4)),
+                  k -> (13 * doc_id + 5 * (t.ms // 40) + 3 * k) % 256),
+                'sum') * 1.0
+              / (3 * (doc_id % 8 + 4) * (doc_id % 6 + 4))) / 255.0,
+             6) AS f_mean
+FROM documents,
+     LATERAL unnest(range(0, (doc_id % 12 + 2) * 40, {FRAME_EVERY_MS})) AS t(ms)
 WHERE doc_id % 3 = 2
 """
 
@@ -87,13 +119,12 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Image assets go through the stdlib PPM codec (feature[0] = mean of
     the R channel / 255) and audio assets through the stdlib WAV codec
-    (feature[0] = mean amplitude / 32768); the oracle reconstructs
-    both from the synth formulas. Buffer-coincidence classes: images
-    repeat at doc_id mod 768 (pixel bytes mod 256, dims mod 48),
-    audio at doc_id mod 12288 (samples mod 4096, n mod 256, kind mod
-    3), so count(DISTINCT decoded buffer) is count(DISTINCT doc_id %
-    class) per kind. Video exercises the md5 fallback double,
-    reconstructed from md5(text) hex pairs."""
+    (feature[0] = mean amplitude / 32768); video assets through the
+    stdlib Y4M codec (feature[0] = mean of channel-0 bytes across all
+    frames / 255). The oracle reconstructs all three from the synth
+    formulas. Buffer-coincidence classes: images and videos repeat at
+    doc_id mod 768, audio at doc_id mod 12288, so count(DISTINCT
+    decoded buffer) is count(DISTINCT doc_id % class) per kind."""
     decoded = decode_and_featurize(_assets(spark, sf_dir))
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_assets"),
@@ -122,7 +153,16 @@ aud AS (
   FROM documents WHERE doc_id % 3 = 1
 ),
 vid AS (
-  SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 2
+  SELECT doc_id,
+         (list_aggregate(
+            list_transform(
+              range(0, (doc_id % 12 + 2) * 3 * (doc_id % 8 + 4) * (doc_id % 6 + 4), 3),
+              i -> (13 * doc_id
+                    + 5 * (i // (3 * (doc_id % 8 + 4) * (doc_id % 6 + 4)))
+                    + 3 * (i % (3 * (doc_id % 8 + 4) * (doc_id % 6 + 4)))) % 256),
+            'sum') * 1.0
+          / ((doc_id % 12 + 2) * (doc_id % 8 + 4) * (doc_id % 6 + 4))) / 255.0 AS f0
+  FROM documents WHERE doc_id % 3 = 2
 )
 SELECT 'image' AS kind, count(*) AS n_assets,
        count(DISTINCT doc_id % 768) AS n_distinct_decodes,
@@ -135,10 +175,8 @@ SELECT 'audio' AS kind, count(*) AS n_assets,
 FROM aud
 UNION ALL
 SELECT 'video' AS kind, count(*) AS n_assets,
-       count(DISTINCT h) AS n_distinct_decodes,
-       round(avg(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
-                  + strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
-                 / 255.0), 6) AS avg_feat_0
+       count(DISTINCT doc_id % 768) AS n_distinct_decodes,
+       round(avg(f0), 6) AS avg_feat_0
 FROM vid
 """
 

@@ -232,3 +232,78 @@ def test_synth_audio_decodes_to_formula():
     # the mod-12288 coincidence class the oracle relies on
     assert synth_audio_samples(1) == synth_audio_samples(1 + 12288)
     assert synth_audio_samples(1) != synth_audio_samples(4)
+
+
+# ---------------------------------------------------------------------------
+# Y4M video codec + frame seek
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_and_random_access():
+    from finmapreduce_spark.operators.codecs import (
+        decode_y4m,
+        decode_y4m_frame,
+        encode_y4m,
+        sniff,
+        y4m_frame_count,
+    )
+
+    frames = [bytes((f * 7 + k) % 256 for k in range(3 * 4 * 3)) for f in range(5)]
+    p = encode_y4m(4, 3, frames)
+    assert sniff(p) == "y4m"
+    assert decode_y4m(p) == (4, 3, frames)
+    assert y4m_frame_count(p) == 5
+    # O(1) seek hits the same bytes as the full decode
+    for i in (0, 2, 4):
+        assert decode_y4m_frame(p, i) == frames[i]
+    with pytest.raises(ValueError):
+        decode_y4m_frame(p, 5)
+    with pytest.raises(ValueError):
+        decode_y4m(p[:-2])  # truncated frame record
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H3 F25:1 Ip A0:0 C420\nFRAME\n")  # colorspace
+
+
+def test_synth_video_decodes_to_formula():
+    import pandas as pd
+
+    from finmapreduce_spark.operators.codecs import decode_y4m
+    from finmapreduce_spark.operators.multimodal import (
+        _synth_y4m_fn,
+        synth_video_dims,
+        synth_video_frame,
+    )
+
+    for d in (2, 5, 770):
+        payload = _synth_y4m_fn(pd.Series([d]))[0]
+        w, h, frames = decode_y4m(payload)
+        assert (w, h, len(frames)) == synth_video_dims(d)
+        for f, frame in enumerate(frames):
+            assert frame == synth_video_frame(d, f, w, h)
+    # the mod-768 coincidence class the oracle relies on
+    assert _synth_y4m_fn(pd.Series([2]))[0] == _synth_y4m_fn(pd.Series([770]))[0]
+    assert _synth_y4m_fn(pd.Series([2]))[0] != _synth_y4m_fn(pd.Series([5]))[0]
+
+
+def test_frame_sample_decodes_real_frames(spark):
+    from finmapreduce_spark.operators.multimodal import (
+        fake_assets_from_documents,
+        frame_sample,
+        synth_video_frame,
+    )
+    import hashlib as _hl
+
+    docs = spark.createDataFrame(
+        [(2, "video doc"), (5, "another"), (0, "image doc"), (1, "audio doc")],
+        "doc_id long, text string",
+    )
+    rows = frame_sample(fake_assets_from_documents(docs), every_ms=80).collect()
+    assert rows and {r["asset_id"] for r in rows} == {2, 5}
+    for r in rows:
+        d = r["asset_id"]
+        w, h = d % 8 + 4, d % 6 + 4
+        frame = synth_video_frame(d, r["frame_idx"], w, h)
+        assert r["frame_key"] == _hl.md5(frame.hex().encode()).hexdigest()
+        assert abs(r["f_mean"] - (sum(frame) / len(frame)) / 255.0) < 1e-12
+    # doc 2 has 4 frames / 160ms duration → stamps 0,80 → idx 0,2
+    assert sorted(r["frame_idx"] for r in rows if r["asset_id"] == 2) == [0, 2]
