@@ -181,12 +181,63 @@ FROM vid
 """
 
 
+def multimodal_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-FRAME detection — the video analog of
+    duplicate-passage dedup: sampled frames are really decoded (Y4M
+    seek), keyed by content digest, and a frame appearing in ≥2
+    distinct videos is a shared-content hit (intros, watermarked
+    stills, re-encodes of the same source in a crawl).
+
+    Scale shape: frame_sample is a narrow map; the only shuffle is the
+    groupBy on frame_key — uniform by construction (content hashes),
+    with map-side partial aggregation. Output is bounded by the number
+    of DUPLICATED frames, not the corpus."""
+    frames = frame_sample(_assets(spark, sf_dir), FRAME_EVERY_MS)
+    return (
+        frames.groupBy("frame_key")
+        .agg(
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.count("*").alias("n_occurrences"),
+            F.min("asset_id").alias("first_asset"),
+            F.max("asset_id").alias("last_asset"),
+        )
+        .filter(F.col("n_assets") >= 2)
+    )
+
+
+# NB: the literal 80 below is FRAME_EVERY_MS (kept literal — the
+# surrounding {:02x} braces make f-string interpolation error-prone).
+_FRAME_KEY_SQL = """
+  SELECT doc_id AS asset_id,
+         md5(list_aggregate(
+               list_transform(
+                 range(0, 3 * (doc_id % 8 + 4) * (doc_id % 6 + 4)),
+                 k -> format('{:02x}',
+                             (13 * doc_id + 5 * (t.ms // 40) + 3 * k) % 256)),
+               'string_agg', '')) AS frame_key
+  FROM documents,
+       LATERAL unnest(range(0, (doc_id % 12 + 2) * 40, 80)) AS t(ms)
+  WHERE doc_id % 3 = 2
+"""
+
+DUP_FRAMES_ORACLE = f"""
+WITH fr AS ({_FRAME_KEY_SQL})
+SELECT frame_key,
+       count(DISTINCT asset_id) AS n_assets,
+       count(*) AS n_occurrences,
+       min(asset_id) AS first_asset,
+       max(asset_id) AS last_asset
+FROM fr GROUP BY frame_key HAVING count(DISTINCT asset_id) >= 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_asset_metadata": QuerySpec(multimodal_asset_metadata, ASSET_META_ORACLE),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
     "multimodal_decode_features": QuerySpec(
         multimodal_decode_features, DECODE_FEATURES_ORACLE
     ),
+    "multimodal_dup_frames": QuerySpec(multimodal_dup_frames, DUP_FRAMES_ORACLE),
 }
 
 
