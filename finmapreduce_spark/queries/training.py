@@ -692,3 +692,143 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich et al. 2016, the merge
+# loop every modern tokenizer trainer runs): iterate K times — count
+# adjacent token pairs over the corpus, pick the global argmax pair,
+# merge it everywhere.
+#
+# Spark shape per merge: one explode+groupBy with map-side combine
+# over the DISTINCT-WORD table (weights = word frequencies, so the
+# pair count shuffle carries |vocab| rows, not |corpus|), a
+# TakeOrdered(1) for the argmax (the merge table IS the model — one
+# row to the driver per iteration, exactly the k-means centroid
+# pattern), then a narrow JVM replace pass to apply the merge. K
+# merges = K cheap shuffles; at 100 TB the distinct-word compression
+# is what makes this tractable (corpus → |vocab| ≈ millions of rows).
+#
+# Exact SQL oracle: the K iterations unroll as CTEs (same technique
+# as the k-means oracle). Merge application is defined as THREE
+# left-to-right non-overlapping replace passes of " a b " → " ab "
+# on the space-padded token string — identical semantics in Spark's
+# replace(), DuckDB's replace(), and Python str.replace, and three
+# passes fully merge any run the sampled pair can produce (a
+# documented bounded-pass BPE variant; both engines compute the
+# identical result, which is what the value-hash checks).
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 3
+BPE_MAX_WORD_LEN = 16
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .filter((F.col("w") != "") & (F.length("w") <= BPE_MAX_WORD_LEN))
+        .groupBy("w")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _bpe_words(spark, sf_dir)
+    # char-tokenized, space-joined ("(?<=.)(?=.)" splits BETWEEN
+    # characters — no trailing empty token, matching SQL's split-by-'')
+    toks = words.select(
+        F.concat_ws(" ", F.split("w", "(?<=.)(?=.)")).alias("s"), "weight"
+    ).persist()
+    rows = []
+    for rank in range(1, BPE_MERGES + 1):
+        t = F.split("s", " ")
+        # guard: sequence(1, 0) DESCENDS in Spark, so single-token
+        # words must short-circuit to an empty pair list
+        pair_list = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat(
+                    F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            toks.select(F.explode(pair_list).alias("pair"), "weight")
+            .groupBy("pair")
+            .agg(F.sum("weight").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        pair, cnt = top["pair"], int(top["cnt"])
+        merged = pair.replace(" ", "")
+        rows.append((rank, pair, merged, cnt))
+        applied = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        for _ in range(3):
+            applied = F.replace(
+                applied, F.lit(f" {pair} "), F.lit(f" {merged} ")
+            )
+        nxt = toks.select(F.trim(applied).alias("s"), "weight").persist()
+        toks.unpersist()
+        toks = nxt
+    toks.unpersist()
+    return spark.createDataFrame(
+        rows, "merge_rank int, pair string, merged string, pair_count long"
+    )
+
+
+def _bpe_apply_sql(trel: str, mrel: str) -> str:
+    rep = f"' ' || {trel}.s || ' '"
+    for _ in range(3):
+        rep = (
+            f"replace({rep}, ' ' || (SELECT pair FROM {mrel}) || ' ', "
+            f"' ' || (SELECT merged FROM {mrel}) || ' ')"
+        )
+    return f"SELECT trim({rep}) AS s, weight FROM {trel}"
+
+
+def _bpe_top_sql(trel: str) -> str:
+    return f"""
+  SELECT pair, CAST(sum(weight) AS BIGINT) AS cnt,
+         replace(pair, ' ', '') AS merged
+  FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(s, ' '))),
+                  i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1]
+           )) AS pair,
+           weight
+    FROM {trel}
+  ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+"""
+
+
+BPE_ORACLE = f"""
+WITH words AS (
+  SELECT w, count(*) AS weight FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE w <> '' AND length(w) <= {BPE_MAX_WORD_LEN}
+  GROUP BY w
+),
+t0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS s, weight FROM words),
+m1 AS ({_bpe_top_sql('t0')}),
+t1 AS ({_bpe_apply_sql('t0', 'm1')}),
+m2 AS ({_bpe_top_sql('t1')}),
+t2 AS ({_bpe_apply_sql('t1', 'm2')}),
+m3 AS ({_bpe_top_sql('t2')})
+SELECT 1 AS merge_rank, pair, merged, cnt AS pair_count FROM m1
+UNION ALL
+SELECT 2, pair, merged, cnt FROM m2
+UNION ALL
+SELECT 3, pair, merged, cnt FROM m3
+"""
+
+
+QUERIES.update(
+    {
+        "bpe_train_merges": QuerySpec(bpe_train_merges, BPE_ORACLE),
+    }
+)

@@ -204,3 +204,42 @@ def test_hashing_bow_concat_additive(wa, wb):
         pd.Series([" ".join(wa), " ".join(wb), " ".join(wa + wb)])
     )
     assert np.array_equal(ab, a + b)
+
+
+def test_bpe_merges_on_controlled_corpus(spark, tmp_path, monkeypatch):
+    """BPE learns the dominant pair first on a rigged corpus: 'the'
+    dominates → merge 1 is ('t','h') or ('h','e') by weight; repeated
+    runs and single-char words don't break the pair scan."""
+    import duckdb
+
+    from finmapreduce_spark.queries.training import (
+        BPE_ORACLE,
+        bpe_train_merges,
+    )
+
+    docs_pdf = [
+        (0, "the the the the the thhhe a i"),
+        (1, "he he he x"),
+    ]
+    df = spark.createDataFrame(docs_pdf, "doc_id long, text string")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "documents.parquet"))
+
+    out = {
+        r["merge_rank"]: (r["pair"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(spark, str(sf)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # 'h e' count: the×5 + thhhe + he×3 = 9; 't h' = 6 → first merge "h e"
+    assert out[1] == ("h e", "he", 9)
+    # oracle agrees on the same fixture
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = {
+        int(r[0]): (r[1], r[2], int(r[3]))
+        for r in con.execute(BPE_ORACLE).fetchall()
+    }
+    assert out == want
