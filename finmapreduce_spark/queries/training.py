@@ -735,7 +735,10 @@ def _bpe_words(spark: SparkSession, sf_dir: str):
     )
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge loop; → (merge rows, final tokenized word table).
+
+    Caller owns unpersisting the returned DataFrame."""
     words = _bpe_words(spark, sf_dir)
     # char-tokenized, space-joined ("(?<=.)(?=.)" splits BETWEEN
     # characters — no trailing empty token, matching SQL's split-by-'')
@@ -775,10 +778,50 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = toks.select(F.trim(applied).alias("s"), "weight").persist()
         toks.unpersist()
         toks = nxt
+    return rows, toks
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, toks = _bpe_train(spark, sf_dir)
     toks.unpersist()
     return spark.createDataFrame(
         rows, "merge_rank int, pair string, merged string, pair_count long"
     )
+
+
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply tokenizer lifecycle in one plan: after the learned
+    merges are applied everywhere, report the corpus-level compression
+    — tokens before (= characters of the filtered words) vs after,
+    frequency-weighted. The apply side is the narrow JVM replace pass;
+    the summary is a single map-side-combined agg."""
+    _, toks = _bpe_train(spark, sf_dir)
+    out = toks.agg(
+        F.count("*").alias("n_distinct_words"),
+        F.sum("weight").cast("long").alias("n_words"),
+        F.sum(
+            F.col("weight")
+            * (F.length("s") - F.length(F.replace("s", F.lit(" "), F.lit(""))) + 1)
+        )
+        .cast("long")
+        .alias("tokens_after"),
+        F.sum(
+            F.col("weight") * F.length(F.replace("s", F.lit(" "), F.lit("")))
+        )
+        .cast("long")
+        .alias("tokens_before"),
+    ).select(
+        "n_distinct_words",
+        "n_words",
+        "tokens_before",
+        "tokens_after",
+        F.round(F.col("tokens_after") / F.col("tokens_before"), 6).alias(
+            "compression"
+        ),
+    )
+    # NOTE: toks stays persisted — the returned plan references it and
+    # the driver executes lazily; it is a |vocab|-row table.
+    return out
 
 
 def _bpe_apply_sql(trel: str, mrel: str) -> str:
@@ -830,5 +873,38 @@ SELECT 3, pair, merged, cnt FROM m3
 QUERIES.update(
     {
         "bpe_train_merges": QuerySpec(bpe_train_merges, BPE_ORACLE),
+    }
+)
+
+
+BPE_APPLY_ORACLE = f"""
+WITH words AS (
+  SELECT w, count(*) AS weight FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE w <> '' AND length(w) <= {BPE_MAX_WORD_LEN}
+  GROUP BY w
+),
+t0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS s, weight FROM words),
+m1 AS ({_bpe_top_sql('t0')}),
+t1 AS ({_bpe_apply_sql('t0', 'm1')}),
+m2 AS ({_bpe_top_sql('t1')}),
+t2 AS ({_bpe_apply_sql('t1', 'm2')}),
+m3 AS ({_bpe_top_sql('t2')}),
+t3 AS ({_bpe_apply_sql('t2', 'm3')})
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(weight) AS BIGINT) AS n_words,
+       CAST(sum(weight * length(replace(s, ' ', ''))) AS BIGINT) AS tokens_before,
+       CAST(sum(weight * (length(s) - length(replace(s, ' ', '')) + 1)) AS BIGINT)
+         AS tokens_after,
+       round(sum(weight * (length(s) - length(replace(s, ' ', '')) + 1)) * 1.0
+             / sum(weight * length(replace(s, ' ', ''))), 6) AS compression
+FROM t3
+"""
+
+
+QUERIES.update(
+    {
+        "bpe_apply_compression": QuerySpec(bpe_apply_compression, BPE_APPLY_ORACLE),
     }
 )
