@@ -980,3 +980,178 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_ORACLE),
     "text_langid": QuerySpec(text_langid, LANGID_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021 §A1.1) — the standard
+# pre-training quality gate battery: document length, mean word
+# length, alphabetic-word fraction, and required-stopword presence,
+# each reported per document with the combined keep verdict.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule metrics + keep verdict.
+
+    Scale: a narrow all-JVM projection (split + array folds inside
+    whole-stage codegen) — zero shuffle, runs at scan speed; the keep
+    column is the predicate a 100 TB cleaning pass would push into
+    the write of the filtered corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")
+    n = F.size(words)
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mwl = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[a-zA-Z]+$")))
+    alpha_frac = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    stop_hits = sum(
+        F.when(F.array_contains(words, w), 1).otherwise(0) for w in STOPWORDS
+    )
+    keep = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (alpha_frac >= GOPHER_MIN_ALPHA)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n,
+         CASE WHEN len(ws) > 0
+              THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                   / len(ws)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(ws) > 0
+              THEN CAST(len(list_filter(ws, w -> regexp_full_match(w, '[a-zA-Z]+')))
+                        AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS alpha_frac,
+         {" + ".join(f"(CASE WHEN list_contains(ws, '{w}') THEN 1 ELSE 0 END)" for w in STOPWORDS)}
+           AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_frac,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                  AND alpha_frac >= {GOPHER_MIN_ALPHA}
+                  AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction — the trafilatura/jusText step every
+# web-crawl ingestion pipeline runs before any other text op. The
+# page markup is synthesized deterministically around the document
+# text (the container has no crawl corpus), so the extraction chain
+# itself — script/style block removal, tag stripping, whitespace
+# collapse, title capture — is what both engines compute and the
+# value hash certifies.
+# ---------------------------------------------------------------------------
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, title, html_len, extracted_len,
+    boilerplate_ratio) via a pure-JVM regex chain.
+
+    Scale: narrow map over the scan, no shuffle, no Python; at
+    100 TB the chain runs inside whole-stage codegen at scan speed.
+    The real-crawl variant swaps the synthesized page for the raw
+    HTML column; the extraction operators are unchanged.
+    """
+    docs = _docs(spark, sf_dir)
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" ("),
+        F.col("source"),
+        F.lit(')</title><script type="text/javascript">var t=1;</script>'),
+        F.lit('<style>.nav{color:red}</style></head><body><nav><a href="/">'),
+        F.lit("home</a></nav><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><div class="footer">(c) 2026 corp. All rights reserved.'),
+        F.lit("</div></body></html>"),
+    )
+    no_script = F.regexp_replace(page, "<script[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, "<style[^>]*>.*?</style>", " ")
+    no_tags = F.regexp_replace(no_style, "<[^>]*>", " ")
+    extracted = F.trim(F.regexp_replace(no_tags, "[ \t\n\f\r]+", " "))
+    title = F.regexp_extract(page, "<title>([^<]*)</title>", 1)
+    return docs.select(
+        "doc_id",
+        title.alias("title"),
+        F.length(page).cast("long").alias("html_len"),
+        F.length(extracted).cast("long").alias("extracted_len"),
+        F.round(F.lit(1.0) - F.length(extracted) / F.length(page), 6).alias(
+            "boilerplate_ratio"
+        ),
+    )
+
+
+HTML_EXTRACT_ORACLE = """
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ('
+         || source
+         || ')</title><script type="text/javascript">var t=1;</script>'
+         || '<style>.nav{color:red}</style></head><body><nav><a href="/">'
+         || 'home</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text
+         || '</p><div class="footer">(c) 2026 corp. All rights reserved.'
+         || '</div></body></html>' AS html
+  FROM documents
+), ext AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '<script[^>]*>.*?</script>', ' '),
+               '<style[^>]*>.*?</style>', ' '),
+             '<[^>]*>', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS extracted
+  FROM page
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(extracted) AS BIGINT) AS extracted_len,
+       round(1.0 - CAST(length(extracted) AS DOUBLE) / length(html), 6)
+         AS boilerplate_ratio
+FROM ext
+"""
+
+
+QUERIES.update(
+    {
+        "text_gopher_rules": QuerySpec(text_gopher_rules, GOPHER_ORACLE),
+        "text_html_extract": QuerySpec(text_html_extract, HTML_EXTRACT_ORACLE),
+    }
+)

@@ -547,3 +547,26 @@ def test_multimodal_codec_stages_are_arrow_batched(spark, sf_dir):
     map_id = int(_re.search(r"\((\d+)\) MapInPandas", plan).group(1))
     for m in _re.finditer(r"\((\d+)\) Exchange", plan):
         assert int(m.group(1)) > map_id, plan
+
+
+def test_gopher_and_html_extract_are_narrow_scans(spark, sf_dir):
+    """The Gopher rule battery and the HTML extraction chain are pure
+    per-row projections: their plans must contain NO exchange (shuffle)
+    and no Python eval — at 100 TB they run at scan speed."""
+    for name in ("text_gopher_rules", "text_html_extract"):
+        plan = plan_of(QS[name].spark(spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_classifier_margins_inline_weights_no_python(spark, sf_dir):
+    """The trained model must ride the plan as an inlined array
+    literal (the O(dim) model never joins as a table), the margin
+    pass must stay fully JVM-side, and the persisted feature table
+    must be reused across the final margin/averaged-margin scans
+    rather than recomputed from the corpus."""
+    df = QS["classifier_langid_train"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2, "feat cache not reused"
