@@ -64,6 +64,11 @@ HEADLINE = [
     "multimodal_decode_features",
     "dedup_semantic_verify",
     "bm25_retrieval_topk",
+    # round-3 (cont.): the iterative averaged-perceptron trainer (K
+    # epochs over the compacted hashed-BoW feature table) and the
+    # zero-shuffle Gopher rule battery
+    "classifier_langid_train",
+    "text_gopher_rules",
 ]
 
 
@@ -105,6 +110,12 @@ def main():
 
     for t in TABLES:  # resolve schemas (footer metadata only, no compute)
         read_table(spark, SF_DIR, t)
+    # materialize the binary asset store (one-time data prep, like the
+    # testdata itself) so multimodal timings measure decode, not the
+    # synth write
+    from finmapreduce_spark.sources.asset_store import materialize_assets
+
+    materialize_assets(spark, SF_DIR)
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(os.environ.get("BENCH_EXTRA", "").split(",")) if n in qs
@@ -153,6 +164,8 @@ def main():
     # Per-round archive so bench_trend can diff rounds including the
     # shuffle sidecar (the driver's BENCH_r{N} keeps wall only). The
     # current round = 1 + newest driver CORRECTNESS round on disk.
+    # Only the DEFAULT scale factor archives: a quick sf0.001 smoke
+    # run must not clobber the round's representative sf0.1 record.
     import re as _re
 
     rounds = [
@@ -160,7 +173,7 @@ def main():
         for p in os.listdir(root)
         if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    if rounds:
+    if rounds and "SPARK_GRAFT_SF_DIR" not in os.environ:
         archive = os.path.join(
             root, f"BENCH_DETAILS_r{max(rounds) + 1:02d}.json"
         )

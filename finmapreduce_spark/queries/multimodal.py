@@ -18,19 +18,21 @@ from pyspark.sql import functions as F
 
 from finmapreduce_spark.operators.multimodal import (
     decode_and_featurize,
-    fake_assets_from_documents,
     frame_sample,
 )
 from finmapreduce_spark.queries import QuerySpec
-from finmapreduce_spark.session import read_table
+from finmapreduce_spark.sources.asset_store import read_assets
 
 FRAME_EVERY_MS = 80  # sample every other frame at 25 fps
 
 
 def _assets(spark, sf_dir):
-    return fake_assets_from_documents(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # binary-column parquet store (sources/asset_store.py): kind
+    # partition dirs prune at planning time, asset_id footer stats
+    # skip row groups, payload bytes hop to Python exactly once (into
+    # the decode Arrow stage) — materialized once per sf, like a
+    # production pipeline reading assets from object storage
+    return read_assets(spark, sf_dir)
 
 
 def multimodal_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,22 +260,31 @@ def multimodal_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finmapreduce_spark.queries.dedup import _dot
 
-    feats = (
-        decode_and_featurize(_assets(spark, sf_dir))
-        .filter(F.col("kind") == "image")
-        .select(
-            "asset_id",
-            F.col("feature").alias("v"),
+    # The decode Arrow stage is the expensive part, and a mapInPandas
+    # node blocks predicate pushdown — so both filters land on the
+    # STORE SCAN below the codec: kind=='image' prunes the audio and
+    # video partition directories, and the asset_id split prunes row
+    # groups on footer stats. The query side decodes 30 rows; the
+    # corpus side decodes each image exactly once. This is the "embed
+    # the query set separately, scan the corpus once" shape every ANN
+    # serving path has; nothing is persisted and no job races a cache
+    # fill.
+    images = _assets(spark, sf_dir).filter(F.col("kind") == "image")
+
+    def _feats(src):
+        return (
+            decode_and_featurize(src)
+            .select("asset_id", F.col("feature").alias("v"))
+            .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
         )
-        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    )
-    q = feats.filter(F.col("asset_id") < MM_N_QUERIES * 3).select(
+
+    q = _feats(images.filter(F.col("asset_id") < MM_N_QUERIES * 3)).select(
         F.col("asset_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("norm").alias("q_norm"),
     )
     pairs = F.broadcast(q).crossJoin(
-        feats.filter(F.col("asset_id") >= MM_N_QUERIES * 3)
+        _feats(images.filter(F.col("asset_id") >= MM_N_QUERIES * 3))
     )
     cos = _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
     ranked = pairs.select(

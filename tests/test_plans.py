@@ -530,16 +530,18 @@ def test_cli_qa_id_has_no_global_window(spark, sf_dir, tmp_path):
 
 
 def test_multimodal_codec_stages_are_arrow_batched(spark, sf_dir):
-    """The synth-PPM pandas_udf and the decode/featurize mapInPandas
-    must both run as Arrow-vectorized Python stages — never
-    row-at-a-time BatchEvalPython — and the decode must be a narrow
-    map (no Exchange between synth and featurize)."""
+    """The decode/featurize mapInPandas must run as an Arrow-
+    vectorized Python stage — never row-at-a-time BatchEvalPython —
+    fed directly by the binary asset-store scan (payload synthesis
+    happens once at store-write time, not in the query plan), and the
+    decode must be a narrow map (no Exchange between scan and
+    featurize)."""
     import re as _re
 
     df = QS["multimodal_decode_features"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" in plan  # synth-PPM pandas_udf
+    assert "fmr_asset_store" in plan  # reads the materialized store
     assert "MapInPandas" in plan  # decode/featurize stage
     # decode is a narrow map: every Exchange sits ABOVE the Python
     # stages (formatted-mode ids grow toward the root, so each
@@ -570,3 +572,15 @@ def test_classifier_margins_inline_weights_no_python(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2, "feat cache not reused"
+
+
+def test_multimodal_ann_scans_prune_store(spark, sf_dir):
+    """The asset-store scans under the decode stages must carry BOTH
+    prunings: kind=='image' as a PartitionFilter (audio/video dirs
+    never opened) and the asset_id query/corpus split as PushedFilters
+    (row-group skipping) — mapInPandas blocks pushdown, so the filters
+    must sit below it."""
+    plan = plan_of(QS["multimodal_ann_topk"].spark(spark, sf_dir))
+    assert plan.count("PartitionFilters: [isnotnull(kind") >= 2
+    assert "LessThan(asset_id,30)" in plan
+    assert "GreaterThanOrEqual(asset_id,30)" in plan
