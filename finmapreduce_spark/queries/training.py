@@ -1005,11 +1005,18 @@ def classifier_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("t").cast("long").alias(out_col))
         )
 
-    for _ in range(CLS_EPOCHS):
-        miss = margins(weights, "m").filter(F.col("y") * F.col("m") <= 0)
+    for epoch in range(CLS_EPOCHS):
+        if epoch == 0:
+            # w0 = 0 ⇒ every margin is 0 ⇒ every doc is misclassified:
+            # the first update is a single aggregate over the feature
+            # table, no margin job (the oracle's w1 CTE states the
+            # same identity)
+            miss_feat = feat
+        else:
+            miss = margins(weights, "m").filter(F.col("y") * F.col("m") <= 0)
+            miss_feat = feat.join(miss.select("doc_id"), "doc_id")
         delta = (
-            feat.join(miss.select("doc_id"), "doc_id")
-            .groupBy("idx")
+            miss_feat.groupBy("idx")
             .agg(F.sum(F.col("y") * F.col("wgt")).alias("d"))
             .collect()
         )
