@@ -1177,3 +1177,84 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_recall_at_k": QuerySpec(ann_recall_at_k, ANN_RECALL_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 embedding quantization — the standard 4× memory
+# compression for vector search (per-vector absmax scaling, the
+# faiss SQ8 / modern inference-engine scheme). Quantized components
+# are INTEGERS, so an order-proof weighted checksum certifies every
+# component of every vector against the oracle; the reconstruction
+# error is the quality metric an index build would gate on.
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (vec_id, scale, q_checksum, recon_err).
+
+    q_i = floor(v_i/scale + 0.5) with scale = absmax/127 (symmetric
+    int8); checksum = Σ (i+1)·q_i (position-weighted so component
+    swaps can't cancel); recon_err = mean |q_i·scale − v_i|.
+
+    Scale: a narrow per-row projection — zero shuffle; at 100 TB this
+    is the map stage that writes the quantized index shard next to
+    each vector block.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    checksum = F.aggregate(
+        F.zip_with(
+            q,
+            F.sequence(F.lit(1), F.size(q)),
+            lambda qi, i: qi * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    err = F.aggregate(
+        F.zip_with(q, vd, lambda qi, x: F.abs(qi.cast("double") * scale - x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(vd)
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        checksum.alias("q_checksum"),
+        F.round(err, 9).alias("recon_err"),
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH vd AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM vd
+), quant AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+  FROM scaled
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       CAST(list_sum(list_transform(q, (qi, i) -> qi * i)) AS BIGINT)
+         AS q_checksum,
+       round(list_sum(list_transform(range(1, len(q) + 1),
+                                     i -> abs(q[i] * scale - v[i])))
+             / len(q), 9) AS recon_err
+FROM quant
+"""
+
+
+QUERIES.update(
+    {
+        "embedding_quantize_int8": QuerySpec(
+            embedding_quantize_int8, QUANTIZE_ORACLE
+        ),
+    }
+)

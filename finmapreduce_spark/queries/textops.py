@@ -1076,17 +1076,9 @@ FROM m
 # value hash certifies.
 # ---------------------------------------------------------------------------
 
-def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, title, html_len, extracted_len,
-    boilerplate_ratio) via a pure-JVM regex chain.
-
-    Scale: narrow map over the scan, no shuffle, no Python; at
-    100 TB the chain runs inside whole-stage codegen at scan speed.
-    The real-crawl variant swaps the synthesized page for the raw
-    HTML column; the extraction operators are unchanged.
-    """
-    docs = _docs(spark, sf_dir)
-    page = F.concat(
+def _page_expr():
+    """The deterministic synthesized HTML page (Spark Column)."""
+    return F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id").cast("string"),
         F.lit(" ("),
@@ -1100,10 +1092,28 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('</p><div class="footer">(c) 2026 corp. All rights reserved.'),
         F.lit("</div></body></html>"),
     )
+
+
+def _extract_expr(page):
+    """Boilerplate-stripped main text from an HTML column."""
     no_script = F.regexp_replace(page, "<script[^>]*>.*?</script>", " ")
     no_style = F.regexp_replace(no_script, "<style[^>]*>.*?</style>", " ")
     no_tags = F.regexp_replace(no_style, "<[^>]*>", " ")
-    extracted = F.trim(F.regexp_replace(no_tags, "[ \t\n\f\r]+", " "))
+    return F.trim(F.regexp_replace(no_tags, "[ \t\n\f\r]+", " "))
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, title, html_len, extracted_len,
+    boilerplate_ratio) via a pure-JVM regex chain.
+
+    Scale: narrow map over the scan, no shuffle, no Python; at
+    100 TB the chain runs inside whole-stage codegen at scan speed.
+    The real-crawl variant swaps the synthesized page for the raw
+    HTML column; the extraction operators are unchanged.
+    """
+    docs = _docs(spark, sf_dir)
+    page = _page_expr()
+    extracted = _extract_expr(page)
     title = F.regexp_extract(page, "<title>([^<]*)</title>", 1)
     return docs.select(
         "doc_id",
@@ -1153,5 +1163,131 @@ QUERIES.update(
     {
         "text_gopher_rules": QuerySpec(text_gopher_rules, GOPHER_ORACLE),
         "text_html_extract": QuerySpec(text_html_extract, HTML_EXTRACT_ORACLE),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# One-plan corpus-cleaning pipeline: HTML extraction ∘ Gopher rule
+# gate ∘ exact dedup, reported per source — the composed shape of a
+# production cleaning pass (extract once, gate on the EXTRACTED text,
+# fingerprint survivors, count unique), all in a single aggregation
+# over one scan.
+# ---------------------------------------------------------------------------
+
+_PAGE_SQL = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ('
+         || source
+         || ')</title><script type="text/javascript">var t=1;</script>'
+         || '<style>.nav{color:red}</style></head><body><nav><a href="/">'
+         || 'home</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text
+         || '</p><div class="footer">(c) 2026 corp. All rights reserved.'
+         || '</div></body></html>'"""
+
+_EXTRACT_SQL = """trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '<script[^>]*>.*?</script>', ' '),
+               '<style[^>]*>.*?</style>', ' '),
+             '<[^>]*>', ' ', 'g'),
+           '\\s+', ' ', 'g'))"""
+
+
+def cleaning_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cleaning funnel: documents → extracted text →
+    Gopher keep → exact-dedup distinct count → kept-token volume.
+
+    Scale: the whole funnel is ONE narrow expression chain feeding
+    ONE groupBy(source) with map-side combine — the shuffle carries
+    |sources| partial rows (count-distinct adds the fingerprint to
+    the grouping expansion, still bounded by survivors). No second
+    scan, no join: the extract/gate/fingerprint stages compose as
+    column expressions, which is the point of keeping each cleaning
+    op a pure projection.
+    """
+    docs = _docs(spark, sf_dir)
+    extracted = _extract_expr(_page_expr())
+    words = F.split(F.trim(extracted), "[ \t\n\f\r]+")
+    n = F.size(words)
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mwl = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[a-zA-Z]+$")))
+    alpha_frac = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    stop_hits = sum(
+        F.when(F.array_contains(words, w), 1).otherwise(0) for w in STOPWORDS
+    )
+    keep = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (alpha_frac >= GOPHER_MIN_ALPHA)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    staged = docs.select(
+        "source",
+        keep.alias("keep"),
+        n.alias("n_words"),
+        F.md5(extracted).alias("fp"),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_gopher_keep"),
+            F.countDistinct(F.when(F.col("keep"), F.col("fp"))).alias(
+                "n_unique_kept"
+            ),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_words")).otherwise(0).cast("long")
+            ).alias("tokens_kept"),
+        )
+    )
+
+
+CLEANING_REPORT_ORACLE = f"""
+WITH page AS (
+  SELECT doc_id, source, {_PAGE_SQL} AS html
+  FROM documents
+), staged AS (
+  SELECT doc_id, source, {_EXTRACT_SQL} AS extracted
+  FROM page
+), gated AS (
+  SELECT source, md5(extracted) AS fp,
+         len(ws) AS n,
+         CASE WHEN len(ws) > 0
+              THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                   / len(ws) ELSE 0.0 END AS mwl,
+         CASE WHEN len(ws) > 0
+              THEN CAST(len(list_filter(ws, w -> regexp_full_match(w, '[a-zA-Z]+')))
+                        AS DOUBLE) / len(ws) ELSE 0.0 END AS alpha_frac,
+         {" + ".join(f"(CASE WHEN list_contains(ws, '{w}') THEN 1 ELSE 0 END)" for w in STOPWORDS)}
+           AS stop_hits
+  FROM (SELECT source, extracted, string_split_regex(trim(extracted), '\\s+') AS ws
+        FROM staged)
+), flagged AS (
+  SELECT source, fp, n,
+         (n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+          AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+          AND alpha_frac >= {GOPHER_MIN_ALPHA}
+          AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+  FROM gated
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep,
+       CAST(count(DISTINCT CASE WHEN keep THEN fp END) AS BIGINT) AS n_unique_kept,
+       CAST(sum(CASE WHEN keep THEN n ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM flagged GROUP BY source
+"""
+
+
+QUERIES.update(
+    {
+        "cleaning_pipeline_report": QuerySpec(
+            cleaning_pipeline_report, CLEANING_REPORT_ORACLE
+        ),
     }
 )

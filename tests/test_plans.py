@@ -584,3 +584,21 @@ def test_multimodal_ann_scans_prune_store(spark, sf_dir):
     assert plan.count("PartitionFilters: [isnotnull(kind") >= 2
     assert "LessThan(asset_id,30)" in plan
     assert "GreaterThanOrEqual(asset_id,30)" in plan
+
+
+def test_quantize_int8_is_narrow_scan(spark, sf_dir):
+    """Scalar quantization is a per-row projection: no Exchange, no
+    Python — at 100 TB it's the map stage of the index-shard write."""
+    plan = plan_of(QS["embedding_quantize_int8"].spark(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cleaning_report_single_shuffle_partial_agg(spark, sf_dir):
+    """The composed extract∘gate∘fingerprint funnel must reach its one
+    groupBy(source) as column expressions: exactly the aggregation
+    exchanges (no join), partial aggregation below them, no Python."""
+    plan = plan_of(QS["cleaning_pipeline_report"].spark(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan
