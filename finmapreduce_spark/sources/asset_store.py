@@ -55,25 +55,16 @@ def asset_store_path(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"fmr_asset_store_{tag}")
 
 
-def materialize_assets(spark: SparkSession, sf_dir: str) -> str:
-    """Write the asset corpus for ``sf_dir`` if absent; return path."""
-    path = asset_store_path(sf_dir)
+def materialize_once(path: str, write_fn) -> str:
+    """Crash/race-safe write-once: if ``path`` lacks a _SUCCESS
+    marker, call ``write_fn(tmp_path)`` and rename into place. A
+    concurrent double-write loses the rename race harmlessly; a
+    crashed writer leaves only an orphan tmp dir, never a half-store
+    where readers look."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    from finmapreduce_spark.operators.multimodal import (
-        fake_assets_from_documents,
-    )
-    from finmapreduce_spark.session import read_table
-
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    assets = fake_assets_from_documents(docs)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    (
-        assets.repartition(spark.sparkContext.defaultParallelism, "asset_id")
-        .write.mode("overwrite")
-        .partitionBy("kind")
-        .parquet(tmp)
-    )
+    write_fn(tmp)
     try:
         os.rename(tmp, path)
     except OSError:
@@ -83,6 +74,27 @@ def materialize_assets(spark: SparkSession, sf_dir: str) -> str:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             raise
     return path
+
+
+def materialize_assets(spark: SparkSession, sf_dir: str) -> str:
+    """Write the asset corpus for ``sf_dir`` if absent; return path."""
+
+    def write(tmp: str) -> None:
+        from finmapreduce_spark.operators.multimodal import (
+            fake_assets_from_documents,
+        )
+        from finmapreduce_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        (
+            fake_assets_from_documents(docs)
+            .repartition(spark.sparkContext.defaultParallelism, "asset_id")
+            .write.mode("overwrite")
+            .partitionBy("kind")
+            .parquet(tmp)
+        )
+
+    return materialize_once(asset_store_path(sf_dir), write)
 
 
 def read_assets(spark: SparkSession, sf_dir: str) -> DataFrame:

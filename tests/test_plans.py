@@ -602,3 +602,14 @@ def test_cleaning_report_single_shuffle_partial_agg(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert "partial_" in plan
+
+
+def test_ivf_persisted_index_probes_via_dpp(spark, sf_dir):
+    """Serving from the stored IVF layout must probe cells by DYNAMIC
+    partition pruning: the vectors scan's PartitionFilters carries a
+    dynamicpruning subquery fed by the broadcast query-routing side —
+    only probed cid directories are opened. A plan without it scans
+    the whole index per batch."""
+    plan = plan_of(QS["ann_ivf_persisted_topk"].spark(spark, sf_dir))
+    assert "dynamicpruningexpression(cid" in plan
+    assert "fmr_ivf_index" in plan
