@@ -366,3 +366,71 @@ def frame_sample(assets: DataFrame, every_ms: int = 80) -> DataFrame:
                 )
 
     return vids.mapInPandas(mapper, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "asset_id long, src_w int, src_h int, thumb binary, "
+    "thumb_checksum long, thumb_mean double"
+)
+
+
+def resize_images(
+    assets: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """REAL nearest-neighbor image resize over the binary payload
+    column: decode (stdlib PPM/BMP codec) → numpy index-select to the
+    (out_h, out_w) thumbnail → emit the thumbnail RGB bytes plus an
+    order-proof integer certification (position-weighted byte
+    checksum) and the mean intensity.
+
+    Source pixel for thumb (ty, tx) is (ty*src_h)//out_h,
+    (tx*src_w)//out_w — pure integer arithmetic, which is what lets
+    the SQL oracle reconstruct every thumbnail byte from the synth
+    formula. One Arrow mapInPandas pass; at 100 TB this is the
+    thumbnailing map stage of an image-curation pipeline (swap the
+    codec for PIL/turbojpeg, the stage contract is unchanged).
+    """
+    import numpy as np
+
+    imgs = assets.filter(F.col("kind") == "image").select(
+        "asset_id", "payload"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                thumb = arr[ys][:, xs, :]
+                flat = thumb.reshape(-1).astype(np.int64)
+                checksum = int(
+                    ((np.arange(len(flat)) + 1) * flat).sum()
+                )
+                rows.append(
+                    (
+                        int(aid),
+                        int(w),
+                        int(h),
+                        thumb.tobytes(),
+                        checksum,
+                        float(flat.sum()) / len(flat) / 255.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "src_w",
+                    "src_h",
+                    "thumb",
+                    "thumb_checksum",
+                    "thumb_mean",
+                ],
+            )
+
+    return imgs.mapInPandas(mapper, schema=RESIZE_SCHEMA)

@@ -1,6 +1,6 @@
 """Multimodal pipeline queries.
 
-All four queries carry full DuckDB oracles, and every payload is a
+Every query carries a full DuckDB oracle, and every payload is a
 REAL decodable container: binary PPM images, RIFF/WAV audio, and
 YUV4MPEG2 video, all decoded by the stdlib codecs
 (operators/codecs.py). Contents follow deterministic integer formulas
@@ -347,3 +347,61 @@ FROM ranked WHERE rank <= {MM_TOP_K}
 """
 
 QUERIES["multimodal_ann_topk"] = QuerySpec(multimodal_ann_topk, MM_ANN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Real nearest-neighbor resize (the brief's decode/featurize/RESIZE/
+# frame-sample quartet): thumb source pixel (ty,tx) = ((ty*h)//8,
+# (tx*w)//8) — pure integer index math, so the oracle reconstructs
+# every thumbnail byte from the synth pixel formula and certifies the
+# whole 8×8×3 buffer through a position-weighted checksum.
+# ---------------------------------------------------------------------------
+
+THUMB_W = THUMB_H = 8
+
+
+def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.operators.multimodal import resize_images
+
+    thumbs = resize_images(
+        _assets(spark, sf_dir), out_w=THUMB_W, out_h=THUMB_H
+    )
+    return thumbs.select(
+        "asset_id",
+        "src_w",
+        "src_h",
+        "thumb_checksum",
+        F.round("thumb_mean", 9).alias("thumb_mean"),
+    )
+
+
+_TN = THUMB_W * THUMB_H * 3  # flattened thumbnail length
+
+# sy=((t//24)*h)//8, sx=(((t%24)//3)*w)//8, source byte
+# k=(sy*w+sx)*3 + t%3, value=(31d+7k)%256 — all integer ops
+_THUMB_VAL = (
+    "((31*doc_id + 7*((((t//24)*(doc_id%12+4))//8*(doc_id%16+4)"
+    " + (((t%24)//3)*(doc_id%16+4))//8)*3 + t%3)) % 256)"
+)
+
+RESIZE_ORACLE = f"""
+SELECT doc_id AS asset_id,
+       CAST(doc_id % 16 + 4 AS INT) AS src_w,
+       CAST(doc_id % 12 + 4 AS INT) AS src_h,
+       CAST(list_sum(list_transform(range(0, {_TN}),
+                                    t -> (t + 1) * {_THUMB_VAL})) AS BIGINT)
+         AS thumb_checksum,
+       round(CAST(list_sum(list_transform(range(0, {_TN}),
+                                          t -> {_THUMB_VAL})) AS DOUBLE)
+             / {_TN} / 255, 9) AS thumb_mean
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+QUERIES.update(
+    {
+        "multimodal_resize_thumbs": QuerySpec(
+            multimodal_resize_thumbs, RESIZE_ORACLE
+        ),
+    }
+)

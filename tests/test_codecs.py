@@ -307,3 +307,37 @@ def test_frame_sample_decodes_real_frames(spark):
         assert abs(r["f_mean"] - (sum(frame) / len(frame)) / 255.0) < 1e-12
     # doc 2 has 4 frames / 160ms duration → stamps 0,80 → idx 0,2
     assert sorted(r["frame_idx"] for r in rows if r["asset_id"] == 2) == [0, 2]
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """The thumbnail must be the exact nearest-neighbor index-select
+    (source pixel (ty*h)//8, (tx*w)//8) of the decoded pixels —
+    checked byte-for-byte against a straight Python reconstruction
+    for several dims, including upscaling (src smaller than 8)."""
+    import numpy as np
+
+    from finmapreduce_spark.operators.multimodal import (
+        fake_assets_from_documents,
+        resize_images,
+        synth_image_dims,
+        synth_image_pixels,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "x" * 40) for d in (0, 3, 6, 9, 12)], "doc_id long, text string"
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in resize_images(fake_assets_from_documents(docs)).collect()
+    }
+    assert set(rows) == {0, 3, 6, 9, 12}
+    for d, r in rows.items():
+        w, h = synth_image_dims(d)
+        assert (r["src_w"], r["src_h"]) == (w, h)
+        arr = np.frombuffer(
+            synth_image_pixels(d, w, h), dtype=np.uint8
+        ).reshape(h, w, 3)
+        expect = arr[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8, :]
+        assert bytes(r["thumb"]) == expect.tobytes()
+        flat = expect.reshape(-1).astype(np.int64)
+        assert r["thumb_checksum"] == int(((np.arange(192) + 1) * flat).sum())
