@@ -1776,3 +1776,138 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_incremental_passages, DEDUP_INC_PASSAGES_ORACLE
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall gate — the dedup twin of ann_recall_at_k: how
+# many TRUE near-dup pairs (exact shingle Jaccard >= θ, computed by
+# the exhaustive inverted-index join — exact because any pair with
+# J > 0 shares a shingle) does the 2-band MinHash blocking actually
+# surface? The number that licenses running banded LSH instead of
+# the exact join at scale. Verified LSH output has precision 1 by
+# construction (candidates are exact-verified), so recall is the
+# one quality number.
+#
+# Scale: the exact ground truth is an OFFLINE gate — the inverted
+# index joins every co-shingle pair, so at 100 TB it runs on a
+# sampled slice (the same sampling argument ann_recall_at_k makes);
+# the banding being measured is the part that runs on the full
+# corpus.
+# ---------------------------------------------------------------------------
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_shingles(_docs(spark, sf_dir)).persist()
+    ex = docs.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
+    true_pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
+    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
+    band1 = F.md5(
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.key")
+    cand = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hits = true_pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        true_pairs.agg(F.count("*").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+DEDUP_LSH_RECALL_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, shingles FROM ({_SHINGLES_SQL})
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sig
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), tp AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sig sa ON sa.doc_id = inter.doc_a
+  JOIN sig sb ON sb.doc_id = inter.doc_b
+  WHERE i * 1.0 / (len(sa.shingles) + len(sb.shingles) - i)
+        >= {JACCARD_THRESHOLD}
+), sigm AS (
+  SELECT doc_id, {_MINHASH_SQL_COLS} FROM sig
+), buckets AS (
+  SELECT doc_id, 0 AS band_id, {_BAND0} AS key FROM sigm
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, {_BAND1} AS key FROM sigm
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id
+), hits AS (
+  SELECT tp.* FROM tp
+  WHERE EXISTS (SELECT 1 FROM cand c
+                WHERE c.doc_a = tp.doc_a AND c.doc_b = tp.doc_b)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits) * 1.0
+             / (SELECT count(*) FROM tp), 6) AS recall
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_lsh_recall": QuerySpec(dedup_lsh_recall, DEDUP_LSH_RECALL_ORACLE),
+    }
+)
