@@ -243,3 +243,43 @@ def test_bpe_merges_on_controlled_corpus(spark, tmp_path, monkeypatch):
         for r in con.execute(BPE_ORACLE).fetchall()
     }
     assert out == want
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization invariants (pure-Python twin of the column
+# expressions in queries/similarity.py::embedding_quantize_int8)
+# ---------------------------------------------------------------------------
+
+def _quantize(v):
+    import math
+
+    absmax = max(abs(x) for x in v)
+    scale = absmax / 127.0
+    q = [math.floor(x / scale + 0.5) for x in v]
+    return scale, q
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ).filter(lambda x: abs(x) > 1e-12),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_quantize_int8_bounds_and_error(v):
+    """Symmetric absmax quantization: every code in [-127, 127], and
+    round-to-nearest means |q*scale - x| <= scale/2 for every
+    component (the bound an index build relies on)."""
+    scale, q = _quantize(v)
+    assert all(-127 <= qi <= 127 for qi in q)
+    for qi, x in zip(q, v):
+        assert abs(qi * scale - x) <= scale / 2 + 1e-9 * scale
+    # the absmax component hits a full-scale code exactly
+    imax = max(range(len(v)), key=lambda i: abs(v[i]))
+    assert abs(q[imax]) == 127
