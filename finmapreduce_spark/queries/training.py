@@ -945,6 +945,14 @@ def _cls_features(spark: SparkSession, sf_dir: str):
     u6_hashing_bow_cosine correspondence: trim = spaces only, split
     on RE2's exact \\s class, bucket = md5 bytes 3-4 mod 64, sign =
     low bit of byte 4)."""
+    # NOTE on local skew: the corpus here is one parquet row group →
+    # a handful of scan splits, so the explode+md5 feature build
+    # lands mostly on one task (skew_report: 6× dur skew, uniform
+    # input bytes). A pre-explode repartition was measured NET
+    # NEGATIVE locally (+0.6s: every epoch job then pays 32-task
+    # scheduling on the small persisted feature table). At 100 TB
+    # the corpus is thousands of row groups and the scan fans out by
+    # itself; the ingest-side fix is the bucketed corpus sink.
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
