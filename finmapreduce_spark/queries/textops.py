@@ -1193,19 +1193,13 @@ _EXTRACT_SQL = """trim(regexp_replace(
            '\\s+', ' ', 'g'))"""
 
 
-def cleaning_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source cleaning funnel: documents → extracted text →
-    Gopher keep → exact-dedup distinct count → kept-token volume.
-
-    Scale: the whole funnel is ONE narrow expression chain feeding
-    ONE groupBy(source) with map-side combine — the shuffle carries
-    |sources| partial rows (count-distinct adds the fingerprint to
-    the grouping expansion, still bounded by survivors). No second
-    scan, no join: the extract/gate/fingerprint stages compose as
-    column expressions, which is the point of keeping each cleaning
-    op a pure projection.
-    """
-    docs = _docs(spark, sf_dir)
+def cleaning_stage(docs: DataFrame) -> DataFrame:
+    """The cleaning funnel as a pure per-row projection:
+    (doc_id, source, keep, n_words, fp) from the raw doc columns —
+    HTML extraction, Gopher gate, content fingerprint. No shuffle,
+    no state; streamable as-is (the streaming corpus-ingest gate in
+    streaming/pipeline.py applies this exact function per
+    micro-batch, twin-tested)."""
     extracted = _extract_expr(_page_expr())
     words = F.split(F.trim(extracted), "[ \t\n\f\r]+")
     n = F.size(words)
@@ -1226,12 +1220,28 @@ def cleaning_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_frac >= GOPHER_MIN_ALPHA)
         & (stop_hits >= GOPHER_MIN_STOP_HITS)
     )
-    staged = docs.select(
+    return docs.select(
+        "doc_id",
         "source",
         keep.alias("keep"),
         n.alias("n_words"),
         F.md5(extracted).alias("fp"),
     )
+
+
+def cleaning_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cleaning funnel: documents → extracted text →
+    Gopher keep → exact-dedup distinct count → kept-token volume.
+
+    Scale: the whole funnel is ONE narrow expression chain feeding
+    ONE groupBy(source) with map-side combine — the shuffle carries
+    |sources| partial rows (count-distinct adds the fingerprint to
+    the grouping expansion, still bounded by survivors). No second
+    scan, no join: the extract/gate/fingerprint stages compose as
+    column expressions, which is the point of keeping each cleaning
+    op a pure projection.
+    """
+    staged = cleaning_stage(_docs(spark, sf_dir))
     return (
         staged.groupBy("source")
         .agg(

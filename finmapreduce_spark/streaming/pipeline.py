@@ -643,3 +643,37 @@ def serve_incremental_semantic_continuous(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_cleaning_gate(
+    incoming_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming corpus-ingest cleaning gate: each micro-batch of raw
+    documents runs the SAME cleaning funnel the batch catalog query
+    uses (queries/textops.py::cleaning_stage — HTML extraction,
+    Gopher gate, content fingerprint; pure narrow expressions, no
+    state), and the per-doc verdicts append as JSON. The batch twin
+    is cleaning_pipeline_report's staged projection — stream and
+    batch share cleaning_stage, so identical inputs produce identical
+    verdict rows (twin-tested in tests/test_streaming.py).
+
+    Scale: a stateless narrow map — per-trigger cost is |batch| at
+    scan speed, watermark-free, and the kept rows are what a
+    production ingest would append to the cleaned corpus store
+    (downstream exact-dedup against history is the
+    serve_incremental_dedup stage, composed after this gate).
+    """
+    from finmapreduce_spark.queries.textops import cleaning_stage
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _epoch_json(cleaning_stage(batch_df), out_dir, epoch_id)
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

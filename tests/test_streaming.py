@@ -895,3 +895,48 @@ def test_store_lock_blocks_ingest_and_double_compaction(spark, tmp_path):
     assert not os.path.exists(store_lock_path(store))
     stats = compact_signature_store(spark, store)
     assert stats["files_after"] >= 1
+
+
+def test_streaming_cleaning_gate_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Raw docs streamed through serve_cleaning_gate produce EXACTLY
+    the per-doc verdicts the batch funnel projection computes for the
+    same rows — stream and batch share cleaning_stage."""
+    import json as _json
+
+    from finmapreduce_spark.queries.textops import cleaning_stage
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.streaming.pipeline import serve_cleaning_gate
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    want = sorted(map(tuple, cleaning_stage(docs).collect()))
+    assert any(r[2] for r in want) and not all(
+        r[2] for r in want
+    ), "twin test wants both kept and dropped docs"
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [r.asDict() for r in docs.collect()]
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(landing / f"batch_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "verdicts"
+    q = serve_cleaning_gate(stream, str(out), str(tmp_path / "ckpt")).start()
+    q.awaitTermination()
+
+    got_df = spark.read.json(str(out))
+    got = sorted(
+        tuple(r)
+        for r in got_df.select(
+            "doc_id", "source", "keep", "n_words", "fp"
+        ).collect()
+    )
+    assert got == want
