@@ -1048,7 +1048,9 @@ def classifier_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _cls_oracle() -> str:
+def _cls_oracle(tail: str | None = None) -> str:
+    """Unrolled-epoch CTE chain; ``tail`` overrides the final SELECT
+    (default: per-doc margins)."""
     dim = CLS_DIM
     epochs = []
     prev_w = "w1"
@@ -1078,6 +1080,11 @@ w{e} AS (
     hp7 = _HEXPOS.format(p=7)
     hp8 = _HEXPOS.format(p=8)
     hp10 = _HEXPOS.format(p=10)
+    default_tail = f"""
+SELECT doc_id, CAST(y AS INT) AS label, CAST(m AS BIGINT) AS margin,
+       CAST(m_avg AS BIGINT) AS margin_avg,
+       CAST(CASE WHEN m_avg > 0 THEN 1 ELSE 0 END AS INT) AS pred
+FROM final"""
     return f"""
 WITH labeled AS (
   SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, text
@@ -1113,11 +1120,7 @@ final AS (
   JOIN {prev_w} USING (idx)
   JOIN wavg USING (idx)
   GROUP BY 1, 2
-)
-SELECT doc_id, CAST(y AS INT) AS label, CAST(m AS BIGINT) AS margin,
-       CAST(m_avg AS BIGINT) AS margin_avg,
-       CAST(CASE WHEN m_avg > 0 THEN 1 ELSE 0 END AS INT) AS pred
-FROM final
+){tail if tail is not None else default_tail}
 """
 
 
@@ -1127,6 +1130,72 @@ QUERIES.update(
     {
         "classifier_langid_train": QuerySpec(
             classifier_langid_train, CLASSIFIER_ORACLE
+        ),
+    }
+)
+
+
+def classifier_langid_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model ARTIFACT: per-bucket final and epoch-summed weights
+    after training — the (dim+1)-row table a serving path would
+    broadcast (idx CLS_DIM is the bias). Same training loop as
+    classifier_langid_train; the oracle certifies the weight vector
+    directly rather than through the margins."""
+    feat = _cls_features(spark, sf_dir).persist()
+    weights = [0] * (CLS_DIM + 1)
+    acc = [0] * (CLS_DIM + 1)
+
+    def margins(wv):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in wv])
+        return (
+            feat.select(
+                "doc_id",
+                "y",
+                (F.col("wgt") * F.element_at(arr, F.col("idx") + 1)).alias("t"),
+            )
+            .groupBy("doc_id", "y")
+            .agg(F.sum("t").cast("long").alias("m"))
+        )
+
+    for epoch in range(CLS_EPOCHS):
+        if epoch == 0:
+            miss_feat = feat
+        else:
+            miss = margins(weights).filter(F.col("y") * F.col("m") <= 0)
+            miss_feat = feat.join(miss.select("doc_id"), "doc_id")
+        delta = (
+            miss_feat.groupBy("idx")
+            .agg(F.sum(F.col("y") * F.col("wgt")).alias("d"))
+            .collect()
+        )
+        for r in delta:
+            weights[r["idx"]] += int(r["d"])
+        for j in range(CLS_DIM + 1):
+            acc[j] += weights[j]
+    feat.unpersist()
+    return spark.createDataFrame(
+        [(i, int(weights[i]), int(acc[i])) for i in range(CLS_DIM + 1)],
+        "idx int, w_final long, w_avg long",
+    )
+
+
+# weights exist only for buckets some token hashed into; absent
+# buckets are exact zeros in the Spark artifact, so the oracle
+# right-joins the full index range.
+CLASSIFIER_WEIGHTS_ORACLE = _cls_oracle(
+    tail=f"""
+SELECT CAST(r.i AS INT) AS idx,
+       CAST(coalesce(wf.w, 0) AS BIGINT) AS w_final,
+       CAST(coalesce(wa.w, 0) AS BIGINT) AS w_avg
+FROM range(0, {CLS_DIM + 1}) AS r(i)
+LEFT JOIN w{CLS_EPOCHS} wf ON wf.idx = r.i
+LEFT JOIN wavg wa ON wa.idx = r.i"""
+)
+
+QUERIES.update(
+    {
+        "classifier_langid_weights": QuerySpec(
+            classifier_langid_weights, CLASSIFIER_WEIGHTS_ORACLE
         ),
     }
 )
