@@ -981,27 +981,15 @@ def _cls_features(spark: SparkSession, sf_dir: str):
     return feat.unionByName(bias)
 
 
-def classifier_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the AVERAGED perceptron (Freund & Schapire 1999 — the
-    voted/averaged variant that stabilizes batch-perceptron
-    oscillation on non-separable data) for CLS_EPOCHS epochs; return
-    per-document final + averaged margins and the averaged-weight
-    prediction: (doc_id, label, margin, margin_avg, pred).
+def _cls_train(feat: DataFrame):
+    """Run the averaged-perceptron epochs over the persisted feature
+    table; → (final weights, epoch-summed weights, margins builder).
+    Caller owns feat's persist lifecycle."""
 
-    Honest note on accuracy: the synthetic corpus draws every lang
-    from the SAME 31-word vocabulary with only ~15% relative rate
-    skews, so the Bayes ceiling for lang=='en' from BoW is ~0.61 (a
-    fully-converged logistic regression on exact word frequencies);
-    the averaged perceptron lands ~0.57 vs a 0.56 majority floor.
-    What the catalog certifies is the distributed training
-    ARITHMETIC: margins, updates, and averaged weights are
-    bit-identical to the unrolled SQL oracle because everything is
-    integer."""
-    feat = _cls_features(spark, sf_dir).persist()
     weights = [0] * (CLS_DIM + 1)
     acc = [0] * (CLS_DIM + 1)  # sum of post-epoch weight vectors
 
-    def margins(wv, out_col):
+    def margins(wv, out_col="m"):
         arr = F.array(*[F.lit(int(x)).cast("long") for x in wv])
         return (
             feat.select(
@@ -1021,7 +1009,7 @@ def classifier_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             # same identity)
             miss_feat = feat
         else:
-            miss = margins(weights, "m").filter(F.col("y") * F.col("m") <= 0)
+            miss = margins(weights).filter(F.col("y") * F.col("m") <= 0)
             miss_feat = feat.join(miss.select("doc_id"), "doc_id")
         delta = (
             miss_feat.groupBy("idx")
@@ -1032,6 +1020,27 @@ def classifier_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             weights[r["idx"]] += int(r["d"])
         for j in range(CLS_DIM + 1):
             acc[j] += weights[j]
+    return weights, acc, margins
+
+
+def classifier_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the AVERAGED perceptron (Freund & Schapire 1999 — the
+    voted/averaged variant that stabilizes batch-perceptron
+    oscillation on non-separable data) for CLS_EPOCHS epochs; return
+    per-document final + averaged margins and the averaged-weight
+    prediction: (doc_id, label, margin, margin_avg, pred).
+
+    Honest note on accuracy: the synthetic corpus draws every lang
+    from the SAME 31-word vocabulary with only ~15% relative rate
+    skews, so the Bayes ceiling for lang=='en' from BoW is ~0.61 (a
+    fully-converged logistic regression on exact word frequencies);
+    the averaged perceptron lands ~0.57 vs a 0.56 majority floor.
+    What the catalog certifies is the distributed training
+    ARITHMETIC: margins, updates, and averaged weights are
+    bit-identical to the unrolled SQL oracle because everything is
+    integer."""
+    feat = _cls_features(spark, sf_dir).persist()
+    weights, acc, margins = _cls_train(feat)
     out = (
         margins(weights, "m")
         .join(margins(acc, "m_avg"), ["doc_id", "y"])
@@ -1142,36 +1151,7 @@ def classifier_langid_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier_langid_train; the oracle certifies the weight vector
     directly rather than through the margins."""
     feat = _cls_features(spark, sf_dir).persist()
-    weights = [0] * (CLS_DIM + 1)
-    acc = [0] * (CLS_DIM + 1)
-
-    def margins(wv):
-        arr = F.array(*[F.lit(int(x)).cast("long") for x in wv])
-        return (
-            feat.select(
-                "doc_id",
-                "y",
-                (F.col("wgt") * F.element_at(arr, F.col("idx") + 1)).alias("t"),
-            )
-            .groupBy("doc_id", "y")
-            .agg(F.sum("t").cast("long").alias("m"))
-        )
-
-    for epoch in range(CLS_EPOCHS):
-        if epoch == 0:
-            miss_feat = feat
-        else:
-            miss = margins(weights).filter(F.col("y") * F.col("m") <= 0)
-            miss_feat = feat.join(miss.select("doc_id"), "doc_id")
-        delta = (
-            miss_feat.groupBy("idx")
-            .agg(F.sum(F.col("y") * F.col("wgt")).alias("d"))
-            .collect()
-        )
-        for r in delta:
-            weights[r["idx"]] += int(r["d"])
-        for j in range(CLS_DIM + 1):
-            acc[j] += weights[j]
+    weights, acc, _ = _cls_train(feat)
     feat.unpersist()
     return spark.createDataFrame(
         [(i, int(weights[i]), int(acc[i])) for i in range(CLS_DIM + 1)],
