@@ -51,3 +51,35 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row["approx_u"] - row["exact_u"]) <= max(1, 0.05 * row["exact_u"])
     assert row["p88"] <= row["approx_p90"] <= row["p92"]
+
+
+def test_count_min_sketch_heavy_hitters(spark, sf_dir):
+    """The third sketch of the 100 TB scale path: count_min_sketch
+    over the token stream (one pass, mergeable, fixed memory) must
+    over-estimate-only (CMS guarantee) and land within eps*N of the
+    exact count for every heavy hitter — the swap for exact token
+    counting when the distinct-token table itself is too big."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.session import read_table
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+    )
+    exact = {r["w"]: r["c"] for r in toks.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    n_total = sum(exact.values())
+    eps, conf = 0.001, 0.99
+    sketch_bytes = toks.agg(
+        F.count_min_sketch(F.col("w"), F.lit(eps), F.lit(conf), F.lit(42)).alias("s")
+    ).collect()[0]["s"]
+    # probe the sketch JVM-side for the top tokens
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+    top = sorted(exact.items(), key=lambda kv: -kv[1])[:10]
+    for w, c in top:
+        est = sketch.estimateCount(w)
+        assert est >= c, (w, est, c)  # CMS never under-counts
+        assert est <= c + eps * n_total * 2, (w, est, c)

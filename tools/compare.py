@@ -74,7 +74,19 @@ def main():
     )
     entry_mod = importlib.util.module_from_spec(spec_)
     spec_.loader.exec_module(entry_mod)
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # FMR_COMPARE_MASTER / FMR_COMPARE_SHUFFLE let CI re-run the whole
+    # sweep under adversarial parallelism (e.g. local[3] with 7
+    # shuffle partitions): any query whose result depends on partition
+    # count or row order fails the exact compare — a determinism
+    # certification on top of the correctness one.
+    builder = SparkSession.builder.master(
+        os.environ.get("FMR_COMPARE_MASTER", "local[8]")
+    )
+    if "FMR_COMPARE_SHUFFLE" in os.environ:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", os.environ["FMR_COMPARE_SHUFFLE"]
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     con = duck_con()
     qs = entry_mod.queries()
