@@ -1911,3 +1911,117 @@ QUERIES.update(
         "dedup_lsh_recall": QuerySpec(dedup_lsh_recall, DEDUP_LSH_RECALL_ORACLE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the document link graph — the crawl-priority /
+# page-quality ranking step of web-corpus curation (RefinedWeb /
+# CommonCrawl pipelines rank pages before selecting training data).
+# The graph here is synthesized deterministically (doc d links to
+# (d*31 + 7*j) % N for j = 1..(d%3)+1 — variable out-degree 1..3, no
+# dangling nodes), because the corpus has no real hyperlinks; the
+# OPERATOR — K damped propagation rounds as join+aggregate — is what
+# the catalog certifies.
+#
+# INTEGER-EXACT variant: ranks are scaled integers (r0 = 1000), each
+# contribution is floor(r/outdeg) (integer div) and the damped update
+# is 150 + (85 * Σcontrib) div 100 — the same all-integer trick as
+# the perceptron/BPE trainers, so both engines produce bit-identical
+# ranks and the oracle unrolls the K rounds as CTEs.
+#
+# Scale: one equi-join (ranks ⋈ edges on src) + one groupBy(dst) per
+# round — the canonical DataFrame PageRank; edges shuffle once per
+# round on dst, ranks are |V| rows. At 100 TB: pre-partition edges
+# by src and ranks by id so the join co-locates, and checkpoint the
+# rank lineage every few rounds (the CC loop's localCheckpoint note
+# applies).
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 1000   # initial integer rank per node
+PR_BASE = 150     # (1-d) * PR_SCALE with d = 0.85
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.col("doc_id") % 3) + 1)
+            ).alias("j"),
+        )
+        .select(
+            "src", ((F.col("src") * 31 + F.col("j") * 7) % n).alias("dst")
+        )
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = docs.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
+    edges = edges.persist()
+    outdeg = outdeg.persist()
+    for _ in range(PR_ITERS):
+        contribs = (
+            ranks.join(edges, ranks.doc_id == edges.src)
+            .join(outdeg, "src")
+            .select(
+                "dst", F.expr("rank div deg").cast("long").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            docs.join(contribs, docs.doc_id == contribs.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks.select("doc_id", "rank")
+
+
+def _pr_oracle() -> str:
+    ctes = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""
+c{i} AS (
+  SELECT e.dst, sum({prev}.rank // d.deg) AS s
+  FROM {prev} JOIN edges e ON e.src = {prev}.doc_id
+  JOIN outdeg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT v.doc_id,
+         {PR_BASE} + ({PR_DAMP_NUM} * coalesce(c{i}.s, 0)) // {PR_DAMP_DEN}
+           AS rank
+  FROM v LEFT JOIN c{i} ON c{i}.dst = v.doc_id
+),""")
+        prev = f"r{i}"
+    return f"""
+WITH v AS (SELECT doc_id FROM documents),
+n AS (SELECT count(*) AS n FROM v),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 31 + j * 7) % n.n AS dst
+  FROM v, n, LATERAL unnest(range(1, doc_id % 3 + 2)) AS t(j)
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT doc_id, {PR_SCALE} AS rank FROM v),{"".join(ctes)}
+dummy AS (SELECT 1)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM {prev}
+"""
+
+
+PAGERANK_ORACLE = _pr_oracle()
+
+QUERIES.update(
+    {
+        "pagerank_links": QuerySpec(pagerank_links, PAGERANK_ORACLE),
+    }
+)

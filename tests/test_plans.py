@@ -613,3 +613,13 @@ def test_ivf_persisted_index_probes_via_dpp(spark, sf_dir):
     plan = plan_of(QS["ann_ivf_persisted_topk"].spark(spark, sf_dir))
     assert "dynamicpruningexpression(cid" in plan
     assert "fmr_ivf_index" in plan
+
+
+def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
+    """Each propagation round must be an equi-join (ranks x edges on
+    src) + hash aggregate on dst — never a cartesian/broadcast-loop —
+    and the whole K-round plan stays JVM-side."""
+    plan = plan_of(QS["pagerank_links"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
