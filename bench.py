@@ -70,10 +70,11 @@ HEADLINE = [
     "classifier_langid_train",
     "text_gopher_rules",
     # round-3 (cont.): composed cleaning funnel, persisted-IVF DPP
-    # serving, int8 quantization projection
+    # serving, int8 quantization projection, iterative PageRank
     "cleaning_pipeline_report",
     "ann_ivf_persisted_topk",
     "embedding_quantize_int8",
+    "pagerank_links",
 ]
 
 
