@@ -357,3 +357,122 @@ QUERIES: dict[str, QuerySpec] = {
     "sliding_window_revenue": QuerySpec(sliding_window_revenue, SLIDING_ORACLE),
     "a_cube_counts": QuerySpec(a_cube_counts, CUBE_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup — "what was the dimension's value when
+# this fact happened": every warehouse's temporal-join primitive,
+# composed here with the SCD2 build in ONE plan. The Spark side is
+# JOIN-FREE (union the version-start rows with the probe facts, one
+# window per user carries the last version forward — the same
+# one-shuffle as-of technique as asof_join_events); the ORACLE uses
+# the independent range-join formulation (probe ⋈ versions ON
+# valid_from <= ts < valid_to), so the value hash certifies that two
+# different algorithms agree on the temporal semantics.
+#
+# Scale: one shuffle on user_id total (the SCD2 windows and the
+# lookup window share partitioning, so Catalyst chains them on one
+# exchange); per-user state is one user's history. The range-join
+# formulation the oracle uses would be the broadcast path when the
+# dimension is small; the union-and-window path is the one that
+# survives a billion-version dimension.
+# ---------------------------------------------------------------------------
+
+PIT_PROBE_MOD = 10  # event_id % MOD == 7 plays the probe fact set
+
+
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .withColumn("version", F.row_number().over(w))
+    )
+    dim_rows = changes.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("src"),
+        "version",
+        F.col("event_type").alias("dim_type"),
+    )
+    probes = ev.filter(
+        F.pmod("event_id", F.lit(PIT_PROBE_MOD)) == 7
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("src"),
+        F.lit(None).cast("int").alias("version"),
+        F.lit(None).cast("string").alias("dim_type"),
+    )
+    # at equal ts the dim row (src 0) sorts before the probe, so a
+    # fact occurring exactly at a version start sees that version
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        dim_rows.unionByName(probes)
+        .withColumn("version_at", F.last("version", ignorenulls=True).over(w2))
+        .withColumn("type_at", F.last("dim_type", ignorenulls=True).over(w2))
+    )
+    return filled.filter(F.col("src") == 1).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("fact_ts"),
+        F.col("version_at").cast("int").alias("version_at"),
+        "type_at",
+    )
+
+
+PIT_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(row_number() OVER w2 AS INT) AS version
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versions AS (
+  SELECT user_id, event_type, version, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM changes
+),
+probes AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_id % {PIT_PROBE_MOD} = 7
+)
+SELECT p.user_id, p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS fact_ts,
+       v.version AS version_at,
+       v.event_type AS type_at
+FROM probes p
+JOIN versions v
+  ON v.user_id = p.user_id
+ AND v.valid_from <= p.ts
+ AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+"""
+
+
+QUERIES.update(
+    {
+        "scd2_point_in_time_lookup": QuerySpec(
+            scd2_point_in_time_lookup, PIT_ORACLE
+        ),
+    }
+)

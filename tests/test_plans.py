@@ -623,3 +623,14 @@ def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_pit_lookup_is_join_free_single_exchange(spark, sf_dir):
+    """The point-in-time lookup must stay the union-and-window
+    formulation: NO join node anywhere (the oracle's range join is
+    the cross-check, not the plan), and all windows share ONE
+    user_id exchange."""
+    plan = plan_of(QS["scd2_point_in_time_lookup"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    tree = plan[: plan.index("(1) Scan")]
+    assert tree.count("Exchange") <= 2  # one per union branch pre-merge
