@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from finmapreduce_spark.queries import all_queries  # noqa: E402
 from finmapreduce_spark.session import get_spark  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 # Headline set: the queries whose plan shapes dominate the engine —
 # big agg, star join, windows, sessionization, temporal joins, the
@@ -186,7 +187,7 @@ def main():
         for p in os.listdir(root)
         if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    if rounds and "SPARK_GRAFT_SF_DIR" not in os.environ:
+    if rounds and os.path.realpath(SF_DIR) == os.path.realpath(DEFAULT_SF_DIR):
         archive = os.path.join(
             root, f"BENCH_DETAILS_r{max(rounds) + 1:02d}.json"
         )

@@ -1811,6 +1811,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("i"))
     )
     sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
+    # persisted: each side feeds both its count aggregate and the
+    # hits semi-join — without the persist the exhaustive
+    # inverted-index join (the expensive part) runs twice
     true_pairs = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sz", "sz_a")
@@ -1825,21 +1828,14 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= JACCARD_THRESHOLD
         )
         .select("doc_a", "doc_b")
+        .persist()
     )
-    sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
-    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
-    band1 = F.md5(
-        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
+    # the SAME banding the production dedup/streaming paths use —
+    # band_signature_table is the single definition, so this gate
+    # always measures the blocking scheme that actually runs
+    buckets = band_signature_table(_docs(spark, sf_dir)).select(
+        "doc_id", "band_id", "key"
     )
-    buckets = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
-                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.key")
     cand = (
         buckets.alias("l")
         .join(
@@ -1852,6 +1848,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        .persist()
     )
     hits = true_pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
     return (

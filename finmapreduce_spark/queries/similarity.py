@@ -1280,8 +1280,11 @@ def _ivf_index_path(sf_dir: str) -> str:
     import os as _os
     import tempfile as _t
 
+    from finmapreduce_spark.sources.asset_store import _data_fingerprint
+
     tag = _h.md5(
-        f"{sf_dir}|ivf-v{IVF_INDEX_VERSION}|k{K_CLUSTERS}i{KMEANS_ITERS}".encode()
+        f"{sf_dir}|ivf-v{IVF_INDEX_VERSION}|k{K_CLUSTERS}i{KMEANS_ITERS}"
+        f"|{_data_fingerprint(sf_dir, 'embeddings')}".encode()
     ).hexdigest()[:10]
     return _os.path.join(_t.gettempdir(), f"fmr_ivf_index_{tag}")
 

@@ -995,16 +995,13 @@ GOPHER_MIN_ALPHA = 0.8
 GOPHER_MIN_STOP_HITS = 2
 
 
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher rule metrics + keep verdict.
-
-    Scale: a narrow all-JVM projection (split + array folds inside
-    whole-stage codegen) — zero shuffle, runs at scan speed; the keep
-    column is the predicate a 100 TB cleaning pass would push into
-    the write of the filtered corpus.
-    """
-    docs = _docs(spark, sf_dir)
-    words = F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")
+def _gopher_metrics(text_col):
+    """The Gopher rule battery over one text column → dict of Columns
+    (n, mwl, alpha_frac, stop_hits, keep). The SINGLE definition of
+    the gate — shared by the standalone rule query, the composed
+    cleaning funnel, and (through cleaning_stage) the streaming
+    ingest gate, so the three can never drift apart."""
+    words = F.split(F.trim(text_col), "[ \t\n\f\r]+")
     n = F.size(words)
     total_len = F.aggregate(
         F.transform(words, lambda w: F.length(w)),
@@ -1023,22 +1020,18 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_frac >= GOPHER_MIN_ALPHA)
         & (stop_hits >= GOPHER_MIN_STOP_HITS)
     )
-    return docs.select(
-        "doc_id",
-        n.cast("long").alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(alpha_frac, 6).alias("alpha_frac"),
-        stop_hits.cast("long").alias("stop_hits"),
-        keep.cast("int").alias("keep"),
-    )
+    return {
+        "n": n,
+        "mwl": mwl,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
 
 
-GOPHER_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-  FROM documents
-), m AS (
-  SELECT doc_id,
+# SQL twin of _gopher_metrics: metric expressions over a word-list
+# column ``ws`` and the keep predicate over the metric names.
+_GOPHER_M_SQL = f"""
          len(ws) AS n,
          CASE WHEN len(ws) > 0
               THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
@@ -1049,7 +1042,40 @@ WITH base AS (
                         AS DOUBLE) / len(ws)
               ELSE 0.0 END AS alpha_frac,
          {" + ".join(f"(CASE WHEN list_contains(ws, '{w}') THEN 1 ELSE 0 END)" for w in STOPWORDS)}
-           AS stop_hits
+           AS stop_hits"""
+
+_GOPHER_KEEP_SQL = f"""(n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                  AND alpha_frac >= {GOPHER_MIN_ALPHA}
+                  AND stop_hits >= {GOPHER_MIN_STOP_HITS})"""
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule metrics + keep verdict.
+
+    Scale: a narrow all-JVM projection (split + array folds inside
+    whole-stage codegen) — zero shuffle, runs at scan speed; the keep
+    column is the predicate a 100 TB cleaning pass would push into
+    the write of the filtered corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    m = _gopher_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n"].cast("long").alias("n_words"),
+        F.round(m["mwl"], 6).alias("mean_word_len"),
+        F.round(m["alpha_frac"], 6).alias("alpha_frac"),
+        m["stop_hits"].cast("long").alias("stop_hits"),
+        m["keep"].cast("int").alias("keep"),
+    )
+
+
+GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,{_GOPHER_M_SQL}
   FROM base
 )
 SELECT doc_id,
@@ -1057,10 +1083,7 @@ SELECT doc_id,
        round(mwl, 6) AS mean_word_len,
        round(alpha_frac, 6) AS alpha_frac,
        CAST(stop_hits AS BIGINT) AS stop_hits,
-       CAST(CASE WHEN n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-                  AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
-                  AND alpha_frac >= {GOPHER_MIN_ALPHA}
-                  AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+       CAST(CASE WHEN {_GOPHER_KEEP_SQL}
              THEN 1 ELSE 0 END AS INT) AS keep
 FROM m
 """
@@ -1102,6 +1125,28 @@ def _extract_expr(page):
     return F.trim(F.regexp_replace(no_tags, "[ \t\n\f\r]+", " "))
 
 
+# SQL twins of _page_expr/_extract_expr. NOTE the 'g' flag on every
+# replace: Spark's regexp_replace is global, DuckDB's defaults to
+# first-match-only — without 'g' a document containing its own
+# '<script>' text would diverge between the engines.
+_PAGE_SQL = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ('
+         || source
+         || ')</title><script type="text/javascript">var t=1;</script>'
+         || '<style>.nav{color:red}</style></head><body><nav><a href="/">'
+         || 'home</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text
+         || '</p><div class="footer">(c) 2026 corp. All rights reserved.'
+         || '</div></body></html>'"""
+
+_EXTRACT_SQL = """trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+               '<style[^>]*>.*?</style>', ' ', 'g'),
+             '<[^>]*>', ' ', 'g'),
+           '\\s+', ' ', 'g'))"""
+
+
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, title, html_len, extracted_len,
     boilerplate_ratio) via a pure-JVM regex chain.
@@ -1126,27 +1171,13 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HTML_EXTRACT_ORACLE = """
+HTML_EXTRACT_ORACLE = f"""
 WITH page AS (
-  SELECT doc_id,
-         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ('
-         || source
-         || ')</title><script type="text/javascript">var t=1;</script>'
-         || '<style>.nav{color:red}</style></head><body><nav><a href="/">'
-         || 'home</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR)
-         || '</h1><p>' || text
-         || '</p><div class="footer">(c) 2026 corp. All rights reserved.'
-         || '</div></body></html>' AS html
+  SELECT doc_id, {_PAGE_SQL} AS html
   FROM documents
 ), ext AS (
   SELECT doc_id, html,
-         trim(regexp_replace(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(html, '<script[^>]*>.*?</script>', ' '),
-               '<style[^>]*>.*?</style>', ' '),
-             '<[^>]*>', ' ', 'g'),
-           '\\s+', ' ', 'g')) AS extracted
+         {_EXTRACT_SQL} AS extracted
   FROM page
 )
 SELECT doc_id,
@@ -1175,56 +1206,20 @@ QUERIES.update(
 # over one scan.
 # ---------------------------------------------------------------------------
 
-_PAGE_SQL = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ('
-         || source
-         || ')</title><script type="text/javascript">var t=1;</script>'
-         || '<style>.nav{color:red}</style></head><body><nav><a href="/">'
-         || 'home</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR)
-         || '</h1><p>' || text
-         || '</p><div class="footer">(c) 2026 corp. All rights reserved.'
-         || '</div></body></html>'"""
-
-_EXTRACT_SQL = """trim(regexp_replace(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(html, '<script[^>]*>.*?</script>', ' '),
-               '<style[^>]*>.*?</style>', ' '),
-             '<[^>]*>', ' ', 'g'),
-           '\\s+', ' ', 'g'))"""
-
-
 def cleaning_stage(docs: DataFrame) -> DataFrame:
     """The cleaning funnel as a pure per-row projection:
     (doc_id, source, keep, n_words, fp) from the raw doc columns —
-    HTML extraction, Gopher gate, content fingerprint. No shuffle,
-    no state; streamable as-is (the streaming corpus-ingest gate in
-    streaming/pipeline.py applies this exact function per
-    micro-batch, twin-tested)."""
+    HTML extraction, Gopher gate (the shared _gopher_metrics
+    battery), content fingerprint. No shuffle, no state; streamable
+    as-is (the streaming corpus-ingest gate in streaming/pipeline.py
+    applies this exact function per micro-batch, twin-tested)."""
     extracted = _extract_expr(_page_expr())
-    words = F.split(F.trim(extracted), "[ \t\n\f\r]+")
-    n = F.size(words)
-    total_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    mwl = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[a-zA-Z]+$")))
-    alpha_frac = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
-    stop_hits = sum(
-        F.when(F.array_contains(words, w), 1).otherwise(0) for w in STOPWORDS
-    )
-    keep = (
-        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
-        & (alpha_frac >= GOPHER_MIN_ALPHA)
-        & (stop_hits >= GOPHER_MIN_STOP_HITS)
-    )
+    m = _gopher_metrics(extracted)
     return docs.select(
         "doc_id",
         "source",
-        keep.alias("keep"),
-        n.alias("n_words"),
+        m["keep"].alias("keep"),
+        m["n"].alias("n_words"),
         F.md5(extracted).alias("fp"),
     )
 
@@ -1265,24 +1260,12 @@ WITH page AS (
   SELECT doc_id, source, {_EXTRACT_SQL} AS extracted
   FROM page
 ), gated AS (
-  SELECT source, md5(extracted) AS fp,
-         len(ws) AS n,
-         CASE WHEN len(ws) > 0
-              THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-                   / len(ws) ELSE 0.0 END AS mwl,
-         CASE WHEN len(ws) > 0
-              THEN CAST(len(list_filter(ws, w -> regexp_full_match(w, '[a-zA-Z]+')))
-                        AS DOUBLE) / len(ws) ELSE 0.0 END AS alpha_frac,
-         {" + ".join(f"(CASE WHEN list_contains(ws, '{w}') THEN 1 ELSE 0 END)" for w in STOPWORDS)}
-           AS stop_hits
+  SELECT source, md5(extracted) AS fp,{_GOPHER_M_SQL}
   FROM (SELECT source, extracted, string_split_regex(trim(extracted), '\\s+') AS ws
         FROM staged)
 ), flagged AS (
   SELECT source, fp, n,
-         (n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-          AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
-          AND alpha_frac >= {GOPHER_MIN_ALPHA}
-          AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+         {_GOPHER_KEEP_SQL} AS keep
   FROM gated
 )
 SELECT source,

@@ -50,8 +50,21 @@ ASSET_COLUMNS = (
 )
 
 
+def _data_fingerprint(sf_dir: str, table: str) -> str:
+    """mtime+size of the source parquet, so a REGENERATED testdata
+    dir self-invalidates the cache even when the path is unchanged."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "absent"
+
+
 def asset_store_path(sf_dir: str) -> str:
-    tag = hashlib.md5(f"{sf_dir}|v{STORE_VERSION}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(
+        f"{sf_dir}|v{STORE_VERSION}|{_data_fingerprint(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"fmr_asset_store_{tag}")
 
 
@@ -63,6 +76,10 @@ def materialize_once(path: str, write_fn) -> str:
     where readers look."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    if os.path.exists(path):
+        # marker-less target (crashed/partial/foreign dir): self-heal
+        # by removing it, otherwise the rename below fails forever
+        shutil.rmtree(path, ignore_errors=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     write_fn(tmp)
     try:
