@@ -83,3 +83,49 @@ def test_count_min_sketch_heavy_hitters(spark, sf_dir):
         est = sketch.estimateCount(w)
         assert est >= c, (w, est, c)  # CMS never under-counts
         assert est <= c + eps * n_total * 2, (w, est, c)
+
+
+def test_html_extract_engines_agree_on_adversarial_markup(spark):
+    """The extraction chain must compute identical text in BOTH
+    engines even when the document text contains its own markup —
+    the case the synthetic corpus never produces (this is what the
+    'g' flag on the DuckDB script/style replaces protects: Spark's
+    regexp_replace is global, DuckDB's defaults to first match)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.textops import (
+        _EXTRACT_SQL,
+        _PAGE_SQL,
+        _extract_expr,
+        _page_expr,
+    )
+
+    rows = [
+        (1, "plain words only", "s1"),
+        (2, "embedded <script>evil()</script> tag", "s1"),
+        (3, "<style>.x{}</style> then <b>bold</b> text", "s2"),
+        (4, "two <script>a</script> blocks <script>b</script> here", "s2"),
+        (5, "half-open <script> never closed", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id", _extract_expr(_page_expr()).alias("e")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]),
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {_EXTRACT_SQL} AS e FROM "
+            f"(SELECT doc_id, {_PAGE_SQL} AS html FROM documents)"
+        ).fetchall()
+    )
+    assert got == want
