@@ -1284,3 +1284,106 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift report — the data-quality diff every scheduled
+# ingest runs before promoting a new corpus snapshot: per-metric
+# baseline-vs-candidate comparison with a relative-delta drift flag.
+# Snapshots are modeled as the even/odd doc_id halves (the container
+# has one corpus version); the OPERATOR — one-pass conditional
+# aggregation, metric pivot, thresholded deltas — is what the
+# catalog certifies.
+# ---------------------------------------------------------------------------
+
+DRIFT_THRESHOLD = 0.05  # |relative delta| beyond this flags drift
+
+
+def data_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, baseline, candidate, rel_delta, drifted) — one row
+    per tracked metric.
+
+    Scale: ONE full-scan aggregation (every metric for both
+    snapshots as conditional aggregates — the two-snapshot diff
+    never scans twice), then a 4-row in-plan pivot via stack. At
+    100 TB with real snapshot tables, the same conditional-agg shape
+    runs over the union of two partition ranges.
+    """
+    docs = _docs(spark, sf_dir)
+    base = F.col("doc_id") % 2 == 0
+    words = F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+"))
+
+    def cond_avg(pred, value):
+        return F.sum(F.when(pred, value).otherwise(0)) / F.sum(
+            F.when(pred, 1).otherwise(0)
+        )
+
+    agg = docs.agg(
+        F.sum(base.cast("long")).cast("double").alias("b_docs"),
+        F.sum((~base).cast("long")).cast("double").alias("c_docs"),
+        cond_avg(base, F.col("n_chars")).alias("b_chars"),
+        cond_avg(~base, F.col("n_chars")).alias("c_chars"),
+        cond_avg(base, words).alias("b_words"),
+        cond_avg(~base, words).alias("c_words"),
+        cond_avg(base, (F.col("lang") == "en").cast("int")).alias("b_en"),
+        cond_avg(~base, (F.col("lang") == "en").cast("int")).alias("c_en"),
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(4, 'n_docs', b_docs, c_docs,"
+            " 'avg_chars', b_chars, c_chars,"
+            " 'avg_words', b_words, c_words,"
+            " 'en_rate', b_en, c_en) AS (metric, b, c)"
+        )
+    )
+    rel = (F.col("c") - F.col("b")) / F.col("b")
+    return stacked.select(
+        "metric",
+        F.round("b", 6).alias("baseline"),
+        F.round("c", 6).alias("candidate"),
+        F.round(rel, 6).alias("rel_delta"),
+        (F.abs(rel) > DRIFT_THRESHOLD).cast("int").alias("drifted"),
+    )
+
+
+DRIFT_ORACLE = f"""
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS b_docs,
+    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c_docs,
+    sum(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END)
+      / sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS b_chars,
+    sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END)
+      / sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS c_chars,
+    sum(CASE WHEN doc_id % 2 = 0
+             THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END)
+      / sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS b_words,
+    sum(CASE WHEN doc_id % 2 <> 0
+             THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END)
+      / sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS c_words,
+    sum(CASE WHEN doc_id % 2 = 0 AND lang = 'en' THEN 1 ELSE 0 END)
+      / sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS b_en,
+    sum(CASE WHEN doc_id % 2 <> 0 AND lang = 'en' THEN 1 ELSE 0 END)
+      / sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS c_en
+  FROM documents
+), rows_ AS (
+  SELECT 'n_docs' AS metric, b_docs AS b, c_docs AS c FROM m
+  UNION ALL SELECT 'avg_chars', b_chars, c_chars FROM m
+  UNION ALL SELECT 'avg_words', b_words, c_words FROM m
+  UNION ALL SELECT 'en_rate', b_en, c_en FROM m
+)
+SELECT metric,
+       round(b, 6) AS baseline,
+       round(c, 6) AS candidate,
+       round((c - b) / b, 6) AS rel_delta,
+       CAST(CASE WHEN abs((c - b) / b) > {DRIFT_THRESHOLD}
+            THEN 1 ELSE 0 END AS INT) AS drifted
+FROM rows_
+"""
+
+
+QUERIES.update(
+    {
+        "data_drift_report": QuerySpec(data_drift_report, DRIFT_ORACLE),
+    }
+)
