@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -139,12 +140,13 @@ _synth_y4m = F.pandas_udf(_synth_y4m_fn, returnType=T.BinaryType())
 
 
 def fake_assets_from_documents(docs: DataFrame) -> DataFrame:
-    """Deterministic synthetic corpus: image assets are REAL binary PPM
-    images and audio assets are REAL RIFF WAVs (both decodable by the
-    stdlib codec, both from integer formulas the SQL oracles replay);
-    video payloads are the document's utf-8 bytes (opaque to the
-    codec — they exercise the md5 fallback). Lets every downstream
-    stage run for real on synthetic binaries."""
+    """Deterministic synthetic corpus: ALL THREE kinds are REAL
+    decodable containers — binary PPM images, RIFF WAVs, and
+    YUV4MPEG2 videos — built from integer formulas the SQL oracles
+    replay. The md5 double remains only for containers this image
+    genuinely cannot decode (JPEG/MP3/MP4) and for malformed
+    payloads. Lets every downstream stage run for real on synthetic
+    binaries."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -284,23 +286,32 @@ def decode_and_featurize(assets: DataFrame, batch_limit: int = 1024) -> DataFram
             for p in pdf["payload"]:
                 p = p or b""
                 container = sniff(p)
-                if container in ("ppm", "bmp"):
-                    _, _, rgb = decode_image(p)
-                    md5s.append(hashlib.md5(rgb).hexdigest())
-                    feats.append(pixel_features(rgb))
-                elif container == "wav":
-                    _, pcm = decode_audio(p)
-                    md5s.append(hashlib.md5(pcm).hexdigest())
-                    feats.append(audio_features(pcm_to_samples(pcm)))
-                elif container == "y4m":
-                    _, _, frames = decode_y4m(p)
-                    buf = b"".join(frames)
-                    md5s.append(hashlib.md5(buf).hexdigest())
-                    feats.append(pixel_features(buf))
-                else:
-                    d = _stub_decode(p)
-                    md5s.append(hashlib.md5(d).hexdigest())
-                    feats.append([b / 255.0 for b in d[:16]])
+                try:
+                    if container in ("ppm", "bmp"):
+                        _, _, rgb = decode_image(p)
+                        md5s.append(hashlib.md5(rgb).hexdigest())
+                        feats.append(pixel_features(rgb))
+                        continue
+                    if container == "wav":
+                        _, pcm = decode_audio(p)
+                        md5s.append(hashlib.md5(pcm).hexdigest())
+                        feats.append(audio_features(pcm_to_samples(pcm)))
+                        continue
+                    if container == "y4m":
+                        _, _, frames = decode_y4m(p)
+                        buf = b"".join(frames)
+                        md5s.append(hashlib.md5(buf).hexdigest())
+                        feats.append(pixel_features(buf))
+                        continue
+                except (ValueError, struct.error):
+                    # magic-coincidence payload (e.g. text starting
+                    # with 'BM') or a truncated container: the
+                    # documented contract is the md5 double, never a
+                    # task failure that aborts the whole decode stage
+                    pass
+                d = _stub_decode(p)
+                md5s.append(hashlib.md5(d).hexdigest())
+                feats.append([b / 255.0 for b in d[:16]])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].values,

@@ -604,11 +604,16 @@ def _cc_star(edges: DataFrame) -> DataFrame:
             break
     else:
         raise RuntimeError(f"components did not converge in {MAX_CC_ITERS} iters")
-    # converged stars: doc_a hangs off root doc_b; roots label themselves
+    # converged stars: doc_a hangs off root doc_b; roots label themselves.
+    # localCheckpoint the node list NOW, while the caller's edge input
+    # is still persisted — otherwise the returned plan re-derives the
+    # node ids from the raw edge pipeline (for the LSH graph that
+    # means re-running shingling+minhash+band join at collect time).
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .union(edges.select(F.col("doc_b").alias("doc_id")))
         .distinct()
+        .localCheckpoint()
     )
     out = (
         nodes.join(cur, nodes.doc_id == cur.doc_a, "left")
@@ -619,8 +624,10 @@ def _cc_star(edges: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, algorithm: str | None = None) -> DataFrame:
     """(doc_a, doc_b) edge list → (doc_id, label) with label = min
-    doc_id of the component. ``algorithm``: "minlabel" (default) or
-    "star"; FMR_CC_ALGORITHM overrides when the arg is None."""
+    doc_id of the component. ``algorithm``: "star" (the default —
+    O(log n) rounds independent of diameter) or "minlabel" (the
+    equivalence reference); FMR_CC_ALGORITHM overrides when the arg
+    is None."""
     import os
 
     algorithm = algorithm or os.environ.get(

@@ -1121,6 +1121,10 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(KMEANS_ITERS):
         cents = _recompute(_assign(v, cents))
+    # NOTE: final stays persisted — the returned plan references it on
+    # BOTH sides of the within-cluster self-join and the driver
+    # executes lazily (the bpe/classifier documented-leak pattern;
+    # bench.py clears caches between queries).
     final = _assign(v, cents).persist()
     a, b = final.alias("a"), final.alias("b")
     cos = F.round(

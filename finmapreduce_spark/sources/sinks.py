@@ -271,6 +271,54 @@ class _StoreLock:
         return False
 
 
+class append_marker:
+    """Appender side of the two-sided store guard. The marker file is
+    created (O_EXCL, unique name) BEFORE the appender's lock check and
+    removed after its append — so in every interleaving either the
+    appender sees the compaction lock (and fails fast) or the
+    compactor sees the marker / the appended file (and refuses the
+    swap): the append-after-re-list TOCTOU the lock alone only
+    narrowed is closed. A crashed appender leaves a stale marker that
+    blocks compaction; the error message says how to clear it —
+    same convention as a crashed compaction's lock file."""
+
+    def __init__(self, store_dir: str):
+        import uuid as _uuid
+
+        self.path = (
+            store_dir.rstrip("/") + f".appending-{_uuid.uuid4().hex[:8]}"
+        )
+
+    def __enter__(self):
+        fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+        return False
+
+
+def _check_no_appenders(store_dir: str) -> None:
+    """Compactor side of the two-sided guard: refuse to compact while
+    any append marker exists (an in-flight epoch passed its lock
+    check before this compaction started)."""
+    import glob as _glob
+
+    markers = _glob.glob(store_dir.rstrip("/") + ".appending-*")
+    if markers:
+        raise RuntimeError(
+            f"{len(markers)} append(s) in flight for {store_dir} "
+            f"(e.g. {markers[0]}) — retry compaction when ingest is "
+            "quiescent; remove stale markers only after checking the "
+            "appender crashed"
+        )
+
+
 def _swap_in_compacted(store_dir: str, tmp_dir: str, seen: set) -> None:
     """Two-rename store swap with a concurrent-append guard.
 
@@ -327,6 +375,7 @@ def compact_signature_store(
     import shutil
 
     with _StoreLock(store_dir):
+        _check_no_appenders(store_dir)
         seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
         files_before = len(seen)
         # mergeSchema: live epoch appends carry an epoch_id stamp the
@@ -391,9 +440,14 @@ def compact_gram_store(
 
     if max_df is None:
         max_df = PASSAGE_MAX_DF
-    seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
-    files_before = len(seen)
     with _StoreLock(store_dir):
+        # list INSIDE the lock (like the signature-store twin): a file
+        # appended between an outside listing and the locked read
+        # would be included in the rewrite yet flagged as 'gained'
+        # by the swap guard, failing compaction spuriously
+        _check_no_appenders(store_dir)
+        seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
+        files_before = len(seen)
         df = spark.read.option("mergeSchema", "true").parquet(store_dir)
         rows_before = df.count()
         per = (

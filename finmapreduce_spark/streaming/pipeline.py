@@ -262,9 +262,7 @@ def serve_incremental_passages_continuous(
                 .join(rejected, "doc_id", "left_anti")
                 .select("doc_id", F.explode("poss").alias("pos"), "h")
             )
-            stamp_store_epoch(admitted, epoch_id).write.mode("append").parquet(
-                store_dir
-            )
+            _guarded_store_append(admitted, store_dir, epoch_id)
         finally:
             if spans is not None:
                 spans.unpersist()
@@ -504,6 +502,20 @@ def stamp_store_epoch(df: DataFrame, epoch_id: int) -> DataFrame:
     return df.withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
 
 
+def _guarded_store_append(df: DataFrame, store_dir: str, epoch_id: int) -> None:
+    """Append admitted rows under the two-sided store guard: the
+    append marker goes up FIRST, then the compaction lock is
+    re-checked inside the marker window — so either this append is
+    visible to a starting compaction (marker or file) or this epoch
+    sees the lock and fails fast. Closes the append-after-re-list
+    TOCTOU the epoch-start check alone only narrowed."""
+    from finmapreduce_spark.sources.sinks import append_marker
+
+    with append_marker(store_dir):
+        _check_store_unlocked(store_dir)
+        stamp_store_epoch(df, epoch_id).write.mode("append").parquet(store_dir)
+
+
 def _prior_history(spark: SparkSession, store_dir: str, epoch_id: int) -> DataFrame:
     """Store rows visible to this epoch's probe: everything except this
     epoch's own (crashed-attempt) appends. Unstamped rows (seeds,
@@ -570,9 +582,7 @@ def serve_incremental_dedup_continuous(
             admitted = incoming.join(
                 verdicts.select("doc_id"), "doc_id", "left_anti"
             )
-            stamp_store_epoch(admitted, epoch_id).write.mode("append").parquet(
-                store_dir
-            )
+            _guarded_store_append(admitted, store_dir, epoch_id)
         finally:
             if verdicts is not None:
                 verdicts.unpersist()
@@ -630,9 +640,7 @@ def serve_incremental_semantic_continuous(
             admitted = incoming.join(
                 verdicts.select("doc_id"), "doc_id", "left_anti"
             )
-            stamp_store_epoch(admitted, epoch_id).write.mode("append").parquet(
-                store_dir
-            )
+            _guarded_store_append(admitted, store_dir, epoch_id)
         finally:
             if verdicts is not None:
                 verdicts.unpersist()

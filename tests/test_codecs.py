@@ -341,3 +341,23 @@ def test_resize_images_nearest_neighbor_exact(spark):
         assert bytes(r["thumb"]) == expect.tobytes()
         flat = expect.reshape(-1).astype(np.int64)
         assert r["thumb_checksum"] == int(((np.arange(192) + 1) * flat).sum())
+
+
+def test_decode_falls_back_on_magic_coincidence(spark):
+    """A payload whose first bytes coincide with a container magic but
+    isn't a valid container ('BM...' text, truncated PPM) must take
+    the md5-double path, not crash the decode stage."""
+    from finmapreduce_spark.operators.multimodal import decode_and_featurize
+
+    rows = [
+        (1, "image", b"BMW annual report, not a bitmap"),
+        (2, "image", b"P6\n999"),  # truncated PPM header
+        (3, "audio", b"RIFFxxxx"),  # truncated WAV
+        (4, "video", b"YUV4MPEG2 W"),  # truncated Y4M header
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary"
+    )
+    out = decode_and_featurize(assets).collect()
+    assert len(out) == 4
+    assert all(len(r["feature"]) <= 16 and r["decoded_md5"] for r in out)

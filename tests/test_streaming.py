@@ -940,3 +940,30 @@ def test_streaming_cleaning_gate_matches_batch_twin(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_compaction_refuses_while_append_in_flight(spark, tmp_path):
+    """Two-sided guard: a compaction starting while an epoch's append
+    marker is up must refuse (the epoch passed its lock check before
+    the lock existed — its file may land after the re-list)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.sources.sinks import (
+        append_marker,
+        compact_signature_store,
+    )
+
+    store = tmp_path / "store"
+    spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.col("id").cast("string").alias("key"),
+    ).write.parquet(str(store))
+    with append_marker(str(store)):
+        with _pytest.raises(RuntimeError, match="in flight"):
+            compact_signature_store(spark, str(store))
+    # marker released → compaction proceeds
+    out = compact_signature_store(spark, str(store))
+    assert out["rows_after"] == 5

@@ -122,7 +122,13 @@ def test_witnessed_record_is_current_with_driver_files():
 
     repo = Path(__file__).resolve().parent.parent
     want: dict[str, dict] = {}
-    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+    # parsed-round order (r9 before r10) so newer verdicts win, as in
+    # tools/update_witnessed.py
+    paths = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p.name).group(1)),
+    )
+    for path in paths:
         rnd = int(re.search(r"_r(\d+)\.json$", path.name).group(1))
         for name, row in json.loads(path.read_text()).items():
             want[name] = {"round": rnd, "verdict": row_verdict(row)}

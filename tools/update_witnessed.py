@@ -34,14 +34,20 @@ def row_verdict(row: dict) -> str:
 
 
 def main() -> int:
-    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    # order by the PARSED round number, not the filename: 'r10' sorts
+    # lexicographically before 'r9', which would let an older round's
+    # verdict overwrite a newer fix
+    def round_of(path) -> int:
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        return int(m.group(1)) if m else 0
+
+    files = sorted(REPO.glob("CORRECTNESS_r*.json"), key=round_of)
     if not files:
         print("no CORRECTNESS_r*.json files found", file=sys.stderr)
         return 1
     record: dict[str, dict] = {}
     for path in files:
-        m = re.search(r"_r(\d+)\.json$", path.name)
-        rnd = int(m.group(1)) if m else 0
+        rnd = round_of(path)
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
