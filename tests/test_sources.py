@@ -538,3 +538,53 @@ def test_load_parquet_corpus_schema_drift(spark, tmp_path):
     assert df2.columns == list(expected)
     rows2 = {r["doc_id"]: r.asDict() for r in df2.collect()}
     assert rows2[1]["quality"] is None and rows2[2]["quality"] == 0.9
+
+
+def test_materialize_once_self_heals_markerless_dir(tmp_path):
+    """A target directory without a _SUCCESS marker (crashed writer,
+    foreign dir) must be replaced, not fail the rename forever."""
+    import os
+
+    from finmapreduce_spark.sources.asset_store import materialize_once
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    with open(os.path.join(path, "junk"), "w") as f:
+        f.write("stale")
+
+    def write(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "data"), "w").close()
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    out = materialize_once(path, write)
+    assert out == path
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "junk"))
+    # idempotent second call: write_fn must NOT run again
+    def boom(tmp):
+        raise AssertionError("should not rebuild a marked store")
+
+    assert materialize_once(path, boom) == path
+
+
+def test_asset_store_tag_tracks_source_data(tmp_path):
+    """Regenerated testdata must change the cache tag (mtime+size
+    fingerprint) so stale /tmp stores self-invalidate."""
+    import os
+    import shutil
+    import time
+
+    from finmapreduce_spark.sources.asset_store import asset_store_path
+
+    sf = str(tmp_path / "sfX")
+    os.makedirs(sf)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    shutil.copy(src, os.path.join(sf, "documents.parquet"))
+    tag1 = asset_store_path(sf)
+    # same path, regenerated file → different tag
+    time.sleep(0.01)
+    shutil.copy(src, os.path.join(sf, "documents.parquet"))
+    os.utime(os.path.join(sf, "documents.parquet"))
+    tag2 = asset_store_path(sf)
+    assert tag1 != tag2
