@@ -634,3 +634,13 @@ def test_pit_lookup_is_join_free_single_exchange(spark, sf_dir):
     assert "Join" not in plan
     tree = plan[: plan.index("(1) Scan")]
     assert tree.count("Exchange") <= 2  # one per union branch pre-merge
+
+
+def test_simhash_pairs_banded_join_no_cartesian(spark, sf_dir):
+    """Candidate generation must be the (band, value) equi-join —
+    never an all-pairs cross — and signature construction stays
+    JVM-side (no Python stage)."""
+    plan = plan_of(QS["dedup_simhash_pairs"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

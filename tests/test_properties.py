@@ -283,3 +283,59 @@ def test_quantize_int8_bounds_and_error(v):
     # the absmax component hits a full-scale code exactly
     imax = max(range(len(v)), key=lambda i: abs(v[i]))
     assert abs(q[imax]) == 127
+
+
+def test_simhash_banding_recall_is_exact(spark, sf_dir):
+    """Pigeonhole guarantee: a 32-bit simhash split into 4 bands of 8
+    bits means ANY pair within Hamming distance 3 differs in at most
+    3 bands, so at least one band matches exactly — the banded join
+    must find EVERY such pair (recall 1.0, unlike MinHash-LSH's
+    probabilistic recall). Cross-check against the brute-force
+    all-pairs Hamming join on the same signatures."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.dedup import (
+        SIMHASH_HAMMING_MAX,
+        dedup_simhash_pairs,
+    )
+
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_simhash_pairs(spark, sf_dir).collect()
+    }
+    # brute force: rebuild the signatures with the same construction,
+    # then all-pairs popcount driver-side (fixture-sized corpus only)
+    from finmapreduce_spark.queries import dedup as D
+    from finmapreduce_spark.queries.dedup import _docs, with_shingles
+
+    base = with_shingles(_docs(spark, sf_dir))
+    terms = []
+    for j in range(1, D.SIMHASH_PAIR_BITS + 1):
+        cnt = F.size(
+            F.filter(
+                F.col("shingles"),
+                (lambda jj: (lambda w: F.substring(F.md5(w), jj, 1).isin(*D._HIGH)))(j),
+            )
+        )
+        terms.append(
+            F.when(
+                cnt * 2 > F.size("shingles"),
+                F.lit(1 << (D.SIMHASH_PAIR_BITS - j)),
+            ).otherwise(F.lit(0))
+        )
+    import functools
+
+    sim = functools.reduce(lambda a, b: a + b, terms).cast("long")
+    sig_rows = {
+        r["doc_id"]: r["sim"]
+        for r in base.select("doc_id", sim.alias("sim")).collect()
+    }
+    brute = set()
+    ids = sorted(sig_rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sig_rows[a] ^ sig_rows[b]).count("1")
+            if h <= SIMHASH_HAMMING_MAX:
+                brute.add((a, b, h))
+    assert banded == brute
+    assert brute  # the fixture corpus contains at least one near-dup
