@@ -76,6 +76,9 @@ HEADLINE = [
     "ann_ivf_persisted_topk",
     "embedding_quantize_int8",
     "pagerank_links",
+    # round-3 (cont.): integer-packed simhash banded pair join — the
+    # band equi-join + popcount verify plan shape
+    "dedup_simhash_pairs",
 ]
 
 

@@ -727,21 +727,25 @@ def _cc_star(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    def _sig(e: DataFrame):
+        # count + order-independent hash XOR (two scalar aggs, no
+        # data to the driver; xor can't overflow under ANSI mode)
+        return e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("doc_a", "doc_b")).alias("h"),
+        ).first()
+
+    # Converged when the directed edge set is unchanged. The previous
+    # round's nxt-signature IS this round's cur-signature (cur is the
+    # checkpointed nxt), so carry it over instead of re-aggregating —
+    # one scalar-agg job per round instead of two.
+    sig_old = _sig(cur)
     for _ in range(MAX_CC_ITERS):
         nxt = small_star(large_star(cur)).localCheckpoint()
-        # Converged when the directed edge set is unchanged: compare
-        # count + order-independent hash XOR (two scalar aggs, no
-        # data to the driver; xor can't overflow under ANSI mode).
-        sig_old = cur.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("doc_a", "doc_b")).alias("h"),
-        ).first()
-        sig_new = nxt.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("doc_a", "doc_b")).alias("h"),
-        ).first()
+        sig_new = _sig(nxt)
         done = (sig_old["n"] == sig_new["n"]) and (sig_old["h"] == sig_new["h"])
         cur = nxt
+        sig_old = sig_new
         if done:
             break
     else:
