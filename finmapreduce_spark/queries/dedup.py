@@ -44,7 +44,15 @@ def _words(col):
 
 def _shingles_of(words):
     """Distinct 3-word shingles over an ALREADY-MATERIALIZED words
-    column (1-based element_at ≡ DuckDB list_extract).
+    column (1-based element_at ≡ DuckDB list_extract). A doc with
+    fewer than SHINGLE_K words yields ONE whole-doc shingle — the
+    CASE guard is load-bearing twice over: under ANSI mode (the
+    Spark 4 default, and the driver's plain session) the unguarded
+    ``element_at(words, i + 2)`` THROWS on a 1–2-word doc instead of
+    returning NULL, and even with ANSI off Spark's null-skipping
+    concat_ws would emit a partial shingle where DuckDB's ``||``
+    yields NULL — the guard gives both engines the same total
+    semantics on short docs.
 
     Perf: ``words`` must be a column reference, not the inline
     ``split(...)`` expression — inside a higher-order-function lambda
@@ -52,14 +60,16 @@ def _shingles_of(words):
     shingling into O(n²) splits (measured 20× slower at sf0.1).
     """
     n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(SHINGLE_K - 1)))
+    idx = F.sequence(F.lit(1), n - F.lit(SHINGLE_K - 1))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(words, i + F.lit(j)) for j in range(SHINGLE_K)]
         ),
     )
-    return F.array_distinct(sh)
+    return F.when(n >= SHINGLE_K, F.array_distinct(sh)).otherwise(
+        F.array(F.array_join(words, " "))
+    )
 
 
 def with_shingles(df, text_col: str = "text"):
@@ -72,11 +82,11 @@ def with_shingles(df, text_col: str = "text"):
 
 _SHINGLES_SQL = f"""
   SELECT doc_id, lang, n_chars,
-         list_distinct(list_transform(
-           range(1, greatest(1, len(words) - {SHINGLE_K - 1}) + 1),
+         CASE WHEN len(words) >= {SHINGLE_K} THEN list_distinct(list_transform(
+           range(1, len(words) - {SHINGLE_K - 1} + 1),
            i -> list_extract(words, i) || ' ' || list_extract(words, i + 1)
                 || ' ' || list_extract(words, i + 2)
-         )) AS shingles
+         )) ELSE [array_to_string(words, ' ')] END AS shingles
   FROM (SELECT doc_id, lang, n_chars,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS words
         FROM documents)
@@ -318,6 +328,13 @@ FROM sig s JOIN clusters c USING (simhash)
 SIMHASH_PAIR_BITS = 32
 SIMHASH_PAIR_BANDS = 4  # 8 bits each → Hamming ≤ 3 pairs share a band exactly
 SIMHASH_HAMMING_MAX = 3
+_SIMHASH_BAND_W = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+# pigeonhole precondition for the recall-1.0 guarantee: a pair within
+# the Hamming budget must have at least one UNTOUCHED band
+assert SIMHASH_HAMMING_MAX <= SIMHASH_PAIR_BANDS - 1, (
+    "banded simhash recall guarantee requires hamming_max < n_bands"
+)
+assert SIMHASH_PAIR_BITS % SIMHASH_PAIR_BANDS == 0
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,11 +375,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sim = reduce(lambda a, b: a + b, terms).cast("long")
     sig = base.select("doc_id", sim.alias("sim"))
-    band_w = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+    band_w = _SIMHASH_BAND_W
     # persist: BOTH sides of the self-join read this table — without
     # the cache the whole scan→shingle→md5→vote pipeline runs once
     # per side (measured 6.2 s → 2.2 s at sf0.1). On a cluster this
-    # is the signature table you'd write to storage anyway.
+    # is the signature table you'd write to storage anyway. Lifecycle
+    # is caller-owned (same contract as the trainers' feature
+    # tables): the cache lives behind the returned lazy plan, so the
+    # caller clears it via spark.catalog.clearCache() when done —
+    # bench.py does after every query.
     bands = (
         sig.select(
             "doc_id",
@@ -423,7 +444,8 @@ WITH base AS (
   SELECT doc_id, CAST({_SIMHASH_PAIR_SIG_SQL} AS BIGINT) AS sim
   FROM (SELECT doc_id, hashes, len(hashes) AS n FROM base)
 ), bands AS (
-  SELECT doc_id, sim, k, (sim >> (8 * k)) & 255 AS bv
+  SELECT doc_id, sim, k,
+         (sim >> ({_SIMHASH_BAND_W} * k)) & {(1 << _SIMHASH_BAND_W) - 1} AS bv
   FROM sig CROSS JOIN (SELECT unnest(range({SIMHASH_PAIR_BANDS})) AS k)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -225,11 +225,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE_SQL = f"""
-  SELECT doc_id, unnest(list_distinct(list_transform(
-      range(1, greatest(1, len(words) - {SHINGLE_K - 1}) + 1),
-      i -> list_extract(words, i) || ' ' || list_extract(words, i + 1)
-           || ' ' || list_extract(words, i + 2)
-  ))) AS s
+  SELECT doc_id, unnest(CASE WHEN len(words) >= {SHINGLE_K}
+      THEN list_distinct(list_transform(
+          range(1, len(words) - {SHINGLE_K - 1} + 1),
+          i -> list_extract(words, i) || ' ' || list_extract(words, i + 1)
+               || ' ' || list_extract(words, i + 2)))
+      ELSE [array_to_string(words, ' ')] END) AS s
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
         FROM documents)
 """
