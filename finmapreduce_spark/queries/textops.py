@@ -930,7 +930,12 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 9 dp with doc_id tiebreak so ln() ulp differences between libm
     implementations cannot reorder the boundary.
     """
-    docs = _docs(spark, sf_dir)
+    # weight must be POSITIVE: a zero-length doc has zero sampling
+    # probability by definition, and under ANSI mode ln(u)/0 throws
+    # DIVIDE_BY_ZERO instead of producing the -inf key — filter
+    # before the division in both engines (total semantics on real
+    # corpora with empty/failed-parse rows)
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
     u = (_hash_bucket_expr(F.col("doc_id")) + 1) / F.lit(65537.0)
     key = F.round(F.log(u) / F.col("n_chars"), 9)
     return (
@@ -948,6 +953,7 @@ SAMPLE_WEIGHTED_ORACLE = f"""
 SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
        round(ln(({SPLIT_SQL_BUCKET} + 1) / 65537.0) / n_chars, 9) AS es_key
 FROM documents
+WHERE n_chars > 0
 ORDER BY es_key DESC, doc_id
 LIMIT {SAMPLE_WEIGHTED_K}
 """
