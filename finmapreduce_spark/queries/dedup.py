@@ -555,11 +555,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (elementwise IEEE products commute; the fold order is the element
     order on both engines), so chunk assignment cannot perturb the
     rounded cosine."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    # NULL / zero-norm vectors are excluded: cosine is undefined for
+    # them and the norm division throws under ANSI (same rule and
+    # rationale as similarity._emb; adversarial-corpus pinned)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id",
         "label",
         F.col("embedding").alias("v"),
-    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v")))).filter(
+        F.col("norm") > 0
+    )
     splits = (
         emb.groupBy("label")
         .agg(F.count("*").alias("n"))
@@ -612,9 +619,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_COSINE_ORACLE = f"""
 WITH v AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
-  FROM embeddings
+  SELECT * FROM (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings WHERE embedding IS NOT NULL
+  ) WHERE norm > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine

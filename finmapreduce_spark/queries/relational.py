@@ -567,10 +567,14 @@ SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
 
 def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # try_cast, not cast: a props value that parses as JSON but holds
+    # a non-numeric (e.g. {"k": "str"}) must land in the NULL group,
+    # not kill the job under ANSI (adversarial-corpus pinned;
+    # TRY_CAST is the DuckDB twin)
     return (
         ev.select(
             "event_id",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         )
         .groupBy("k")
         .agg(F.count("*").alias("n"))
@@ -578,7 +582,7 @@ def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 F7_ORACLE = """
-SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
 FROM events GROUP BY 1
 """
 
@@ -1073,7 +1077,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggs collapse map-side so the shuffle carries |types|
     rows, with the JSON parse cost paid exactly once per row."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast: non-numeric JSON values become NULL (avg/max skip
+    # them) instead of an ANSI CAST_INVALID_INPUT job kill
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -1087,8 +1093,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_ORACLE = """
 SELECT event_type, count(*) AS n_events,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY 1
 """
 

@@ -38,8 +38,17 @@ from finmapreduce_spark.session import read_table
 
 def u6_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate embedding 2k vs reference embedding 2k+1, cosine
-    similarity + same-cluster flag (text_evaluation_metrics.py:71-189)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    similarity + same-cluster flag (text_evaluation_metrics.py:71-189).
+
+    NULL / all-zero vectors are excluded before pairing (a pair with
+    an invalid side drops at the inner join): cosine is undefined for
+    them and the norm division throws under ANSI. exists(x≠0) is an
+    EXACT zero-norm test — squares of nonzero doubles cannot
+    underflow to 0 from float32 inputs."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != 0)
+    )
     cand = emb.filter(F.col("vec_id") % 2 == 0).select(
         (F.col("vec_id") / 2).cast("long").alias("pair_id"),
         F.col("embedding").alias("c_v"),
@@ -65,6 +74,8 @@ def u6_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 U6_COSINE_ORACLE = """
 WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 cand AS (
   SELECT vec_id // 2 AS pair_id, e AS c_v, label AS c_label

@@ -34,17 +34,29 @@ TOP_K = 5
 
 
 def _emb(spark, sf_dir):
+    """Vector table with L2 norms. NULL vectors (failed embedding
+    jobs) and zero-norm vectors are EXCLUDED at the read: cosine
+    similarity is undefined for them, and under ANSI mode (the
+    Spark 4 default) the norm division would throw DIVIDE_BY_ZERO —
+    killing the whole job on one poison row. The DuckDB twin
+    (_EMB_SQL) carries the same predicate so both engines see the
+    identical vector population (pinned by the adversarial-corpus
+    totality test)."""
     return (
         read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", "label", F.col("embedding").alias("v"))
         .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .filter(F.col("norm") > 0)
     )
 
 
 _EMB_SQL = """
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
-  FROM embeddings
+  SELECT * FROM (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings WHERE embedding IS NOT NULL
+  ) WHERE norm > 0
 """
 
 
@@ -1208,8 +1220,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vd = F.transform(F.col("v"), lambda x: x.cast("double"))
     absmax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
-    scale = absmax / F.lit(127.0)
-    q = F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    # Totality (ANSI): a zero vector has absmax 0 and the unguarded
+    # x/scale would throw DIVIDE_BY_ZERO — its quantization is
+    # nonetheless well-defined (all-zero codes, scale 0, err 0), so
+    # the CASE keeps the row instead of dropping it; a NULL vector
+    # propagates NULL outputs through the lazy branches.
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(
+        F.when(absmax == 0, F.lit(0.0))
+    )
+    q = F.when(
+        absmax > 0,
+        F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")),
+    ).otherwise(F.transform(vd, lambda x: F.lit(0).cast("long")))
     checksum = F.aggregate(
         F.zip_with(
             q,
@@ -1219,11 +1241,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    err = F.aggregate(
-        F.zip_with(q, vd, lambda qi, x: F.abs(qi.cast("double") * scale - x)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.size(vd)
+    err = F.when(
+        F.size(vd) > 0,
+        F.aggregate(
+            F.zip_with(
+                q, vd, lambda qi, x: F.abs(qi.cast("double") * scale - x)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(vd),
+    )
     return emb.select(
         "vec_id",
         F.round(scale, 9).alias("scale"),
@@ -1234,23 +1262,30 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUANTIZE_ORACLE = """
 WITH vd AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+           AS absmax
+  FROM embeddings
 ), scaled AS (
   SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         CASE WHEN absmax > 0 THEN absmax / 127.0
+              WHEN absmax = 0 THEN 0.0 END AS scale
   FROM vd
 ), quant AS (
   SELECT vec_id, v, scale,
-         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
   FROM scaled
 )
 SELECT vec_id,
        round(scale, 9) AS scale,
        CAST(list_sum(list_transform(q, (qi, i) -> qi * i)) AS BIGINT)
          AS q_checksum,
-       round(list_sum(list_transform(range(1, len(q) + 1),
-                                     i -> abs(q[i] * scale - v[i])))
-             / len(q), 9) AS recon_err
+       CASE WHEN len(q) > 0 THEN
+         round(list_sum(list_transform(range(1, len(q) + 1),
+                                       i -> abs(q[i] * scale - v[i])))
+               / len(q), 9) END AS recon_err
 FROM quant
 """
 

@@ -1,20 +1,26 @@
 """Totality certification: every catalog query must RUN (not crash)
-on a corpus containing the document pathologies a real 100 TB crawl
-certainly contains — empty text, NULL text (failed parses), docs
-shorter than the shingle/gram sizes, whitespace-only rows, digit-only
-rows, a single word repeated thousands of times, mixed unicode,
-embedded newlines/tabs, one multi-KB "word", and quote/injection
-characters. The driver and tests run ANSI-on (the Spark 4 default),
-where partial expressions THROW instead of yielding NULL — so any
-unguarded element_at / division / cast is a crash on real data even
-though the well-formed fixture corpus never triggers it. This caught
-two live bugs when first run: the shingle builders' out-of-bounds
-element_at on sub-3-word docs and sample_weighted's ln(u)/0 on
-zero-length docs.
+on tables containing the pathologies 100 TB of real data certainly
+contain — documents with empty/NULL text, sub-shingle-length docs,
+whitespace-only and digit-only rows, a word repeated 1000×, mixed
+unicode, a 5 KB single "word", quote/injection characters; embeddings
+with NULL vectors and all-zero vectors (failed embedding jobs);
+events with NULL timestamps/users/values and JSON props whose typed
+value is non-numeric. The driver and tests run ANSI-on (the Spark 4
+default), where partial expressions THROW instead of yielding NULL —
+any unguarded element_at / division / cast is a job-killer on real
+data even though the well-formed fixture corpus never triggers it.
 
-Correctness on the adversarial rows is pinned separately where the
-semantics are crisp (test_properties short-doc shingles); here the
-contract is totality of the whole surface.
+Evaluation is forced through the noop SINK, not count(): count()
+column-prunes projections, so an expression crash in a computed
+output column would go unseen (this distinction caught the cosine
+family — their counts pass while their values throw).
+
+First full run caught four live bug classes: the shingle builders'
+out-of-bounds element_at on sub-3-word docs, sample_weighted's
+ln(u)/0 on zero-length docs, the whole cosine/ANN family's
+DIVIDE_BY_ZERO on zero-norm vectors (ANSI throws even for doubles),
+and the JSON-extract queries' CAST_INVALID_INPUT on non-numeric JSON
+values. All fixed with engine-equivalent guards.
 """
 
 from __future__ import annotations
@@ -44,10 +50,10 @@ ADV_DOCS = [
 
 @pytest.fixture(scope="module")
 def adv_dir(sf_dir, tmp_path_factory):
-    """The base fixture tables with the adversarial dozen APPENDED to
-    documents (appended, not replacing: iterative trainers legitimately
-    require a non-degenerate corpus; the point is that poison rows in a
-    healthy corpus must not kill the job)."""
+    """The base fixture tables with poison rows APPENDED (appended,
+    not replacing: iterative trainers legitimately require a
+    non-degenerate corpus; the point is that poison rows in a healthy
+    corpus must not kill the job)."""
     out = tmp_path_factory.mktemp("advdata")
     con = duckdb.connect()
     con.execute(
@@ -66,10 +72,41 @@ def adv_dir(sf_dir, tmp_path_factory):
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
     )
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "embeddings"
-    ).split():
+    dim = con.execute(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/embeddings.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES
+            (200001, {[0.0] * dim}::FLOAT[], 0),
+            (200002, NULL::FLOAT[], 1),
+            (200003, NULL::FLOAT[], NULL)
+          ) t(vec_id, embedding, label)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/events.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, NULL::TIMESTAMP, 42::BIGINT, 'view', 1.0, '{{"k": 1}}'),
+            (900002, TIMESTAMP '2024-01-05 00:00:00', NULL::BIGINT, 'click',
+             2.0, NULL),
+            (900003, TIMESTAMP '2024-01-05 00:00:01', 43, NULL, NULL::DOUBLE,
+             'not json {{'),
+            (900004, TIMESTAMP '2024-01-05 00:00:02', 43, 'purchase', -7.5,
+             '{{"k": "str"}}'),
+            (900005, TIMESTAMP '1970-01-01 00:00:00', 44, 'error', 0.0, '[]')
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in "region nation customer supplier part orders lineitem".split():
         os.symlink(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
     return str(out)
 
@@ -78,7 +115,10 @@ def test_catalog_total_on_adversarial_corpus(spark, adv_dir):
     failures = []
     for name, spec in all_queries().items():
         try:
-            assert spec.spark(spark, adv_dir).count() >= 0
+            # noop sink forces FULL evaluation of every output column
+            spec.spark(spark, adv_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception as e:  # noqa: BLE001 — we want the full census
             failures.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
         finally:
