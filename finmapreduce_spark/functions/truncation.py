@@ -61,8 +61,14 @@ def truncate_words(
         start = F.greatest(F.lit(1), n - F.lit(max_tokens) + 1)
         kept = F.slice(words, start, max_tokens)
     p = out_prefix
+    # NULL text stays NULL: concat_ws(NULL array) coerces to '' where
+    # SQL string building propagates NULL — the guard keeps a
+    # failed-parse row visibly unparsed in both engines
     return (
-        df.withColumn(f"{p}_text", F.concat_ws(" ", kept))
+        df.withColumn(
+            f"{p}_text",
+            F.when(F.col(text_col).isNotNull(), F.concat_ws(" ", kept)),
+        )
         .withColumn(f"{p}_tokens", kept_n.cast("long"))
         .withColumn(f"{p}_original", n.cast("long"))
         .withColumn(f"{p}_applied", n > F.lit(max_tokens))

@@ -137,13 +137,31 @@ def _minhash_cols(shingle_col):
     ]
 
 
+def _band_exprs():
+    """The two LSH band keys: md5 over the '|'-joined half-signature.
+    Built with NULL-PROPAGATING concat, not concat_ws: a NULL-text doc
+    has NULL minhashes, and concat_ws would SKIP them — hashing the
+    empty string into a real bucket (and colliding every NULL doc into
+    it) where the DuckDB oracle's ``||`` yields NULL. concat keeps the
+    engines identical on NULL rows and is byte-identical to concat_ws
+    on real signatures (adversarial parity sweep)."""
+
+    def _join(idxs):
+        parts = []
+        for n, i in enumerate(idxs):
+            if n:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh_{i}"))
+        return F.md5(F.concat(*parts))
+
+    return _join(range(BAND_ROWS)), _join(range(BAND_ROWS, N_HASHES))
+
+
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_shingles(_docs(spark, sf_dir))
     sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
-    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
-    band1 = F.md5(
-        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
-    )
+    band0, band1 = _band_exprs()
+    
     return sig.select("doc_id", "mh_0", band0.alias("band_0"), band1.alias("band_1"))
 
 
@@ -182,10 +200,8 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashed"),
         *_minhash_cols(F.col("shingles")),
     )
-    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
-    band1 = F.md5(
-        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
-    )
+    band0, band1 = _band_exprs()
+    
     buckets = sig.select(
         "doc_id",
         F.col("sh_hashed").alias("shingles"),
@@ -971,10 +987,8 @@ def band_signature_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
         *_minhash_cols(F.col("shingles")),
     )
-    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
-    band1 = F.md5(
-        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
-    )
+    band0, band1 = _band_exprs()
+    
     return sig.select(
         "doc_id",
         "sh",
@@ -1676,10 +1690,8 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_shingles(_docs(spark, sf_dir))
     sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
-    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
-    band1 = F.md5(
-        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
-    )
+    band0, band1 = _band_exprs()
+    
     buckets = sig.select(
         "doc_id",
         F.explode(
@@ -1796,10 +1808,8 @@ def semantic_signature_table(docs: DataFrame, text_col: str = "text") -> DataFra
     sig = with_shingles(docs, text_col).select(
         "doc_id", "__e", *_minhash_cols(F.col("shingles"))
     )
-    band0 = F.md5(F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS)]))
-    band1 = F.md5(
-        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(BAND_ROWS, N_HASHES)])
-    )
+    band0, band1 = _band_exprs()
+    
     return (
         sig.select(
             "doc_id",

@@ -360,8 +360,12 @@ trunc AS (
                     ELSE 1.0 END, 6) AS trunc_retention,
          array_to_string(list_slice(words, 1, {TCFG.max_doc_tokens}), ' ') AS trunc_text
   FROM qa
+  -- NULL/empty docs become P5 error rows in the engine (doc_error =
+  -- 'document not found' / 'empty document'), not answers — mirror
+  -- that exclusion here
   JOIN (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-        FROM documents) d USING (doc_id)
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '') d USING (doc_id)
 )
 """
 
@@ -403,7 +407,8 @@ t AS (
               THEN least(len(words), {TCFG.max_doc_tokens}) / len(words)
               ELSE 1.0 END AS retention
   FROM qa JOIN (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-                FROM documents) d USING (doc_id)
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> '') d USING (doc_id)
 )
 SELECT count(*) AS n_docs,
        round(avg(n), 6) AS avg_original_tokens,

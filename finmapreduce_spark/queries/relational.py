@@ -581,8 +581,13 @@ def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid guard: DuckDB's json_extract_string THROWS on malformed
+# JSON where Spark's get_json_object returns NULL — the guard gives
+# the oracle Spark's lenient total semantics
 F7_ORACLE = """
-SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+SELECT TRY_CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+       count(*) AS n
 FROM events GROUP BY 1
 """
 
@@ -1093,8 +1098,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_ORACLE = """
 SELECT event_type, count(*) AS n_events,
-       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
-       max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+       round(avg(TRY_CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS INT)), 6) AS avg_k,
+       max(TRY_CAST(CASE WHEN json_valid(props)
+           THEN json_extract_string(props, '$.k') END AS INT)) AS max_k
 FROM events GROUP BY 1
 """
 

@@ -168,7 +168,13 @@ def u6_hashing_bow_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle only for the join."""
     from finmapreduce_spark.functions.scoring import embed_text_udf
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL-text docs don't embed — a pair with a missing side drops
+    # at the join (the oracle's unnest does the same implicitly)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     emb = docs.withColumn("e", embed_text_udf("hashing-bow")(F.col("text")))
     cand = emb.select(F.col("doc_id").alias("pair_id"), F.col("e").alias("c_e"))
     ref = emb.select((F.col("doc_id") - 1).alias("pair_id"), F.col("e").alias("r_e"))

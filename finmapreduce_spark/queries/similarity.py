@@ -379,7 +379,14 @@ LEV_BUCKET = 400
 
 
 def j_levenshtein_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select(
+    # NULL-text docs are excluded from the match pool on BOTH sides:
+    # their levenshtein distance is NULL, which Spark's ascending
+    # window sorts FIRST while DuckDB sorts it LAST — an engine
+    # divergence (caught by the adversarial parity sweep), and a doc
+    # with no text has no meaningful best match anyway.
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / LEV_BUCKET).alias("bucket"),
@@ -413,7 +420,7 @@ LEV_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, lang, CAST(floor(n_chars / {LEV_BUCKET}) AS BIGINT) AS bucket,
          substring(trim(lower(text)), 1, {LEV_PREFIX}) AS prefix
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 pairs AS (
   SELECT l.doc_id AS l_id, r.doc_id AS r_id,

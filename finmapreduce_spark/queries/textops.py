@@ -816,29 +816,49 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Row EXISTENCE flags, not text-nullness, drive the action: a doc
+    # that exists in base with NULL text (failed parse) is keep/update,
+    # not a phantom insert — matching the oracle's b.doc_id IS NULL
+    # test (divergence caught by the adversarial parity sweep).
     merged = (
-        base.select("doc_id", F.col("text").alias("base_text"))
+        base.select(
+            "doc_id",
+            F.col("text").alias("base_text"),
+            F.lit(True).alias("in_base"),
+        )
         .join(
-            updates.select("doc_id", F.col("text").alias("upd_text")),
+            updates.select(
+                "doc_id",
+                F.col("text").alias("upd_text"),
+                F.lit(True).alias("in_upd"),
+            ),
             "doc_id",
             "full_outer",
         )
         .select(
             "doc_id",
             F.coalesce("upd_text", "base_text").alias("text"),
-            F.when(F.col("base_text").isNull(), "insert")
-            .when(F.col("upd_text").isNull(), "keep")
+            F.when(F.col("in_base").isNull(), "insert")
+            .when(F.col("in_upd").isNull(), "keep")
             .otherwise("update")
             .alias("action"),
         )
     )
+    # coalesce the text hash: Spark's concat_ws SKIPS a NULL md5 while
+    # DuckDB's || PROPAGATES it — pin both to an explicit marker
     return merged.groupBy("action").agg(
         F.count("*").alias("n"),
         F.md5(
             F.concat_ws(
                 "|",
                 F.array_sort(
-                    F.collect_list(F.concat_ws(":", F.col("doc_id"), F.md5("text")))
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id"),
+                            F.coalesce(F.md5("text"), F.lit("NULL")),
+                        )
+                    )
                 ),
             )
         ).alias("content_fingerprint"),
@@ -863,7 +883,8 @@ merged AS (
 )
 SELECT action, count(*) AS n,
        md5(array_to_string(
-             list_sort(list(CAST(doc_id AS VARCHAR) || ':' || md5(text))), '|'
+             list_sort(list(CAST(doc_id AS VARCHAR) || ':'
+                            || coalesce(md5(text), 'NULL'))), '|'
            )) AS content_fingerprint
 FROM merged GROUP BY action
 """

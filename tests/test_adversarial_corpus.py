@@ -124,3 +124,49 @@ def test_catalog_total_on_adversarial_corpus(spark, adv_dir):
         finally:
             spark.catalog.clearCache()
     assert not failures, "\n".join(failures)
+
+
+# The queries whose Spark/DuckDB values DIVERGED on poison rows when
+# the parity sweep first ran (NULL-text docs flowing through
+# concat_ws-vs-|| NULL handling, text-nullness-vs-existence merge
+# classification, NULLS FIRST/LAST window ordering, lenient-vs-
+# throwing JSON parsing). Each got an engine-equivalent alignment;
+# this pins them. The FULL parity sweep is
+# `FMR_COMPARE_SF_DIR=<adv dir> python tools/compare.py`.
+_PARITY_PINNED = [
+    "merge_upsert",
+    "j_levenshtein_best_match",
+    "f3_truncate_start",
+    "f4_truncate_end",
+    "truncation_e2e_answers",
+    "truncation_stats",
+    "u6_hashing_bow_cosine",
+    "f7_json_extract",
+    "events_json_extract",
+    "dedup_minhash_signature",
+    "sample_weighted",
+    "dedup_simhash_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_duck(adv_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{adv_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _PARITY_PINNED)
+def test_engine_parity_on_adversarial_corpus(spark, adv_dir, adv_duck, name):
+    from tests.oracle_utils import assert_matches_oracle
+
+    spec = all_queries()[name]
+    assert_matches_oracle(
+        spec.spark(spark, adv_dir), adv_duck, spec.oracle, min_rows=0
+    )
+    spark.catalog.clearCache()

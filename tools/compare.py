@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+# FMR_COMPARE_SF_DIR points the whole sweep at another table dir —
+# e.g. the adversarial-corpus build — turning the totality check into
+# a full value-parity check on pathological data.
+SF_DIR = os.environ.get("FMR_COMPARE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
