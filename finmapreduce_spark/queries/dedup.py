@@ -67,8 +67,16 @@ def _shingles_of(words):
             " ", *[F.element_at(words, i + F.lit(j)) for j in range(SHINGLE_K)]
         ),
     )
-    return F.when(n >= SHINGLE_K, F.array_distinct(sh)).otherwise(
-        F.array(F.array_join(words, " "))
+    # Three-way: normal shingles / whole-doc shingle for short docs /
+    # NULL for NULL text. The last branch matters: a [NULL] element
+    # array would make NULL-text docs MATCHABLE in Spark
+    # (xxhash64(NULL) is a real key, array_intersect keeps NULL
+    # elements) while DuckDB's list functions drop NULLs — NULL
+    # shingles drop the failed-parse doc from every downstream
+    # explode/join in BOTH engines instead.
+    return (
+        F.when(n >= SHINGLE_K, F.array_distinct(sh))
+        .when(n.isNotNull(), F.array(F.array_join(words, " ")))
     )
 
 
@@ -86,7 +94,8 @@ _SHINGLES_SQL = f"""
            range(1, len(words) - {SHINGLE_K - 1} + 1),
            i -> list_extract(words, i) || ' ' || list_extract(words, i + 1)
                 || ' ' || list_extract(words, i + 2)
-         )) ELSE [array_to_string(words, ' ')] END AS shingles
+         )) WHEN words IS NOT NULL
+            THEN [array_to_string(words, ' ')] END AS shingles
   FROM (SELECT doc_id, lang, n_chars,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS words
         FROM documents)
@@ -161,7 +170,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_shingles(_docs(spark, sf_dir))
     sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
     band0, band1 = _band_exprs()
-    
+
     return sig.select("doc_id", "mh_0", band0.alias("band_0"), band1.alias("band_1"))
 
 
@@ -201,7 +210,7 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_minhash_cols(F.col("shingles")),
     )
     band0, band1 = _band_exprs()
-    
+
     buckets = sig.select(
         "doc_id",
         F.col("sh_hashed").alias("shingles"),
@@ -365,8 +374,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lambdas would be re-evaluated per (bit, element), turning the
     # signature into 32× the hash work (measured 15.6 s → 3 s at
     # sf0.1 from this hoist alone).
+    # NULL-text docs (NULL shingles) are EXCLUDED: their majority
+    # votes would all see an empty filtered set, assigning every
+    # failed-parse doc the same sim=0 — one colliding band bucket and
+    # a quadratic pair blowup over docs whose content is unknown.
     base = (
         with_shingles(_docs(spark, sf_dir))
+        .filter(F.col("shingles").isNotNull())
         .withColumn("hashes", F.transform("shingles", lambda s: F.md5(s)))
         .select("doc_id", "hashes")
         .withColumn("n", F.size("hashes"))
@@ -455,7 +469,7 @@ _SIMHASH_PAIR_SIG_SQL = " + ".join(
 DEDUP_SIMHASH_PAIRS_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hashes
-  FROM ({_SHINGLES_SQL})
+  FROM ({_SHINGLES_SQL}) WHERE shingles IS NOT NULL
 ), sig AS (
   SELECT doc_id, CAST({_SIMHASH_PAIR_SIG_SQL} AS BIGINT) AS sim
   FROM (SELECT doc_id, hashes, len(hashes) AS n FROM base)
@@ -547,6 +561,44 @@ def _dot(a, b):
     )
 
 
+def emb_table(spark, sf_dir):
+    """Vector table with L2 norms — the ONE guarded embeddings read
+    every cosine consumer (ANN family, k-means, SemDeDup, embedding
+    near-dup) shares. A vector participates only if it is VALID:
+    non-NULL, no NULL elements (DuckDB's list_inner_product THROWS on
+    them; Spark's fold NULL-propagates), and finite positive norm
+    (cosine is undefined for the zero vector — under ANSI the norm
+    division throws DIVIDE_BY_ZERO — and a NaN/Inf element passes a
+    bare ``norm > 0`` test because BOTH engines order NaN above
+    every number). EMB_SQL is the DuckDB twin with the identical
+    predicate (pinned by the adversarial-corpus tests)."""
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull()
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
+        .select("vec_id", "label", F.col("embedding").alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .filter(
+            (F.col("norm") > 0)
+            & ~F.isnan("norm")
+            & (F.col("norm") != F.lit(float("inf")))
+        )
+    )
+
+
+EMB_SQL = """
+  SELECT * FROM (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+  ) WHERE norm > 0 AND isfinite(norm)
+"""
+
+
 # Bounded-bucket target for the exact pair join: a label with more
 # vectors than this is grid-decomposed into hash chunks so no single
 # join group is ever larger than ~2×COSINE_CHUNK rows.
@@ -571,18 +623,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (elementwise IEEE products commute; the fold order is the element
     order on both engines), so chunk assignment cannot perturb the
     rounded cosine."""
-    # NULL / zero-norm vectors are excluded: cosine is undefined for
-    # them and the norm division throws under ANSI (same rule and
-    # rationale as similarity._emb; adversarial-corpus pinned)
-    emb = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    ).select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("v"),
-    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v")))).filter(
-        F.col("norm") > 0
-    )
+    emb = emb_table(spark, sf_dir)
     splits = (
         emb.groupBy("label")
         .agg(F.count("*").alias("n"))
@@ -634,13 +675,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_COSINE_ORACLE = f"""
-WITH v AS (
-  SELECT * FROM (
-    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
-    FROM embeddings WHERE embedding IS NOT NULL
-  ) WHERE norm > 0
-)
+WITH v AS ({EMB_SQL})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -945,11 +980,37 @@ def dedup_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision is 1.0; only recall depends on the banding)."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    docs = with_shingles(_docs(spark, sf_dir)).select("doc_id", "shingles")
+    # NULL-text docs must never REACH the ML stages: the
+    # CountVectorizerModel lambda NPEs on a NULL array and the
+    # MinHashLSH hash UDF aborts on an all-zero vector — and because
+    # both are opaque scala UDFs, a filter placed AFTER the transform
+    # can end up physically evaluated after the hash projection
+    # inside approxSimilarityJoin's plan (observed: the zero-entry
+    # abort fires even when no zero row survives the filter). So the
+    # guard runs BEFORE the model: coalesce NULL shingles to [] at
+    # the expression level, then drop empties at the base table where
+    # there is nothing beneath to reorder around.
+    docs = (
+        with_shingles(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("shingles"), F.array().cast("array<string>")
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", binary=True, minDF=1.0
     )
-    feat = cv.fit(docs).transform(docs).filter(F.size("shingles") > 0)
+    # persist is LOAD-BEARING, not just a perf cache: left lazy, the
+    # self-join inside approxSimilarityJoin re-derives this plan and
+    # the reordered physical form evaluates the LSH hash UDF where a
+    # zero vector can still reach it (observed abort: "Must have at
+    # least 1 non zero entry" with NO zero row in the filtered
+    # result). Materializing pins the filtered row set. Lifecycle is
+    # caller-owned (bench/compare clearCache per query).
+    feat = cv.fit(docs).transform(docs).persist()
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(feat)
@@ -988,7 +1049,7 @@ def band_signature_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *_minhash_cols(F.col("shingles")),
     )
     band0, band1 = _band_exprs()
-    
+
     return sig.select(
         "doc_id",
         "sh",
@@ -1691,7 +1752,7 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_shingles(_docs(spark, sf_dir))
     sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
     band0, band1 = _band_exprs()
-    
+
     buckets = sig.select(
         "doc_id",
         F.explode(
@@ -1809,7 +1870,7 @@ def semantic_signature_table(docs: DataFrame, text_col: str = "text") -> DataFra
         "doc_id", "__e", *_minhash_cols(F.col("shingles"))
     )
     band0, band1 = _band_exprs()
-    
+
     return (
         sig.select(
             "doc_id",

@@ -638,7 +638,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison is on native timestamps (no epoch conversion, so no
     sub-second truncation disagreements between engines).
     """
-    ev = _t(spark, sf_dir, "events")
+    # events with NULL ts cannot be placed in a session — and they
+    # order NULLS FIRST in Spark vs NULLS LAST in DuckDB, so keeping
+    # them would also split sessions differently per engine
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.when(
         F.col("prev_ts").isNull()
@@ -667,7 +670,7 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

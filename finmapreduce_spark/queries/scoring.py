@@ -40,13 +40,16 @@ def u6_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate embedding 2k vs reference embedding 2k+1, cosine
     similarity + same-cluster flag (text_evaluation_metrics.py:71-189).
 
-    NULL / all-zero vectors are excluded before pairing (a pair with
-    an invalid side drops at the inner join): cosine is undefined for
-    them and the norm division throws under ANSI. exists(x≠0) is an
-    EXACT zero-norm test — squares of nonzero doubles cannot
-    underflow to 0 from float32 inputs."""
+    NULL / NULL-element / all-zero vectors are excluded before
+    pairing (a pair with an invalid side drops at the inner join):
+    cosine is undefined for them, the norm division throws under
+    ANSI for the zero vector, and DuckDB's list_inner_product THROWS
+    outright on NULL elements. exists(x≠0) is an EXACT zero-norm
+    test — squares of nonzero doubles cannot underflow to 0 from
+    float32 inputs."""
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
         & F.exists("embedding", lambda x: x != 0)
     )
     cand = emb.filter(F.col("vec_id") % 2 == 0).select(
@@ -75,6 +78,7 @@ U6_COSINE_ORACLE = """
 WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 cand AS (

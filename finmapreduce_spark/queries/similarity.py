@@ -26,38 +26,18 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from finmapreduce_spark.queries import QuerySpec
-from finmapreduce_spark.queries.dedup import _dot
+from finmapreduce_spark.queries.dedup import EMB_SQL, _dot, emb_table
 from finmapreduce_spark.session import read_table
 
 N_QUERIES = 10
 TOP_K = 5
 
 
-def _emb(spark, sf_dir):
-    """Vector table with L2 norms. NULL vectors (failed embedding
-    jobs) and zero-norm vectors are EXCLUDED at the read: cosine
-    similarity is undefined for them, and under ANSI mode (the
-    Spark 4 default) the norm division would throw DIVIDE_BY_ZERO —
-    killing the whole job on one poison row. The DuckDB twin
-    (_EMB_SQL) carries the same predicate so both engines see the
-    identical vector population (pinned by the adversarial-corpus
-    totality test)."""
-    return (
-        read_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
-        .select("vec_id", "label", F.col("embedding").alias("v"))
-        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-        .filter(F.col("norm") > 0)
-    )
-
-
-_EMB_SQL = """
-  SELECT * FROM (
-    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
-    FROM embeddings WHERE embedding IS NOT NULL
-  ) WHERE norm > 0
-"""
+# The guarded embeddings read + its DuckDB twin live in dedup.py
+# (queries/dedup.py::emb_table) so the embedding near-dup query and
+# this whole module share ONE definition of "valid vector".
+_emb = emb_table
+_EMB_SQL = EMB_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -1227,18 +1207,30 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vd = F.transform(F.col("v"), lambda x: x.cast("double"))
     absmax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
-    # Totality (ANSI): a zero vector has absmax 0 and the unguarded
-    # x/scale would throw DIVIDE_BY_ZERO — its quantization is
-    # nonetheless well-defined (all-zero codes, scale 0, err 0), so
-    # the CASE keeps the row instead of dropping it; a NULL vector
-    # propagates NULL outputs through the lazy branches.
-    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(
-        F.when(absmax == 0, F.lit(0.0))
+    # Totality (ANSI) + engine parity: quantization is defined ONLY
+    # for clean finite vectors. A zero vector gets all-zero codes
+    # (scale 0, err 0 — the unguarded x/scale would throw
+    # DIVIDE_BY_ZERO); anything degenerate — NULL vector, NULL
+    # element (Spark's fold would NULL-propagate where DuckDB's
+    # list_sum skips), NaN/Inf element (NaN > 0 is TRUE in Spark, so
+    # a bare absmax > 0 guard would pass and the long cast would
+    # throw CAST_OVERFLOW) — yields NULL outputs in BOTH engines via
+    # the unmatched CASE.
+    clean = (
+        ~F.exists(vd, lambda x: x.isNull())
+        & ~F.isnan(absmax)
+        & (absmax != F.lit(float("inf")))
+    )
+    scale = F.when(clean & (absmax > 0), absmax / F.lit(127.0)).when(
+        clean & (absmax == 0), F.lit(0.0)
     )
     q = F.when(
-        absmax > 0,
+        clean & (absmax > 0),
         F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")),
-    ).otherwise(F.transform(vd, lambda x: F.lit(0).cast("long")))
+    ).when(
+        clean & (absmax == 0),
+        F.transform(vd, lambda x: F.lit(0).cast("long")),
+    )
     checksum = F.aggregate(
         F.zip_with(
             q,
@@ -1271,18 +1263,22 @@ QUANTIZE_ORACLE = """
 WITH vd AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
-           AS absmax
+           AS absmax,
+         (len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
+          AND isfinite(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))))) AS clean
   FROM embeddings
 ), scaled AS (
-  SELECT vec_id, v,
-         CASE WHEN absmax > 0 THEN absmax / 127.0
-              WHEN absmax = 0 THEN 0.0 END AS scale
+  SELECT vec_id, v, clean,
+         CASE WHEN clean AND absmax > 0 THEN absmax / 127.0
+              WHEN clean AND absmax = 0 THEN 0.0 END AS scale
   FROM vd
 ), quant AS (
   SELECT vec_id, v, scale,
-         CASE WHEN scale > 0
+         CASE WHEN clean AND scale > 0
               THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
-              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+              WHEN clean AND scale = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
   FROM scaled
 )
 SELECT vec_id,

@@ -254,9 +254,12 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     change filter runs before the second window, so version numbering
     works on the (much smaller) change set.
     """
+    # NULL-ts events cannot be versioned (no valid_from) — and they
+    # order NULLS FIRST in Spark vs NULLS LAST in DuckDB, so keeping
+    # them would also shift every subsequent version boundary
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
-    )
+    ).filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
         F.col("prev_type").isNull()
@@ -283,7 +286,7 @@ SCD2_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type,
          lag(event_type) OVER w AS prev_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 changes AS (
@@ -382,9 +385,12 @@ PIT_PROBE_MOD = 10  # event_id % MOD == 7 plays the probe fact set
 
 
 def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same NULL-ts exclusion (and engine-ordering rationale) as the
+    # SCD2 build above; it also drops un-timestamped probe facts,
+    # which have no point-in-time to resolve
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
-    )
+    ).filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -437,7 +443,7 @@ PIT_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type,
          lag(event_type) OVER w AS prev_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 changes AS (
@@ -455,7 +461,7 @@ versions AS (
 ),
 probes AS (
   SELECT user_id, event_id, ts FROM events
-  WHERE event_id % {PIT_PROBE_MOD} = 7
+  WHERE event_id % {PIT_PROBE_MOD} = 7 AND ts IS NOT NULL
 )
 SELECT p.user_id, p.event_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS fact_ts,

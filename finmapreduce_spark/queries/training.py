@@ -230,7 +230,8 @@ _SHINGLE_SQL = f"""
           range(1, len(words) - {SHINGLE_K - 1} + 1),
           i -> list_extract(words, i) || ' ' || list_extract(words, i + 1)
                || ' ' || list_extract(words, i + 2)))
-      ELSE [array_to_string(words, ' ')] END) AS s
+      WHEN words IS NOT NULL
+      THEN [array_to_string(words, ' ')] END) AS s
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
         FROM documents)
 """

@@ -45,6 +45,9 @@ ADV_DOCS = [
     (100010, "-5 +3.2e10 NaN Infinity -0.0 1/0 £$€", "en", "adv"),
     (100011, None, "en", "adv"),
     (100012, "'); DROP TABLE documents;-- <script> \" quote ` tick", "en", "adv"),
+    # a SECOND NULL-text doc: the pairwise NULL-doc cases (two failed
+    # parses colliding in a dedup join) need at least two of them
+    (100013, None, "en", "adv"),
 ]
 
 
@@ -83,7 +86,9 @@ def adv_dir(sf_dir, tmp_path_factory):
           SELECT * FROM (VALUES
             (200001, {[0.0] * dim}::FLOAT[], 0),
             (200002, NULL::FLOAT[], 1),
-            (200003, NULL::FLOAT[], NULL)
+            (200003, NULL::FLOAT[], NULL),
+            (200004, ['nan'::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 2),
+            (200005, [NULL::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 3)
           ) t(vec_id, embedding, label)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -146,6 +151,16 @@ _PARITY_PINNED = [
     "dedup_minhash_signature",
     "sample_weighted",
     "dedup_simhash_pairs",
+    # second review round (pairwise-NULL docs, NaN/NULL-element
+    # vectors, NULL-ts events):
+    "dedup_ngram_jaccard",
+    "contamination_ngram_overlap",
+    "embedding_quantize_int8",
+    "u6_pair_cosine",
+    "ann_bruteforce_topk",
+    "sessionize_events",
+    "scd2_event_type_history",
+    "scd2_point_in_time_lookup",
 ]
 
 

@@ -103,6 +103,11 @@ def main():
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         t_spark = time.time() - t0
+        # queries that persist intermediates (trainers, the simhash
+        # band table) pin them behind the collected plan — clear per
+        # query so a long sweep doesn't accumulate storage pressure
+        # (same discipline as bench.py)
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"NOORACLE {name}: rows={len(srows)} ({t_spark:.1f}s)")
             n_nooracle += 1
