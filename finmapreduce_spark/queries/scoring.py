@@ -47,9 +47,16 @@ def u6_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     outright on NULL elements. exists(x≠0) is an EXACT zero-norm
     test — squares of nonzero doubles cannot underflow to 0 from
     float32 inputs."""
+    # same validity rule as dedup.emb_table: no NULL elements, no
+    # NaN/Inf (NaN != 0 is TRUE in both engines, so the nonzero test
+    # alone would admit a NaN vector and emit cosine = NaN)
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
         & ~F.exists("embedding", lambda x: x.isNull())
+        & ~F.exists(
+            "embedding",
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
         & F.exists("embedding", lambda x: x != 0)
     )
     cand = emb.filter(F.col("vec_id") % 2 == 0).select(
@@ -79,6 +86,7 @@ WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   WHERE embedding IS NOT NULL
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 cand AS (

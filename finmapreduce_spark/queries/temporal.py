@@ -387,10 +387,13 @@ PIT_PROBE_MOD = 10  # event_id % MOD == 7 plays the probe fact set
 def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same NULL-ts exclusion (and engine-ordering rationale) as the
     # SCD2 build above; it also drops un-timestamped probe facts,
-    # which have no point-in-time to resolve
+    # which have no point-in-time to resolve. NULL user_id is also
+    # excluded: a lookup KEYED on user has no row to resolve against
+    # — and Spark's NULL window partition would emit the probe while
+    # the oracle's equi-join drops it
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
-    ).filter(F.col("ts").isNotNull())
+    ).filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -443,7 +446,7 @@ PIT_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type,
          lag(event_type) OVER w AS prev_type
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 changes AS (
@@ -461,7 +464,8 @@ versions AS (
 ),
 probes AS (
   SELECT user_id, event_id, ts FROM events
-  WHERE event_id % {PIT_PROBE_MOD} = 7 AND ts IS NOT NULL
+  WHERE event_id % {PIT_PROBE_MOD} = 7
+    AND ts IS NOT NULL AND user_id IS NOT NULL
 )
 SELECT p.user_id, p.event_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS fact_ts,

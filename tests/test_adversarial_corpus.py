@@ -88,7 +88,13 @@ def adv_dir(sf_dir, tmp_path_factory):
             (200002, NULL::FLOAT[], 1),
             (200003, NULL::FLOAT[], NULL),
             (200004, ['nan'::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 2),
-            (200005, [NULL::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 3)
+            (200005, [NULL::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 3),
+            -- a NaN vector at an EVEN id whose odd partner is VALID,
+            -- so the pair-cosine query must actively exclude it (a
+            -- NaN side with an invalid partner drops at the join and
+            -- would hide a missing guard)
+            (200006, ['nan'::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 4),
+            (200007, {[0.25] * dim}::FLOAT[], 4)
           ) t(vec_id, embedding, label)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -106,7 +112,12 @@ def adv_dir(sf_dir, tmp_path_factory):
              'not json {{'),
             (900004, TIMESTAMP '2024-01-05 00:00:02', 43, 'purchase', -7.5,
              '{{"k": "str"}}'),
-            (900005, TIMESTAMP '1970-01-01 00:00:00', 44, 'error', 0.0, '[]')
+            (900005, TIMESTAMP '1970-01-01 00:00:00', 44, 'error', 0.0, '[]'),
+            -- NULL-user event whose event_id lands in the PIT probe
+            -- set (% 10 = 7): a user-keyed lookup must drop it in
+            -- BOTH engines, not just in the oracle's equi-join
+            (900007, TIMESTAMP '2024-01-05 00:00:03', NULL::BIGINT, 'view',
+             3.0, '{{"k": 2}}')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
