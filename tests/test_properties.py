@@ -383,3 +383,28 @@ def test_shingles_short_docs_total_and_engine_equivalent(spark):
         ).fetchall()
     }
     assert duck == got
+
+
+def test_shingles_null_text_under_both_ansi_modes(spark):
+    """NULL text must yield NULL shingles in BOTH ANSI modes: with
+    ANSI off, size(NULL) returns -1 (non-NULL), so a guard written on
+    size(words) would fire the short-doc branch and produce a [NULL]
+    element array — making failed-parse docs matchable via
+    xxhash64(NULL) join keys. The guard is on words itself; this pins
+    it under each mode."""
+    from finmapreduce_spark.queries.dedup import with_shingles
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d")], "doc_id long, text string"
+    )
+    for mode in ("true", "false"):
+        spark.conf.set("spark.sql.ansi.enabled", mode)
+        try:
+            got = {
+                r["doc_id"]: r["shingles"]
+                for r in with_shingles(df).select("doc_id", "shingles").collect()
+            }
+            assert got[1] is None, f"ansi={mode}: NULL text must stay NULL"
+            assert sorted(got[2]) == ["a b c", "b c d"]
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "true")
