@@ -61,19 +61,25 @@ def truncate_words(
         start = F.greatest(F.lit(1), n - F.lit(max_tokens) + 1)
         kept = F.slice(words, start, max_tokens)
     p = out_prefix
-    # NULL text stays NULL: concat_ws(NULL array) coerces to '' where
-    # SQL string building propagates NULL — the guard keeps a
-    # failed-parse row visibly unparsed in both engines
+    # NULL text stays NULL in EVERY output column, not just the text:
+    # concat_ws(NULL array) coerces to '' and least(NULL, budget)
+    # skips the NULL (both engines), so an unguarded row would claim
+    # it "kept `budget` tokens at retention 1.0" — a failed-parse doc
+    # must stay visibly unparsed. Guards are on the text column
+    # itself (size(NULL) is -1 under ANSI-off, so n-based guards are
+    # mode-dependent).
+    present = F.col(text_col).isNotNull()
     return (
         df.withColumn(
-            f"{p}_text",
-            F.when(F.col(text_col).isNotNull(), F.concat_ws(" ", kept)),
+            f"{p}_text", F.when(present, F.concat_ws(" ", kept))
         )
-        .withColumn(f"{p}_tokens", kept_n.cast("long"))
-        .withColumn(f"{p}_original", n.cast("long"))
-        .withColumn(f"{p}_applied", n > F.lit(max_tokens))
+        .withColumn(f"{p}_tokens", F.when(present, kept_n).cast("long"))
+        .withColumn(f"{p}_original", F.when(present, n).cast("long"))
+        .withColumn(f"{p}_applied", F.when(present, n > F.lit(max_tokens)))
         .withColumn(
             f"{p}_retention",
-            F.when(n > 0, kept_n / n).otherwise(F.lit(1.0)),
+            F.when(
+                present, F.when(n > 0, kept_n / n).otherwise(F.lit(1.0))
+            ),
         )
     )

@@ -577,13 +577,30 @@ def emb_table(spark, sf_dir):
     (cosine is undefined for the zero vector — under ANSI the norm
     division throws DIVIDE_BY_ZERO — and a NaN/Inf element passes a
     bare ``norm > 0`` test because BOTH engines order NaN above
-    every number). EMB_SQL is the DuckDB twin with the identical
-    predicate (pinned by the adversarial-corpus tests)."""
+    every number). Validity also requires the corpus's MODAL
+    dimension: a ragged/truncated vector makes every pairwise product
+    ill-defined — DuckDB's list_inner_product THROWS on mismatched
+    lengths while Spark's zip_with silently NULL-pads — so off-dim
+    rows are excluded, as an index's declared dim would do at write
+    time (modal dim with count-desc/dim-asc tiebreak is deterministic
+    and costs one tiny broadcast). EMB_SQL is the DuckDB twin with
+    the identical predicates (pinned by the adversarial-corpus
+    tests)."""
+    raw = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    modal_dim = (
+        raw.groupBy(F.size("embedding").alias("__dim"))
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__dim"))
+        .limit(1)
+        .select("__dim")
+    )
     return (
-        read_table(spark, sf_dir, "embeddings")
-        .filter(
-            F.col("embedding").isNotNull()
-            & ~F.exists("embedding", lambda x: x.isNull())
+        raw.join(
+            F.broadcast(modal_dim),
+            F.size(F.col("embedding")) == F.col("__dim"),
         )
         .select("vec_id", "label", F.col("embedding").alias("v"))
         .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
@@ -602,6 +619,10 @@ EMB_SQL = """
     FROM embeddings
     WHERE embedding IS NOT NULL
       AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND len(embedding) = (
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1)
   ) WHERE norm > 0 AND isfinite(norm)
 """
 

@@ -567,14 +567,18 @@ SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
 
 def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    # try_cast, not cast: a props value that parses as JSON but holds
-    # a non-numeric (e.g. {"k": "str"}) must land in the NULL group,
-    # not kill the job under ANSI (adversarial-corpus pinned;
-    # TRY_CAST is the DuckDB twin)
+    # The metric k is an INTEGER by contract: only integral strings
+    # cast; anything else (missing key, '{"k": "str"}', '1.5',
+    # '1e3') lands in the NULL group. The regex gate is load-bearing
+    # for parity, not just totality: Spark's try_cast('1.5' AS LONG)
+    # yields NULL while DuckDB's TRY_CAST rounds it to 2 — lenient
+    # numeric casts DIVERGE between engines, integral-only casts
+    # cannot. It also avoids the ANSI CAST_INVALID_INPUT job kill.
+    ks = F.get_json_object("props", "$.k")
     return (
         ev.select(
             "event_id",
-            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+            F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long")).alias("k"),
         )
         .groupBy("k")
         .agg(F.count("*").alias("n"))
@@ -582,11 +586,12 @@ def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # json_valid guard: DuckDB's json_extract_string THROWS on malformed
-# JSON where Spark's get_json_object returns NULL — the guard gives
-# the oracle Spark's lenient total semantics
+# JSON where Spark's get_json_object returns NULL; the integral-only
+# regex mirrors the engine (see f7_json_extract)
 F7_ORACLE = """
-SELECT TRY_CAST(CASE WHEN json_valid(props)
-                     THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+SELECT CASE WHEN json_valid(props)
+            AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
        count(*) AS n
 FROM events GROUP BY 1
 """
@@ -1085,9 +1090,12 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggs collapse map-side so the shuffle carries |types|
     rows, with the JSON parse cost paid exactly once per row."""
     ev = _t(spark, sf_dir, "events")
-    # try_cast: non-numeric JSON values become NULL (avg/max skip
-    # them) instead of an ANSI CAST_INVALID_INPUT job kill
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
+    # integral-only cast (see f7_json_extract): avoids both the ANSI
+    # CAST_INVALID_INPUT job kill AND the engine divergence on
+    # fractional strings (Spark try_cast NULLs '1.5', DuckDB
+    # TRY_CAST rounds it)
+    ks = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("int"))
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -1100,12 +1108,18 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_JSON_ORACLE = """
+WITH kv AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              AND regexp_matches(json_extract_string(props, '$.k'),
+                                 '^-?[0-9]+$')
+              THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
+  FROM events
+)
 SELECT event_type, count(*) AS n_events,
-       round(avg(TRY_CAST(CASE WHEN json_valid(props)
-                 THEN json_extract_string(props, '$.k') END AS INT)), 6) AS avg_k,
-       max(TRY_CAST(CASE WHEN json_valid(props)
-           THEN json_extract_string(props, '$.k') END AS INT)) AS max_k
-FROM events GROUP BY 1
+       round(avg(k), 6) AS avg_k,
+       max(k) AS max_k
+FROM kv GROUP BY 1
 """
 
 

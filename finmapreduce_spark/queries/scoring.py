@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finmapreduce_spark.queries import QuerySpec
-from finmapreduce_spark.queries.dedup import _dot
+from finmapreduce_spark.queries.dedup import EMB_SQL, _dot, emb_table
 from finmapreduce_spark.session import read_table
 
 
@@ -40,39 +40,28 @@ def u6_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate embedding 2k vs reference embedding 2k+1, cosine
     similarity + same-cluster flag (text_evaluation_metrics.py:71-189).
 
-    NULL / NULL-element / all-zero vectors are excluded before
-    pairing (a pair with an invalid side drops at the inner join):
-    cosine is undefined for them, the norm division throws under
-    ANSI for the zero vector, and DuckDB's list_inner_product THROWS
-    outright on NULL elements. exists(x≠0) is an EXACT zero-norm
-    test — squares of nonzero doubles cannot underflow to 0 from
-    float32 inputs."""
-    # same validity rule as dedup.emb_table: no NULL elements, no
-    # NaN/Inf (NaN != 0 is TRUE in both engines, so the nonzero test
-    # alone would admit a NaN vector and emit cosine = NaN)
-    emb = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
-        & ~F.exists(
-            "embedding",
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
-        )
-        & F.exists("embedding", lambda x: x != 0)
-    )
+    Vector validity is dedup.emb_table's ONE shared rule (non-NULL,
+    no NULL elements, finite positive norm): a pair with an invalid
+    side drops at the inner join — cosine is undefined for it, the
+    zero-norm division throws under ANSI, DuckDB's
+    list_inner_product throws on NULL elements, and a NaN side would
+    emit cosine=NaN."""
+    emb = emb_table(spark, sf_dir)
     cand = emb.filter(F.col("vec_id") % 2 == 0).select(
         (F.col("vec_id") / 2).cast("long").alias("pair_id"),
-        F.col("embedding").alias("c_v"),
+        F.col("v").alias("c_v"),
         F.col("label").alias("c_label"),
+        F.col("norm").alias("c_norm"),
     )
     ref = emb.filter(F.col("vec_id") % 2 == 1).select(
         ((F.col("vec_id") - 1) / 2).cast("long").alias("pair_id"),
-        F.col("embedding").alias("r_v"),
+        F.col("v").alias("r_v"),
         F.col("label").alias("r_label"),
+        F.col("norm").alias("r_norm"),
     )
     pairs = cand.join(ref, "pair_id")
     cos = _dot(F.col("c_v"), F.col("r_v")) / (
-        F.sqrt(_dot(F.col("c_v"), F.col("c_v")))
-        * F.sqrt(_dot(F.col("r_v"), F.col("r_v")))
+        F.col("c_norm") * F.col("r_norm")
     )
     return pairs.select(
         "pair_id",
@@ -81,26 +70,19 @@ def u6_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-U6_COSINE_ORACLE = """
-WITH v AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-  WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
-    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
-    AND len(list_filter(embedding, x -> x <> 0)) > 0
-),
+U6_COSINE_ORACLE = f"""
+WITH v AS ({EMB_SQL}),
 cand AS (
-  SELECT vec_id // 2 AS pair_id, e AS c_v, label AS c_label
+  SELECT vec_id // 2 AS pair_id, v AS c_v, label AS c_label, norm AS c_norm
   FROM v WHERE vec_id % 2 = 0
 ),
 ref AS (
-  SELECT (vec_id - 1) // 2 AS pair_id, e AS r_v, label AS r_label
+  SELECT (vec_id - 1) // 2 AS pair_id, v AS r_v, label AS r_label,
+         norm AS r_norm
   FROM v WHERE vec_id % 2 = 1
 )
 SELECT pair_id,
-       round(list_inner_product(c_v, r_v)
-             / (sqrt(list_inner_product(c_v, c_v))
-                * sqrt(list_inner_product(r_v, r_v))), 6) AS cosine,
+       round(list_inner_product(c_v, r_v) / (c_norm * r_norm), 6) AS cosine,
        c_label = r_label AS same_cluster
 FROM cand JOIN ref USING (pair_id)
 """

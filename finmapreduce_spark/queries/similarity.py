@@ -273,10 +273,17 @@ SIGN_BITS = 8
 
 
 def _sign_sig(v):
+    # try_element_at, not element_at: a ragged/truncated vector
+    # shorter than SIGN_BITS would otherwise THROW
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI; NULL >= 0 is
+    # NULL, so missing dims pad '0' — exactly the DuckDB twin's
+    # out-of-bounds v[i] → NULL → ELSE '0' behavior.
     return F.concat_ws(
         "",
         *[
-            F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.try_element_at(v, F.lit(i + 1)) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
             for i in range(SIGN_BITS)
         ],
     )

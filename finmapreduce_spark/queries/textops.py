@@ -107,20 +107,24 @@ _TRUNC_COMMON = f"""
 F3_ORACLE = f"""
 SELECT doc_id,
        md5(array_to_string(list_slice(words, 1, {TRUNC_BUDGET}), ' ')) AS trunc_md5,
-       CAST(least(n, {TRUNC_BUDGET}) AS BIGINT) AS trunc_tokens,
+       CASE WHEN n IS NOT NULL
+            THEN CAST(least(n, {TRUNC_BUDGET}) AS BIGINT) END AS trunc_tokens,
        CAST(n AS BIGINT) AS trunc_original,
        n > {TRUNC_BUDGET} AS trunc_applied,
-       round(CASE WHEN n > 0 THEN least(n, {TRUNC_BUDGET}) / n ELSE 1.0 END, 6) AS trunc_retention
+       round(CASE WHEN n > 0 THEN least(n, {TRUNC_BUDGET}) / n
+                  WHEN n = 0 THEN 1.0 END, 6) AS trunc_retention
 FROM ({_TRUNC_COMMON})
 """
 
 F4_ORACLE = f"""
 SELECT doc_id,
        md5(array_to_string(list_slice(words, greatest(1, n - {TRUNC_BUDGET} + 1), n), ' ')) AS trunc_md5,
-       CAST(least(n, {TRUNC_BUDGET}) AS BIGINT) AS trunc_tokens,
+       CASE WHEN n IS NOT NULL
+            THEN CAST(least(n, {TRUNC_BUDGET}) AS BIGINT) END AS trunc_tokens,
        CAST(n AS BIGINT) AS trunc_original,
        n > {TRUNC_BUDGET} AS trunc_applied,
-       round(CASE WHEN n > 0 THEN least(n, {TRUNC_BUDGET}) / n ELSE 1.0 END, 6) AS trunc_retention
+       round(CASE WHEN n > 0 THEN least(n, {TRUNC_BUDGET}) / n
+                  WHEN n = 0 THEN 1.0 END, 6) AS trunc_retention
 FROM ({_TRUNC_COMMON})
 """
 

@@ -94,7 +94,11 @@ def adv_dir(sf_dir, tmp_path_factory):
             -- NaN side with an invalid partner drops at the join and
             -- would hide a missing guard)
             (200006, ['nan'::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 4),
-            (200007, {[0.25] * dim}::FLOAT[], 4)
+            (200007, {[0.25] * dim}::FLOAT[], 4),
+            -- ragged vector SHORTER than the sign-LSH bit count: an
+            -- unguarded element_at in signature builders throws under
+            -- ANSI
+            (200008, [0.5, 0.5, 0.5]::FLOAT[], 5)
           ) t(vec_id, embedding, label)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -117,7 +121,15 @@ def adv_dir(sf_dir, tmp_path_factory):
             -- set (% 10 = 7): a user-keyed lookup must drop it in
             -- BOTH engines, not just in the oracle's equi-join
             (900007, TIMESTAMP '2024-01-05 00:00:03', NULL::BIGINT, 'view',
-             3.0, '{{"k": 2}}')
+             3.0, '{{"k": 2}}'),
+            -- fractional / exponent JSON numbers: lenient numeric
+            -- casts DIVERGE between engines (Spark try_cast NULLs
+            -- '1.5', DuckDB TRY_CAST rounds it) — the integral-only
+            -- regex contract must hold on both
+            (900008, TIMESTAMP '2024-01-05 00:00:04', 45, 'view', 4.0,
+             '{{"k": 1.5}}'),
+            (900009, TIMESTAMP '2024-01-05 00:00:05', 45, 'view', 5.0,
+             '{{"k": 1e3}}')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
