@@ -620,8 +620,13 @@ EMB_SQL = """
     WHERE embedding IS NOT NULL
       AND len(list_filter(embedding, x -> x IS NULL)) = 0
       AND len(embedding) = (
+        -- modal dim over the SAME row set Spark's emb_table uses:
+        -- NULL-element vectors are excluded BEFORE the mode election,
+        -- else a cluster of poisoned vectors at an off-modal length
+        -- could elect a different dim per engine.
         SELECT len(embedding) AS d FROM embeddings
         WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
         GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1)
   ) WHERE norm > 0 AND isfinite(norm)
 """
@@ -2224,12 +2229,12 @@ PR_ITERS = 3
 PR_SCALE = 1000   # initial integer rank per node
 PR_BASE = 150     # (1-d) * PR_SCALE with d = 0.85
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_MAX_ITERS = 50        # convergence-mode safety budget
+PR_CHECKPOINT_EVERY = 5  # lineage cut cadence in convergence mode
 
 
-def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.count()
-    edges = (
+def _pr_edges(docs: DataFrame, n: int) -> DataFrame:
+    return (
         docs.select(
             F.col("doc_id").alias("src"),
             F.explode(
@@ -2240,21 +2245,52 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src", ((F.col("src") * 31 + F.col("j") * 7) % n).alias("dst")
         )
     )
+
+
+def pagerank_ranks(
+    docs: DataFrame,
+    edges: DataFrame,
+    n_iters: int | None = PR_ITERS,
+    max_iters: int = PR_MAX_ITERS,
+    checkpoint_every: int = PR_CHECKPOINT_EVERY,
+    tol: int = 0,
+) -> DataFrame:
+    """Integer-exact damped PageRank over (src, dst) edges for the
+    ``docs`` node set. Two modes:
+
+    - ``n_iters`` set (the catalog/oracle setting): exactly that many
+      join+aggregate rounds, returned as a LAZY plan so the unrolled
+      CTE oracle stays bit-exact.
+    - ``n_iters=None`` (convergence mode, the real-crawl setting):
+      iterate until the L1 rank delta Σ|r_new − r_old| ≤ ``tol``
+      (integer ranks reach an exact fixpoint, so tol=0 terminates),
+      up to ``max_iters``. Ranks are localCheckpoint-ed every
+      ``checkpoint_every`` rounds — the per-round delta aggregate
+      re-executes at most that many rounds of lineage, and the
+      logical plan never grows past the cadence (the CC loop's
+      lineage lesson at _cc_star applies: unbounded iteration with
+      unbounded lineage eventually blows up Catalyst analysis, not
+      just execution). The delta is a single scalar aggregate — no
+      rank data ever reaches the driver. On a cluster, swap
+      localCheckpoint for reliable checkpoint(dir).
+
+    edges/outdeg persists are caller-owned (bench/compare clearCache
+    per query), matching the catalog-wide lifecycle contract.
+    """
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = docs.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
     edges = edges.persist()
     outdeg = outdeg.persist()
-    for _ in range(PR_ITERS):
+    ranks = docs.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
+
+    def step(r: DataFrame) -> DataFrame:
         contribs = (
-            ranks.join(edges, ranks.doc_id == edges.src)
+            r.join(edges, r.doc_id == edges.src)
             .join(outdeg, "src")
-            .select(
-                "dst", F.expr("rank div deg").cast("long").alias("c")
-            )
+            .select("dst", F.expr("rank div deg").cast("long").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
+        return (
             docs.join(contribs, docs.doc_id == contribs.dst, "left")
             .select(
                 "doc_id",
@@ -2266,7 +2302,35 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("rank"),
             )
         )
-    return ranks.select("doc_id", "rank")
+
+    if n_iters is not None:
+        for _ in range(n_iters):
+            ranks = step(ranks)
+        return ranks.select("doc_id", "rank")
+
+    ranks = ranks.localCheckpoint()
+    for i in range(1, max_iters + 1):
+        nxt = step(ranks)
+        if i % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
+        delta = (
+            ranks.select("doc_id", F.col("rank").alias("r_old"))
+            .join(nxt.select("doc_id", F.col("rank").alias("r_new")), "doc_id")
+            .agg(F.sum(F.abs(F.col("r_new") - F.col("r_old"))).alias("l1"))
+            .first()["l1"]
+        )
+        ranks = nxt
+        if delta is not None and delta <= tol:
+            return ranks.select("doc_id", "rank")
+    raise RuntimeError(
+        f"pagerank did not converge to L1 ≤ {tol} in {max_iters} iters"
+    )
+
+
+def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return pagerank_ranks(docs, _pr_edges(docs, n), n_iters=PR_ITERS)
 
 
 def _pr_oracle() -> str:

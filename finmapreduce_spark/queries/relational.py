@@ -574,11 +574,15 @@ def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields NULL while DuckDB's TRY_CAST rounds it to 2 — lenient
     # numeric casts DIVERGE between engines, integral-only casts
     # cannot. It also avoids the ANSI CAST_INVALID_INPUT job kill.
+    # The cast INSIDE the regex guard is try_cast, not cast: a
+    # 19+-digit integral string passes the regex but overflows
+    # BIGINT, and ANSI cast throws CAST_OVERFLOW — try_cast NULLs
+    # it in Spark exactly as TRY_CAST does in DuckDB (ADVICE r03).
     ks = F.get_json_object("props", "$.k")
     return (
         ev.select(
             "event_id",
-            F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long")).alias("k"),
+            F.when(ks.rlike("^-?[0-9]+$"), ks.try_cast("long")).alias("k"),
         )
         .groupBy("k")
         .agg(F.count("*").alias("n"))
@@ -591,7 +595,7 @@ def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 F7_ORACLE = """
 SELECT CASE WHEN json_valid(props)
             AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
        count(*) AS n
 FROM events GROUP BY 1
 """
@@ -1093,9 +1097,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integral-only cast (see f7_json_extract): avoids both the ANSI
     # CAST_INVALID_INPUT job kill AND the engine divergence on
     # fractional strings (Spark try_cast NULLs '1.5', DuckDB
-    # TRY_CAST rounds it)
+    # TRY_CAST rounds it); try_cast under the regex guard also NULLs
+    # INT-overflowing integral strings instead of CAST_OVERFLOW
     ks = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("int"))
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.try_cast("int"))
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -1113,7 +1118,7 @@ WITH kv AS (
          CASE WHEN json_valid(props)
               AND regexp_matches(json_extract_string(props, '$.k'),
                                  '^-?[0-9]+$')
-              THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
   FROM events
 )
 SELECT event_type, count(*) AS n_events,

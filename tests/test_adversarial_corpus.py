@@ -98,7 +98,14 @@ def adv_dir(sf_dir, tmp_path_factory):
             -- ragged vector SHORTER than the sign-LSH bit count: an
             -- unguarded element_at in signature builders throws under
             -- ANSI
-            (200008, [0.5, 0.5, 0.5]::FLOAT[], 5)
+            (200008, [0.5, 0.5, 0.5]::FLOAT[], 5),
+            -- NULL-element vectors at an OFF-modal length (dim+2): the
+            -- modal-dim election must count only NULL-element-free
+            -- rows in BOTH engines, else a cluster of these could
+            -- elect different modal dims per engine (ADVICE r03)
+            (200009, [NULL::FLOAT] || {[0.5] * (dim + 1)}::FLOAT[], 6),
+            (200010, [NULL::FLOAT] || {[0.25] * (dim + 1)}::FLOAT[], 6),
+            (200011, [NULL::FLOAT] || {[0.75] * (dim + 1)}::FLOAT[], 6)
           ) t(vec_id, embedding, label)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -129,7 +136,17 @@ def adv_dir(sf_dir, tmp_path_factory):
             (900008, TIMESTAMP '2024-01-05 00:00:04', 45, 'view', 4.0,
              '{{"k": 1.5}}'),
             (900009, TIMESTAMP '2024-01-05 00:00:05', 45, 'view', 5.0,
-             '{{"k": 1e3}}')
+             '{{"k": 1e3}}'),
+            -- overflow-magnitude integral strings: pass the
+            -- integral-only regex but overflow INT / BIGINT — an
+            -- ANSI cast inside the guard is a CAST_OVERFLOW job
+            -- kill; try_cast must NULL them in both engines
+            (900010, TIMESTAMP '2024-01-05 00:00:06', 46, 'view', 6.0,
+             '{{"k": 3000000000}}'),
+            (900011, TIMESTAMP '2024-01-05 00:00:07', 46, 'view', 7.0,
+             '{{"k": 99999999999999999999}}'),
+            (900012, TIMESTAMP '2024-01-05 00:00:08', 46, 'view', 8.0,
+             '{{"k": -99999999999999999999}}')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
@@ -197,6 +214,48 @@ def adv_duck(adv_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{adv_dir}/{t}.parquet'")
     yield con
     con.close()
+
+
+def test_modal_dim_election_ignores_null_element_vectors(
+    spark, tmp_path_factory
+):
+    """A MAJORITY cluster of NULL-element vectors at an off-modal
+    length must not flip the modal-dim election in either engine
+    (ADVICE r03): emb_table excludes NULL-element rows before the
+    mode, and EMB_SQL's subquery must use the identical row set —
+    without the subquery filter DuckDB elects dim 6 here and returns
+    zero rows while Spark returns the three valid dim-4 vectors."""
+    from finmapreduce_spark.queries.dedup import EMB_SQL, emb_table
+
+    out = tmp_path_factory.mktemp("modal")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT * FROM (VALUES
+          (1, [0.1, 0.2, 0.3, 0.4]::FLOAT[], 0),
+          (2, [0.5, 0.6, 0.7, 0.8]::FLOAT[], 0),
+          (3, [0.9, 0.1, 0.2, 0.3]::FLOAT[], 1),
+          (4, [NULL::FLOAT, 1.0, 1.0, 1.0, 1.0, 1.0]::FLOAT[], 1),
+          (5, [NULL::FLOAT, 2.0, 2.0, 2.0, 2.0, 2.0]::FLOAT[], 1),
+          (6, [NULL::FLOAT, 3.0, 3.0, 3.0, 3.0, 3.0]::FLOAT[], 1),
+          (7, [NULL::FLOAT, 4.0, 4.0, 4.0, 4.0, 4.0]::FLOAT[], 1),
+          (8, [NULL::FLOAT, 5.0, 5.0, 5.0, 5.0, 5.0]::FLOAT[], 1)
+        ) t(vec_id, embedding, label))
+        TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{out}/embeddings.parquet'"
+    )
+    spark_ids = sorted(
+        r.vec_id for r in emb_table(spark, str(out)).select("vec_id").collect()
+    )
+    duck_ids = sorted(
+        r[0] for r in con.execute(f"SELECT vec_id FROM ({EMB_SQL})").fetchall()
+    )
+    con.close()
+    assert spark_ids == [1, 2, 3]
+    assert duck_ids == spark_ids
 
 
 @pytest.mark.parametrize("name", _PARITY_PINNED)

@@ -341,6 +341,59 @@ def test_simhash_banding_recall_is_exact(spark, sf_dir):
     assert brute  # the fixture corpus contains at least one near-dup
 
 
+def test_ml_minhash_lsh_precision_one_and_measured_recall(spark, sf_dir):
+    """Ground-truth gate for the one rows-only catalog entry
+    (`dedup_ml_minhash_lsh`): its seeded Spark-ML hash coefficients
+    are not SQL-reproducible, but the property it guarantees IS
+    checkable — approxSimilarityJoin survivors carry EXACT Jaccard
+    distances, so the pair set must be a SUBSET of the exhaustive
+    Jaccard ≥ θ truth (precision 1.0 by construction — verified here)
+    with the reported jaccard matching the set-exact value, and
+    recall must clear the same kind of floor `dedup_lsh_recall`
+    applies to the custom band join. Truth is computed driver-side
+    from the identical shingle sets (fixture-sized corpus only)."""
+    from finmapreduce_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        _docs,
+        dedup_ml_minhash_lsh,
+        with_shingles,
+    )
+
+    ml_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ml_minhash_lsh(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()  # the query persists features (caller-owned)
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingles(_docs(spark, sf_dir))
+        .select("doc_id", "shingles")
+        .collect()
+        if r["shingles"]
+    }
+    truth = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= JACCARD_THRESHOLD:
+                    truth[(a, b)] = round(j, 6)
+    assert truth, "fixture corpus must contain Jaccard near-dups"
+    # precision 1.0: every emitted pair is a true pair with the exact
+    # set-Jaccard value (the ML path's distance is exact on survivors)
+    assert set(ml_pairs) <= set(truth), sorted(
+        set(ml_pairs) - set(truth)
+    )[:5]
+    for p, j in ml_pairs.items():
+        assert abs(j - truth[p]) <= 1e-6, (p, j, truth[p])
+    # recall: 4 seeded hash tables on this corpus — floor guards a
+    # silent banding collapse, the exact value is corpus-dependent
+    recall = len(ml_pairs) / len(truth)
+    assert recall >= 0.5, f"ml LSH recall collapsed: {recall:.3f}"
+
+
 def test_shingles_short_docs_total_and_engine_equivalent(spark):
     """Docs with fewer than SHINGLE_K words must yield one whole-doc
     shingle — NOT throw. Under ANSI mode (the Spark 4 default and the
