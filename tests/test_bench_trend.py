@@ -71,13 +71,30 @@ def test_cli_exit_codes(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert ok.returncode == 0, ok.stdout + ok.stderr
+    # wall regression alone: advisory (WARN, exit 0) unless --strict-wall
     b.write_text(json.dumps(_rec({"q1": 5.0})))
+    warn = subprocess.run(
+        [sys.executable, "tools/bench_trend.py", str(a), str(b)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert warn.returncode == 0, warn.stdout + warn.stderr
+    assert "WARN" in warn.stdout and "REGRESS" not in warn.stdout
+    strict = subprocess.run(
+        [sys.executable, "tools/bench_trend.py", "--strict-wall",
+         str(a), str(b)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert strict.returncode == 1
+    assert "REGRESS" in strict.stdout
+    # shuffle regression: gates regardless
+    a.write_text(json.dumps(_rec({"q1": 1.0}, {"q1": {"read_mb": 1.0}})))
+    b.write_text(json.dumps(_rec({"q1": 1.0}, {"q1": {"read_mb": 3.0}})))
     bad = subprocess.run(
         [sys.executable, "tools/bench_trend.py", str(a), str(b)],
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert bad.returncode == 1
-    assert "REGRESS" in bad.stdout
+    assert "REGRESS" in bad.stdout and "shuffle_read_mb" in bad.stdout
 
 
 def test_load_bench_unwraps_driver_wrapper(tmp_path):

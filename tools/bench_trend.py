@@ -18,7 +18,10 @@ Usage:
     python tools/bench_trend.py --current /tmp/bench_now.json
     python tools/bench_trend.py --threshold 0.3 file1.json file2.json
 
-Exit code 1 if any regression is flagged (so CI can gate on it).
+Exit code 1 if a SHUFFLE or dropped-query regression is flagged (so
+CI can gate on it). Wall regressions print as WARN only — same-code
+wall at sf0.1 varies ±15% with machine state (ROADMAP), so wall is
+advisory; pass --strict-wall to gate on it anyway.
 """
 
 from __future__ import annotations
@@ -109,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("files", nargs="*", help="bench JSON files in order")
     ap.add_argument("--current", help="fresh bench.py output to compare last")
     ap.add_argument("--threshold", type=float, default=0.2)
+    ap.add_argument(
+        "--strict-wall",
+        action="store_true",
+        help="gate the exit code on wall regressions too (default: "
+        "wall is advisory — WARN only; shuffle/dropped gate)",
+    )
     args = ap.parse_args(argv)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -132,22 +141,28 @@ def main(argv: list[str] | None = None) -> int:
             f"{len(rec.get('queries', {})):>9}{total_mb:>12.2f}"
         )
 
-    any_flag = False
+    any_gating = False
     for (pname, prev), (cname, cur) in zip(records, records[1:]):
         flags = compare_rounds(prev, cur, args.threshold)
         for fl in flags:
-            any_flag = True
+            advisory = fl["metric"] == "wall_sec" and not args.strict_wall
+            if not advisory:
+                any_gating = True
             if fl["metric"] == "dropped":
                 print(f"DROPPED  {pname}->{cname}  {fl['query']}")
             else:
+                tag = "WARN   " if advisory else "REGRESS"
                 print(
-                    f"REGRESS  {pname}->{cname}  {fl['query']}"
+                    f"{tag}  {pname}->{cname}  {fl['query']}"
                     f"  {fl['metric']}  {fl['prev']:.3f} -> {fl['cur']:.3f}"
                     f"  ({fl['ratio']:.2f}x)"
                 )
-    if not any_flag:
-        print(f"no regressions > {args.threshold:.0%} between consecutive records")
-    return 1 if any_flag else 0
+    if not any_gating:
+        print(
+            f"no gating regressions > {args.threshold:.0%} between "
+            "consecutive records (wall is advisory without --strict-wall)"
+        )
+    return 1 if any_gating else 0
 
 
 if __name__ == "__main__":
