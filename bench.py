@@ -79,6 +79,10 @@ HEADLINE = [
     # round-3 (cont.): integer-packed simhash banded pair join — the
     # band equi-join + popcount verify plan shape
     "dedup_simhash_pairs",
+    # round-4: top-M batched BPE — 4 merges in 2 corpus-count rounds
+    # (vs 1 merge/round sequential); the driver-round-trip cut that
+    # matters at real vocab sizes
+    "bpe_train_merges_batched",
 ]
 
 

@@ -737,47 +737,64 @@ def _bpe_words(spark: SparkSession, sf_dir: str):
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
-    """Run the merge loop; → (merge rows, final tokenized word table).
-
-    Caller owns unpersisting the returned DataFrame."""
+def _bpe_char_toks(spark: SparkSession, sf_dir: str):
     words = _bpe_words(spark, sf_dir)
     # char-tokenized, space-joined ("(?<=.)(?=.)" splits BETWEEN
     # characters — no trailing empty token, matching SQL's split-by-'')
-    toks = words.select(
+    return words.select(
         F.concat_ws(" ", F.split("w", "(?<=.)(?=.)")).alias("s"), "weight"
-    ).persist()
-    rows = []
-    for rank in range(1, BPE_MERGES + 1):
-        t = F.split("s", " ")
-        # guard: sequence(1, 0) DESCENDS in Spark, so single-token
-        # words must short-circuit to an empty pair list
-        pair_list = F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.concat(
-                    F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-                ),
+    )
+
+
+def _bpe_pair_counts(toks: DataFrame) -> DataFrame:
+    t = F.split("s", " ")
+    # guard: sequence(1, 0) DESCENDS in Spark, so single-token
+    # words must short-circuit to an empty pair list
+    pair_list = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(pair_list).alias("pair"), "weight")
+        .groupBy("pair")
+        .agg(F.sum("weight").alias("cnt"))
+    )
+
+
+def _bpe_apply_merges(toks: DataFrame, pairs: list[str]) -> DataFrame:
+    """Narrow JVM replace pass applying each ``"a b"`` pair in order
+    (three bounded left-to-right passes per pair — see module note)."""
+    applied = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+    for pair in pairs:
+        merged = pair.replace(" ", "")
+        for _ in range(3):
+            applied = F.replace(
+                applied, F.lit(f" {pair} "), F.lit(f" {merged} ")
+            )
+    return toks.select(F.trim(applied).alias("s"), "weight")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
+    """Run the merge loop; → (merge rows, final tokenized word table).
+
+    Caller owns unpersisting the returned DataFrame."""
+    toks = _bpe_char_toks(spark, sf_dir).persist()
+    rows = []
+    for rank in range(1, n_merges + 1):
         top = (
-            toks.select(F.explode(pair_list).alias("pair"), "weight")
-            .groupBy("pair")
-            .agg(F.sum("weight").alias("cnt"))
+            _bpe_pair_counts(toks)
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
             .collect()[0]
         )
         pair, cnt = top["pair"], int(top["cnt"])
-        merged = pair.replace(" ", "")
-        rows.append((rank, pair, merged, cnt))
-        applied = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
-        for _ in range(3):
-            applied = F.replace(
-                applied, F.lit(f" {pair} "), F.lit(f" {merged} ")
-            )
-        nxt = toks.select(F.trim(applied).alias("s"), "weight").persist()
+        rows.append((rank, pair, pair.replace(" ", ""), cnt))
+        nxt = _bpe_apply_merges(toks, [pair]).persist()
         toks.unpersist()
         toks = nxt
     return rows, toks
@@ -785,6 +802,78 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, toks = _bpe_train(spark, sf_dir)
+    toks.unpersist()
+    return spark.createDataFrame(
+        rows, "merge_rank int, pair string, merged string, pair_count long"
+    )
+
+
+# Top-M batched merge rounds: the standard driver-round-trip cut for
+# real vocab sizes (|vocab| merges → |vocab|/M corpus-count rounds).
+# Per round ONE pair-count shuffle runs over the corpus-compressed
+# word table, the top-CAND_WINDOW ranked candidates come to the
+# driver (bounded, deterministic), and a greedy scan picks up to M
+# pairs under FULL-CLOSURE disjointness: a candidate is taken only if
+# {left, right, merged} is disjoint from every earlier pick's
+# {left, right, merged}. Sides-only disjointness is NOT enough —
+# " a b "→" ab " and " ab x "→" abx " have disjoint sides but do not
+# commute (the first creates tokens the second then consumes), and
+# batched application must be order-independent to be deterministic.
+# Under full closure no pick can create, destroy, or retarget another
+# pick's occurrences, so the in-batch replaces commute and each
+# reported pair_count equals what sequential training would have
+# counted for that pair. The batch SELECTION can still diverge from
+# sequential BPE (a merge's newly created pairs never compete within
+# the same round) — M=1 (`bpe_train_merges`) stays the reference;
+# tests measure the fixture-corpus agreement.
+
+BPE_BATCH_ROUNDS = 2
+BPE_BATCH_M = 2
+BPE_CAND_WINDOW = 64  # ranked candidates scanned per round (both engines)
+
+
+def _bpe_train_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_BATCH_ROUNDS,
+    batch: int = BPE_BATCH_M,
+):
+    toks = _bpe_char_toks(spark, sf_dir).persist()
+    rows = []
+    for r in range(1, rounds + 1):
+        cand = (
+            _bpe_pair_counts(toks)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(BPE_CAND_WINDOW)
+            .collect()
+        )
+        chosen: list[tuple[int, str, int]] = []
+        used: set[str] = set()
+        for row in cand:
+            a, b = row["pair"].split(" ")
+            merged = row["pair"].replace(" ", "")
+            if {a, b, merged} & used:
+                continue
+            # merge_rank slots are fixed per round (2r-1, 2r for M=2)
+            # so a skipped slot cannot shift later rounds' ranks —
+            # the SQL oracle numbers them the same way
+            chosen.append(
+                (batch * (r - 1) + len(chosen) + 1, row["pair"], int(row["cnt"]))
+            )
+            used |= {a, b, merged}
+            if len(chosen) == batch:
+                break
+        rows.extend(
+            (rk, pair, pair.replace(" ", ""), cnt) for rk, pair, cnt in chosen
+        )
+        nxt = _bpe_apply_merges(toks, [pair for _, pair, _c in chosen]).persist()
+        toks.unpersist()
+        toks = nxt
+    return rows, toks
+
+
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, toks = _bpe_train_batched(spark, sf_dir)
     toks.unpersist()
     return spark.createDataFrame(
         rows, "merge_rank int, pair string, merged string, pair_count long"
@@ -875,6 +964,95 @@ SELECT 3, pair, merged, cnt FROM m3
 QUERIES.update(
     {
         "bpe_train_merges": QuerySpec(bpe_train_merges, BPE_ORACLE),
+    }
+)
+
+
+def _bpe_cand_sql(trel: str) -> str:
+    """Ranked pair-count candidates (rk = the Spark orderBy) limited
+    to the shared CAND_WINDOW so both engines scan the identical
+    bounded list."""
+    return f"""
+  SELECT pair, cnt, merged, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+  FROM (
+    SELECT pair, CAST(sum(weight) AS BIGINT) AS cnt,
+           replace(pair, ' ', '') AS merged
+    FROM (
+      SELECT unnest(list_transform(range(1, len(string_split(s, ' '))),
+                    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1]
+             )) AS pair,
+             weight
+      FROM {trel}
+    ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_CAND_WINDOW}
+  )
+"""
+
+
+def _bpe_apply_batch_sql(trel: str, mrels: list[str]) -> str:
+    """Apply each (possibly empty) 1-row merge relation in order;
+    chr(1) can never match a lowercase-alpha token stream, so an
+    empty c2 degenerates to a no-op replace."""
+    rep = f"' ' || {trel}.s || ' '"
+    for mrel in mrels:
+        for _ in range(3):
+            rep = (
+                f"replace({rep}, "
+                f"' ' || (SELECT coalesce(min(pair), chr(1)) FROM {mrel}) || ' ', "
+                f"' ' || (SELECT coalesce(min(merged), chr(1)) FROM {mrel}) || ' ')"
+            )
+    return f"SELECT trim({rep}) AS s, weight FROM {trel}"
+
+
+def _bpe_batched_oracle() -> str:
+    ctes = []
+    prev = "t0"
+    selects = []
+    for r in range(1, BPE_BATCH_ROUNDS + 1):
+        ctes.append(f"""
+cand{r} AS ({_bpe_cand_sql(prev)}),
+c1_{r} AS (SELECT * FROM cand{r} WHERE rk = 1),
+u1_{r} AS (
+  SELECT string_split(pair, ' ')[1] AS t FROM c1_{r}
+  UNION ALL SELECT string_split(pair, ' ')[2] FROM c1_{r}
+  UNION ALL SELECT merged FROM c1_{r}
+),
+c2_{r} AS (
+  SELECT * FROM cand{r} WHERE rk = (
+    SELECT min(rk) FROM cand{r} c
+    WHERE c.rk > 1
+      AND string_split(c.pair, ' ')[1] NOT IN (SELECT t FROM u1_{r})
+      AND string_split(c.pair, ' ')[2] NOT IN (SELECT t FROM u1_{r})
+      AND c.merged NOT IN (SELECT t FROM u1_{r})
+  )
+),
+t{r} AS ({_bpe_apply_batch_sql(prev, [f"c1_{r}", f"c2_{r}"])}),""")
+        selects.append(
+            f"SELECT {2 * (r - 1) + 1} AS merge_rank, pair, merged,"
+            f" cnt AS pair_count FROM c1_{r}\n"
+            f"UNION ALL SELECT {2 * r}, pair, merged, cnt FROM c2_{r}"
+        )
+        prev = f"t{r}"
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS weight FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE w <> '' AND length(w) <= {BPE_MAX_WORD_LEN}
+  GROUP BY w
+),
+t0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS s, weight FROM words),{"".join(ctes)}
+dummy AS (SELECT 1)
+{" UNION ALL ".join(selects)}
+"""
+
+
+BPE_BATCHED_ORACLE = _bpe_batched_oracle()
+
+QUERIES.update(
+    {
+        "bpe_train_merges_batched": QuerySpec(
+            bpe_train_merges_batched, BPE_BATCHED_ORACLE
+        ),
     }
 )
 

@@ -245,6 +245,74 @@ def test_bpe_merges_on_controlled_corpus(spark, tmp_path, monkeypatch):
     assert out == want
 
 
+def test_bpe_batched_invariants(spark, sf_dir):
+    """Top-M batched BPE (`_bpe_train_batched`):
+
+    1. batch=1 degenerates EXACTLY to sequential training — the
+       reference equivalence (same selection rule, one pick/round).
+    2. With M=2, round 1's first pick equals sequential merge 1
+       (identical argmax), every batch satisfies full-closure
+       disjointness, and each reported pair_count equals the true
+       pre-round exhaustive count (no stale-count drift WITHIN the
+       guarantees — batched SELECTION may diverge from sequential
+       after round 1, which is the documented trade).
+    3. In-batch application commutes: applying a round's pairs in
+       reversed order yields the identical token table (the property
+       full closure buys; without it batching would be
+       order-dependent and nondeterministic under re-planning).
+    """
+    from finmapreduce_spark.queries.training import (
+        BPE_BATCH_M,
+        BPE_BATCH_ROUNDS,
+        _bpe_apply_merges,
+        _bpe_char_toks,
+        _bpe_pair_counts,
+        _bpe_train,
+        _bpe_train_batched,
+    )
+
+    n = BPE_BATCH_ROUNDS * BPE_BATCH_M
+    seq, st = _bpe_train(spark, sf_dir, n_merges=n)
+    st.unpersist()
+    one, ot = _bpe_train_batched(spark, sf_dir, rounds=n, batch=1)
+    ot.unpersist()
+    assert [(p, m, c) for _, p, m, c in one] == [
+        (p, m, c) for _, p, m, c in seq
+    ]
+
+    bat, bt = _bpe_train_batched(spark, sf_dir)
+    bt.unpersist()
+    assert bat[0][1:] == seq[0][1:]  # identical first argmax
+    # full-closure disjointness within each round + true pre-round
+    # counts (recomputed by replaying the rounds)
+    toks = _bpe_char_toks(spark, sf_dir).persist()
+    by_round: dict[int, list] = {}
+    for rk, pair, merged, cnt in bat:
+        by_round.setdefault((rk - 1) // BPE_BATCH_M, []).append(
+            (rk, pair, merged, cnt)
+        )
+    for r in sorted(by_round):
+        counts = {
+            row["pair"]: int(row["cnt"])
+            for row in _bpe_pair_counts(toks).collect()
+        }
+        used: set[str] = set()
+        for _rk, pair, merged, cnt in by_round[r]:
+            a, b = pair.split(" ")
+            assert not ({a, b, merged} & used), (r, pair, used)
+            used |= {a, b, merged}
+            assert counts[pair] == cnt, (pair, counts[pair], cnt)
+        pairs = [p for _, p, _m, _c in by_round[r]]
+        fwd = _bpe_apply_merges(toks, pairs)
+        rev = _bpe_apply_merges(toks, list(reversed(pairs)))
+        diff = fwd.exceptAll(rev).union(rev.exceptAll(fwd))
+        assert diff.count() == 0  # in-batch commutation
+        nxt = fwd.persist()
+        toks.unpersist()
+        toks = nxt
+    toks.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # int8 quantization invariants (pure-Python twin of the column
 # expressions in queries/similarity.py::embedding_quantize_int8)
