@@ -2253,7 +2253,7 @@ def pagerank_ranks(
     n_iters: int | None = PR_ITERS,
     max_iters: int = PR_MAX_ITERS,
     checkpoint_every: int = PR_CHECKPOINT_EVERY,
-    tol: int = 0,
+    tol: int | None = None,
 ) -> DataFrame:
     """Integer-exact damped PageRank over (src, dst) edges for the
     ``docs`` node set. Two modes:
@@ -2262,9 +2262,16 @@ def pagerank_ranks(
       join+aggregate rounds, returned as a LAZY plan so the unrolled
       CTE oracle stays bit-exact.
     - ``n_iters=None`` (convergence mode, the real-crawl setting):
-      iterate until the L1 rank delta Σ|r_new − r_old| ≤ ``tol``
-      (integer ranks reach an exact fixpoint, so tol=0 terminates),
-      up to ``max_iters``. Ranks are localCheckpoint-ed every
+      iterate until the L1 rank delta Σ|r_new − r_old| ≤ ``tol``,
+      up to ``max_iters``. ``tol=None`` (default) resolves to |V| —
+      the standard L1 < ε·N stop expressed in integer units (mean
+      rank change < 1 unit/node). tol=0 demands the exact integer
+      fixpoint: it exists and is reached quickly on small graphs
+      (pinned at sf0.001), but on larger graphs the floor-division
+      tail decays ~0.8×/round for dozens of rounds (measured at
+      sf0.1: Σ|Δ| = 155 after 30 rounds, n=5000) and can bottom out
+      in a small limit cycle — don't use tol=0 past toy scale.
+      Ranks are localCheckpoint-ed every
       ``checkpoint_every`` rounds — the per-round delta aggregate
       re-executes at most that many rounds of lineage, and the
       logical plan never grows past the cadence (the CC loop's
@@ -2308,6 +2315,8 @@ def pagerank_ranks(
             ranks = step(ranks)
         return ranks.select("doc_id", "rank")
 
+    if tol is None:
+        tol = docs.count()  # L1 ≤ |V|: mean change < 1 integer unit
     ranks = ranks.localCheckpoint()
     for i in range(1, max_iters + 1):
         nxt = step(ranks)

@@ -643,17 +643,18 @@ def test_pagerank_convergence_mode_reaches_fixpoint(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     n = docs.count()
     edges = _pr_edges(docs, n)
-    converged = pagerank_ranks(docs, edges, n_iters=None, checkpoint_every=2)
+    converged = pagerank_ranks(
+        docs, edges, n_iters=None, checkpoint_every=2, tol=0
+    )
     got = {r["doc_id"]: r["rank"] for r in converged.collect()}
     assert len(got) == n
-    # fixpoint check: seed a fresh 1-round run FROM the converged
-    # ranks by comparing against one more convergence-mode call —
-    # tol=0 already certifies Σ|Δ| = 0 on the final round, so here we
-    # just re-run and pin determinism of the converged state
+    # fixpoint check: tol=0 certifies Σ|Δ| = 0 on the final round
+    # (the exact integer fixpoint — reachable at this toy scale);
+    # re-run at a different checkpoint cadence and pin determinism
     again = {
         r["doc_id"]: r["rank"]
         for r in pagerank_ranks(
-            docs, edges, n_iters=None, checkpoint_every=3
+            docs, edges, n_iters=None, checkpoint_every=3, tol=0
         ).collect()
     }
     assert got == again  # cadence must not affect the fixpoint
