@@ -83,6 +83,10 @@ HEADLINE = [
     # (vs 1 merge/round sequential); the driver-round-trip cut that
     # matters at real vocab sizes
     "bpe_train_merges_batched",
+    # round-4: bigram-LM cross-entropy quality (two count shuffles +
+    # two count-table joins + per-doc agg — the CCNet ladder step
+    # above the unigram MLE)
+    "text_bigram_lm_quality",
 ]
 
 

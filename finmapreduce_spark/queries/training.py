@@ -697,6 +697,107 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM perplexity quality — the step above the unigram MLE on
+# the CCNet ladder (CCNet scores wikipedia-LM perplexity per doc;
+# here the corpus is its own LM): per-doc mean -log2 P(w2 | w1) under
+# add-one smoothing, P = (c(w1,w2)+1) / (c(w1·)+V), with c(w1·) the
+# bigram-left total (Σ_w2 c(w1,w2), so probabilities condition on
+# exactly the event space they normalize over) and V the distinct
+# second-word vocabulary. Repetitive/templated text scores LOW bits
+# (its bigrams dominate the table), incoherent word salad scores
+# HIGH — the keep flag is the band filter.
+# ---------------------------------------------------------------------------
+
+BIGRAM_MAX_BITS = 12.0
+
+
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram cross-entropy under the corpus's own smoothed
+    bigram LM.
+
+    Plan shape: ONE words materialization (the shingle O(n) lesson)
+    → bigram explode (narrow) → two count shuffles (pair key, left
+    key — both partial-agg'd map-side) → doc-bigrams join the two
+    count tables on their keys (AQE broadcasts when the tables are
+    small; at 100 TB they are corpus-level aggregates ~|bigram vocab|
+    rows, shuffle-joined on uniform hashed keys) → per-doc agg. V
+    rides along as a broadcast 1-row aggregate. Docs with < 2 words
+    have no bigram event and drop from the report in both engines
+    (the Spark guard is load-bearing: sequence(1, 0) DESCENDS, and a
+    [NULL]-element pair list would make NULL-text docs matchable)."""
+    docs = _docs(spark, sf_dir)
+    w = F.col("__w")
+    pair = docs.withColumn("__w", _words(F.col("text"))).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                w.isNotNull() & (F.size(w) >= 2),
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + F.lit(1)).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    pairc = pair.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    leftc = pair.groupBy("w1").agg(F.count("*").alias("c1"))
+    vsize = pair.agg(
+        F.countDistinct("w2").cast("double").alias("v")
+    )
+    bits = -F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+    return (
+        pair.join(pairc, ["w1", "w2"])
+        .join(leftc, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(bits), 6).alias("bits_per_token"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .withColumn("keep", F.col("bits_per_token") <= F.lit(BIGRAM_MAX_BITS))
+    )
+
+
+BIGRAM_LM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+  FROM w
+), pair AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+), pairc AS (
+  SELECT w1, w2, count(*) AS c12 FROM pair GROUP BY 1, 2
+), leftc AS (
+  SELECT w1, count(*) AS c1 FROM pair GROUP BY 1
+), vs AS (
+  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM pair
+)
+SELECT doc_id,
+       round(avg(-log2((c12 + 1) / (c1 + v))), 6) AS bits_per_token,
+       count(*) AS n_bigrams,
+       round(avg(-log2((c12 + 1) / (c1 + v))), 6) <= {BIGRAM_MAX_BITS} AS keep
+FROM pair JOIN pairc USING (w1, w2) JOIN leftc USING (w1), vs
+GROUP BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "text_bigram_lm_quality": QuerySpec(
+            text_bigram_lm_quality, BIGRAM_LM_ORACLE
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Distributed BPE tokenizer training (Sennrich et al. 2016, the merge
 # loop every modern tokenizer trainer runs): iterate K times — count
 # adjacent token pairs over the corpus, pick the global argmax pair,

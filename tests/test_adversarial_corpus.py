@@ -201,6 +201,10 @@ _PARITY_PINNED = [
     "sessionize_events",
     "scd2_event_type_history",
     "scd2_point_in_time_lookup",
+    # round-4 additions (NULL-text and sub-bigram docs must drop
+    # identically; overflow-k rows exercise the try_cast contract):
+    "text_bigram_lm_quality",
+    "bpe_train_merges_batched",
 ]
 
 
