@@ -716,14 +716,19 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram LM.
 
     Plan shape: ONE words materialization (the shingle O(n) lesson)
-    → bigram explode (narrow) → two count shuffles (pair key, left
-    key — both partial-agg'd map-side) → doc-bigrams join the two
-    count tables on their keys (AQE broadcasts when the tables are
-    small; at 100 TB they are corpus-level aggregates ~|bigram vocab|
-    rows, shuffle-joined on uniform hashed keys) → per-doc agg. V
-    rides along as a broadcast 1-row aggregate. Docs with < 2 words
-    have no bigram event and drop from the report in both engines
-    (the Spark guard is load-bearing: sequence(1, 0) DESCENDS, and a
+    → bigram explode (narrow) → the event table PERSISTS (it feeds
+    four consumers — the per-doc events, both count tables, and V;
+    left lazy the plan re-scans and re-explodes the corpus 4×,
+    which is the difference between one and four corpus passes at
+    100 TB; lifecycle is caller-owned per the catalog-wide
+    clearCache contract) → two count shuffles (pair key, left key —
+    both partial-agg'd map-side) → doc-bigrams join the two count
+    tables on their keys (AQE broadcasts when the tables are small;
+    at 100 TB they are corpus-level aggregates ~|bigram vocab| rows,
+    shuffle-joined on uniform hashed keys) → per-doc agg. V rides
+    along as a broadcast 1-row aggregate. Docs with < 2 words have
+    no bigram event and drop from the report in both engines (the
+    Spark guard is load-bearing: sequence(1, 0) DESCENDS, and a
     [NULL]-element pair list would make NULL-text docs matchable)."""
     docs = _docs(spark, sf_dir)
     w = F.col("__w")
@@ -741,7 +746,7 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    ).select("doc_id", "b.w1", "b.w2").persist()
     pairc = pair.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     leftc = pair.groupBy("w1").agg(F.count("*").alias("c1"))
     vsize = pair.agg(

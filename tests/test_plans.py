@@ -679,6 +679,25 @@ def test_pit_lookup_is_join_free_single_exchange(spark, sf_dir):
     assert tree.count("Exchange") <= 2  # one per union branch pre-merge
 
 
+def test_bigram_lm_single_corpus_pass_jvm_only(spark, sf_dir):
+    """The bigram event table must be built ONCE (persisted — the
+    four consumers otherwise each re-scan and re-explode the corpus:
+    exactly one parquet Scan of documents may appear in the plan),
+    the only cross join is the broadcast 1-row V aggregate, and the
+    whole pipeline stays JVM-side."""
+    import re
+
+    plan = plan_of(QS["text_bigram_lm_quality"].spark(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # unique numbered scan nodes: the InMemoryRelation definition is
+    # re-rendered per consumer, but all four render the SAME node id
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, scans
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 3
+    spark.catalog.clearCache()
+
+
 def test_simhash_pairs_banded_join_no_cartesian(spark, sf_dir):
     """Candidate generation must be the (band, value) equi-join —
     never an all-pairs cross — and signature construction stays
