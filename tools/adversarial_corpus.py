@@ -1,0 +1,156 @@
+"""Build the adversarial (poisoned) table directory used by the
+totality + value-parity gates.
+
+One shared builder for both consumers:
+- tests/test_adversarial_corpus.py (pytest fixture)
+- the full-catalog poisoned sweep:
+    python tools/adversarial_corpus.py /tmp/fmr_adv   # build
+    FMR_COMPARE_SF_DIR=/tmp/fmr_adv python tools/compare.py
+
+Poison rows are APPENDED to the base fixture tables (not replacing:
+iterative trainers legitimately require a non-degenerate corpus; the
+point is that poison rows in a healthy corpus must not kill the job
+or silently diverge between engines). The catalog of pathologies and
+the divergence classes each row has caught is documented at the rows
+and in SCALE.md's adversarial-certification notes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+ADV_DOCS = [
+    (100001, "", "en", "adv"),
+    (100002, "one", "en", "adv"),
+    (100003, "two words", "en", "adv"),
+    (100004, "   ", "en", "adv"),
+    (100005, "12345 67890 11 22 33", "en", "adv"),
+    (100006, ("spam " * 1000).strip(), "en", "adv"),
+    (100007, "naïve café — emoji \U0001f389 mixed ünïcode text here", "de", "adv"),
+    (100008, "line\nbreaks\tand\ttabs\nmix\nhere now ok", "en", "adv"),
+    (100009, "x" * 5000, "en", "adv"),
+    (100010, "-5 +3.2e10 NaN Infinity -0.0 1/0 £$€", "en", "adv"),
+    (100011, None, "en", "adv"),
+    (100012, "'); DROP TABLE documents;-- <script> \" quote ` tick", "en", "adv"),
+    # a SECOND NULL-text doc: the pairwise NULL-doc cases (two failed
+    # parses colliding in a dedup join) need at least two of them
+    (100013, None, "en", "adv"),
+]
+
+
+def build_adversarial_corpus(sf_dir: str, out: str) -> str:
+    """Materialize ``{out}/*.parquet``: base tables + poison rows.
+
+    Unmodified tables are symlinked; documents/embeddings/events are
+    rewritten with appended poison rows."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE adv(doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR)"
+    )
+    con.executemany("INSERT INTO adv VALUES (?,?,?,?)", ADV_DOCS)
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/documents.parquet'
+          UNION ALL
+          SELECT doc_id, text, lang, source,
+                 coalesce(length(text), 0) AS n_chars
+          FROM adv
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    dim = con.execute(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/embeddings.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES
+            (200001, {[0.0] * dim}::FLOAT[], 0),
+            (200002, NULL::FLOAT[], 1),
+            (200003, NULL::FLOAT[], NULL),
+            (200004, ['nan'::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 2),
+            (200005, [NULL::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 3),
+            -- a NaN vector at an EVEN id whose odd partner is VALID,
+            -- so the pair-cosine query must actively exclude it (a
+            -- NaN side with an invalid partner drops at the join and
+            -- would hide a missing guard)
+            (200006, ['nan'::FLOAT] || {[0.5] * (dim - 1)}::FLOAT[], 4),
+            (200007, {[0.25] * dim}::FLOAT[], 4),
+            -- ragged vector SHORTER than the sign-LSH bit count: an
+            -- unguarded element_at in signature builders throws under
+            -- ANSI
+            (200008, [0.5, 0.5, 0.5]::FLOAT[], 5),
+            -- NULL-element vectors at an OFF-modal length (dim+2): the
+            -- modal-dim election must count only NULL-element-free
+            -- rows in BOTH engines, else a cluster of these could
+            -- elect different modal dims per engine (ADVICE r03)
+            (200009, [NULL::FLOAT] || {[0.5] * (dim + 1)}::FLOAT[], 6),
+            (200010, [NULL::FLOAT] || {[0.25] * (dim + 1)}::FLOAT[], 6),
+            (200011, [NULL::FLOAT] || {[0.75] * (dim + 1)}::FLOAT[], 6)
+          ) t(vec_id, embedding, label)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/events.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, NULL::TIMESTAMP, 42::BIGINT, 'view', 1.0, '{{"k": 1}}'),
+            (900002, TIMESTAMP '2024-01-05 00:00:00', NULL::BIGINT, 'click',
+             2.0, NULL),
+            (900003, TIMESTAMP '2024-01-05 00:00:01', 43, NULL, NULL::DOUBLE,
+             'not json {{'),
+            (900004, TIMESTAMP '2024-01-05 00:00:02', 43, 'purchase', -7.5,
+             '{{"k": "str"}}'),
+            (900005, TIMESTAMP '1970-01-01 00:00:00', 44, 'error', 0.0, '[]'),
+            -- NULL-user event whose event_id lands in the PIT probe
+            -- set (% 10 = 7): a user-keyed lookup must drop it in
+            -- BOTH engines, not just in the oracle's equi-join
+            (900007, TIMESTAMP '2024-01-05 00:00:03', NULL::BIGINT, 'view',
+             3.0, '{{"k": 2}}'),
+            -- fractional / exponent JSON numbers: lenient numeric
+            -- casts DIVERGE between engines (Spark try_cast NULLs
+            -- '1.5', DuckDB TRY_CAST rounds it) — the integral-only
+            -- regex contract must hold on both
+            (900008, TIMESTAMP '2024-01-05 00:00:04', 45, 'view', 4.0,
+             '{{"k": 1.5}}'),
+            (900009, TIMESTAMP '2024-01-05 00:00:05', 45, 'view', 5.0,
+             '{{"k": 1e3}}'),
+            -- overflow-magnitude integral strings: pass the
+            -- integral-only regex but overflow INT / BIGINT — an
+            -- ANSI cast inside the guard is a CAST_OVERFLOW job
+            -- kill; try_cast must NULL them in both engines
+            (900010, TIMESTAMP '2024-01-05 00:00:06', 46, 'view', 6.0,
+             '{{"k": 3000000000}}'),
+            (900011, TIMESTAMP '2024-01-05 00:00:07', 46, 'view', 7.0,
+             '{{"k": 99999999999999999999}}'),
+            (900012, TIMESTAMP '2024-01-05 00:00:08', 46, 'view', 8.0,
+             '{{"k": -99999999999999999999}}')
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for t in "region nation customer supplier part orders lineitem".split():
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{sf_dir}/{t}.parquet", dst)
+    return out
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fmr_adv"
+    base = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    print(build_adversarial_corpus(base, out))
