@@ -2329,7 +2329,10 @@ def pagerank_ranks(
             .first()["l1"]
         )
         ranks = nxt
-        if delta is not None and delta <= tol:
+        # NULL delta means the join was empty — zero nodes — which is
+        # trivially converged, not "keep burning rounds until the
+        # budget misdiagnoses it as non-convergence"
+        if delta is None or delta <= tol:
             return ranks.select("doc_id", "rank")
     raise RuntimeError(
         f"pagerank did not converge to L1 ≤ {tol} in {max_iters} iters"

@@ -1110,6 +1110,11 @@ def _bpe_apply_batch_sql(trel: str, mrels: list[str]) -> str:
 
 
 def _bpe_batched_oracle() -> str:
+    # the c1/c2 two-pick CTE structure and the 2r-1/2r rank literals
+    # below hardwire M=2; changing BPE_BATCH_M must extend the oracle
+    # in lockstep or the catalog sweep fails as an opaque hash
+    # mismatch
+    assert BPE_BATCH_M == 2, "batched-BPE oracle models exactly M=2 picks"
     ctes = []
     prev = "t0"
     selects = []

@@ -658,14 +658,34 @@ def test_pagerank_convergence_mode_reaches_fixpoint(spark, sf_dir):
         ).collect()
     }
     assert got == again  # cadence must not affect the fixpoint
-    # prefix property: the catalog's fixed PR_ITERS ranks lie on the
-    # same trajectory
+    # prefix property: the fixed-PR_ITERS branch of pagerank_ranks
+    # must produce EXACTLY the catalog query's ranks (values, not
+    # just keys) — the convergence path reuses the identical step,
+    # not a parallel implementation
     fixed = {
         r["doc_id"]: r["rank"]
         for r in pagerank_ranks(docs, edges, n_iters=PR_ITERS).collect()
     }
-    assert set(fixed) == set(got)
+    from finmapreduce_spark.queries import all_queries
+
+    catalog = {
+        r["doc_id"]: r["rank"]
+        for r in all_queries()["pagerank_links"].spark(spark, sf_dir).collect()
+    }
+    assert fixed == catalog
     spark.catalog.clearCache()
+
+
+def test_pagerank_convergence_empty_node_set_returns_immediately(spark):
+    """Zero nodes is trivially converged: the L1 delta aggregate over
+    an empty join is NULL, which must read as 'converged', not loop
+    to max_iters and raise."""
+    from finmapreduce_spark.queries.dedup import pagerank_ranks
+
+    docs = spark.createDataFrame([], "doc_id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_ranks(docs, edges, n_iters=None, max_iters=3)
+    assert out.count() == 0
 
 
 def test_pit_lookup_is_join_free_single_exchange(spark, sf_dir):

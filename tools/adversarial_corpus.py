@@ -143,8 +143,12 @@ def build_adversarial_corpus(sf_dir: str, out: str) -> str:
     con.close()
     for t in "region nation customer supplier part orders lineitem".split():
         dst = f"{out}/{t}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{sf_dir}/{t}.parquet", dst)
+        # always relink (lexists catches dangling symlinks): reusing
+        # the fixed CLI out dir against a DIFFERENT base must not
+        # silently keep stale links to the previous base's tables
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(f"{sf_dir}/{t}.parquet", dst)
     return out
 
 
