@@ -2318,10 +2318,13 @@ def pagerank_ranks(
     if tol is None:
         tol = docs.count()  # L1 ≤ |V|: mean change < 1 integer unit
     ranks = ranks.localCheckpoint()
+    prev_ckpt = ranks  # last materialized snapshot; at most ONE is retained
     for i in range(1, max_iters + 1):
         nxt = step(ranks)
+        new_ckpt = None
         if i % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint()
+            nxt = nxt.localCheckpoint()  # eager: blocks exist after this line
+            new_ckpt = nxt
         delta = (
             ranks.select("doc_id", F.col("rank").alias("r_old"))
             .join(nxt.select("doc_id", F.col("rank").alias("r_new")), "doc_id")
@@ -2329,6 +2332,15 @@ def pagerank_ranks(
             .first()["l1"]
         )
         ranks = nxt
+        # The delta above was the last reader of the old snapshot; once
+        # the new checkpoint is materialized, drop the old one so a long
+        # run holds one rank copy in executor storage, not
+        # max_iters/checkpoint_every of them. Must happen AFTER the
+        # delta: localCheckpoint truncates lineage, so unpersisting
+        # earlier would orphan the old ranks' only copy mid-read.
+        if new_ckpt is not None:
+            prev_ckpt.unpersist()
+            prev_ckpt = new_ckpt
         # NULL delta means the join was empty — zero nodes — which is
         # trivially converged, not "keep burning rounds until the
         # budget misdiagnoses it as non-convergence"

@@ -23,6 +23,14 @@ OUT = REPO / "finmapreduce_spark" / "queries" / "witnessed_rounds.json"
 
 
 def row_verdict(row: dict) -> str:
+    # Queries with no DuckDB oracle (oracle_sql omits them by design,
+    # e.g. dedup_ml_minhash_lsh's seeded Spark-ML hash coefficients)
+    # get a rows-only driver check: err == "no_oracle" with a
+    # non-empty Spark result is the strongest verdict possible, not a
+    # failure. Scoring it "fail" would pin the query to witness
+    # priority slot 1 forever and burn a driver row every round.
+    if row.get("err") == "no_oracle":
+        return "rows_only" if (row.get("spark_rows") or 0) > 0 else "fail"
     ok = (
         bool(row.get("rows_match"))
         and bool(row.get("schema_match"))
