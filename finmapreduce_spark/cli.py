@@ -96,6 +96,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             chunk_size=args.chunk_size,
             chunk_overlap=args.chunk_overlap,
             score_threshold=threshold,
+            format_type=args.format_type,  # P2: json → struct filter
             map_template=prompt_set["map"],
             reduce_template=prompt_set["reduce"],
             # real-run posture: the sink's write+stats and the judge all

@@ -131,6 +131,26 @@ class MockLLM:
                 if score > 0
                 else "model returned no score"
             )
+        elif kind == "map_json":
+            # P2 json format (reference json_formatter.py:17-34 +
+            # map_prompt.yml json set): the map reply IS a JSON object
+            # carrying relevance_score; score==0 models the malformed /
+            # non-JSON reply the reference scores as 0 and filters.
+            score = mock_relevance_score(prompt)
+            words = prompt.split()
+            content = (
+                json.dumps(
+                    {
+                        "summary": f"chunk of {len(words)} words",
+                        "terms": [words[0], words[-1]],
+                        "evidence": [words[0]],
+                        "answer": words[len(words) // 2],
+                        "relevance_score": score,
+                    }
+                )
+                if score > 0
+                else "model returned no score"
+            )
         elif kind == "reduce":
             h = hashlib.md5(prompt.encode()).hexdigest()[:8]
             content = json.dumps(
@@ -465,8 +485,9 @@ class OpenAICompatClient:
             "max_tokens": self.cfg.max_tokens,
         }
         # JSON-emitting stages opt into the provider-side JSON mode;
-        # map replies are plain text with a trailing Score: line.
-        if kind in ("reduce", "judge", "truncation", "improve"):
+        # hybrid/plain map replies are plain text with a trailing
+        # Score: line, but the json-format map (P2) is a JSON object.
+        if kind in ("reduce", "judge", "truncation", "improve", "map_json"):
             payload["response_format"] = {"type": "json_object"}
         return payload
 

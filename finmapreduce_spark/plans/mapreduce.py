@@ -49,6 +49,12 @@ class MapReduceConfig:
     chunk_overlap: int = 64
     score_threshold: int = 5  # strict `>`; P3 hybrid=5, P4 plain_text=50
     # (reference json_formatter.py:32, plain_text_formatter.py:30-56)
+    # P2 format switch (reference factory.py FORMATS): "hybrid" /
+    # "plain_text" score-filter via the regex 'Score: N' path;
+    # "json" parses the map reply into MAP_RESULT_SCHEMA and filters
+    # the struct field (json_formatter.py:17-34 — missing/unparseable
+    # JSON scores 0 and drops).
+    format_type: str = "hybrid"
     judge_batch_size: int = 5  # reference async_evaluation.py:261
     # "bucketed" (DEFAULT — the cluster-scale path): hash-bucket
     # qa_ids, batch within bucket — no global sort, batch size still
@@ -120,7 +126,13 @@ def map_stage(chunks: DataFrame, cfg: MapReduceConfig) -> DataFrame:
     return run_llm_stage(
         with_prompt,
         prompt_col="prompt",
-        kind="map",
+        # json format asks the model for a JSON map reply (the real
+        # client flips response_format; the mock emits the struct).
+        # expect_json stays False: an unparseable map reply must flow
+        # through as score-0 content and be FILTERED (reference
+        # json_formatter.py:31 `.get("relevance_score", 0)`), not
+        # retried to death and turned into an error row.
+        kind="map_json" if cfg.format_type == "json" else "map",
         out_schema=MAP_OUT_SCHEMA,
         row_builder=map_row_builder,
         client_factory=cfg.client_factory,
@@ -128,8 +140,28 @@ def map_stage(chunks: DataFrame, cfg: MapReduceConfig) -> DataFrame:
 
 
 def filter_stage(map_out: DataFrame, cfg: MapReduceConfig) -> DataFrame:
-    """P3: strict `>` on the regex-extracted score; malformed content
-    (no 'Score:') drops — exactly hybrid_formatter.py:33-60."""
+    """P2/P3 score filter, strict `>`.
+
+    json format (P2, reference json_formatter.py:17-34): ``from_json``
+    the map reply into MAP_RESULT_SCHEMA and filter the struct field —
+    unparseable content yields a NULL struct, which scores 0 and drops,
+    exactly ``result.get("json", {}).get("relevance_score", 0)``. The
+    parsed ``map_result`` struct stays on the row for downstream XML
+    rendering (format_map_results_for_reduce).
+
+    hybrid/plain_text (P3/P4, hybrid_formatter.py:33-60): regex-extract
+    the trailing 'Score: N' line; malformed content (no 'Score:') drops.
+    """
+    if cfg.format_type == "json":
+        from finmapreduce_spark.schemas import MAP_RESULT_SCHEMA
+
+        parsed = map_out.withColumn(
+            "map_result", F.from_json(F.col("content"), MAP_RESULT_SCHEMA)
+        )
+        scored = parsed.withColumn(
+            "score", F.coalesce(F.col("map_result.relevance_score"), F.lit(0))
+        )
+        return scored.filter(F.col("score") > cfg.score_threshold)
     scored = map_out.withColumn("score", extract_score(F.col("content")))
     return scored.filter(F.col("score") > cfg.score_threshold)
 

@@ -260,13 +260,17 @@ FROM mapped
 # ---------------------------------------------------------------------------
 
 def pipeline_judge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _judge_accuracy(spark, sf_dir, CFG)
+
+
+def _judge_accuracy(spark: SparkSession, sf_dir: str, cfg: MapReduceConfig) -> DataFrame:
     qa = synthetic_qa(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     qa_docs = join_documents(qa, docs)
-    chunks = chunk_stage(qa_docs, CFG)
-    mapped = map_stage(chunks, CFG)
-    kept = filter_stage(mapped, CFG)
-    reduced = reduce_stage(kept, qa, CFG)
+    chunks = chunk_stage(qa_docs, cfg)
+    mapped = map_stage(chunks, cfg)
+    kept = filter_stage(mapped, cfg)
+    reduced = reduce_stage(kept, qa, cfg)
     answers = answers_with_errors(qa, qa_docs, reduced)
     # gold = the llm answer for every 3rd doc (known-correct control
     # group), 'gold-other' otherwise — yields a Correct/Incorrect/
@@ -278,7 +282,7 @@ def pipeline_judge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("llm_answer"),
         ).otherwise(F.lit("gold-other")),
     )
-    judgments = judge_stage(answers, CFG)
+    judgments = judge_stage(answers, cfg)
     return (
         judgments.withColumn("judgment_norm", normalize_judgment(F.col("judgment")))
         .groupBy("judgment_norm")
@@ -422,6 +426,58 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# P2: json-format struct score filter (reference json_formatter.py:17-34
+# — parse the map reply as JSON, keep relevance_score > 5; malformed
+# replies score 0 and drop). The mock's json map reply is a pure
+# word/md5 function of the prompt, so every struct field the query
+# surfaces is SQL-reproducible.
+# ---------------------------------------------------------------------------
+
+CFG_JSON = MapReduceConfig(judge_batching="global", format_type="json")
+
+
+def p2_struct_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG_JSON)
+    mapped = map_stage(chunks, CFG_JSON)
+    kept = filter_stage(mapped, CFG_JSON)
+    return kept.select(
+        "qa_id",
+        "chunk_index",
+        F.col("map_result.relevance_score").alias("relevance_score"),
+        F.col("map_result.answer").alias("mid_word"),
+        F.col("map_result.summary").alias("summary"),
+    )
+
+
+P2_STRUCT_ORACLE = f"""
+WITH {_PIPE_SQL}
+SELECT qa_id, chunk_index,
+       CAST(score AS INT) AS relevance_score,
+       words[CAST(floor(len(words) / 2) AS BIGINT) + 1] AS mid_word,
+       'chunk of ' || CAST(len(words) AS VARCHAR) || ' words' AS summary
+FROM mapped
+WHERE score > {CFG.score_threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# U4 bucketed-batching parity: the DEFAULT scale path (hash-bucketed
+# judge batches — no global sort). Verdicts are batching-invariant
+# (items judged independently within a batch), so the SAME oracle as
+# the global-mode query certifies it; only batch COMPOSITION differs.
+# ---------------------------------------------------------------------------
+
+CFG_BUCKETED = MapReduceConfig()  # judge_batching="bucketed" default
+
+
+def pipeline_judge_accuracy_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _judge_accuracy(spark, sf_dir, CFG_BUCKETED)
+
+
 # U5: improve_question preprocessing (reference base_pipeline.py:521-630)
 
 def improve_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +532,10 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_map_stats": QuerySpec(pipeline_map_stats, PIPE_STATS_ORACLE),
     "pipeline_token_usage": QuerySpec(pipeline_token_usage, PIPE_USAGE_ORACLE),
     "pipeline_judge_accuracy": QuerySpec(pipeline_judge_accuracy, PIPE_JUDGE_ORACLE),
+    "pipeline_judge_accuracy_bucketed": QuerySpec(
+        pipeline_judge_accuracy_bucketed, PIPE_JUDGE_ORACLE
+    ),
+    "p2_struct_score_filter": QuerySpec(p2_struct_score_filter, P2_STRUCT_ORACLE),
     "truncation_e2e_answers": QuerySpec(truncation_e2e_answers, TRUNC_E2E_ORACLE),
     "truncation_stats": QuerySpec(truncation_stats, TRUNC_STATS_ORACLE),
     "improve_questions": QuerySpec(improve_questions, IMPROVE_ORACLE),

@@ -96,3 +96,31 @@ def test_cli_rejects_bad_registry_values(spark, fixture_dirs):
     with pytest.raises(SystemExit):
         run(["--dataset", "unknown", "--data_path", qa_path,
              "--docs_glob", docs_dir], spark=spark)
+
+
+def test_cli_json_format_struct_filter(spark, fixture_dirs):
+    """--format_type json routes the map stage through the P2 struct
+    filter (from_json → relevance_score > 5) end to end."""
+    qa_path, docs_dir, out_root = fixture_dirs
+    out_dir = run(
+        [
+            "--dataset", "financebench",
+            "--approach", "mapreduce",
+            "--format_type", "json",
+            "--data_path", qa_path,
+            "--docs_glob", docs_dir,
+            "--output_dir", out_root,
+            "--chunk_size", "256",
+            "--chunk_overlap", "32",
+        ],
+        spark=spark,
+    )
+    rows = [
+        json.loads(l)
+        for p in os.listdir(out_dir)
+        if p.startswith("part-") and p.endswith(".json")
+        for l in open(os.path.join(out_dir, p))
+    ]
+    assert len(rows) == 3
+    summary = json.load(open(os.path.join(out_dir, "_summary.json")))
+    assert summary["config"]["format_type"] == "json"

@@ -168,3 +168,44 @@ def test_default_judge_batching_has_no_unpartitioned_window(spark, fixture_table
             inner = line.lower().split("windowspecdefinition(", 1)[1]
             assert not inner.lstrip().startswith("qa_id"), line
             assert "__bucket" in inner or "pmod" in inner, line
+
+
+def test_json_format_struct_filter(spark):
+    """P2 json format: the map reply parses into MAP_RESULT_SCHEMA and
+    filters on the struct field; unparseable replies score 0 and drop
+    (reference json_formatter.py:17-34)."""
+    cfg = MapReduceConfig(chunk_size=120, chunk_overlap=20, format_type="json")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " * 30), (1, "short doc"), (3, "delta " * 60)],
+        "doc_id long, text string",
+    )
+    qa = spark.createDataFrame(
+        [(i, d, f"question {i}?", "gold") for i, d in enumerate([0, 1, 3])],
+        "qa_id long, doc_id long, question string, answer string",
+    )
+    stages = run_mapreduce(qa, docs, cfg)
+    mapped = stages["mapped"].collect()
+    assert mapped, "map stage empty"
+    import json as _json
+
+    parsed, malformed = 0, 0
+    for r in mapped:
+        try:
+            obj = _json.loads(r["content"])
+            parsed += 1
+            assert set(obj) == {
+                "summary", "terms", "evidence", "answer", "relevance_score"
+            }
+        except ValueError:
+            malformed += 1
+            assert r["content"] == "model returned no score"
+    assert parsed > 0
+    kept = stages["kept"].collect()
+    assert all(r["score"] > cfg.score_threshold for r in kept)
+    # struct fields survive the filter for downstream XML rendering
+    assert all(r["map_result"]["relevance_score"] == r["score"] for r in kept)
+    # strictness + malformed-drop: no kept row lacks a parsed struct
+    assert all(r["map_result"] is not None for r in kept)
+    # e2e: answers still produced under the json format
+    answers = stages["answers"].collect()
+    assert {r["qa_id"] for r in answers} == {0, 1, 2}
