@@ -39,6 +39,146 @@ def _load_cache(spark: SparkSession, cache_dir: str) -> DataFrame:
     return spark.createDataFrame([], CACHE_SCHEMA)
 
 
+def run_llm_stage_cached(
+    df: DataFrame,
+    *,
+    prompt_col: str,
+    kind: str,
+    out_schema: str,
+    row_builder,
+    client_factory,
+    cache_dir: str,
+    expect_json: bool = False,
+) -> DataFrame:
+    """Generic cache wrapper for ANY LLM stage (map/reduce/judge).
+
+    Three steps, all distributed:
+      1. split: prompts anti-join the cache table (hits carry the
+         cached content; only misses will pay),
+      2. misses run the real stage in RAW mode — the mapInPandas echo
+         builder passes the input row through plus the raw response
+         (content/tokens/error) so fresh responses can append to the
+         cache even for builders whose output discards raw content
+         (reduce parses it away; judge explodes one response into many
+         rows). Raws are written ONCE to a staging parquet under
+         ``cache_dir/_staging`` (underscore prefix: invisible to the
+         cache table read); every downstream consumer reads that file,
+         so the paid stage executes exactly once regardless of plan
+         re-execution, AQE re-planning, or executor loss — durability
+         a ``.persist()`` cannot promise (and in practice plan-cache
+         interactions around the mid-build append made a persisted
+         miss-leg silently recompute empty; the staging file is
+         immune by construction),
+      3. replay: hits ∪ staged raws run the stage's ``row_builder`` in
+         a second mapInPandas with NO client — pure parsing, zero LLM
+         calls. Every row is built by the same builder whether it hit
+         or missed, so cached and uncached runs are value-identical.
+
+    The cache join is left to Catalyst (AQE broadcasts a small cache,
+    shuffles a 100-TB one); no driver collection anywhere.
+    """
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from finmapreduce_spark.llm.client import LLMResponse
+    from finmapreduce_spark.llm.runner import run_llm_stage
+
+    spark = df.sparkSession
+    keyed = df.withColumn("__key", _key(kind, F.col(prompt_col)))
+    cache = _load_cache(spark, cache_dir)
+
+    in_cols = [f.name for f in keyed.schema.fields]
+    raw_fields = [
+        T.StructField("__content", T.StringType(), True),
+        T.StructField("__error", T.StringType(), True),
+        T.StructField("__in_tok", T.LongType(), True),
+        T.StructField("__out_tok", T.LongType(), True),
+    ]
+    raw_schema = T.StructType(list(keyed.schema.fields) + raw_fields)
+
+    hits = keyed.join(
+        cache.select(
+            F.col("key").alias("__key"),
+            F.col("content").alias("__content"),
+            F.col("input_tokens").alias("__in_tok"),
+            F.col("output_tokens").alias("__out_tok"),
+        ),
+        "__key",
+    ).select(*in_cols, "__content", F.lit(None).cast("string").alias("__error"),
+             "__in_tok", "__out_tok")
+    misses = keyed.join(cache.select(F.col("key").alias("__key")), "__key", "left_anti")
+
+    def echo_builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
+        out = pdf[in_cols].copy()
+        out["__content"] = [
+            None if isinstance(r, Exception) else r.content for r in responses
+        ]
+        out["__error"] = [
+            str(r) if isinstance(r, Exception) else None for r in responses
+        ]
+        out["__in_tok"] = [
+            0 if isinstance(r, Exception) else r.input_tokens for r in responses
+        ]
+        out["__out_tok"] = [
+            0 if isinstance(r, Exception) else r.output_tokens for r in responses
+        ]
+        return out
+
+    # The ONLY execution of the paid stage: write raws durably, then
+    # read them back for both the cache append and the replay.
+    staging = os.path.join(cache_dir, "_staging", f"{kind}-{uuid.uuid4().hex}")
+    run_llm_stage(
+        misses,
+        prompt_col=prompt_col,
+        kind=kind,
+        out_schema=raw_schema,
+        row_builder=echo_builder,
+        client_factory=client_factory,
+        expect_json=expect_json,
+    ).write.mode("overwrite").parquet(staging)
+    # explicit schema: an all-hits run stages an empty dataset, which
+    # schema inference would reject
+    fresh_raw = spark.read.schema(raw_schema).parquet(staging)
+
+    new_rows = fresh_raw.filter(F.col("__error").isNull()).select(
+        F.col("__key").alias("key"),
+        F.col("__content").alias("content"),
+        F.col("__in_tok").alias("input_tokens"),
+        F.col("__out_tok").alias("output_tokens"),
+    )
+    if new_rows.limit(1).count() > 0:
+        new_rows.write.mode("append").parquet(cache_dir)
+
+    combined = hits.unionByName(fresh_raw)
+
+    def replay(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            responses = [
+                RuntimeError(e)
+                if e is not None
+                else LLMResponse(
+                    content=c,
+                    input_tokens=int(i),
+                    output_tokens=int(o),
+                    cache_read_tokens=0,
+                )
+                for c, e, i, o in zip(
+                    pdf["__content"], pdf["__error"], pdf["__in_tok"], pdf["__out_tok"]
+                )
+            ]
+            yield row_builder(
+                pdf.drop(columns=["__content", "__error", "__in_tok", "__out_tok"]),
+                responses,
+            )
+
+    return combined.mapInPandas(replay, schema=out_schema)
+
+
 def map_stage_cached(chunks: DataFrame, cfg, cache_dir: str) -> DataFrame:
     """map_stage with the response-cache table in front.
 

@@ -78,6 +78,12 @@ class MapReduceConfig:
     # keep at most N chunks per QA (top score, then chunk order).
     # None = reference semantics (no bound).
     max_reduce_chunks: int | None = None
+    # Cross-run response-cache table (llm/response_cache.py): when set,
+    # every LLM stage (map/reduce/judge) anti-joins its prompts against
+    # the parquet cache at this path and only misses hit the API; fresh
+    # responses append back. Re-running the same corpus re-pays nothing
+    # (SURVEY §4 custom work #2). None = off.
+    response_cache_dir: str | None = None
     # Persist each LLM stage's output before anything consumes it.
     # Protects paid API calls from double execution when (a) multiple
     # downstream consumers act on the same stage (answers feed both
@@ -86,6 +92,15 @@ class MapReduceConfig:
     # default for fixture-scale tests; ANY real-client run should set
     # it.
     persist_llm_outputs: bool = False
+
+
+def _llm_stage(df: DataFrame, cfg: MapReduceConfig, **kw) -> DataFrame:
+    """Route through the cross-run response cache when configured."""
+    if cfg.response_cache_dir:
+        from finmapreduce_spark.llm.response_cache import run_llm_stage_cached
+
+        return run_llm_stage_cached(df, cache_dir=cfg.response_cache_dir, **kw)
+    return run_llm_stage(df, **kw)
 
 
 def join_documents(qa: DataFrame, docs: DataFrame) -> DataFrame:
@@ -123,8 +138,9 @@ def map_stage(chunks: DataFrame, cfg: MapReduceConfig) -> DataFrame:
     )
     if cfg.llm_partitions:
         with_prompt = with_prompt.repartition(cfg.llm_partitions)
-    return run_llm_stage(
+    return _llm_stage(
         with_prompt,
+        cfg,
         prompt_col="prompt",
         # json format asks the model for a JSON map reply (the real
         # client flips response_format; the mock emits the struct).
@@ -199,8 +215,9 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
         "prompt",
         F.format_string(cfg.reduce_template, F.col("question"), F.col("serialized")),
     )
-    reduced = run_llm_stage(
+    reduced = _llm_stage(
         with_q,
+        cfg,
         prompt_col="prompt",
         kind="reduce",
         out_schema=REDUCE_OUT_SCHEMA,
@@ -333,8 +350,9 @@ def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
                 )
         return pd.DataFrame(rows, columns=["qa_id", "judgment", "reasoning"])
 
-    return run_llm_stage(
+    return _llm_stage(
         per_batch,
+        cfg,
         prompt_col="prompt",
         kind="judge",
         out_schema=JUDGE_OUT_SCHEMA,

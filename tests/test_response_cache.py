@@ -70,3 +70,82 @@ def test_partial_cache_only_pays_misses(spark, sf_dir, tmp_path):
         by_parity[r["qa_id"] % 2].add(r["error"] is None)
     assert by_parity[0] == {True}  # cached half answered
     assert by_parity[1] == {False}  # uncached half became error rows
+
+
+# ---------------------------------------------------------------------------
+# Full-DAG idempotency (SURVEY §4 custom work #2): a second
+# run_mapreduce over the same corpus fires ZERO new LLM calls — every
+# map, reduce, AND judge prompt is served from the cache table.
+# ---------------------------------------------------------------------------
+
+import functools
+
+from finmapreduce_spark.llm.client import MockLLM
+from finmapreduce_spark.plans.mapreduce import run_mapreduce
+
+
+class _CountingMock(MockLLM):
+    """Mock that appends one line per acomplete call to a shared file —
+    the only cross-process (Python worker) call counter local mode has."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    async def acomplete(self, prompt, *, kind="map"):
+        with open(self._path, "a") as f:
+            f.write(kind + "\n")
+        return await super().acomplete(prompt, kind=kind)
+
+
+def counting_factory(path: str) -> RateLimitedClient:
+    return RateLimitedClient(
+        _CountingMock(path),
+        RateLimitConfig(
+            requests_per_minute=10**7, tokens_per_minute=10**10, burst=10**6
+        ),
+    )
+
+
+def _count_calls(path) -> int:
+    try:
+        with open(path) as f:
+            return sum(1 for _ in f)
+    except FileNotFoundError:
+        return 0
+
+
+def test_full_dag_second_run_fires_zero_llm_calls(spark, tmp_path):
+    calls = str(tmp_path / "calls.log")
+    cfg = MapReduceConfig(
+        chunk_size=120,
+        chunk_overlap=20,
+        response_cache_dir=str(tmp_path / "dag_cache"),
+        client_factory=functools.partial(counting_factory, calls),
+        persist_llm_outputs=True,
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " * 30), (1, "short doc"), (3, "delta " * 60)],
+        "doc_id long, text string",
+    )
+    qa = spark.createDataFrame(
+        [(i, d, f"question {i}?", "gold") for i, d in enumerate([0, 0, 1, 3, 999])],
+        "qa_id long, doc_id long, question string, answer string",
+    )
+
+    run1 = run_mapreduce(qa, docs, cfg)
+    j1 = sorted((r["qa_id"], r["judgment"]) for r in run1["judgments"].collect())
+    a1 = sorted(
+        (r["qa_id"], r["llm_answer"]) for r in run1["answers"].collect()
+    )
+    n1 = _count_calls(calls)
+    assert n1 > 0, "first run should pay LLM calls"
+    assert len(j1) == 5
+
+    run2 = run_mapreduce(qa, docs, cfg)
+    j2 = sorted((r["qa_id"], r["judgment"]) for r in run2["judgments"].collect())
+    a2 = sorted(
+        (r["qa_id"], r["llm_answer"]) for r in run2["answers"].collect()
+    )
+    n2 = _count_calls(calls)
+    assert n2 == n1, f"second run paid {n2 - n1} new LLM calls"
+    assert j2 == j1 and a2 == a1  # cached run is value-identical
