@@ -261,6 +261,94 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hot-bucket-safe variant: grid-decomposed pair generation. The plain
+# band self-join shuffles on (band_id, key), so a bucket of H docs
+# (boilerplate duplicated site-wide, a template page, an empty-doc
+# cluster) funnels all H²/2 candidate verifies through ONE task. The
+# grid splits each bucket's pair triangle into B×B cells: docs get an
+# in-bucket index (one window sort, O(H log H) — rows, not pairs),
+# the left side replicates each doc to its row of cells, the right
+# side to its column, and the join key becomes (band, key, cell).
+# Per-task work is bounded by B² verifies regardless of bucket size;
+# replication factor is ceil(H/B) per hot-bucket row — the standard
+# triangle-tiling trade (same shape as dedup_embedding_cosine's grid).
+# Pair SEMANTICS are identical, so the same DuckDB oracle certifies
+# both variants. B here is sized for the local fixture; production
+# tunes B so B² verifies ≈ one task's budget (e.g. 1024).
+# ---------------------------------------------------------------------------
+
+LSH_GRID_BLOCK = 64
+
+
+def dedup_lsh_pairs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = with_shingles(_docs(spark, sf_dir))
+    sig = docs.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashed"),
+        *_minhash_cols(F.col("shingles")),
+    )
+    band0, band1 = _band_exprs()
+    buckets = sig.select(
+        "doc_id",
+        F.col("sh_hashed").alias("shingles"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "shingles", "b.band_id", "b.key")
+
+    B = LSH_GRID_BLOCK
+    wk = W.partitionBy("band_id", "key")
+    indexed = (
+        buckets.withColumn("idx", F.row_number().over(wk.orderBy("doc_id")) - 1)
+        .withColumn("nb", F.ceil(F.count("*").over(wk) / B).cast("int"))
+        .withColumn("blk", (F.col("idx") / B).cast("int"))
+        .persist()  # same exchange-reuse rationale as dedup_lsh_pairs
+    )
+    left = indexed.select(
+        "doc_id", "shingles", "band_id", "key",
+        F.col("blk").alias("blk_i"),
+        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("blk_j"),
+    )
+    right = indexed.select(
+        "doc_id", "shingles", "band_id", "key",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_i"),
+        F.col("blk").alias("blk_j"),
+    )
+    cand = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.blk_i") == F.col("r.blk_i"))
+            & (F.col("l.blk_j") == F.col("r.blk_j"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    with_inter = cand.withColumn(
+        "inter", F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    jac = F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+    return (
+        with_inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 DEDUP_LSH_ORACLE = f"""
 WITH sig AS (
   SELECT doc_id, shingles, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL})
@@ -917,7 +1005,11 @@ def dedup_cluster_canonical(
     FMR_CC_ALGORITHM as the equivalence reference. Both reach the
     same unique fixpoint (equivalence-tested).
     """
-    pairs = dedup_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Edge source: the grid pair builder — pair-identical to the plain
+    # band join (same oracle certifies both) but hot-bucket-safe, so a
+    # boilerplate cluster inflates edge VOLUME without funneling the
+    # pair build through one task (SCALE.md hot-band-bucket stress).
+    pairs = dedup_lsh_pairs_grid(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs, algorithm)
     return labels.select(
         "doc_id",
@@ -2043,6 +2135,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_ORACLE),
     "dedup_lsh_pairs": QuerySpec(dedup_lsh_pairs, DEDUP_LSH_ORACLE),
+    "dedup_lsh_pairs_grid": QuerySpec(dedup_lsh_pairs_grid, DEDUP_LSH_ORACLE),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "dedup_simhash_pairs": QuerySpec(
         dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE

@@ -177,3 +177,29 @@ def test_cluster_canonical_star_flag_matches_default(spark, sf_dir, monkeypatch)
     assert via_env == base
     with pytest.raises(ValueError, match="unknown CC algorithm"):
         dedup_cluster_canonical(spark, sf_dir, "nope")
+
+
+# ---------------------------------------------------------------------------
+# Grid-decomposed LSH pair join (hot band buckets)
+# ---------------------------------------------------------------------------
+
+def test_lsh_grid_equals_plain_on_hot_corpus(spark, sf_dir, tmp_path):
+    """dedup_lsh_pairs_grid must produce EXACTLY the plain band-join's
+    pairs, including on a distribution-poisoned corpus whose hot
+    bucket spans many grid blocks (500003 clones > LSH_GRID_BLOCK)."""
+    from tools.adversarial_corpus import build_hot_bucket_corpus
+
+    from finmapreduce_spark.queries.dedup import (
+        LSH_GRID_BLOCK,
+        dedup_lsh_pairs,
+        dedup_lsh_pairs_grid,
+    )
+
+    hot_dir = build_hot_bucket_corpus(sf_dir, str(tmp_path / "hot"), frac=0.2)
+    plain = sorted(map(tuple, dedup_lsh_pairs(spark, hot_dir).collect()))
+    grid = sorted(map(tuple, dedup_lsh_pairs_grid(spark, hot_dir).collect()))
+    assert grid == plain
+    assert len(plain) > 0
+    # the fixture really exercises multi-block tiling
+    n_hot = sum(1 for a, b, _j in plain if a >= 500000 and b >= 500000)
+    assert n_hot > LSH_GRID_BLOCK  # hot cluster pairs span blocks

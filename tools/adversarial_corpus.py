@@ -152,9 +152,62 @@ def build_adversarial_corpus(sf_dir: str, out: str) -> str:
     return out
 
 
+def build_hot_bucket_corpus(sf_dir: str, out: str, frac: float = 0.10) -> str:
+    """Distribution poison: append ``frac`` × |docs| IDENTICAL template
+    docs. Identical text → identical minhash signature → every clone
+    lands in the SAME band bucket (both bands), so the LSH band
+    self-join must push H²/2 candidate pairs through one join key —
+    the "boilerplate page duplicated site-wide" pathology. Used by the
+    skew study (SCALE.md): ``dedup_lsh_pairs`` funnels the bucket
+    through one task; ``dedup_lsh_pairs_grid`` tiles it over
+    ceil(H/B)² cells.
+
+        python tools/adversarial_corpus.py /tmp/fmr_hot BASE --hot
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    hot = int(n * frac)
+    template = (
+        "standard legal boilerplate notice terms of service apply to all "
+        "users of this site contents provided as is without warranty of "
+        "any kind either express or implied including but not limited to "
+        "merchantability fitness for a particular purpose and noninfringement"
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/documents.parquet'
+          UNION ALL
+          SELECT 500000 + t.i AS doc_id, '{template}' AS text,
+                 'en' AS lang, 'hot' AS source,
+                 length('{template}') AS n_chars
+          FROM range(0, {hot}) t(i)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings".split()
+    ):
+        dst = f"{out}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(f"{sf_dir}/{t}.parquet", dst)
+    return out
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fmr_adv"
-    base = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
-        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    base = (
+        sys.argv[2]
+        if len(sys.argv) > 2 and not sys.argv[2].startswith("--")
+        else os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     )
-    print(build_adversarial_corpus(base, out))
+    if "--hot" in sys.argv:
+        print(build_hot_bucket_corpus(base, out))
+    else:
+        print(build_adversarial_corpus(base, out))
