@@ -182,8 +182,69 @@ def filter_stage(map_out: DataFrame, cfg: MapReduceConfig) -> DataFrame:
     return scored.filter(F.col("score") > cfg.score_threshold)
 
 
+def _xml_escape(col):
+    """Reference _escape_xml (output_formatter.py): &, <, >, ', " in
+    that order — order matters (& first, or entities double-escape)."""
+    out = col
+    for a, b in (
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+        ("'", "&apos;"), ('"', "&quot;"),
+    ):
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
+def _pyrepr_list(arr):
+    """str(list_of_str) as the reference renders terms/evidence
+    (json_formatter.py:69-71): "['a', 'b']", "[]" for empty. Elements
+    are single-quote wrapped; CPython's quote-switching repr for
+    quote-bearing strings is not reproduced (the subsequent XML escape
+    entity-encodes all quotes anyway, so only the wrapper choice could
+    differ)."""
+    return F.concat(
+        F.lit("["),
+        F.concat_ws(
+            ", ", F.transform(arr, lambda t: F.concat(F.lit("'"), t, F.lit("'")))
+        ),
+        F.lit("]"),
+    )
+
+
+def _chunk_xml(mr, idx):
+    """One kept map-result struct → the reference's reduce-input chunk
+    XML (json_formatter.py:54-78; 1-based index over KEPT chunks). The
+    raw_response fallback branch (:80-87) is unreachable post-filter:
+    the P2 filter only passes rows whose struct parsed with score > θ.
+    """
+    i = idx.cast("string")
+    return F.concat(
+        F.lit("      <chunk_"), i, F.lit(">\n"),
+        F.lit("        <summary>"),
+        _xml_escape(F.coalesce(mr.summary, F.lit(""))),
+        F.lit("</summary>\n"),
+        F.lit("        <terms>"),
+        _xml_escape(_pyrepr_list(F.coalesce(mr.terms, F.array().cast("array<string>")))),
+        F.lit("</terms>\n"),
+        F.lit("        <evidence>"),
+        _xml_escape(_pyrepr_list(F.coalesce(mr.evidence, F.array().cast("array<string>")))),
+        F.lit("</evidence>\n"),
+        F.lit("        <answer>"),
+        _xml_escape(F.coalesce(mr.answer, F.lit(""))),
+        F.lit("</answer>\n"),
+        F.lit("        <relevance_score>"),
+        F.coalesce(mr.relevance_score, F.lit(0)).cast("string"),
+        F.lit("</relevance_score>\n"),
+        F.lit("      </chunk_"), i, F.lit(">"),
+    )
+
+
 def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFrame:
     """A1+W1 gather (sorted collect_list) → U2 one LLM call per QA.
+
+    json format: each kept chunk renders to the reference's XML block
+    (1-based index over kept chunks in chunk order) and blocks join
+    with single newlines (json_formatter.py:35-52); hybrid/plain gather
+    raw content with blank-line separators.
 
     ``max_reduce_chunks`` is the per-group size guard (SURVEY §7 risk
     4): a pathological million-chunk document would otherwise blow up
@@ -201,13 +262,24 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
             .filter(F.col("__rk") <= cfg.max_reduce_chunks)
             .drop("__rk")
         )
+    if cfg.format_type == "json":
+        # per-QA kept-chunk index (1-based, chunk order) is embedded in
+        # the XML, so it must exist before the gather; the window and
+        # the groupBy share the qa_id partitioning (one exchange).
+        wi = W.partitionBy("qa_id").orderBy("chunk_index")
+        kept = kept.withColumn(
+            "__xml", _chunk_xml(F.col("map_result"), F.row_number().over(wi))
+        )
+        gather_col, sep = "__xml", "\n"
+    else:
+        gather_col, sep = "content", "\n\n"
     gathered = kept.groupBy("qa_id").agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(
-            "\n\n",
+            sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_index", "content"))),
-                lambda s: s.content,
+                F.array_sort(F.collect_list(F.struct("chunk_index", gather_col))),
+                lambda s: s[gather_col],
             ),
         ).alias("serialized"),
     )

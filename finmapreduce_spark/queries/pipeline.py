@@ -465,6 +465,97 @@ WHERE score > {CFG.score_threshold}
 
 
 # ---------------------------------------------------------------------------
+# P2 full-DAG parity: the json-format pipeline end to end — JSON map
+# replies → struct score filter → per-chunk XML render (reference
+# json_formatter.py:35-90: 1-based index over kept chunks, _escape_xml
+# entity chain, str(list) terms/evidence) → newline-joined reduce
+# prompt → mock reduce answer. Every step is a word/md5 function of
+# the corpus, so the WHOLE chain has an exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def pipeline_e2e_answers_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG_JSON)
+    mapped = map_stage(chunks, CFG_JSON)
+    kept = filter_stage(mapped, CFG_JSON)
+    reduced = reduce_stage(kept, qa, CFG_JSON)
+    answers = answers_with_errors(qa, qa_docs, reduced)
+    return answers.select(
+        "qa_id",
+        "doc_id",
+        F.coalesce("doc_error", F.lit("ok")).alias("doc_status"),
+        "n_kept",
+        "llm_answer",
+        "llm_reasoning",
+    )
+
+
+def _sql_esc(expr: str) -> str:
+    """The reference's _escape_xml as nested DuckDB replaces (same
+    order: & first, then <, >, ', ")."""
+    out = expr
+    for a, b in (
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+        ("''", "&apos;"), ('"', "&quot;"),  # '' = escaped quote literal
+    ):
+        out = f"replace({out}, '{a}', '{b}')"
+    return out
+
+
+_Q = "chr(39)"  # single quote, kept out of the literal soup
+
+JSON_E2E_ORACLE = f"""
+WITH {_PIPE_SQL},
+jkept AS (
+  SELECT qa_id, doc_id, chunk_index, words, score,
+         row_number() OVER (PARTITION BY qa_id ORDER BY chunk_index) AS idx
+  FROM mapped WHERE score > {CFG.score_threshold}
+),
+jxml AS (
+  SELECT qa_id, chunk_index,
+         '      <chunk_' || idx || '>' || chr(10)
+      || '        <summary>'
+      || {_sql_esc("'chunk of ' || len(words) || ' words'")}
+      || '</summary>' || chr(10)
+      || '        <terms>'
+      || {_sql_esc(f"'[' || {_Q} || words[1] || {_Q} || ', ' || {_Q} || words[len(words)] || {_Q} || ']'")}
+      || '</terms>' || chr(10)
+      || '        <evidence>'
+      || {_sql_esc(f"'[' || {_Q} || words[1] || {_Q} || ']'")}
+      || '</evidence>' || chr(10)
+      || '        <answer>'
+      || {_sql_esc("words[CAST(floor(len(words) / 2) AS BIGINT) + 1]")}
+      || '</answer>' || chr(10)
+      || '        <relevance_score>' || score || '</relevance_score>' || chr(10)
+      || '      </chunk_' || idx || '>' AS xml
+  FROM jkept
+),
+jreduced AS (
+  SELECT qa_id, count(*) AS n_kept,
+         'Question: ' || any_value(question) || chr(10) || chr(10)
+           || string_agg(xml, chr(10) ORDER BY chunk_index) AS r_prompt
+  FROM jxml JOIN qa USING (qa_id)
+  GROUP BY qa_id
+)
+SELECT q.qa_id, q.doc_id,
+       coalesce(qd.doc_error, 'ok') AS doc_status,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CASE WHEN r.qa_id IS NOT NULL
+            THEN 'answer-' || substring(md5(r.r_prompt), 1, 8) END AS llm_answer,
+       CASE WHEN r.qa_id IS NOT NULL
+            THEN 'synthesized from '
+                 || CAST(len(regexp_split_to_array(trim(r.r_prompt), '\\s+')) AS VARCHAR)
+                 || ' tokens' END AS llm_reasoning
+FROM qa q
+LEFT JOIN (SELECT qa_id, doc_error FROM qa_docs) qd ON q.qa_id = qd.qa_id
+LEFT JOIN jreduced r ON q.qa_id = r.qa_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # U4 bucketed-batching parity: the DEFAULT scale path (hash-bucketed
 # judge batches — no global sort). Verdicts are batching-invariant
 # (items judged independently within a batch), so the SAME oracle as
@@ -536,6 +627,7 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_judge_accuracy_bucketed, PIPE_JUDGE_ORACLE
     ),
     "p2_struct_score_filter": QuerySpec(p2_struct_score_filter, P2_STRUCT_ORACLE),
+    "pipeline_e2e_answers_json": QuerySpec(pipeline_e2e_answers_json, JSON_E2E_ORACLE),
     "truncation_e2e_answers": QuerySpec(truncation_e2e_answers, TRUNC_E2E_ORACLE),
     "truncation_stats": QuerySpec(truncation_stats, TRUNC_STATS_ORACLE),
     "improve_questions": QuerySpec(improve_questions, IMPROVE_ORACLE),
