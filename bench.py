@@ -87,6 +87,12 @@ HEADLINE = [
     # two count-table joins + per-doc agg — the CCNet ladder step
     # above the unigram MLE)
     "text_bigram_lm_quality",
+    # round-5: hot-bucket-safe grid-tiled LSH pair join (window index
+    # + explode replication + cell equi-join — the triangle-tiling
+    # plan shape), and the json-format QA DAG (from_json struct
+    # filter + JVM XML render through the reduce/judge chain)
+    "dedup_lsh_pairs_grid",
+    "pipeline_e2e_answers_json",
 ]
 
 

@@ -726,3 +726,82 @@ def test_simhash_pairs_banded_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_lsh_grid_pairs_cell_equi_join_no_cartesian(spark, sf_dir):
+    """The grid variant's pair build must stay an equi-join on
+    (band, key, cell) — no cross product, no Python stage — and its
+    per-bucket indexing must be a keyed window (partitioned by the
+    bucket), never an unpartitioned global sort."""
+    plan = plan_of(QS["dedup_lsh_pairs_grid"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # the row_number window partitions by (band_id, key) — formatted
+    # mode puts the spec on the node's Arguments line
+    wins = [
+        l
+        for l in plan.splitlines()
+        if "row_number() windowspecdefinition" in l
+    ]
+    assert wins, "in-bucket index window missing"
+    assert all("band_id" in w and "key" in w for w in wins)
+
+
+def test_p2_struct_filter_is_jvm_side(spark, sf_dir):
+    """from_json + struct-field filter must run in the JVM: the only
+    Python stages in the json-format map path are the LLM mapInPandas
+    stages themselves, and the score filter sits ABOVE the map stage
+    without adding an EvalPython of its own."""
+    from finmapreduce_spark.plans.mapreduce import (
+        MapReduceConfig,
+        filter_stage,
+    )
+    from pyspark.sql import functions as F
+
+    # isolate the filter: feed it a plain DataFrame, not LLM output
+    cfg = MapReduceConfig(format_type="json")
+    fake = spark.range(10).select(
+        F.col("id").alias("qa_id"),
+        F.lit(0).alias("chunk_index"),
+        F.concat(
+            F.lit('{"summary":"s","terms":["a"],"evidence":["a"],'
+                  '"answer":"x","relevance_score":'),
+            (F.col("id") % 11).cast("string"),
+            F.lit("}"),
+        ).alias("content"),
+    )
+    out = filter_stage(fake, cfg)
+    plan = plan_of(out)
+    assert "EvalPython" not in plan and "FlatMapsInPandas" not in plan
+    assert "from_json" in plan
+    got = sorted(r["qa_id"] for r in out.collect())
+    assert got == [6, 7, 8, 9]  # strict > 5 on the struct field
+
+
+def test_json_reduce_xml_render_is_jvm_side(spark, sf_dir):
+    """The chunk-XML render (escape chain + repr lists + windowed
+    index) must be JVM expressions — adding a Python UDF here would
+    put a second Python hop between the two LLM stages."""
+    from finmapreduce_spark.plans.mapreduce import _chunk_xml
+    from finmapreduce_spark.schemas import MAP_RESULT_SCHEMA
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"summary":"a&b<c>","terms":["x\'y"],"evidence":["e"],'
+          '"answer":"a\\"q","relevance_score":7}',)],
+        "content string",
+    ).select(
+        _chunk_xml(
+            F.from_json("content", MAP_RESULT_SCHEMA), F.lit(2)
+        ).alias("xml")
+    )
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    xml = df.collect()[0]["xml"]
+    # reference escape chain + 1-based index + repr list, verbatim
+    assert "<chunk_2>" in xml and "</chunk_2>" in xml
+    assert "<summary>a&amp;b&lt;c&gt;</summary>" in xml
+    assert "<terms>[&apos;x&apos;y&apos;]</terms>" in xml
+    assert "<answer>a&quot;q</answer>" in xml
+    assert "<relevance_score>7</relevance_score>" in xml
