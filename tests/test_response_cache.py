@@ -149,3 +149,42 @@ def test_full_dag_second_run_fires_zero_llm_calls(spark, tmp_path):
     n2 = _count_calls(calls)
     assert n2 == n1, f"second run paid {n2 - n1} new LLM calls"
     assert j2 == j1 and a2 == a1  # cached run is value-identical
+
+
+def test_compaction_preserves_zero_call_idempotency(spark, tmp_path):
+    """Compacting the cache (dedupe + rewrite + staging cleanup) must
+    not lose any served response: a post-compaction re-run still fires
+    zero LLM calls and returns identical values."""
+    from finmapreduce_spark.llm.response_cache import compact_response_cache
+
+    calls = str(tmp_path / "calls.log")
+    cache_dir = str(tmp_path / "c")
+    cfg = MapReduceConfig(
+        chunk_size=120,
+        chunk_overlap=20,
+        response_cache_dir=cache_dir,
+        client_factory=functools.partial(counting_factory, calls),
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " * 30), (1, "short doc")],
+        "doc_id long, text string",
+    )
+    qa = spark.createDataFrame(
+        [(i, d, f"question {i}?", "gold") for i, d in enumerate([0, 1])],
+        "qa_id long, doc_id long, question string, answer string",
+    )
+    run1 = run_mapreduce(qa, docs, cfg)
+    j1 = sorted((r["qa_id"], r["judgment"]) for r in run1["judgments"].collect())
+    n1 = _count_calls(calls)
+
+    stats = compact_response_cache(spark, cache_dir)
+    assert stats["rows"] > 0
+    assert stats["files_after"] <= stats["files_before"]
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(cache_dir, "_staging"))
+
+    run2 = run_mapreduce(qa, docs, cfg)
+    j2 = sorted((r["qa_id"], r["judgment"]) for r in run2["judgments"].collect())
+    assert _count_calls(calls) == n1  # zero new calls post-compaction
+    assert j2 == j1
