@@ -124,3 +124,34 @@ def test_cli_json_format_struct_filter(spark, fixture_dirs):
     assert len(rows) == 3
     summary = json.load(open(os.path.join(out_dir, "_summary.json")))
     assert summary["config"]["format_type"] == "json"
+
+
+def test_cli_response_cache_across_runs(spark, fixture_dirs, tmp_path):
+    """--response_cache_dir: a second identical CLI run produces the
+    same results while serving every prompt from the cache table."""
+    qa_path, docs_dir, out_root = fixture_dirs
+    cache_dir = str(tmp_path / "resp_cache")
+    argv = [
+        "--dataset", "financebench",
+        "--approach", "mapreduce",
+        "--format_type", "hybrid",
+        "--data_path", qa_path,
+        "--docs_glob", docs_dir,
+        "--output_dir", out_root,
+        "--chunk_size", "256",
+        "--chunk_overlap", "32",
+        "--response_cache_dir", cache_dir,
+    ]
+
+    def rows_of(out_dir):
+        return sorted(
+            (r["qa_id"], r.get("llm_answer"))
+            for p in os.listdir(out_dir)
+            if p.startswith("part-") and p.endswith(".json")
+            for r in (json.loads(l) for l in open(os.path.join(out_dir, p)))
+        )
+
+    r1 = rows_of(run(argv, spark=spark))
+    assert os.path.isdir(cache_dir)  # cache table materialized
+    r2 = rows_of(run(argv, spark=spark))
+    assert r2 == r1
