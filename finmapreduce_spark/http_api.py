@@ -97,6 +97,35 @@ MODELS_CATALOG = {
 }
 
 
+def _request_config(cfg: MapReduceConfig, body: dict):
+    """Per-request pipeline selection, validated against the catalog
+    (reference endpoints.py:62,148,192: each request may choose
+    pipeline_type + format_type or strategy and the numeric knobs).
+    Returns (MapReduceConfig, approach, strategy, max_doc_tokens)."""
+    import dataclasses
+
+    approach = body.get("pipeline_type", "mapreduce")
+    if approach not in MODELS_CATALOG["pipeline_types"]:
+        raise ValueError(f"unknown pipeline_type {approach!r}")
+    strategy = body.get("strategy", "start")
+    if strategy not in MODELS_CATALOG["truncation_strategies"]:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    overrides: dict = {}
+    if "format_type" in body:
+        fmt = body["format_type"]
+        if fmt not in MODELS_CATALOG["format_types"]:
+            raise ValueError(f"unknown format_type {fmt!r}")
+        overrides["format_type"] = fmt
+        # plain_text flips the threshold default exactly as the CLI does
+        if "score_threshold" not in body:
+            overrides["score_threshold"] = 50 if fmt == "plain_text" else 5
+    for knob in ("score_threshold", "chunk_size", "chunk_overlap"):
+        if knob in body:
+            overrides[knob] = int(body[knob])
+    req_cfg = dataclasses.replace(cfg, **overrides) if overrides else cfg
+    return req_cfg, approach, strategy, int(body.get("max_doc_tokens", 8192))
+
+
 def make_server(
     spark: SparkSession,
     host: str = "127.0.0.1",
@@ -152,8 +181,15 @@ def make_server(
                     if not question:
                         raise ValueError("request needs 'question'")
                     path, tmp_dir = _stage_upload(body, doc_root)
+                    req_cfg, approach, strategy, max_toks = _request_config(
+                        cfg, body
+                    )
                     with lock:
-                        payload = answer_single(spark, path, question, cfg)
+                        payload = answer_single(
+                            spark, path, question, req_cfg,
+                            approach=approach, strategy=strategy,
+                            max_doc_tokens=max_toks,
+                        )
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
                     return

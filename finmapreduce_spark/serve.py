@@ -30,10 +30,22 @@ def answer_single(
     path: str,
     question: str,
     cfg: MapReduceConfig | None = None,
+    approach: str = "mapreduce",
+    strategy: str = "start",
+    max_doc_tokens: int = 8192,
 ) -> dict:
     """Answer one question about one uploaded file; returns the
     AnswerResponse-shaped dict (answer/reasoning/evidence, token and
-    chunk stats, error if the document was unusable)."""
+    chunk stats, error if the document was unusable).
+
+    ``approach`` selects the pipeline per request exactly as the
+    reference webapp does (endpoints.py:62: mapreduce reads
+    format_type, truncation reads strategy) — "mapreduce" runs the
+    chunked DAG under ``cfg``; "truncation" runs the full-doc
+    truncate-and-answer path (U3) with ``strategy``/``max_doc_tokens``.
+    """
+    if approach == "truncation":
+        return _answer_truncation(spark, path, question, strategy, max_doc_tokens)
     cfg = cfg or MapReduceConfig()
     qa_row = load_upload(spark, path, question)
     qa = qa_row.select(
@@ -59,6 +71,54 @@ def answer_single(
         "output_tokens": row.get("output_tokens"),
         "n_chunks": n_chunks,
         "n_kept": row.get("n_kept"),
+    }
+
+
+def _answer_truncation(
+    spark: SparkSession,
+    path: str,
+    question: str,
+    strategy: str,
+    max_doc_tokens: int,
+) -> dict:
+    from finmapreduce_spark.plans.truncation import (
+        TruncationConfig,
+        run_truncation,
+    )
+
+    qa_row = load_upload(spark, path, question)
+    qa = qa_row.select(
+        "qa_id",
+        F.col("doc_name").alias("doc_id"),
+        "question",
+        F.lit(None).cast("string").alias("answer"),
+    )
+    docs = qa_row.select(
+        F.col("doc_name").alias("doc_id"), F.col("content").alias("text")
+    )
+    tcfg = TruncationConfig(max_doc_tokens=max_doc_tokens, strategy=strategy)
+    stages = run_truncation(qa, docs, tcfg)
+    rows = stages["answered"].collect()
+    if not rows:  # doc_error path: empty/unusable document
+        err_rows = stages["qa_docs"].select("doc_error").collect()
+        err = err_rows[0]["doc_error"] if err_rows else "document not found"
+        return {
+            "answer": None, "reasoning": None, "evidence": None,
+            "error": err, "input_tokens": 0, "output_tokens": 0,
+            "n_chunks": 0, "n_kept": 0,
+        }
+    row = rows[0].asDict()
+    return {
+        "answer": row.get("llm_answer"),
+        "reasoning": row.get("llm_reasoning"),
+        "evidence": None,
+        "error": row.get("error"),
+        # the truncation answer schema carries truncation stats, not
+        # token usage (reference parity: TruncationResponse shape)
+        "trunc_applied": row.get("trunc_applied"),
+        "trunc_retention": row.get("trunc_retention"),
+        "n_chunks": 1,  # full-doc path: one truncated context
+        "n_kept": 1 if row.get("llm_answer") else 0,
     }
 
 

@@ -166,3 +166,74 @@ def test_http_models_catalog_and_path_containment(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_per_request_pipeline_config(spark):
+    """Per-request pipeline selection (reference endpoints.py:62): the
+    same server answers mapreduce/json, mapreduce/plain_text (50
+    threshold → everything filtered → no answer), and truncation with
+    a strategy — and 400s unknown registry values."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from finmapreduce_spark.http_api import make_server
+
+    server = make_server(spark, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(route, payload):
+        req = urllib.request.Request(
+            base + route,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    body = "Revenue grew fifteen percent year over year. " * 40
+    try:
+        # json format: struct-filter path end to end
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt",
+            "question": "How much did revenue grow?",
+            "format_type": "json",
+        })
+        assert status == 200 and ans["error"] is None and ans["answer"]
+
+        # plain_text: threshold 50, mock scores ≤ 10 → all filtered
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt",
+            "question": "How much did revenue grow?",
+            "format_type": "plain_text",
+        })
+        assert status == 200
+        assert ans["n_kept"] == 0 and ans["answer"] is None
+
+        # truncation pipeline with an end strategy
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt",
+            "question": "How much did revenue grow?",
+            "pipeline_type": "truncation", "strategy": "end",
+            "max_doc_tokens": 50,
+        })
+        assert status == 200 and ans["answer"]
+        assert ans["trunc_applied"] is True
+
+        # registry validation → 400
+        for bad in (
+            {"pipeline_type": "nope"},
+            {"format_type": "xml"},
+            {"pipeline_type": "truncation", "strategy": "middle"},
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post("/answer", {"content": body, "filename": "r.txt",
+                                 "question": "q?", **bad})
+            assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
