@@ -316,6 +316,7 @@ def answers_with_errors(
         "doc_error",
         "llm_answer",
         "llm_reasoning",
+        "llm_evidence",  # JSON-encoded list (reference parse_final_result)
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         "input_tokens",
         "output_tokens",

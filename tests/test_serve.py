@@ -237,3 +237,14 @@ def test_http_per_request_pipeline_config(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_answer_single_returns_evidence(spark, doc_file):
+    """The reduce stage's evidence list must reach the serving payload
+    (reference parse_final_result returns llm_evidence; it was being
+    dropped by the answers projection)."""
+    import json as _json
+
+    out = answer_single(spark, doc_file, "What grew?")
+    assert out["evidence"] is not None
+    assert isinstance(_json.loads(out["evidence"]), list)
