@@ -123,7 +123,20 @@ def _request_config(cfg: MapReduceConfig, body: dict):
         if knob in body:
             overrides[knob] = int(body[knob])
     req_cfg = dataclasses.replace(cfg, **overrides) if overrides else cfg
-    return req_cfg, approach, strategy, int(body.get("max_doc_tokens", 8192))
+    # truncation budget precedence (reference endpoints.py:192 +
+    # truncation_utils F6): explicit max_document_tokens wins; else
+    # context_window/buffer compute max(1000, cw − question − buffer).
+    if "max_document_tokens" in body or "max_doc_tokens" in body:
+        max_toks = int(body.get("max_document_tokens", body.get("max_doc_tokens")))
+    elif "context_window" in body:
+        q_tokens = len(str(body.get("question", "")).split())
+        max_toks = max(
+            1000,
+            int(body["context_window"]) - q_tokens - int(body.get("buffer", 2000)),
+        )
+    else:
+        max_toks = 8192
+    return req_cfg, approach, strategy, max_toks
 
 
 def make_server(

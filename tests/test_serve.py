@@ -248,3 +248,48 @@ def test_answer_single_returns_evidence(spark, doc_file):
     out = answer_single(spark, doc_file, "What grew?")
     assert out["evidence"] is not None
     assert isinstance(_json.loads(out["evidence"]), list)
+
+
+def test_http_truncation_budget_from_context_window(spark):
+    """context_window/buffer compute the F6 budget per request:
+    max(1000, cw − question_tokens − buffer). A small window forces
+    the 1000 floor; the long doc then truncates."""
+    import json
+    import threading
+    import urllib.request
+
+    from finmapreduce_spark.http_api import make_server
+
+    server = make_server(spark, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(route, payload):
+        req = urllib.request.Request(
+            base + route, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    body = "alpha beta gamma delta epsilon " * 300  # 1500 words
+    try:
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt", "question": "What is this?",
+            "pipeline_type": "truncation",
+            "context_window": 1200, "buffer": 150,  # → floor 1000 < 1500
+        })
+        assert status == 200 and ans["answer"]
+        assert ans["trunc_applied"] is True  # 1500 words > 1000 budget
+        # explicit max_document_tokens overrides the window calc
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt", "question": "What is this?",
+            "pipeline_type": "truncation",
+            "context_window": 1200, "max_document_tokens": 5000,
+        })
+        assert status == 200
+        assert ans["trunc_applied"] is False  # 1500 < 5000
+    finally:
+        server.shutdown()
+        server.server_close()
