@@ -112,11 +112,16 @@ def _request_config(cfg: MapReduceConfig, body: dict):
         raise ValueError(f"unknown strategy {strategy!r}")
     overrides: dict = {}
     if "format_type" in body:
+        from finmapreduce_spark.llm.prompts import load_prompt_set
+
         fmt = body["format_type"]
         if fmt not in MODELS_CATALOG["format_types"]:
             raise ValueError(f"unknown format_type {fmt!r}")
         overrides["format_type"] = fmt
-        # plain_text flips the threshold default exactly as the CLI does
+        # format selects prompt set + threshold exactly as the CLI does
+        prompt_set = load_prompt_set(body.get("prompt_set", fmt))
+        overrides["map_template"] = prompt_set["map"]
+        overrides["reduce_template"] = prompt_set["reduce"]
         if "score_threshold" not in body:
             overrides["score_threshold"] = 50 if fmt == "plain_text" else 5
     for knob in ("score_threshold", "chunk_size", "chunk_overlap"):

@@ -195,7 +195,10 @@ def test_http_per_request_pipeline_config(spark):
         with urllib.request.urlopen(req, timeout=120) as r:
             return r.status, json.loads(r.read())
 
-    body = "Revenue grew fifteen percent year over year. " * 40
+    # long doc → ~20 chunks: the mock's per-chunk score is md5-derived
+    # (P(score>5) = 5/11), so a short doc can legitimately filter ALL
+    # chunks; 20 chunks make that a ~5e-6 event instead of ~8%
+    body = "Revenue grew fifteen percent year over year. " * 200
     try:
         # json format: struct-filter path end to end
         status, ans = post("/answer", {
