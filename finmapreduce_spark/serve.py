@@ -57,11 +57,19 @@ def answer_single(
     docs = qa_row.select(
         F.col("doc_name").alias("doc_id"), F.col("content").alias("text")
     )
+    import time
+    import uuid
+
+    t0 = time.time()
     stages = run_mapreduce(qa, docs, cfg)
     answers = stages["answers"].persist()  # one execution, several reads
     row = answers.collect()[0].asDict()
     n_chunks = stages["chunks"].count()
     answers.unpersist()
+    total_time = round(time.time() - t0, 3)
+    # Reference AnswerResponse structure (endpoints.py:279-293:
+    # token_stats / timing_stats / chunk_stats / request_id) alongside
+    # the flat legacy keys.
     return {
         "answer": row.get("llm_answer"),
         "reasoning": row.get("llm_reasoning"),
@@ -71,6 +79,16 @@ def answer_single(
         "output_tokens": row.get("output_tokens"),
         "n_chunks": n_chunks,
         "n_kept": row.get("n_kept"),
+        "token_stats": {
+            "input_tokens": row.get("input_tokens"),
+            "output_tokens": row.get("output_tokens"),
+        },
+        "timing_stats": {"total_time": total_time},
+        "chunk_stats": {
+            "total_chunks": n_chunks,
+            "chunks_after_filtering": row.get("n_kept"),
+        },
+        "request_id": uuid.uuid4().hex,
     }
 
 

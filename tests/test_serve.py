@@ -296,3 +296,14 @@ def test_http_truncation_budget_from_context_window(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_answer_single_response_structure(spark, doc_file):
+    """Reference AnswerResponse parity: token_stats / timing_stats /
+    chunk_stats / request_id ride alongside the flat keys."""
+    out = answer_single(spark, doc_file, "What grew?")
+    assert out["token_stats"]["input_tokens"] == out["input_tokens"]
+    assert out["timing_stats"]["total_time"] > 0
+    assert out["chunk_stats"]["total_chunks"] == out["n_chunks"]
+    assert out["chunk_stats"]["chunks_after_filtering"] == out["n_kept"]
+    assert len(out["request_id"]) == 32
