@@ -131,6 +131,20 @@ class MockLLM:
                 if score > 0
                 else "model returned no score"
             )
+        elif kind == "map_plain":
+            # P4 plain_text format (reference plain_text_formatter.py:
+            # 30-56): scores run 0-100 with a strict >50 filter. The
+            # 0-100 score is the first md5 BYTE mod 101 — nibble
+            # arithmetic every SQL oracle can reproduce.
+            h = hashlib.md5(prompt.encode()).hexdigest()
+            score = int(h[:2], 16) % 101
+            words = prompt.split()
+            content = (
+                f"Findings: {words[0]} ... {words[-1]}\n"
+                f"Score: {score}"
+                if score > 0
+                else "model returned no score"
+            )
         elif kind == "map_json":
             # P2 json format (reference json_formatter.py:17-34 +
             # map_prompt.yml json set): the map reply IS a JSON object

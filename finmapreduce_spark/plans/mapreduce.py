@@ -142,13 +142,17 @@ def map_stage(chunks: DataFrame, cfg: MapReduceConfig) -> DataFrame:
         with_prompt,
         cfg,
         prompt_col="prompt",
-        # json format asks the model for a JSON map reply (the real
-        # client flips response_format; the mock emits the struct).
-        # expect_json stays False: an unparseable map reply must flow
-        # through as score-0 content and be FILTERED (reference
-        # json_formatter.py:31 `.get("relevance_score", 0)`), not
-        # retried to death and turned into an error row.
-        kind="map_json" if cfg.format_type == "json" else "map",
+        # The format picks the map-reply contract (reference: each
+        # format's map prompt): json → a JSON object (real client
+        # flips response_format; mock emits the struct), plain_text →
+        # 0-100 'Score:' line, hybrid → 0-10 'Score:' line.
+        # expect_json stays False even for json: an unparseable map
+        # reply must flow through as score-0 content and be FILTERED
+        # (reference json_formatter.py:31 `.get("relevance_score",
+        # 0)`), not retried to death and turned into an error row.
+        kind={"json": "map_json", "plain_text": "map_plain"}.get(
+            cfg.format_type, "map"
+        ),
         out_schema=MAP_OUT_SCHEMA,
         row_builder=map_row_builder,
         client_factory=cfg.client_factory,

@@ -556,6 +556,85 @@ LEFT JOIN jreduced r ON q.qa_id = r.qa_id
 
 
 # ---------------------------------------------------------------------------
+# P4 full-DAG parity: the plain_text pipeline — 0-100 'Score:' map
+# replies (first md5 byte mod 101), strict > 50 filter (reference
+# plain_text_formatter.py:30-56), raw-content reduce gather.
+# ---------------------------------------------------------------------------
+
+CFG_PLAIN = MapReduceConfig(
+    judge_batching="global", format_type="plain_text", score_threshold=50
+)
+
+
+def pipeline_e2e_answers_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG_PLAIN)
+    mapped = map_stage(chunks, CFG_PLAIN)
+    kept = filter_stage(mapped, CFG_PLAIN)
+    reduced = reduce_stage(kept, qa, CFG_PLAIN)
+    answers = answers_with_errors(qa, qa_docs, reduced)
+    return answers.select(
+        "qa_id",
+        "doc_id",
+        F.coalesce("doc_error", F.lit("ok")).alias("doc_status"),
+        "n_kept",
+        "llm_answer",
+        "llm_reasoning",
+    )
+
+
+# first md5 BYTE of the prompt, mod 101 — nibble arithmetic
+_P4_SCORE = (
+    "(16 * (strpos('0123456789abcdef', substring(md5(prompt), 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substring(md5(prompt), 2, 1)) - 1)) % 101"
+)
+
+PLAIN_E2E_ORACLE = f"""
+WITH {_PIPE_SQL},
+pmapped AS (
+  SELECT qa_id, doc_id, chunk_index, words, score,
+         CASE WHEN score = 0 THEN 'model returned no score'
+              ELSE 'Findings: ' || words[1] || ' ... ' || words[len(words)]
+                   || chr(10) || 'Score: ' || CAST(score AS VARCHAR)
+         END AS content
+  FROM (
+    SELECT qa_id, doc_id, chunk_index,
+           regexp_split_to_array(trim(prompt), '\\s+') AS words,
+           {_P4_SCORE} AS score
+    FROM (SELECT qa_id, doc_id, chunk_index,
+                 question || chr(10) || chr(10) || chunk_text AS prompt
+          FROM chunks)
+  )
+),
+pkept AS (
+  SELECT * FROM pmapped WHERE score > 50
+),
+preduced AS (
+  SELECT qa_id, count(*) AS n_kept,
+         'Question: ' || any_value(question) || chr(10) || chr(10)
+           || string_agg(content, chr(10) || chr(10) ORDER BY chunk_index)
+           AS r_prompt
+  FROM pkept JOIN qa USING (qa_id)
+  GROUP BY qa_id
+)
+SELECT q.qa_id, q.doc_id,
+       coalesce(qd.doc_error, 'ok') AS doc_status,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CASE WHEN r.qa_id IS NOT NULL
+            THEN 'answer-' || substring(md5(r.r_prompt), 1, 8) END AS llm_answer,
+       CASE WHEN r.qa_id IS NOT NULL
+            THEN 'synthesized from '
+                 || CAST(len(regexp_split_to_array(trim(r.r_prompt), '\\s+')) AS VARCHAR)
+                 || ' tokens' END AS llm_reasoning
+FROM qa q
+LEFT JOIN (SELECT qa_id, doc_error FROM qa_docs) qd ON q.qa_id = qd.qa_id
+LEFT JOIN preduced r ON q.qa_id = r.qa_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # U4 bucketed-batching parity: the DEFAULT scale path (hash-bucketed
 # judge batches — no global sort). Verdicts are batching-invariant
 # (items judged independently within a batch), so the SAME oracle as
@@ -628,6 +707,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "p2_struct_score_filter": QuerySpec(p2_struct_score_filter, P2_STRUCT_ORACLE),
     "pipeline_e2e_answers_json": QuerySpec(pipeline_e2e_answers_json, JSON_E2E_ORACLE),
+    "pipeline_e2e_answers_plain": QuerySpec(
+        pipeline_e2e_answers_plain, PLAIN_E2E_ORACLE
+    ),
     "truncation_e2e_answers": QuerySpec(truncation_e2e_answers, TRUNC_E2E_ORACLE),
     "truncation_stats": QuerySpec(truncation_stats, TRUNC_STATS_ORACLE),
     "improve_questions": QuerySpec(improve_questions, IMPROVE_ORACLE),

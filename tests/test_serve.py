@@ -208,14 +208,17 @@ def test_http_per_request_pipeline_config(spark):
         })
         assert status == 200 and ans["error"] is None and ans["answer"]
 
-        # plain_text: threshold 50, mock scores ≤ 10 → all filtered
+        # plain_text: 0-100 scores (map_plain mock), strict > 50 —
+        # ~half the chunks keep, so with 20 chunks an answer emerges
+        # while the filter provably dropped some
         status, ans = post("/answer", {
             "content": body, "filename": "r.txt",
             "question": "How much did revenue grow?",
             "format_type": "plain_text",
         })
-        assert status == 200
-        assert ans["n_kept"] == 0 and ans["answer"] is None
+        assert status == 200 and ans["error"] is None
+        assert 0 < ans["n_kept"] < ans["n_chunks"]
+        assert ans["answer"]
 
         # truncation pipeline with an end strategy
         status, ans = post("/answer", {
