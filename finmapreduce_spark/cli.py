@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--truncation_strategy", choices=("start", "end", "smart"),
                    default="start")
     p.add_argument("--max_doc_tokens", type=int, default=8192)
+    p.add_argument("--max_concurrent_chunks", type=int, default=50,
+                   help="per-partition async LLM request concurrency "
+                        "(reference DEFAULT_MAX_CONCURRENT_CHUNKS)")
     p.add_argument("--response_cache_dir", default=None,
                    help="parquet response-cache table: re-runs over the "
                         "same corpus pay only for new prompts "
@@ -101,6 +104,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             chunk_overlap=args.chunk_overlap,
             score_threshold=threshold,
             format_type=args.format_type,  # P2: json → struct filter
+            concurrency=args.max_concurrent_chunks,
             response_cache_dir=args.response_cache_dir,
             map_template=prompt_set["map"],
             reduce_template=prompt_set["reduce"],

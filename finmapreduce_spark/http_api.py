@@ -127,6 +127,8 @@ def _request_config(cfg: MapReduceConfig, body: dict):
     for knob in ("score_threshold", "chunk_size", "chunk_overlap"):
         if knob in body:
             overrides[knob] = int(body[knob])
+    if "max_concurrent_chunks" in body:
+        overrides["concurrency"] = max(1, int(body["max_concurrent_chunks"]))
     req_cfg = dataclasses.replace(cfg, **overrides) if overrides else cfg
     # truncation budget precedence (reference endpoints.py:192 +
     # truncation_utils F6): explicit max_document_tokens wins; else

@@ -49,6 +49,7 @@ def run_llm_stage_cached(
     client_factory,
     cache_dir: str,
     expect_json: bool = False,
+    concurrency: int = 50,
 ) -> DataFrame:
     """Generic cache wrapper for ANY LLM stage (map/reduce/judge).
 
@@ -138,6 +139,7 @@ def run_llm_stage_cached(
         row_builder=echo_builder,
         client_factory=client_factory,
         expect_json=expect_json,
+        concurrency=concurrency,
     ).write.mode("overwrite").parquet(staging)
     # explicit schema: an all-hits run stages an empty dataset, which
     # schema inference would reject

@@ -67,6 +67,11 @@ class MapReduceConfig:
     judge_batching: str = "bucketed"
     judge_buckets: int = 32
     client_factory: object = mock_client_factory
+    # Per-partition async request concurrency inside each LLM stage
+    # (reference DEFAULT_MAX_CONCURRENT_CHUNKS / the webapp's
+    # max_concurrent_chunks knob). Global in-flight ≈ partitions ×
+    # concurrency — size llm_partitions together with this.
+    concurrency: int = 50
     llm_partitions: int | None = None  # repartition before LLM stages
     # S12/F15: prompt templates (format_string %s slots). Defaults
     # reproduce the historical inline prompts exactly, so the pipeline
@@ -96,6 +101,7 @@ class MapReduceConfig:
 
 def _llm_stage(df: DataFrame, cfg: MapReduceConfig, **kw) -> DataFrame:
     """Route through the cross-run response cache when configured."""
+    kw.setdefault("concurrency", cfg.concurrency)
     if cfg.response_cache_dir:
         from finmapreduce_spark.llm.response_cache import run_llm_stage_cached
 
