@@ -48,6 +48,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_concurrent_chunks", type=int, default=50,
                    help="per-partition async LLM request concurrency "
                         "(reference DEFAULT_MAX_CONCURRENT_CHUNKS)")
+    # live-model arms (reference main_async.py:31-74). Default "mock"
+    # keeps runs hermetic; openai/openrouter use the real
+    # OpenAI-compatible transport with keys from the environment.
+    p.add_argument("--provider", choices=("mock", "openai", "openrouter"),
+                   default="mock")
+    p.add_argument("--model_name", default=None,
+                   help="model id for the live provider")
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--llm_max_tokens", type=int, default=None,
+                   help="completion token cap (reference --max-tokens)")
+    p.add_argument("--requests_per_minute", type=int, default=None)
+    p.add_argument("--tokens_per_minute", type=int, default=None)
+    p.add_argument("--request_burst_size", type=int, default=None)
+    p.add_argument("--prompt_set", default=None,
+                   help="prompt set name; default follows format_type")
+    # truncation budget combo (F6): explicit max_doc_tokens wins, else
+    # max(1000, context_window - question_tokens - buffer) per doc
+    p.add_argument("--context_window", type=int, default=None)
+    p.add_argument("--buffer", type=int, default=2000)
     p.add_argument("--response_cache_dir", default=None,
                    help="parquet response-cache table: re-runs over the "
                         "same corpus pay only for new prompts "
@@ -71,8 +90,32 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     )
     from finmapreduce_spark.sources.sinks import save_results
 
-    prompt_set = load_prompt_set(args.format_type)  # S12 registry + validation
+    # S12 registry + validation; --prompt_set overrides the
+    # format-derived default (reference --prompt)
+    prompt_set = load_prompt_set(args.prompt_set or args.format_type)
     spark = spark or get_spark("finmapreduce_cli")
+
+    # client factory: hermetic mock by default; live providers build
+    # the OpenAI-compatible transport per executor (keys from env)
+    if args.provider == "mock":
+        from finmapreduce_spark.llm.runner import mock_client_factory
+
+        client_factory = mock_client_factory
+    else:
+        import functools
+
+        from finmapreduce_spark.llm.runner import provider_client_factory
+
+        client_factory = functools.partial(
+            provider_client_factory,
+            args.provider,
+            model=args.model_name,
+            temperature=args.temperature,
+            max_tokens=args.llm_max_tokens,
+            requests_per_minute=args.requests_per_minute,
+            tokens_per_minute=args.tokens_per_minute,
+            burst=args.request_burst_size,
+        )
 
     loader = load_financebench if args.dataset == "financebench" else load_finqa
     qa_raw = loader(spark, args.data_path, num_samples=args.num_samples)
@@ -106,6 +149,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             format_type=args.format_type,  # P2: json → struct filter
             concurrency=args.max_concurrent_chunks,
             response_cache_dir=args.response_cache_dir,
+            client_factory=client_factory,
             map_template=prompt_set["map"],
             reduce_template=prompt_set["reduce"],
             # real-run posture: the sink's write+stats and the judge all
@@ -122,6 +166,9 @@ def run(argv: list[str] | None = None, spark=None) -> str:
         cfg = TruncationConfig(
             max_doc_tokens=args.max_doc_tokens,
             strategy=args.truncation_strategy,
+            client_factory=client_factory,
+            context_window=args.context_window,
+            buffer=args.buffer,
         )
         answers = run_truncation(qa, docs, cfg)["answered"]
 

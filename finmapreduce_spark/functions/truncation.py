@@ -34,11 +34,16 @@ def truncation_budget(
 def truncate_words(
     df: DataFrame,
     text_col: str,
-    max_tokens: int,
+    max_tokens: int | Column,
     strategy: str = "start",
     out_prefix: str = "trunc",
 ) -> DataFrame:
     """F3 (start) / F4 (end) / F5 (smart→start): budgeted word slice.
+
+    ``max_tokens`` may be a per-ROW Column — the F6 budget
+    (``truncation_budget``) depends on each question's token count, so
+    the reference computes a distinct budget per QA
+    (truncation_utils.py:230-266), not one scalar per job.
 
     Adds columns:
       {p}_text       — truncated text
@@ -52,14 +57,15 @@ def truncate_words(
         raise ValueError(f"unknown strategy {strategy!r}")
     effective = "start" if strategy == "smart" else strategy
 
+    budget = F.lit(max_tokens) if isinstance(max_tokens, int) else max_tokens
     words = word_tokens(F.col(text_col))
     n = F.size(words)
-    kept_n = F.least(n, F.lit(max_tokens))
+    kept_n = F.least(n, budget)
     if effective == "start":
-        kept = F.slice(words, 1, max_tokens)
+        kept = F.slice(words, F.lit(1), budget)
     else:  # longest suffix
-        start = F.greatest(F.lit(1), n - F.lit(max_tokens) + 1)
-        kept = F.slice(words, start, max_tokens)
+        start = F.greatest(F.lit(1), n - budget + F.lit(1))
+        kept = F.slice(words, start, budget)
     p = out_prefix
     # NULL text stays NULL in EVERY output column, not just the text:
     # concat_ws(NULL array) coerces to '' and least(NULL, budget)
@@ -75,7 +81,7 @@ def truncate_words(
         )
         .withColumn(f"{p}_tokens", F.when(present, kept_n).cast("long"))
         .withColumn(f"{p}_original", F.when(present, n).cast("long"))
-        .withColumn(f"{p}_applied", F.when(present, n > F.lit(max_tokens)))
+        .withColumn(f"{p}_applied", F.when(present, n > budget))
         .withColumn(
             f"{p}_retention",
             F.when(

@@ -60,7 +60,15 @@ def mock_client_factory() -> RateLimitedClient:
     )
 
 
-def provider_client_factory(provider: str = "openai") -> RateLimitedClient:
+def provider_client_factory(
+    provider: str = "openai",
+    model: str | None = None,
+    temperature: float | None = None,
+    max_tokens: int | None = None,
+    requests_per_minute: int | None = None,
+    tokens_per_minute: int | None = None,
+    burst: int | None = None,
+) -> RateLimitedClient:
     """Real-provider factory: the OpenAI-compatible transport behind
     the SAME limiter/retry stack the mock runs under (reference
     async_llm_client.py:52-91 request shaping, main_async.py:67-74
@@ -71,6 +79,7 @@ def provider_client_factory(provider: str = "openai") -> RateLimitedClient:
     endpoint) and "openrouter" (OPENROUTER_API_KEY against the public
     OpenRouter endpoint). Pass as ``client_factory=`` to run_map /
     run_reduce / judge stages to run the DAG against a live model."""
+    import dataclasses
     import os
 
     from finmapreduce_spark.llm.client import OpenAICompatClient, provider_config
@@ -81,10 +90,29 @@ def provider_client_factory(provider: str = "openai") -> RateLimitedClient:
             overrides["base_url"] = os.environ["OPENAI_BASE_URL"]
         if "OPENAI_MODEL" in os.environ:
             overrides["model"] = os.environ["OPENAI_MODEL"]
+    # explicit args (CLI --model_name/--temperature/...) beat env
+    if model is not None:
+        overrides["model"] = model
+    if temperature is not None:
+        overrides["temperature"] = temperature
+    if max_tokens is not None:
+        overrides["max_tokens"] = max_tokens
     cfg = provider_config(provider, **overrides)
+    limits = RateLimitConfig()
+    limit_overrides = {
+        k: v
+        for k, v in (
+            ("requests_per_minute", requests_per_minute),
+            ("tokens_per_minute", tokens_per_minute),
+            ("burst", burst),
+        )
+        if v is not None
+    }
+    if limit_overrides:
+        limits = dataclasses.replace(limits, **limit_overrides)
     return RateLimitedClient(
         OpenAICompatClient(cfg),
-        RateLimitConfig(),
+        limits,
         request_cache_size=1024,
     )
 

@@ -27,10 +27,29 @@ class TruncationConfig:
     max_doc_tokens: int = 100  # F6 output; fixture-scale budget
     strategy: str = "start"  # start|end|smart (F3/F4/F5)
     client_factory: object = mock_client_factory
+    # F6 per-QA budget mode (reference truncation_utils.py:230-266 +
+    # main_async --context_window/--buffer): when context_window is
+    # set, each row's budget is max(1000, context_window −
+    # question_tokens − buffer) — a different document budget per
+    # question — and max_doc_tokens is ignored.
+    context_window: int | None = None
+    buffer: int = 2000
 
 
 def truncate_docs(qa_docs: DataFrame, cfg: TruncationConfig) -> DataFrame:
     ok = qa_docs.filter(F.col("doc_error").isNull())
+    if cfg.context_window is not None:
+        from finmapreduce_spark.functions.text import word_tokens
+        from finmapreduce_spark.functions.truncation import truncation_budget
+
+        budget = truncation_budget(
+            cfg.context_window,
+            F.size(word_tokens(F.col("question"))),
+            buffer=cfg.buffer,
+        )
+        return truncate_words(
+            ok, "text", budget, strategy=cfg.strategy, out_prefix="trunc"
+        )
     return truncate_words(
         ok, "text", cfg.max_doc_tokens, strategy=cfg.strategy, out_prefix="trunc"
     )

@@ -648,6 +648,55 @@ def pipeline_judge_accuracy_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     return _judge_accuracy(spark, sf_dir, CFG_BUCKETED)
 
 
+# ---------------------------------------------------------------------------
+# F6 per-QA budget (reference truncation_utils.py:230-266 +
+# main_async --context_window/--buffer): every question gets its OWN
+# document budget max(1000, context_window − question_tokens − buffer).
+# Questions here vary 2..31 words so the budgets genuinely differ
+# per row (the pipeline's synthetic questions are all 5 words, which
+# would hide a scalar-budget regression).
+# ---------------------------------------------------------------------------
+
+F6_CONTEXT_WINDOW = 1100
+F6_BUFFER = 50
+
+
+def truncation_f6_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.functions.text import word_tokens
+    from finmapreduce_spark.functions.truncation import truncation_budget
+
+    docs = read_table(spark, sf_dir, "documents")
+    qa = docs.select(
+        F.col("doc_id").alias("qa_id"),
+        F.concat(
+            F.lit("about "),
+            F.expr("repeat('term ', CAST(doc_id % 30 AS INT))"),
+            F.lit("document?"),
+        ).alias("question"),
+    )
+    q_tokens = F.size(word_tokens(F.col("question")))
+    budget = truncation_budget(F6_CONTEXT_WINDOW, q_tokens, buffer=F6_BUFFER)
+    return qa.select(
+        "qa_id",
+        q_tokens.cast("int").alias("question_tokens"),
+        budget.cast("int").alias("doc_budget"),
+    )
+
+
+F6_BUDGET_ORACLE = f"""
+SELECT doc_id AS qa_id,
+       CAST(len(regexp_split_to_array(trim(question), '\\s+')) AS INT)
+         AS question_tokens,
+       CAST(greatest(1000, {F6_CONTEXT_WINDOW}
+            - len(regexp_split_to_array(trim(question), '\\s+'))
+            - {F6_BUFFER}) AS INT) AS doc_budget
+FROM (SELECT doc_id,
+             'about ' || repeat('term ', CAST(doc_id % 30 AS INT))
+             || 'document?' AS question
+      FROM documents)
+"""
+
+
 # U5: improve_question preprocessing (reference base_pipeline.py:521-630)
 
 def improve_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,5 +761,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "truncation_e2e_answers": QuerySpec(truncation_e2e_answers, TRUNC_E2E_ORACLE),
     "truncation_stats": QuerySpec(truncation_stats, TRUNC_STATS_ORACLE),
+    "truncation_f6_budget": QuerySpec(truncation_f6_budget, F6_BUDGET_ORACLE),
     "improve_questions": QuerySpec(improve_questions, IMPROVE_ORACLE),
 }
