@@ -34,7 +34,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--approach", choices=APPROACHES, default="mapreduce")
     p.add_argument("--format_type", choices=FORMATS, default="hybrid")
     p.add_argument("--data_path", required=True)
-    p.add_argument("--docs_glob", required=True, help="markdown corpus glob")
+    p.add_argument("--docs_glob", required=True,
+                   help="corpus glob (markdown by default; PDFs when "
+                        "--docs_format pdf)")
+    p.add_argument("--docs_format", choices=("markdown", "pdf"),
+                   default="markdown")
+    p.add_argument("--pdf_parser",
+                   choices=("auto", "marker", "pypdf", "pdfminer", "fake"),
+                   default="auto",
+                   help="S4/S5 parser chain for --docs_format pdf "
+                        "(reference --pdf_parser)")
+    p.add_argument("--comment", default=None,
+                   help="free-form run note recorded in the results config")
     p.add_argument("--output_dir", default="results")
     p.add_argument("--num_samples", type=int, default=None)
     # reference defaults: main_async.py:44-51
@@ -135,7 +146,13 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             "deduplicate the QA input or extend the hash key"
         )
 
-    docs = load_markdown_documents(spark, args.docs_glob).select(
+    if args.docs_format == "pdf":
+        from finmapreduce_spark.sources.readers import load_pdf_documents
+
+        docs_raw = load_pdf_documents(spark, args.docs_glob, parser=args.pdf_parser)
+    else:
+        docs_raw = load_markdown_documents(spark, args.docs_glob)
+    docs = docs_raw.select(
         F.col("doc_name").alias("doc_id"), F.col("content").alias("text")
     )
 

@@ -155,3 +155,53 @@ def test_cli_response_cache_across_runs(spark, fixture_dirs, tmp_path):
     assert os.path.isdir(cache_dir)  # cache table materialized
     r2 = rows_of(run(argv, spark=spark))
     assert r2 == r1
+
+
+def test_cli_pdf_corpus(spark, fixture_dirs, tmp_path):
+    """--docs_format pdf routes through the S4/S5 binaryFile +
+    mapInPandas parser chain; with the hermetic fake parser the text
+    layer extracts and the pipeline answers."""
+    qa_path, _docs_dir, out_root = fixture_dirs
+    pdfs = tmp_path / "pdfs"
+    pdfs.mkdir()
+    (pdfs / "acme_2023.pdf").write_bytes(
+        b"%PDF-1.4\n"
+        # vary per repetition: a periodic body whose period divides the
+        # chunk step makes every chunk byte-identical, letting ONE
+        # unlucky mock score filter the whole document
+        + "".join(
+            f"Acme revenue grew nine percent in month {i}. "
+            for i in range(300)
+        ).encode()
+    )
+    (pdfs / "beta_2022.pdf").write_bytes(
+        b"%PDF-1.4\n"
+        + "".join(f"Beta filed a 10-K in week {i}. " for i in range(300)).encode()
+    )
+    out_dir = run(
+        [
+            "--dataset", "financebench",
+            "--approach", "mapreduce",
+            "--data_path", qa_path,
+            "--docs_glob", str(pdfs),
+            "--docs_format", "pdf",
+            "--pdf_parser", "fake",
+            "--output_dir", out_root,
+            "--chunk_size", "256",
+            "--chunk_overlap", "32",
+            "--comment", "pdf smoke",
+        ],
+        spark=spark,
+    )
+    rows = [
+        json.loads(l)
+        for p in os.listdir(out_dir)
+        if p.startswith("part-") and p.endswith(".json")
+        for l in open(os.path.join(out_dir, p))
+    ]
+    assert len(rows) == 3
+    answered = [r for r in rows if r.get("llm_answer")]
+    assert len(answered) == 2  # both PDF docs parsed and answered
+    summary = json.load(open(os.path.join(out_dir, "_summary.json")))
+    assert summary["config"]["comment"] == "pdf smoke"
+    assert summary["config"]["pdf_parser"] == "fake"
