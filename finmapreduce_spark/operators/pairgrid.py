@@ -1,0 +1,94 @@
+"""Grid-tiled bucket self-pairing — the hot-bucket-safe candidate
+generator shared by the banded dedup families.
+
+A banded LSH/SimHash candidate join is a self-join on a bucket key;
+one pathological bucket of H rows (site-wide boilerplate, an empty-doc
+cluster) funnels H²/2 pair evaluations through ONE task. Salting
+cannot split a single join key's pair product; what does is tiling
+the bucket's pair triangle into B×B cells and making the CELL part of
+the join key:
+
+  1. every row gets an in-bucket index (per-bucket window sort —
+     O(H log H) over rows, not pairs) and a block id ``idx div B``,
+  2. the left side replicates each row across its cell ROW
+     (cells (blk, j) for j ≥ blk), the right side down its cell
+     COLUMN (cells (i, blk) for i ≤ blk),
+  3. the equi-join key becomes (bucket …, blk_i, blk_j): each ordered
+     pair meets in exactly one cell, per-task pair work is bounded by
+     B² regardless of bucket size, and replication per row is
+     ceil(H/B) — the standard triangle-tiling trade.
+
+Pair SEMANTICS are identical to the plain self-join, so the same
+oracle certifies both (measured: hot-task 3.3 s → 0.58 s on the
+r05 hot-band-bucket stress, SCALE.md). Production sizing: B ≈ 1024
+so one cell ≈ one task budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_BLOCK = 64  # local-fixture sizing; production ~1024
+
+
+def grid_self_pairs(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    block: int = DEFAULT_BLOCK,
+) -> DataFrame:
+    """Ordered within-bucket pairs (``id_a < id_b``), grid-tiled.
+
+    Returns one row per unordered pair sharing ALL ``bucket_cols``
+    (deduped across buckets), with ``{id}_a`` / ``{id}_b`` and each
+    payload column suffixed ``_a`` / ``_b``.
+
+    The intermediate bucket table is persisted (both join sides read
+    it; without the cache the upstream pipeline runs once per side).
+    Lifecycle is caller-owned per the catalog-wide contract —
+    ``spark.catalog.clearCache()`` when done.
+    """
+    wk = W.partitionBy(*bucket_cols)
+    indexed = (
+        buckets.withColumn(
+            "__idx", F.row_number().over(wk.orderBy(id_col)) - 1
+        )
+        .withColumn("__nb", F.ceil(F.count("*").over(wk) / block).cast("int"))
+        .withColumn("__blk", (F.col("__idx") / block).cast("int"))
+        .persist()
+    )
+    carry = [id_col, *payload_cols, *bucket_cols]
+    left = indexed.select(
+        *carry,
+        F.col("__blk").alias("__blk_i"),
+        F.explode(F.sequence(F.col("__blk"), F.col("__nb") - 1)).alias("__blk_j"),
+    )
+    right = indexed.select(
+        *carry,
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__blk_i"),
+        F.col("__blk").alias("__blk_j"),
+    )
+    cond = (
+        (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        & (F.col("l.__blk_i") == F.col("r.__blk_i"))
+        & (F.col("l.__blk_j") == F.col("r.__blk_j"))
+    )
+    for c in bucket_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    out_cols = [
+        F.col(f"l.{id_col}").alias(f"{id_col}_a"),
+        F.col(f"r.{id_col}").alias(f"{id_col}_b"),
+    ]
+    for c in payload_cols:
+        out_cols += [
+            F.col(f"l.{c}").alias(f"{c}_a"),
+            F.col(f"r.{c}").alias(f"{c}_b"),
+        ]
+    return (
+        left.alias("l")
+        .join(right.alias("r"), cond)
+        .select(*out_cols)
+        .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+    )

@@ -282,8 +282,6 @@ LSH_GRID_BLOCK = 64
 
 
 def dedup_lsh_pairs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = with_shingles(_docs(spark, sf_dir))
     sig = docs.select(
         "doc_id",
@@ -302,41 +300,15 @@ def dedup_lsh_pairs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "shingles", "b.band_id", "b.key")
 
-    B = LSH_GRID_BLOCK
-    wk = W.partitionBy("band_id", "key")
-    indexed = (
-        buckets.withColumn("idx", F.row_number().over(wk.orderBy("doc_id")) - 1)
-        .withColumn("nb", F.ceil(F.count("*").over(wk) / B).cast("int"))
-        .withColumn("blk", (F.col("idx") / B).cast("int"))
-        .persist()  # same exchange-reuse rationale as dedup_lsh_pairs
-    )
-    left = indexed.select(
-        "doc_id", "shingles", "band_id", "key",
-        F.col("blk").alias("blk_i"),
-        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("blk_j"),
-    )
-    right = indexed.select(
-        "doc_id", "shingles", "band_id", "key",
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_i"),
-        F.col("blk").alias("blk_j"),
-    )
-    cand = (
-        left.alias("l")
-        .join(
-            right.alias("r"),
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.blk_i") == F.col("r.blk_i"))
-            & (F.col("l.blk_j") == F.col("r.blk_j"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    cand = grid_self_pairs(
+        buckets, ["band_id", "key"], "doc_id", ["shingles"], block=LSH_GRID_BLOCK
+    ).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.col("shingles_a").alias("sh_a"),
+        F.col("shingles_b").alias("sh_b"),
     )
     with_inter = cand.withColumn(
         "inter", F.size(F.array_intersect("sh_a", "sh_b"))
@@ -453,7 +425,7 @@ assert SIMHASH_HAMMING_MAX <= SIMHASH_PAIR_BANDS - 1, (
 assert SIMHASH_PAIR_BITS % SIMHASH_PAIR_BANDS == 0
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Features are the distinct 3-word SHINGLES, not words: on a
     # corpus drawn from a shared vocabulary, word-level majority votes
     # correlate across unrelated docs (measured 302 distinct sigs per
@@ -530,6 +502,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sim", F.col("b.k").alias("k"), F.col("b.bv").alias("bv"))
         .persist()
     )
+    return bands
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _simhash_pair_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -545,6 +522,29 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.sim").alias("sim_b"),
         )
         .distinct()  # a pair matching in >1 band must count once
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_simhash_pairs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-safe twin of ``dedup_simhash_pairs``: the (k, bv)
+    band self-join goes through the shared grid tiler
+    (operators/pairgrid.py) so a band value shared by a boilerplate
+    cluster cannot funnel its pair product through one task. Same
+    pairs, same oracle."""
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    bands = _simhash_pair_bands(spark, sf_dir)
+    cand = grid_self_pairs(bands, ["k", "bv"], "doc_id", ["sim"]).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.col("sim_a"),
+        F.col("sim_b"),
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
     return (
@@ -2139,6 +2139,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "dedup_simhash_pairs": QuerySpec(
         dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE
+    ),
+    "dedup_simhash_pairs_grid": QuerySpec(
+        dedup_simhash_pairs_grid, DEDUP_SIMHASH_PAIRS_ORACLE
     ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_COSINE_ORACLE),
