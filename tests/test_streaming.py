@@ -967,3 +967,49 @@ def test_compaction_refuses_while_append_in_flight(spark, tmp_path):
     # marker released → compaction proceeds
     out = compact_signature_store(spark, str(store))
     assert out["rows_after"] == 5
+
+
+def test_serve_mapreduce_response_cache_across_epochs(spark, sf_dir, tmpdir):
+    """Streaming + response cache: a SECOND epoch carrying the same
+    question pays ZERO new LLM calls — the foreachBatch DAG's map,
+    reduce, and judge prompts all hit the cross-run cache table. This
+    is the paid-call idempotency story under the streaming runner,
+    where epoch replays and duplicate submissions are routine."""
+    import functools
+    import os
+
+    from finmapreduce_spark.plans.mapreduce import MapReduceConfig
+    from tests.test_response_cache import _count_calls, counting_factory
+
+    landing = f"{tmpdir}/landing"
+    out = f"{tmpdir}/out"
+    ckpt = f"{tmpdir}/ckpt"
+    calls = f"{tmpdir}/calls.log"
+    os.makedirs(landing)
+    req = {"qa_id": 1, "doc_id": 0,
+           "question": "What is document 0 about?", "answer": "g"}
+    with open(f"{landing}/batch0.json", "w") as f:
+        f.write(json.dumps(req) + "\n")
+
+    cfg = MapReduceConfig(
+        response_cache_dir=f"{tmpdir}/resp_cache",
+        client_factory=functools.partial(counting_factory, calls),
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = serve_mapreduce(read_request_stream(spark, landing), docs, out, ckpt,
+                        cfg=cfg).start()
+    q.awaitTermination()
+    n1 = _count_calls(calls)
+    assert n1 > 0
+
+    # second epoch: same question resubmitted (new file, new qa row)
+    with open(f"{landing}/batch1.json", "w") as f:
+        f.write(json.dumps(req) + "\n")
+    q2 = serve_mapreduce(read_request_stream(spark, landing), docs, out, ckpt,
+                         cfg=cfg).start()
+    q2.awaitTermination()
+    assert _count_calls(calls) == n1  # all prompts served from cache
+
+    results = spark.read.json(out)
+    answers = [r["llm_answer"] for r in results.collect()]
+    assert len(answers) == 2 and len(set(answers)) == 1  # identical
