@@ -110,6 +110,10 @@ def main():
             n = qs[name].spark(spark, sf_dir).count()
             row[tag] = round(time.time() - t0, 2)
             row[tag.replace("wall", "rows")] = n
+            # catalog persists are caller-owned (bench.py contract):
+            # without this, a multi-query study accumulates every
+            # query's cached tables until the 10× arms OOM the heap
+            spark.catalog.clearCache()
         print(json.dumps(row))
 
 
