@@ -143,7 +143,10 @@ def _request_config(cfg: MapReduceConfig, body: dict):
         )
     else:
         max_toks = 8192
-    return req_cfg, approach, strategy, max_toks
+    pdf_parser = body.get("pdf_parser", "auto")
+    if pdf_parser not in ("auto", "fake", *MODELS_CATALOG["pdf_parsers"]):
+        raise ValueError(f"unknown pdf_parser {pdf_parser!r}")
+    return req_cfg, approach, strategy, max_toks, pdf_parser
 
 
 def make_server(
@@ -195,20 +198,22 @@ def make_server(
                 if self.path == "/preview":
                     path, tmp_dir = _stage_upload(body, doc_root)
                     with lock:
-                        payload = preview(spark, path)
+                        payload = preview(
+                            spark, path,
+                            pdf_parser=body.get("pdf_parser", "auto"),
+                        )
                 elif self.path == "/answer":
                     question = body.get("question")
                     if not question:
                         raise ValueError("request needs 'question'")
                     path, tmp_dir = _stage_upload(body, doc_root)
-                    req_cfg, approach, strategy, max_toks = _request_config(
-                        cfg, body
-                    )
+                    (req_cfg, approach, strategy, max_toks,
+                     pdf_parser) = _request_config(cfg, body)
                     with lock:
                         payload = answer_single(
                             spark, path, question, req_cfg,
                             approach=approach, strategy=strategy,
-                            max_doc_tokens=max_toks,
+                            max_doc_tokens=max_toks, pdf_parser=pdf_parser,
                         )
                 else:
                     self._send(404, {"error": f"no route {self.path}"})

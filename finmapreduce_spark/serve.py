@@ -33,6 +33,7 @@ def answer_single(
     approach: str = "mapreduce",
     strategy: str = "start",
     max_doc_tokens: int = 8192,
+    pdf_parser: str = "auto",
 ) -> dict:
     """Answer one question about one uploaded file; returns the
     AnswerResponse-shaped dict (answer/reasoning/evidence, token and
@@ -45,9 +46,11 @@ def answer_single(
     truncate-and-answer path (U3) with ``strategy``/``max_doc_tokens``.
     """
     if approach == "truncation":
-        return _answer_truncation(spark, path, question, strategy, max_doc_tokens)
+        return _answer_truncation(
+            spark, path, question, strategy, max_doc_tokens, pdf_parser
+        )
     cfg = cfg or MapReduceConfig()
-    qa_row = load_upload(spark, path, question)
+    qa_row = load_upload(spark, path, question, pdf_parser=pdf_parser)
     qa = qa_row.select(
         "qa_id",
         F.col("doc_name").alias("doc_id"),
@@ -98,13 +101,14 @@ def _answer_truncation(
     question: str,
     strategy: str,
     max_doc_tokens: int,
+    pdf_parser: str = "auto",
 ) -> dict:
     from finmapreduce_spark.plans.truncation import (
         TruncationConfig,
         run_truncation,
     )
 
-    qa_row = load_upload(spark, path, question)
+    qa_row = load_upload(spark, path, question, pdf_parser=pdf_parser)
     qa = qa_row.select(
         "qa_id",
         F.col("doc_name").alias("doc_id"),
@@ -140,9 +144,9 @@ def _answer_truncation(
     }
 
 
-def preview(spark: SparkSession, path: str) -> dict:
+def preview(spark: SparkSession, path: str, pdf_parser: str = "auto") -> dict:
     """Full-document load + first-2000-chars preview (P6-validated)."""
-    row = load_upload(spark, path, question="").collect()[0]
+    row = load_upload(spark, path, question="", pdf_parser=pdf_parser).collect()[0]
     content = row["content"] or ""
     return {
         "doc_name": row["doc_name"],

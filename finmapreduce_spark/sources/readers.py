@@ -137,16 +137,35 @@ MAX_UPLOAD_BYTES = 50 * 1024 * 1024  # webapp/backend/config.py:70-90
 ALLOWED_UPLOAD_EXTS = (".pdf", ".txt", ".md")
 
 
-def load_upload(spark: SparkSession, path: str, question: str) -> DataFrame:
+def load_upload(
+    spark: SparkSession, path: str, question: str, pdf_parser: str = "auto"
+) -> DataFrame:
     """S10+P6: one uploaded file → a 1-row qa DataFrame; extension and
-    size validated exactly as the webapp (50 MB, {.pdf,.txt,.md})."""
+    size validated exactly as the webapp (50 MB, {.pdf,.txt,.md}).
+
+    PDF uploads route through the S4/S5 parser chain (the webapp's
+    pdf_parser knob, endpoints.py:192); when no real parser is
+    installed the chain falls back to the deterministic printable-text
+    extraction so a text-layer PDF still serves (the same fallback the
+    batch loader's ``fake`` method uses)."""
     ext = os.path.splitext(path)[1].lower()
     if ext not in ALLOWED_UPLOAD_EXTS:
         raise ValueError(f"unsupported file type {ext!r}")
     if os.path.getsize(path) > MAX_UPLOAD_BYTES:
         raise ValueError("file exceeds 50 MB limit")
-    with open(path, encoding="utf-8", errors="replace") as f:
-        content = f.read()
+    if ext == ".pdf":
+        with open(path, "rb") as f:
+            payload = f.read()
+        if pdf_parser == "fake":
+            content = _fake_pdf_parse(payload)
+        else:
+            try:
+                content = _real_pdf_parse(pdf_parser, payload)
+            except NotImplementedError:
+                content = _fake_pdf_parse(payload)
+    else:
+        with open(path, encoding="utf-8", errors="replace") as f:
+            content = f.read()
     return spark.createDataFrame(
         [(0, os.path.basename(path), question, content)],
         "qa_id long, doc_name string, question string, content string",

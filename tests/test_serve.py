@@ -310,3 +310,18 @@ def test_answer_single_response_structure(spark, doc_file):
     assert out["chunk_stats"]["total_chunks"] == out["n_chunks"]
     assert out["chunk_stats"]["chunks_after_filtering"] == out["n_kept"]
     assert len(out["request_id"]) == 32
+
+
+def test_pdf_upload_routes_through_parser_chain(spark, tmp_path):
+    """A .pdf upload goes through the S4/S5 parser chain (pdf_parser
+    knob), not a raw utf-8 decode: with no real parser installed the
+    printable-text fallback extracts the text layer, and the pipeline
+    answers."""
+    p = tmp_path / "report.pdf"
+    body = "Margin expanded two hundred basis points. " * 80
+    p.write_bytes(b"%PDF-1.4\n\x00\x01" + body.encode() + b"\xff\xfe")
+    prev = preview(spark, str(p))
+    assert "Margin expanded" in prev["preview"]
+    assert "\x00" not in prev["preview"]  # binary bytes stripped, not mojibake
+    out = answer_single(spark, str(p), "What expanded?")
+    assert out["error"] is None and out["answer"]
