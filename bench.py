@@ -93,6 +93,10 @@ HEADLINE = [
     # filter + JVM XML render through the reduce/judge chain)
     "dedup_lsh_pairs_grid",
     "pipeline_e2e_answers_json",
+    # round-5 (cont.): the shared tiler applied to the Hamming-band
+    # join, and the plain_text 0-100 score DAG
+    "dedup_simhash_pairs_grid",
+    "pipeline_e2e_answers_plain",
 ]
 
 
