@@ -203,3 +203,49 @@ def test_lsh_grid_equals_plain_on_hot_corpus(spark, sf_dir, tmp_path):
     # the fixture really exercises multi-block tiling
     n_hot = sum(1 for a, b, _j in plain if a >= 500000 and b >= 500000)
     assert n_hot > LSH_GRID_BLOCK  # hot cluster pairs span blocks
+
+
+def test_grid_self_pairs_block_boundaries(spark):
+    """The tiler must produce EXACTLY the plain self-join's ordered
+    pairs for bucket sizes straddling every block boundary (1, B-1, B,
+    B+1, 2B+3) and for rows appearing in multiple buckets."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    B = 4  # small block so boundaries are cheap to cross
+    sizes = {"s1": 1, "sBm1": B - 1, "sB": B, "sBp1": B + 1, "s2B3": 2 * B + 3}
+    rows = []
+    i = 0
+    for bucket, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, bucket, i * 10))
+            i += 1
+    # one doc also lands in a SECOND bucket shared with another doc →
+    # the same pair can arise from two buckets and must dedupe
+    rows.append((0, "shared", 0))
+    rows.append((1, "shared", 10))
+    df = spark.createDataFrame(rows, "doc_id long, key string, payload long")
+
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["payload_a"], r["payload_b"])
+        for r in grid_self_pairs(df, ["key"], "doc_id", ["payload"], block=B).collect()
+    )
+    l, r = df.alias("l"), df.alias("r")
+    want = sorted(
+        (x["a"], x["b"], x["pa"], x["pb"])
+        for x in l.join(
+            r,
+            (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+            F.col("l.payload").alias("pa"), F.col("r.payload").alias("pb"),
+        )
+        .dropDuplicates(["a", "b"])
+        .collect()
+    )
+    assert got == want
+    # sanity: the multi-bucket pair (0,1) appears exactly once
+    assert sum(1 for a, b, *_ in got if (a, b) == (0, 1)) == 1
