@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--requests_per_minute", type=int, default=None)
     p.add_argument("--tokens_per_minute", type=int, default=None)
     p.add_argument("--request_burst_size", type=int, default=None)
+    p.add_argument("--max_total_requests", type=int, default=None,
+                   help="global in-flight request cap (reference "
+                        "main_async.py:73): sets LLM-stage partitions "
+                        "to cap/max_concurrent_chunks so partitions x "
+                        "per-partition concurrency <= cap")
     p.add_argument("--prompt_set", default=None,
                    help="prompt set name; default follows format_type")
     # truncation budget combo (F6): explicit max_doc_tokens wins, else
@@ -165,6 +170,11 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             score_threshold=threshold,
             format_type=args.format_type,  # P2: json → struct filter
             concurrency=args.max_concurrent_chunks,
+            llm_partitions=(
+                max(1, args.max_total_requests // args.max_concurrent_chunks)
+                if args.max_total_requests
+                else None
+            ),
             response_cache_dir=args.response_cache_dir,
             client_factory=client_factory,
             map_template=prompt_set["map"],

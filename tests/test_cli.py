@@ -205,3 +205,32 @@ def test_cli_pdf_corpus(spark, fixture_dirs, tmp_path):
     summary = json.load(open(os.path.join(out_dir, "_summary.json")))
     assert summary["config"]["comment"] == "pdf smoke"
     assert summary["config"]["pdf_parser"] == "fake"
+
+
+def test_cli_max_total_requests_shapes_partitions(spark, fixture_dirs):
+    """--max_total_requests caps global in-flight concurrency by
+    sizing the LLM-stage repartition: partitions × per-partition
+    concurrency ≤ cap."""
+    qa_path, docs_dir, out_root = fixture_dirs
+    out_dir = run(
+        [
+            "--dataset", "financebench",
+            "--approach", "mapreduce",
+            "--data_path", qa_path,
+            "--docs_glob", docs_dir,
+            "--output_dir", out_root,
+            "--chunk_size", "256",
+            "--chunk_overlap", "32",
+            "--max_concurrent_chunks", "10",
+            "--max_total_requests", "20",  # → 2 partitions × 10
+        ],
+        spark=spark,
+    )
+    assert os.path.isdir(out_dir)
+    rows = [
+        json.loads(l)
+        for p in os.listdir(out_dir)
+        if p.startswith("part-") and p.endswith(".json")
+        for l in open(os.path.join(out_dir, p))
+    ]
+    assert len(rows) == 3
