@@ -161,6 +161,26 @@ def run(argv: list[str] | None = None, spark=None) -> str:
         F.col("doc_name").alias("doc_id"), F.col("content").alias("text")
     )
 
+    if args.max_concurrent_chunks < 1:
+        raise SystemExit("--max_concurrent_chunks must be >= 1")
+    # global cap: partitions × per-partition concurrency ≤ cap, so a
+    # cap SMALLER than the per-partition setting must clamp the
+    # per-partition concurrency too (cap 20 with concurrency 50 would
+    # otherwise run 50 in flight)
+    concurrency = args.max_concurrent_chunks
+    llm_partitions = None
+    if args.max_total_requests:
+        concurrency = max(1, min(concurrency, args.max_total_requests))
+        llm_partitions = max(1, args.max_total_requests // concurrency)
+    # cache identity: a live model's responses must not replay for a
+    # DIFFERENT model/temperature sharing the cache dir
+    cache_namespace = (
+        f"{args.provider}:{args.model_name or ''}:"
+        f"{'' if args.temperature is None else args.temperature}"
+        if args.provider != "mock"
+        else ""
+    )
+
     if args.approach == "mapreduce":
         from finmapreduce_spark.plans.mapreduce import MapReduceConfig, run_mapreduce
 
@@ -169,13 +189,10 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             chunk_overlap=args.chunk_overlap,
             score_threshold=threshold,
             format_type=args.format_type,  # P2: json → struct filter
-            concurrency=args.max_concurrent_chunks,
-            llm_partitions=(
-                max(1, args.max_total_requests // args.max_concurrent_chunks)
-                if args.max_total_requests
-                else None
-            ),
+            concurrency=concurrency,
+            llm_partitions=llm_partitions,
             response_cache_dir=args.response_cache_dir,
+            response_cache_namespace=cache_namespace,
             client_factory=client_factory,
             map_template=prompt_set["map"],
             reduce_template=prompt_set["reduce"],

@@ -101,7 +101,8 @@ def _request_config(cfg: MapReduceConfig, body: dict):
     """Per-request pipeline selection, validated against the catalog
     (reference endpoints.py:62,148,192: each request may choose
     pipeline_type + format_type or strategy and the numeric knobs).
-    Returns (MapReduceConfig, approach, strategy, max_doc_tokens)."""
+    Returns (MapReduceConfig, approach, strategy, max_doc_tokens,
+    pdf_parser)."""
     import dataclasses
 
     approach = body.get("pipeline_type", "mapreduce")
@@ -111,19 +112,21 @@ def _request_config(cfg: MapReduceConfig, body: dict):
     if strategy not in MODELS_CATALOG["truncation_strategies"]:
         raise ValueError(f"unknown strategy {strategy!r}")
     overrides: dict = {}
-    if "format_type" in body:
+    if "format_type" in body or "prompt_set" in body:
         from finmapreduce_spark.llm.prompts import load_prompt_set
 
-        fmt = body["format_type"]
-        if fmt not in MODELS_CATALOG["format_types"]:
-            raise ValueError(f"unknown format_type {fmt!r}")
-        overrides["format_type"] = fmt
-        # format selects prompt set + threshold exactly as the CLI does
-        prompt_set = load_prompt_set(body.get("prompt_set", fmt))
+        fmt = body.get("format_type")
+        if fmt is not None:
+            if fmt not in MODELS_CATALOG["format_types"]:
+                raise ValueError(f"unknown format_type {fmt!r}")
+            overrides["format_type"] = fmt
+            if "score_threshold" not in body:
+                overrides["score_threshold"] = 50 if fmt == "plain_text" else 5
+        # prompt_set applies on its own too (default follows the
+        # format, exactly as the CLI); unknown names → 400 either way
+        prompt_set = load_prompt_set(body.get("prompt_set", fmt or "hybrid"))
         overrides["map_template"] = prompt_set["map"]
         overrides["reduce_template"] = prompt_set["reduce"]
-        if "score_threshold" not in body:
-            overrides["score_threshold"] = 50 if fmt == "plain_text" else 5
     for knob in ("score_threshold", "chunk_size", "chunk_overlap"):
         if knob in body:
             overrides[knob] = int(body[knob])

@@ -8,10 +8,16 @@ mapInPandas stage, prompts left-anti join the cache and only misses
 hit the API; fresh responses append back. Re-running a failed or
 extended job re-pays nothing for prompts already answered.
 
-Layout: parquet at ``cache_dir`` with
+Layout: parquet under ``cache_dir`` with
 (key string, content string, input_tokens long, output_tokens long) —
-key = md5(kind || '|' || prompt). Append-only; duplicate keys are
-harmless (reader dedupes keep-first) and avoid write coordination.
+key = md5(namespace || '|' || kind || '|' || prompt), namespace =
+the answering model's identity (provider:model:temperature; "" for
+the mock). Append-only: every append lands in its own ``seg-<uuid>/``
+segment (private output committer → concurrent runs can share one
+cache_dir without clobbering each other's ``_temporary`` staging),
+the reader scans root + segments recursively and dedupes keys
+keep-first, and ``compact_response_cache`` folds segments back into
+one sorted table offline.
 """
 
 from __future__ import annotations
@@ -24,16 +30,49 @@ from pyspark.sql import functions as F
 CACHE_SCHEMA = "key string, content string, input_tokens long, output_tokens long"
 
 
-def _key(kind: str, prompt_col):
-    return F.md5(F.concat(F.lit(kind), F.lit("|"), prompt_col))
+def _key(kind: str, prompt_col, namespace: str = ""):
+    """Cache key = md5(namespace | kind | prompt). ``namespace``
+    identifies the ANSWERING MODEL (provider/model/temperature):
+    responses are only interchangeable across runs that would have
+    asked the same model the same thing — without it, re-running with
+    --model_name gpt-4o against a gpt-4o-mini cache would silently
+    replay the old model's answers. The CLI derives it from the
+    provider args; the mock's namespace is '' (deterministic mock
+    responses are model-independent)."""
+    return F.md5(
+        F.concat(F.lit(namespace), F.lit("|"), F.lit(kind), F.lit("|"), prompt_col)
+    )
+
+
+def _recover_interrupted_compaction(cache_dir: str) -> None:
+    """Close the compaction crash window: if a previous compaction was
+    killed between its two renames, the table sits at
+    ``<cache_dir>.compact-old`` while ``cache_dir`` is gone — restore
+    it instead of silently re-paying every cached prompt."""
+    old = cache_dir.rstrip("/") + ".compact-old"
+    if not os.path.isdir(cache_dir) and os.path.isdir(old):
+        os.rename(old, cache_dir)
+
+
+def _cache_files(cache_dir: str) -> list[str]:
+    """Data files of the cache table: root-level parquet plus append
+    segments (seg-*/); `_`-prefixed dirs (staging) are not data."""
+    import glob
+
+    return [
+        *glob.glob(os.path.join(cache_dir, "*.parquet")),
+        *glob.glob(os.path.join(cache_dir, "seg-*", "*.parquet")),
+    ]
 
 
 def _load_cache(spark: SparkSession, cache_dir: str) -> DataFrame:
-    if os.path.isdir(cache_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(cache_dir)
-    ):
+    _recover_interrupted_compaction(cache_dir)
+    if os.path.isdir(cache_dir) and _cache_files(cache_dir):
         return (
-            spark.read.parquet(cache_dir)
+            # recursive lookup reads root files AND seg-*/ appends in
+            # one scan; Spark's hidden-path filter skips _staging
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(cache_dir)
             .dropDuplicates(["key"])
         )
     return spark.createDataFrame([], CACHE_SCHEMA)
@@ -50,6 +89,7 @@ def run_llm_stage_cached(
     cache_dir: str,
     expect_json: bool = False,
     concurrency: int = 50,
+    namespace: str = "",
 ) -> DataFrame:
     """Generic cache wrapper for ANY LLM stage (map/reduce/judge).
 
@@ -88,7 +128,7 @@ def run_llm_stage_cached(
     from finmapreduce_spark.llm.runner import run_llm_stage
 
     spark = df.sparkSession
-    keyed = df.withColumn("__key", _key(kind, F.col(prompt_col)))
+    keyed = df.withColumn("__key", _key(kind, F.col(prompt_col), namespace))
     cache = _load_cache(spark, cache_dir)
 
     in_cols = [f.name for f in keyed.schema.fields]
@@ -152,7 +192,14 @@ def run_llm_stage_cached(
         F.col("__out_tok").alias("output_tokens"),
     )
     if new_rows.limit(1).count() > 0:
-        new_rows.write.mode("append").parquet(cache_dir)
+        # each append lands in its OWN segment dir: concurrent runs
+        # (two CLIs, CLI + streaming server) sharing one cache_dir
+        # would otherwise stage under the SAME <cache_dir>/_temporary
+        # committer dir and clobber each other's in-flight task files;
+        # a per-job segment gives every writer a private committer.
+        new_rows.write.mode("overwrite").parquet(
+            os.path.join(cache_dir, f"seg-{uuid.uuid4().hex}")
+        )
 
     combined = hits.unionByName(fresh_raw)
 
@@ -181,49 +228,6 @@ def run_llm_stage_cached(
     return combined.mapInPandas(replay, schema=out_schema)
 
 
-def map_stage_cached(chunks: DataFrame, cfg, cache_dir: str) -> DataFrame:
-    """map_stage with the response-cache table in front.
-
-    Hits skip the LLM entirely (content served from parquet with
-    cache_read accounting: input_tokens carried, output served);
-    misses run the normal Arrow/asyncio stage and append to the cache.
-    Result is identical to an uncached run (same MAP_OUT schema and
-    values) because the mock/real client is deterministic per prompt.
-    """
-    from finmapreduce_spark.llm.runner import MAP_OUT_SCHEMA  # noqa: F401
-    from finmapreduce_spark.plans.mapreduce import map_stage
-
-    spark = chunks.sparkSession
-    with_prompt = chunks.withColumn(
-        "prompt", F.format_string(cfg.map_template, F.col("question"), F.col("chunk_text"))
-    ).withColumn("key", _key("map", F.col("prompt")))
-    cache = _load_cache(spark, cache_dir)
-
-    hits = with_prompt.join(F.broadcast(cache), "key").select(
-        "qa_id",
-        "chunk_index",
-        "content",
-        F.lit(None).cast("string").alias("error"),
-        "input_tokens",
-        "output_tokens",
-    )
-    miss_chunks = with_prompt.join(cache, "key", "left_anti").select(
-        "qa_id", "doc_id", "question", "chunk_index", "chunk_text", "key"
-    )
-    fresh = map_stage(miss_chunks, cfg).persist()  # one execution: cache write + result
-    # append fresh responses to the cache, re-keyed via (qa_id, chunk_index)
-    keyed = fresh.join(
-        miss_chunks.select("qa_id", "chunk_index", "key"), ["qa_id", "chunk_index"]
-    )
-    new_rows = keyed.filter(F.col("error").isNull()).select(
-        "key", "content", "input_tokens", "output_tokens"
-    )
-    if new_rows.limit(1).count() > 0:
-        new_rows.write.mode("append").parquet(cache_dir)
-    out = hits.unionByName(fresh.select(*hits.columns))
-    return out
-
-
 def compact_response_cache(spark: SparkSession, cache_dir: str) -> dict:
     """Offline compaction for the append-only cache table.
 
@@ -242,23 +246,23 @@ def compact_response_cache(spark: SparkSession, cache_dir: str) -> dict:
     """
     import shutil
 
-    files_before = (
-        sum(1 for f in os.listdir(cache_dir) if f.endswith(".parquet"))
-        if os.path.isdir(cache_dir)
-        else 0
-    )
+    _recover_interrupted_compaction(cache_dir)
+    files_before = len(_cache_files(cache_dir)) if os.path.isdir(cache_dir) else 0
     cache = _load_cache(spark, cache_dir)
     tmp = cache_dir.rstrip("/") + ".compact-tmp"
     cache.sortWithinPartitions("key").write.mode("overwrite").parquet(tmp)
     rows = spark.read.parquet(tmp).count()
     old = cache_dir.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
+    # Two renames, not atomic: a crash between them leaves the table
+    # at .compact-old — _recover_interrupted_compaction (run by every
+    # reader and by this function) renames it back, so the window
+    # costs a retry, never the table.
     if os.path.isdir(cache_dir):
         os.rename(cache_dir, old)
     os.rename(tmp, cache_dir)
     shutil.rmtree(old, ignore_errors=True)
-    files_after = sum(
-        1 for f in os.listdir(cache_dir) if f.endswith(".parquet")
-    )
+    files_after = len(_cache_files(cache_dir))
     return {
         "rows": rows,
         "files_before": files_before,

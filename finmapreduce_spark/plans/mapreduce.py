@@ -89,6 +89,10 @@ class MapReduceConfig:
     # responses append back. Re-running the same corpus re-pays nothing
     # (SURVEY §4 custom work #2). None = off.
     response_cache_dir: str | None = None
+    # Cache identity: responses are only interchangeable across runs
+    # that ask the SAME model — set this to provider:model:temperature
+    # for live clients (the CLI does). "" = the deterministic mock.
+    response_cache_namespace: str = ""
     # Persist each LLM stage's output before anything consumes it.
     # Protects paid API calls from double execution when (a) multiple
     # downstream consumers act on the same stage (answers feed both
@@ -105,7 +109,12 @@ def _llm_stage(df: DataFrame, cfg: MapReduceConfig, **kw) -> DataFrame:
     if cfg.response_cache_dir:
         from finmapreduce_spark.llm.response_cache import run_llm_stage_cached
 
-        return run_llm_stage_cached(df, cache_dir=cfg.response_cache_dir, **kw)
+        return run_llm_stage_cached(
+            df,
+            cache_dir=cfg.response_cache_dir,
+            namespace=cfg.response_cache_namespace,
+            **kw,
+        )
     return run_llm_stage(df, **kw)
 
 
@@ -297,6 +306,10 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
         "prompt",
         F.format_string(cfg.reduce_template, F.col("question"), F.col("serialized")),
     )
+    if cfg.llm_partitions:
+        # the global in-flight cap (partitions × concurrency) must
+        # bound EVERY paid stage, not just the map
+        with_q = with_q.repartition(cfg.llm_partitions)
     reduced = _llm_stage(
         with_q,
         cfg,
@@ -433,6 +446,8 @@ def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
                 )
         return pd.DataFrame(rows, columns=["qa_id", "judgment", "reasoning"])
 
+    if cfg.llm_partitions:
+        per_batch = per_batch.repartition(cfg.llm_partitions)
     return _llm_stage(
         per_batch,
         cfg,

@@ -195,42 +195,55 @@ FROM (SELECT doc_id, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL}))
 # candidates are verified with true shingle Jaccard.
 # ---------------------------------------------------------------------------
 
-def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs via band-bucket equi-join (the shuffle key is
-    the bucket — at 100 TB this is the only join that runs, never the
-    n² cross), verified with exact Jaccard over distinct shingles.
+def _lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared band-bucket table (doc_id, hashed shingles, band_id,
+    key) behind BOTH pair builders — one definition, so a banding or
+    shingle-hashing change cannot silently diverge the plain and grid
+    variants out of their shared oracle.
+
+    Verify payload is 64-bit shingle hashes, not the shingle strings:
+    the intersection COUNT is hash-invariant (collision odds within one
+    pair ≈ |sh|²/2⁶⁴ ≈ 1e-14), the shuffle payload drops ~3× and the
+    per-pair set work runs on longs. The distinct-shingle set is
+    hashed AFTER array_distinct, so |A|, |B| and |A∩B| are exactly
+    the string-set cardinalities the oracle computes.
+
+    Persisted: both sides of the pair join read this table — without
+    the cache the whole scan→shingle→minhash pipeline runs once per
+    side (measured ~2.5 s of the 6.8 s at sf0.1). MEMORY_AND_DISK
+    default: at cluster scale the bucket table spills rather than
+    OOMs; it is |docs|×2 rows of long-arrays, far smaller than the
+    corpus. Lifecycle is caller-owned (clearCache), as catalog-wide.
     """
     docs = with_shingles(_docs(spark, sf_dir))
-    # Verify on 64-bit shingle hashes, not the shingle strings: the
-    # intersection COUNT is hash-invariant (collision odds within one
-    # pair ≈ |sh|²/2⁶⁴ ≈ 1e-14), the shuffle payload drops ~3× and the
-    # per-pair set work runs on longs. The distinct-shingle set is
-    # hashed AFTER array_distinct, so |A|, |B| and |A∩B| are exactly
-    # the string-set cardinalities the oracle computes.
     sig = docs.select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashed"),
         *_minhash_cols(F.col("shingles")),
     )
     band0, band1 = _band_exprs()
+    return (
+        sig.select(
+            "doc_id",
+            F.col("sh_hashed").alias("shingles"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                    F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "shingles", "b.band_id", "b.key")
+        .persist()
+    )
 
-    buckets = sig.select(
-        "doc_id",
-        F.col("sh_hashed").alias("shingles"),
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
-                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "shingles", "b.band_id", "b.key")
-    # Self-join under a broadcast plan gets NO exchange reuse — without
-    # this persist both sides recompute the whole shingle+minhash
-    # pipeline (measured ~2.5s of the 6.8s at sf0.1). MEMORY_AND_DISK
-    # default: at cluster scale the bucket table spills rather than
-    # OOMs; it is |docs|×2 rows of long-arrays, far smaller than the
-    # corpus.
-    buckets = buckets.persist()
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs via band-bucket equi-join (the shuffle key is
+    the bucket — at 100 TB this is the only join that runs, never the
+    n² cross), verified with exact Jaccard over distinct shingles.
+    """
+    buckets = _lsh_band_buckets(spark, sf_dir)
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (
@@ -282,25 +295,9 @@ LSH_GRID_BLOCK = 64
 
 
 def dedup_lsh_pairs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_shingles(_docs(spark, sf_dir))
-    sig = docs.select(
-        "doc_id",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashed"),
-        *_minhash_cols(F.col("shingles")),
-    )
-    band0, band1 = _band_exprs()
-    buckets = sig.select(
-        "doc_id",
-        F.col("sh_hashed").alias("shingles"),
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
-                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "shingles", "b.band_id", "b.key")
-
     from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    buckets = _lsh_band_buckets(spark, sf_dir)
 
     cand = grid_self_pairs(
         buckets, ["band_id", "key"], "doc_id", ["shingles"], block=LSH_GRID_BLOCK

@@ -45,11 +45,12 @@ def answer_single(
     chunked DAG under ``cfg``; "truncation" runs the full-doc
     truncate-and-answer path (U3) with ``strategy``/``max_doc_tokens``.
     """
+    cfg = cfg or MapReduceConfig()
     if approach == "truncation":
         return _answer_truncation(
-            spark, path, question, strategy, max_doc_tokens, pdf_parser
+            spark, path, question, strategy, max_doc_tokens, pdf_parser,
+            client_factory=cfg.client_factory,
         )
-    cfg = cfg or MapReduceConfig()
     qa_row = load_upload(spark, path, question, pdf_parser=pdf_parser)
     qa = qa_row.select(
         "qa_id",
@@ -102,7 +103,9 @@ def _answer_truncation(
     strategy: str,
     max_doc_tokens: int,
     pdf_parser: str = "auto",
+    client_factory=None,
 ) -> dict:
+    from finmapreduce_spark.llm.runner import mock_client_factory
     from finmapreduce_spark.plans.truncation import (
         TruncationConfig,
         run_truncation,
@@ -118,7 +121,13 @@ def _answer_truncation(
     docs = qa_row.select(
         F.col("doc_name").alias("doc_id"), F.col("content").alias("text")
     )
-    tcfg = TruncationConfig(max_doc_tokens=max_doc_tokens, strategy=strategy)
+    # the serving cfg's client factory must reach the truncation DAG
+    # too — dropping it here would answer live requests with the mock
+    tcfg = TruncationConfig(
+        max_doc_tokens=max_doc_tokens,
+        strategy=strategy,
+        client_factory=client_factory or mock_client_factory,
+    )
     stages = run_truncation(qa, docs, tcfg)
     rows = stages["answered"].collect()
     if not rows:  # doc_error path: empty/unusable document

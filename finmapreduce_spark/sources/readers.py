@@ -158,11 +158,22 @@ def load_upload(
             payload = f.read()
         if pdf_parser == "fake":
             content = _fake_pdf_parse(payload)
-        else:
+        elif pdf_parser == "auto":
+            # only AUTO may degrade to the printable-text extraction —
+            # it promised "whatever works"; an explicitly requested
+            # parser that is missing must surface, not silently serve
+            # garbage for compressed PDFs
             try:
                 content = _real_pdf_parse(pdf_parser, payload)
             except NotImplementedError:
                 content = _fake_pdf_parse(payload)
+        else:
+            try:
+                content = _real_pdf_parse(pdf_parser, payload)
+            except NotImplementedError as e:
+                raise ValueError(
+                    f"pdf_parser {pdf_parser!r} unavailable: {e}"
+                ) from e
     else:
         with open(path, encoding="utf-8", errors="replace") as f:
             content = f.read()

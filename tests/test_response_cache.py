@@ -7,7 +7,6 @@ from __future__ import annotations
 import pytest
 
 from finmapreduce_spark.llm.client import LLMResponse, RateLimitConfig, RateLimitedClient
-from finmapreduce_spark.llm.response_cache import map_stage_cached
 from finmapreduce_spark.plans.mapreduce import (
     MapReduceConfig,
     chunk_stage,
@@ -32,39 +31,43 @@ def refusing_factory():
 
 def test_second_run_is_fully_cached(spark, sf_dir, tmp_path):
     cache_dir = str(tmp_path / "resp_cache")
-    cfg = MapReduceConfig()
+    cfg = MapReduceConfig(response_cache_dir=cache_dir)
     qa = synthetic_qa(spark, sf_dir)
     chunks = chunk_stage(join_documents(qa, _docs(spark, sf_dir)), cfg)
 
-    # run 1: cold cache — results must equal the plain map stage
-    run1 = map_stage_cached(chunks, cfg, cache_dir)
+    # run 1: cold cache — results must equal the plain (uncached) map
+    run1 = map_stage(chunks, cfg)
     want = {
         (r["qa_id"], r["chunk_index"]): r["content"]
-        for r in map_stage(chunks, cfg).collect()
+        for r in map_stage(chunks, MapReduceConfig()).collect()
     }
     got1 = {(r["qa_id"], r["chunk_index"]): r["content"] for r in run1.collect()}
     assert got1 == want and len(want) > 0
 
     # run 2: same prompts, client that refuses every call — all hits
-    cfg2 = MapReduceConfig(client_factory=refusing_factory)
-    run2 = map_stage_cached(chunks, cfg2, cache_dir)
+    cfg2 = MapReduceConfig(
+        response_cache_dir=cache_dir, client_factory=refusing_factory
+    )
+    run2 = map_stage(chunks, cfg2)
     got2 = {(r["qa_id"], r["chunk_index"]): r["content"] for r in run2.collect()}
     assert got2 == want  # served entirely from the cache table
 
 
 def test_partial_cache_only_pays_misses(spark, sf_dir, tmp_path):
     cache_dir = str(tmp_path / "resp_cache_partial")
-    cfg = MapReduceConfig()
+    cfg = MapReduceConfig(response_cache_dir=cache_dir)
     qa = synthetic_qa(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     all_chunks = chunk_stage(join_documents(qa, docs), cfg)
     first_half = all_chunks.filter(all_chunks.qa_id % 2 == 0)
 
-    map_stage_cached(first_half, cfg, cache_dir).count()  # warm half
+    map_stage(first_half, cfg).count()  # warm half
 
     # full set with a refusing client: even-qa rows hit, odd-qa rows error
-    cfg2 = MapReduceConfig(client_factory=refusing_factory)
-    out = map_stage_cached(all_chunks, cfg2, cache_dir).collect()
+    cfg2 = MapReduceConfig(
+        response_cache_dir=cache_dir, client_factory=refusing_factory
+    )
+    out = map_stage(all_chunks, cfg2).collect()
     by_parity = {0: set(), 1: set()}
     for r in out:
         by_parity[r["qa_id"] % 2].add(r["error"] is None)
@@ -188,3 +191,59 @@ def test_compaction_preserves_zero_call_idempotency(spark, tmp_path):
     j2 = sorted((r["qa_id"], r["judgment"]) for r in run2["judgments"].collect())
     assert _count_calls(calls) == n1  # zero new calls post-compaction
     assert j2 == j1
+
+
+def test_namespace_separates_models(spark, sf_dir, tmp_path):
+    """Different cache namespaces (provider:model:temperature) must
+    NOT replay each other's responses: after warming under namespace A,
+    a run under namespace B with a refusing client gets error rows,
+    not A's cached answers."""
+    cache_dir = str(tmp_path / "ns_cache")
+    qa = synthetic_qa(spark, sf_dir)
+    chunks = chunk_stage(join_documents(qa, _docs(spark, sf_dir)),
+                         MapReduceConfig())
+    cfg_a = MapReduceConfig(
+        response_cache_dir=cache_dir,
+        response_cache_namespace="openai:gpt-4o-mini:0.0",
+    )
+    map_stage(chunks, cfg_a).count()  # warm under model A
+
+    cfg_b = MapReduceConfig(
+        response_cache_dir=cache_dir,
+        response_cache_namespace="openai:gpt-4o:0.0",
+        client_factory=refusing_factory,
+    )
+    out_b = map_stage(chunks, cfg_b).collect()
+    assert all(r["error"] is not None for r in out_b)  # nothing replayed
+
+    # and the SAME namespace does replay
+    cfg_a2 = MapReduceConfig(
+        response_cache_dir=cache_dir,
+        response_cache_namespace="openai:gpt-4o-mini:0.0",
+        client_factory=refusing_factory,
+    )
+    out_a = map_stage(chunks, cfg_a2).collect()
+    assert all(r["error"] is None for r in out_a)
+
+
+def test_interrupted_compaction_recovers(spark, sf_dir, tmp_path):
+    """A compaction killed between its two renames leaves the table at
+    .compact-old; the next reader restores it instead of silently
+    re-paying every prompt."""
+    import os
+
+    cache_dir = str(tmp_path / "crash_cache")
+    qa = synthetic_qa(spark, sf_dir)
+    chunks = chunk_stage(join_documents(qa, _docs(spark, sf_dir)),
+                         MapReduceConfig())
+    cfg = MapReduceConfig(response_cache_dir=cache_dir)
+    map_stage(chunks, cfg).count()  # warm
+
+    # simulate the crash window: table renamed away, new one never landed
+    os.rename(cache_dir, cache_dir + ".compact-old")
+
+    cfg2 = MapReduceConfig(
+        response_cache_dir=cache_dir, client_factory=refusing_factory
+    )
+    out = map_stage(chunks, cfg2).collect()
+    assert all(r["error"] is None for r in out)  # recovered, all hits

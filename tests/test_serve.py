@@ -325,3 +325,65 @@ def test_pdf_upload_routes_through_parser_chain(spark, tmp_path):
     assert "\x00" not in prev["preview"]  # binary bytes stripped, not mojibake
     out = answer_single(spark, str(p), "What expanded?")
     assert out["error"] is None and out["answer"]
+
+
+def test_truncation_serving_uses_configured_client(spark, doc_file, tmp_path):
+    """The serving cfg's client_factory must reach the truncation DAG
+    (it was silently replaced by the default mock): a counting client
+    observes the truncation request's LLM call."""
+    import functools
+
+    from tests.test_response_cache import _count_calls, counting_factory
+
+    calls = str(tmp_path / "calls.log")
+    cfg = MapReduceConfig(
+        client_factory=functools.partial(counting_factory, calls)
+    )
+    out = answer_single(spark, doc_file, "What rose?", cfg=cfg,
+                        approach="truncation", max_doc_tokens=50)
+    assert out["answer"]
+    assert _count_calls(calls) == 1  # the one truncation call, counted
+
+
+def test_http_prompt_set_without_format_type(spark):
+    """prompt_set applies (and validates) on its own — a bad name must
+    400 even when format_type is absent."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from finmapreduce_spark.http_api import make_server
+
+    server = make_server(spark, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(route, payload):
+        req = urllib.request.Request(
+            base + route, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    body = "Revenue grew fifteen percent. " * 100
+    try:
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt", "question": "q?",
+            "prompt_set": "plain_text",  # valid name, no format_type
+        })
+        assert status == 200
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.txt",
+                             "question": "q?", "prompt_set": "nope"})
+        assert ei.value.code == 400
+        # explicitly requested parser that is not installed → 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.pdf",
+                             "question": "q?", "pdf_parser": "pypdf"})
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
