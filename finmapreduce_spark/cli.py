@@ -117,17 +117,36 @@ def run(argv: list[str] | None = None, spark=None) -> str:
         from finmapreduce_spark.llm.runner import mock_client_factory
 
         client_factory = mock_client_factory
+        cache_namespace = ""
     else:
         import functools
 
-        from finmapreduce_spark.llm.runner import provider_client_factory
-
-        client_factory = functools.partial(
+        from finmapreduce_spark.llm.runner import (
+            cache_namespace_for,
             provider_client_factory,
+            resolve_provider_config,
+        )
+
+        # Resolve the effective endpoint/model/temperature ONCE on the
+        # driver (CLI args beat OPENAI_MODEL/OPENAI_BASE_URL env) and
+        # pin both the cache namespace and the executor factories to
+        # that identity — otherwise two runs with different
+        # OPENAI_MODEL but no --model_name would share namespace
+        # "openai::" and replay each other's cached answers.
+        resolved = resolve_provider_config(
             args.provider,
             model=args.model_name,
             temperature=args.temperature,
             max_tokens=args.llm_max_tokens,
+        )
+        cache_namespace = f"{args.provider}:{cache_namespace_for(resolved)}"
+        client_factory = functools.partial(
+            provider_client_factory,
+            args.provider,
+            model=resolved.model,
+            temperature=resolved.temperature,
+            max_tokens=resolved.max_tokens,
+            base_url=resolved.base_url,
             requests_per_minute=args.requests_per_minute,
             tokens_per_minute=args.tokens_per_minute,
             burst=args.request_burst_size,
@@ -172,14 +191,10 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     if args.max_total_requests:
         concurrency = max(1, min(concurrency, args.max_total_requests))
         llm_partitions = max(1, args.max_total_requests // concurrency)
-    # cache identity: a live model's responses must not replay for a
-    # DIFFERENT model/temperature sharing the cache dir
-    cache_namespace = (
-        f"{args.provider}:{args.model_name or ''}:"
-        f"{'' if args.temperature is None else args.temperature}"
-        if args.provider != "mock"
-        else ""
-    )
+    # cache identity resolved above: a live model's responses must not
+    # replay for a DIFFERENT model/endpoint/temperature sharing the
+    # cache dir (namespace derives from the RESOLVED provider config,
+    # not raw CLI args — OPENAI_MODEL/OPENAI_BASE_URL count)
 
     if args.approach == "mapreduce":
         from finmapreduce_spark.plans.mapreduce import MapReduceConfig, run_mapreduce

@@ -54,6 +54,49 @@ def _recover_interrupted_compaction(cache_dir: str) -> None:
         os.rename(old, cache_dir)
 
 
+def _compact_lock_path(cache_dir: str) -> str:
+    # NEXT TO cache_dir, not inside it — the dir itself is renamed
+    # away mid-compaction, which would take an in-dir lock with it
+    return cache_dir.rstrip("/") + ".compact-lock"
+
+
+def _raise_if_compacting(cache_dir: str) -> None:
+    """Writer-side half of the compaction exclusion: a job must not
+    start staging/appending into a directory inode the compactor is
+    about to rename away (its fresh_raw parquet is lazily re-read
+    downstream — losing the dir loses paid responses)."""
+    lock = _compact_lock_path(cache_dir)
+    if os.path.exists(lock):
+        raise RuntimeError(
+            f"response cache {cache_dir!r} is being compacted "
+            f"(lock file {lock!r} present); retry once compaction "
+            "finishes, or delete the lock if a compactor crashed"
+        )
+
+
+def _newest_write_age_s(cache_dir: str) -> float | None:
+    """Seconds since the most recent write under _staging/ or seg-*/
+    (the two places a live job writes); None if neither exists."""
+    import glob
+    import time
+
+    newest = None
+    roots = glob.glob(os.path.join(cache_dir, "seg-*")) + [
+        os.path.join(cache_dir, "_staging")
+    ]
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for name in filenames + ["."]:
+                try:
+                    m = os.path.getmtime(os.path.join(dirpath, name))
+                except OSError:
+                    continue  # racing writer; the quiesce check re-runs
+                newest = m if newest is None else max(newest, m)
+    return None if newest is None else max(0.0, time.time() - newest)
+
+
 def _cache_files(cache_dir: str) -> list[str]:
     """Data files of the cache table: root-level parquet plus append
     segments (seg-*/); `_`-prefixed dirs (staging) are not data."""
@@ -128,6 +171,7 @@ def run_llm_stage_cached(
     from finmapreduce_spark.llm.runner import run_llm_stage
 
     spark = df.sparkSession
+    _raise_if_compacting(cache_dir)
     keyed = df.withColumn("__key", _key(kind, F.col(prompt_col), namespace))
     cache = _load_cache(spark, cache_dir)
 
@@ -228,7 +272,13 @@ def run_llm_stage_cached(
     return combined.mapInPandas(replay, schema=out_schema)
 
 
-def compact_response_cache(spark: SparkSession, cache_dir: str) -> dict:
+def compact_response_cache(
+    spark: SparkSession,
+    cache_dir: str,
+    *,
+    quiesce_s: float = 300.0,
+    stale_lock_s: float = 3600.0,
+) -> dict:
     """Offline compaction for the append-only cache table.
 
     Every cached stage run appends a few files and leaves a raw
@@ -242,11 +292,59 @@ def compact_response_cache(spark: SparkSession, cache_dir: str) -> dict:
     retry fresh). Local-FS rename is atomic; an object-store
     deployment swaps via a versioned prefix + pointer instead.
 
+    The "offline" assumption is ENFORCED, not conventional (ADVICE
+    r05): (a) a lock file at ``<cache_dir>.compact-lock`` excludes
+    concurrent compactors AND makes new cached-stage runs refuse to
+    start (``_raise_if_compacting``), and (b) compaction itself
+    refuses while ``_staging``/``seg-*`` contain writes newer than
+    ``quiesce_s`` — a live job's staged raws are lazily re-read
+    downstream, so renaming the directory inode away would lose its
+    paid responses. Pass ``quiesce_s=0`` when the caller KNOWS every
+    job is done (tests; a scheduler that owns the cache dir). A lock
+    older than ``stale_lock_s`` is presumed crashed and stolen.
+
     Returns {"rows", "files_before", "files_after"}.
     """
+    import time
+
+    lock = _compact_lock_path(cache_dir)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(lock)
+        except OSError:
+            age = 0.0  # vanished/unreadable: treat as held, retry later
+        if age < stale_lock_s:
+            raise RuntimeError(
+                f"another compaction holds {lock!r} (age {age:.0f}s); "
+                "retry later or delete the lock if it crashed"
+            )
+        os.remove(lock)
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, f"pid={os.getpid()}\n".encode())
+    os.close(fd)
+    try:
+        _recover_interrupted_compaction(cache_dir)
+        if quiesce_s > 0 and os.path.isdir(cache_dir):
+            age = _newest_write_age_s(cache_dir)
+            if age is not None and age < quiesce_s:
+                raise RuntimeError(
+                    f"refusing to compact {cache_dir!r}: writes "
+                    f"{age:.0f}s old (< quiesce {quiesce_s:.0f}s) "
+                    "suggest a live job; wait or pass quiesce_s=0"
+                )
+        return _compact_locked(spark, cache_dir)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _compact_locked(spark: SparkSession, cache_dir: str) -> dict:
     import shutil
 
-    _recover_interrupted_compaction(cache_dir)
     files_before = len(_cache_files(cache_dir)) if os.path.isdir(cache_dir) else 0
     cache = _load_cache(spark, cache_dir)
     tmp = cache_dir.rstrip("/") + ".compact-tmp"

@@ -60,11 +60,56 @@ def mock_client_factory() -> RateLimitedClient:
     )
 
 
+def resolve_provider_config(
+    provider: str = "openai",
+    model: str | None = None,
+    temperature: float | None = None,
+    max_tokens: int | None = None,
+    base_url: str | None = None,
+):
+    """Resolve the effective ProviderConfig for a live run: preset →
+    env overrides (OPENAI_BASE_URL / OPENAI_MODEL, the same knobs the
+    reference factory honors) → explicit args. Split out so the DRIVER
+    can resolve the run's identity once — the response-cache namespace
+    must reflect the model/endpoint the run will actually hit, not
+    just the raw CLI args (two runs differing only in OPENAI_MODEL
+    must not share a cache namespace)."""
+    import os
+
+    from finmapreduce_spark.llm.client import provider_config
+
+    overrides: dict = {}
+    if provider.lower() == "openai":
+        if "OPENAI_BASE_URL" in os.environ:
+            overrides["base_url"] = os.environ["OPENAI_BASE_URL"]
+        if "OPENAI_MODEL" in os.environ:
+            overrides["model"] = os.environ["OPENAI_MODEL"]
+    # explicit args (CLI --model_name/--temperature/...) beat env
+    if model is not None:
+        overrides["model"] = model
+    if temperature is not None:
+        overrides["temperature"] = temperature
+    if max_tokens is not None:
+        overrides["max_tokens"] = max_tokens
+    if base_url is not None:
+        overrides["base_url"] = base_url
+    return provider_config(provider, **overrides)
+
+
+def cache_namespace_for(cfg) -> str:
+    """Response-cache namespace from a RESOLVED ProviderConfig: the
+    triple that determines what a replayed response would have said.
+    base_url is included because two OpenAI-compatible endpoints may
+    serve different weights under the same model id."""
+    return f"{cfg.base_url}:{cfg.model}:{cfg.temperature}"
+
+
 def provider_client_factory(
     provider: str = "openai",
     model: str | None = None,
     temperature: float | None = None,
     max_tokens: int | None = None,
+    base_url: str | None = None,
     requests_per_minute: int | None = None,
     tokens_per_minute: int | None = None,
     burst: int | None = None,
@@ -80,24 +125,16 @@ def provider_client_factory(
     OpenRouter endpoint). Pass as ``client_factory=`` to run_map /
     run_reduce / judge stages to run the DAG against a live model."""
     import dataclasses
-    import os
 
-    from finmapreduce_spark.llm.client import OpenAICompatClient, provider_config
+    from finmapreduce_spark.llm.client import OpenAICompatClient
 
-    overrides: dict = {}
-    if provider.lower() == "openai":
-        if "OPENAI_BASE_URL" in os.environ:
-            overrides["base_url"] = os.environ["OPENAI_BASE_URL"]
-        if "OPENAI_MODEL" in os.environ:
-            overrides["model"] = os.environ["OPENAI_MODEL"]
-    # explicit args (CLI --model_name/--temperature/...) beat env
-    if model is not None:
-        overrides["model"] = model
-    if temperature is not None:
-        overrides["temperature"] = temperature
-    if max_tokens is not None:
-        overrides["max_tokens"] = max_tokens
-    cfg = provider_config(provider, **overrides)
+    cfg = resolve_provider_config(
+        provider,
+        model=model,
+        temperature=temperature,
+        max_tokens=max_tokens,
+        base_url=base_url,
+    )
     limits = RateLimitConfig()
     limit_overrides = {
         k: v

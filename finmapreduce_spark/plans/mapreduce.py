@@ -291,7 +291,10 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
         )
         gather_col, sep = "__xml", "\n"
     else:
-        gather_col, sep = "content", "\n\n"
+        # reference parity: plain_text_formatter.py:69 and
+        # hybrid_formatter.py:73 both join kept map contents with a
+        # SINGLE newline ("\n".join(results))
+        gather_col, sep = "content", "\n"
     gathered = kept.groupBy("qa_id").agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(

@@ -123,7 +123,7 @@ reduced AS (
   SELECT qa_id,
          count(*) AS n_kept,
          'Question: ' || any_value(question) || chr(10) || chr(10)
-           || string_agg(content, chr(10) || chr(10) ORDER BY chunk_index) AS r_prompt
+           || string_agg(content, chr(10) ORDER BY chunk_index) AS r_prompt
   FROM kept JOIN qa USING (qa_id)
   GROUP BY qa_id
 ),
@@ -614,7 +614,7 @@ pkept AS (
 preduced AS (
   SELECT qa_id, count(*) AS n_kept,
          'Question: ' || any_value(question) || chr(10) || chr(10)
-           || string_agg(content, chr(10) || chr(10) ORDER BY chunk_index)
+           || string_agg(content, chr(10) ORDER BY chunk_index)
            AS r_prompt
   FROM pkept JOIN qa USING (qa_id)
   GROUP BY qa_id

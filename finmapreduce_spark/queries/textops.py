@@ -214,7 +214,7 @@ def a1_reduce_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     gathered = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(
-            "\n\n",
+            "\n",  # reference joins with a single newline
             F.transform(
                 F.array_sort(
                     F.collect_list(F.struct("chunk_index", "chunk_text"))
@@ -242,7 +242,7 @@ WITH chunks AS (
   WHERE (strpos('0123456789abcdef', substring(md5(chunk_text), 1, 1)) - 1) % 11 > {SCORE_THRESHOLD}
 )
 SELECT doc_id, count(*) AS n_kept,
-       md5(string_agg(chunk_text, chr(10) || chr(10) ORDER BY chunk_index)) AS reduced_md5
+       md5(string_agg(chunk_text, chr(10) ORDER BY chunk_index)) AS reduced_md5
 FROM kept GROUP BY doc_id
 """
 

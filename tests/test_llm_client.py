@@ -538,3 +538,35 @@ def test_provider_client_factory_openrouter_pickles():
     client = provider_client_factory("openrouter")
     assert client is not None
     assert pickle.loads(pickle.dumps(provider_client_factory)) is provider_client_factory
+
+
+def test_resolved_cache_namespace_reflects_env_model(monkeypatch):
+    """ADVICE r05: the response-cache namespace must derive from the
+    RESOLVED provider config — two runs with no --model_name but
+    different OPENAI_MODEL (or OPENAI_BASE_URL) must get different
+    namespaces, not share 'openai::'."""
+    from finmapreduce_spark.llm.runner import (
+        cache_namespace_for,
+        resolve_provider_config,
+    )
+
+    monkeypatch.setenv("OPENAI_MODEL", "model-a")
+    monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
+    ns_a = cache_namespace_for(resolve_provider_config("openai"))
+    monkeypatch.setenv("OPENAI_MODEL", "model-b")
+    ns_b = cache_namespace_for(resolve_provider_config("openai"))
+    assert ns_a != ns_b
+    assert "model-a" in ns_a and "model-b" in ns_b
+
+    # endpoint changes namespace too (same model id, different weights)
+    monkeypatch.setenv("OPENAI_BASE_URL", "https://other.example/v1")
+    ns_c = cache_namespace_for(resolve_provider_config("openai"))
+    assert ns_c != ns_b
+
+    # explicit args beat env (CLI --model_name wins)
+    cfg = resolve_provider_config("openai", model="explicit-model")
+    assert cfg.model == "explicit-model"
+    # temperature participates in the identity triple
+    assert cache_namespace_for(
+        resolve_provider_config("openai", temperature=0.7)
+    ) != cache_namespace_for(resolve_provider_config("openai", temperature=0.0))

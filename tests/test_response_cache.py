@@ -180,7 +180,11 @@ def test_compaction_preserves_zero_call_idempotency(spark, tmp_path):
     j1 = sorted((r["qa_id"], r["judgment"]) for r in run1["judgments"].collect())
     n1 = _count_calls(calls)
 
-    stats = compact_response_cache(spark, cache_dir)
+    # quiesce guard: the run we just finished left fresh staging
+    # writes, so the default (enforced-offline) posture must refuse
+    with pytest.raises(RuntimeError, match="quiesce"):
+        compact_response_cache(spark, cache_dir)
+    stats = compact_response_cache(spark, cache_dir, quiesce_s=0)
     assert stats["rows"] > 0
     assert stats["files_after"] <= stats["files_before"]
     import os as _os
@@ -247,3 +251,47 @@ def test_interrupted_compaction_recovers(spark, sf_dir, tmp_path):
     )
     out = map_stage(chunks, cfg2).collect()
     assert all(r["error"] is None for r in out)  # recovered, all hits
+
+
+def test_compaction_lock_excludes_writers_and_compactors(spark, sf_dir, tmp_path):
+    """ADVICE r05: the offline assumption is enforced. While the
+    compact lock is held, (a) a second compactor refuses, and (b) a
+    cached stage run refuses to start (its staged raws would be lost
+    in the directory swap). The lock is released on completion, and a
+    stale lock is stolen."""
+    import os
+    import time
+
+    from finmapreduce_spark.llm.response_cache import (
+        _compact_lock_path,
+        compact_response_cache,
+    )
+
+    cache_dir = str(tmp_path / "lock_cache")
+    qa = synthetic_qa(spark, sf_dir)
+    chunks = chunk_stage(join_documents(qa, _docs(spark, sf_dir)),
+                         MapReduceConfig())
+    cfg = MapReduceConfig(response_cache_dir=cache_dir)
+    map_stage(chunks, cfg).count()  # warm
+
+    lock = _compact_lock_path(cache_dir)
+    with open(lock, "w") as fh:
+        fh.write("pid=held\n")
+    try:
+        with pytest.raises(RuntimeError, match="holds"):
+            compact_response_cache(spark, cache_dir, quiesce_s=0)
+        with pytest.raises(RuntimeError, match="compacted"):
+            map_stage(chunks, cfg).count()
+    finally:
+        os.remove(lock)
+
+    # a stale lock (older than stale_lock_s) is stolen, and the lock
+    # is gone after a successful compaction
+    with open(lock, "w") as fh:
+        fh.write("pid=crashed\n")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    stats = compact_response_cache(spark, cache_dir, quiesce_s=0,
+                                   stale_lock_s=3600)
+    assert stats["rows"] > 0
+    assert not os.path.exists(lock)
