@@ -784,38 +784,18 @@ GROUP BY a3.cid
 """
 
 
-def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full train→index→search chain: IVF top-k over the k-means
-    cells from kmeans_cluster_sizes instead of the given labels.
-
-    A query's probe cell IS its own final assignment (queries live in
-    the corpus here), so probing costs nothing extra; the cell search
-    is an equi join on cid — the same one-cell pruning as ann_ivf_topk
-    but against data-driven cells. Scale: identical plan shape to the
-    label IVF (broadcast centroids, cell equi join, per-query window);
-    training cost amortizes across every subsequent query batch.
-    """
-    v = _emb(spark, sf_dir)
-    cents = (
-        v.filter(F.col("vec_id") < K_CLUSTERS)
-        .select(
-            F.col("vec_id").cast("int").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("c_norm"),
-        )
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _recompute(_assign(v, cents))
-    assigned = _assign(v, cents)
+def _serve_cells(assigned: DataFrame) -> DataFrame:
+    """Serve top-{k} from an assigned (vec_id, v, norm, cid) table:
+    queries probe their own cell, the cell search is an equi join on
+    cid. q derives from a window+filter, so Catalyst has no size
+    stats — hint the broadcast explicitly or the tiny query set
+    sort-merges against the corpus."""
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("norm").alias("q_norm"),
         F.col("cid").alias("probed_cid"),
     )
-    # q derives from a window+filter, so Catalyst has no size stats —
-    # hint the broadcast explicitly or the tiny query set sort-merges
-    # against the corpus.
     cell = F.broadcast(q).join(
         assigned.filter(F.col("vec_id") >= N_QUERIES),
         q.probed_cid == F.col("cid"),
@@ -838,6 +818,29 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train→index→search chain: IVF top-k over the k-means
+    cells from kmeans_cluster_sizes instead of the given labels.
+
+    A query's probe cell IS its own final assignment (queries live in
+    the corpus here), so probing costs nothing extra; the cell search
+    is an equi join on cid — the same one-cell pruning as ann_ivf_topk
+    but against data-driven cells. Scale: identical plan shape to the
+    label IVF (broadcast centroids, cell equi join, per-query window);
+    training cost amortizes across every subsequent query batch.
+    """
+    v = _emb(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(v, cents))
+    assigned = _assign(v, cents)
+    return _serve_cells(assigned)
+
+
 ANN_IVF_KMEANS_ORACLE = f"""
 WITH {_KM_CTES},
 q AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm, cid AS probed_cid
@@ -856,6 +859,119 @@ SELECT q_id, probed_cid, CAST(rank AS INT) AS rank, neighbor_id,
        round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance: the index LIFECYCLE op that the
+# band-signature and gram stores already have (epoch append +
+# compaction) and the ANN index lacked. Centroids train ONCE on the
+# base corpus and are then FROZEN; a later-arriving delta batch is
+# routed through the frozen centroids and appended as its own segment
+# — no retrain, no rebuild, no touch of the base cells. Serving reads
+# base ∪ delta. This is the standard production IVF posture (inserts
+# route, centroids retrain rarely and offline); the exactness claim —
+# routing each batch independently equals routing the union, because
+# assignment is per-row under fixed centroids — is pinned by
+# tests/test_scoring.py::test_ivf_incremental_insert_equivalence, and
+# the persisted delta-segment serve path by
+# test_ivf_delta_segment_serves_union.
+#
+# Scale: the per-epoch insert job is ONE broadcast crossJoin (K rows)
+# + per-vector argmin over the delta — O(|delta|·K), independent of
+# index size; the append is a partitioned write of |delta| rows.
+# Compare: a monolithic rebuild re-reads and re-writes the full
+# corpus every epoch.
+# ---------------------------------------------------------------------------
+
+IVF_DELTA_MOD, IVF_DELTA_RES = 7, 3  # delta batch stand-in: ~1/7 of corpus
+
+
+def _ivf_is_delta(col):
+    return (F.pmod(col, F.lit(IVF_DELTA_MOD)) == IVF_DELTA_RES) & (
+        col >= N_QUERIES
+    )
+
+
+def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on base, freeze, route the delta batch separately, serve
+    base ∪ delta — the incremental-maintenance twin of
+    ann_ivf_kmeans_topk (whose monolithic train covers the rebuild
+    posture)."""
+    v = _emb(spark, sf_dir)
+    base = v.filter(~_ivf_is_delta(F.col("vec_id")))
+    delta = v.filter(_ivf_is_delta(F.col("vec_id")))
+    cents = base.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(base, cents))
+    # the per-epoch insert job: assign ONLY the delta through the
+    # frozen centroid table (in production this writes a
+    # vectors-delta-<epoch>/ segment; see append_ivf_delta)
+    indexed = _assign(base, cents).unionByName(_assign(delta, cents))
+    return _serve_cells(indexed)
+
+
+_DELTA_PRED = f"(vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_RES} AND vec_id >= {N_QUERIES})"
+
+ANN_IVF_INC_ORACLE = f"""
+WITH ve AS ({_EMB_SQL}),
+vb AS (SELECT * FROM ve WHERE NOT {_DELTA_PRED}),
+vd AS (SELECT * FROM ve WHERE {_DELTA_PRED}),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv, norm AS c_norm
+       FROM vb WHERE vec_id < {K_CLUSTERS}),
+a1 AS ({_km_assign_sql('vb', 'c0')}),
+c1 AS ({_km_recompute_sql('a1')}),
+a2 AS ({_km_assign_sql('vb', 'c1')}),
+c2 AS ({_km_recompute_sql('a2')}),
+a3b AS ({_km_assign_sql('vb', 'c2')}),
+a3d AS ({_km_assign_sql('vd', 'c2')}),
+a3 AS (SELECT * FROM a3b UNION ALL SELECT * FROM a3d),
+q AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm, cid AS probed_cid
+      FROM a3 WHERE vec_id < {N_QUERIES}),
+cell AS (
+  SELECT q.q_id, q.probed_cid, e.vec_id AS neighbor_id,
+         list_inner_product(q.q_v, e.v) / (q.q_norm * e.norm) AS cosine
+  FROM q JOIN a3 e ON e.cid = q.probed_cid AND e.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cell
+)
+SELECT q_id, probed_cid, CAST(rank AS INT) AS rank, neighbor_id,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def append_ivf_delta(spark: SparkSession, root: str, assigned_delta: DataFrame,
+                     epoch: int) -> str:
+    """Per-epoch insert: write an already-routed delta batch as its
+    own ``vectors-delta-<epoch>/cid=N/`` segment next to the frozen
+    base index (same layout as ``vectors/``). The base cells are
+    never rewritten; compaction (folding segments into ``vectors/``)
+    reuses the signature-store pattern when segment count grows."""
+    import os as _os
+
+    path = _os.path.join(root, f"vectors-delta-{epoch}")
+    assigned_delta.write.mode("overwrite").partitionBy("cid").parquet(path)
+    return path
+
+
+def read_ivf_vectors(spark: SparkSession, root: str) -> DataFrame:
+    """The serving-side read: base cells ∪ every delta segment. Each
+    piece keeps its cid=N partition dirs, so the probe's partition
+    pruning applies to segments exactly as to the base."""
+    import glob as _glob
+    import os as _os
+
+    out = spark.read.parquet(_os.path.join(root, "vectors"))
+    for seg in sorted(_glob.glob(_os.path.join(root, "vectors-delta-*"))):
+        out = out.unionByName(spark.read.parquet(seg))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1176,6 +1292,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ORACLE),
     "ann_ivf_kmeans_topk": QuerySpec(
         ann_ivf_kmeans_topk, ANN_IVF_KMEANS_ORACLE
+    ),
+    "ann_ivf_incremental_topk": QuerySpec(
+        ann_ivf_incremental_topk, ANN_IVF_INC_ORACLE
     ),
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BF_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),

@@ -299,6 +299,79 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Temperature-weighted mixture sampling (Gopher/mT5-style α-sampling):
+# instead of FIXED per-domain quotas (sample_domain_mix), the sampling
+# rate is COMPUTED from the corpus distribution — domain weight
+# ∝ n_lang^α with α = 0.5, which upsamples tail languages relative to
+# proportional sampling without flattening to uniform. α = 0.5 is the
+# integer square root, so the whole threshold computation stays in
+# BIGINT arithmetic: w_l = floor(sqrt(n_l)), keep-threshold_l =
+# floor(T·w_l·65536 / (Σw·n_l)) compared against the 16-bit doc hash —
+# bit-exact across engines, no float rounding anywhere.
+#
+# Scale: per-lang counts are one map-side-combined agg (L rows); the
+# threshold table broadcasts; the corpus is filtered in place with NO
+# shuffle and no window — strictly cheaper than the quota windows in
+# sample_domain_mix, and the sampling decision is per-row independent
+# (hash-Bernoulli), so it streams and resumes for free.
+# ---------------------------------------------------------------------------
+
+TEMP_MIX_BUDGET = 300  # target corpus size T (docs)
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries.textops import _hash_bucket_expr
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    w = counts.withColumn(
+        "wl", F.floor(F.sqrt(F.col("n"))).cast("long")
+    )
+    total = w.agg(F.sum("wl").alias("s"))
+    # threshold in 16-bit hash units; LEAST caps oversampled domains
+    # at keep-everything (all integers < 2^53 → float div exact)
+    thresh = (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.least(
+                F.floor(
+                    (F.lit(TEMP_MIX_BUDGET) * F.col("wl") * F.lit(65536))
+                    / (F.col("s") * F.col("n"))
+                ).cast("long"),
+                F.lit(65536).cast("long"),
+            ).alias("threshold"),
+        )
+    )
+    hb = _hash_bucket_expr(F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(thresh), "lang")
+        .filter(hb < F.col("threshold"))
+        .select("doc_id", "lang")
+    )
+
+
+def _temp_mix_oracle() -> str:
+    from finmapreduce_spark.queries.textops import SPLIT_SQL_BUCKET
+
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wl FROM counts),
+tot AS (SELECT sum(wl) AS s FROM w),
+thresh AS (
+  SELECT lang,
+         LEAST(CAST(floor(({TEMP_MIX_BUDGET} * wl * 65536)
+                          / (s * n)) AS BIGINT),
+               CAST(65536 AS BIGINT)) AS threshold
+  FROM w CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thresh t ON d.lang = t.lang
+WHERE ({SPLIT_SQL_BUCKET}) < t.threshold
+"""
+
+
 _QUOTA_CASE = " ".join(
     f"WHEN '{lang}' THEN {int(frac * MIX_BUDGET)}"
     for lang, frac in MIX_TARGET.items()
@@ -470,6 +543,9 @@ LIMIT {BM25_TOP_K}
 QUERIES.update(
     {
         "sample_domain_mix": QuerySpec(sample_domain_mix, DOMAIN_MIX_ORACLE),
+        "sample_temperature_mix": QuerySpec(
+            sample_temperature_mix, _temp_mix_oracle()
+        ),
         "batch_by_length": QuerySpec(batch_by_length, BATCH_BY_LENGTH_ORACLE),
         "bm25_retrieval_topk": QuerySpec(bm25_retrieval_topk, BM25_ORACLE),
     }

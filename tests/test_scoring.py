@@ -189,3 +189,89 @@ def test_hashing_bow_tokenizer_matches_oracle_on_boundary_whitespace():
     got = _hashing_bow_batch(pd.Series(texts))
     for i in range(len(texts)):
         assert np.allclose(got[i], want[i]), texts[i]
+
+
+def test_ivf_incremental_insert_equivalence(spark, sf_dir):
+    """The exactness claim licensing incremental IVF maintenance:
+    under FROZEN centroids, routing the delta batch separately and
+    unioning equals routing the whole corpus in one pass (assignment
+    is per-row). If this ever breaks, inserts need a rebuild."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.similarity import (
+        K_CLUSTERS,
+        KMEANS_ITERS,
+        _assign,
+        _ivf_is_delta,
+        _recompute,
+        _serve_cells,
+        ann_ivf_incremental_topk,
+        emb_table,
+    )
+
+    v = emb_table(spark, sf_dir)
+    base = v.filter(~_ivf_is_delta(F.col("vec_id")))
+    cents = base.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(base, cents))
+    # monolithic: one routing pass over the FULL corpus, same centroids
+    mono = _serve_cells(_assign(v, cents))
+    inc = ann_ivf_incremental_topk(spark, sf_dir)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, mono.collect()))
+
+
+def test_ivf_delta_segment_serves_union(spark, sf_dir, tmp_path):
+    """Persisted lifecycle: base cells written once, a delta epoch
+    appended as its own vectors-delta-1/ segment, serving reads the
+    union — results identical to the pure-DataFrame incremental query
+    (which the driver oracle certifies)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.similarity import (
+        K_CLUSTERS,
+        KMEANS_ITERS,
+        _assign,
+        _ivf_is_delta,
+        _recompute,
+        _serve_cells,
+        ann_ivf_incremental_topk,
+        append_ivf_delta,
+        emb_table,
+        read_ivf_vectors,
+    )
+
+    root = str(tmp_path / "ivf")
+    v = emb_table(spark, sf_dir)
+    base = v.filter(~_ivf_is_delta(F.col("vec_id")))
+    delta = v.filter(_ivf_is_delta(F.col("vec_id")))
+    cents = base.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(base, cents))
+    cents = cents.persist()
+    _assign(base, cents).write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(root, "vectors")
+    )
+    seg = append_ivf_delta(spark, root, _assign(delta, cents), epoch=1)
+    assert "vectors-delta-1" in seg
+    cents.unpersist()
+
+    served = _serve_cells(
+        read_ivf_vectors(spark, root).select("vec_id", "v", "norm", "cid")
+    )
+    want = ann_ivf_incremental_topk(spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, want.collect()))
+    # base cells untouched by the append (segment isolation)
+    assert os.path.isdir(os.path.join(root, "vectors"))
+    assert not any(
+        "delta" in p for p in os.listdir(os.path.join(root, "vectors"))
+    )
