@@ -952,26 +952,96 @@ def append_ivf_delta(spark: SparkSession, root: str, assigned_delta: DataFrame,
     """Per-epoch insert: write an already-routed delta batch as its
     own ``vectors-delta-<epoch>/cid=N/`` segment next to the frozen
     base index (same layout as ``vectors/``). The base cells are
-    never rewritten; compaction (folding segments into ``vectors/``)
-    reuses the signature-store pattern when segment count grows."""
+    never rewritten. Guarded by the store's two-sided append/compact
+    protocol (sources/sinks.py): the marker makes an in-flight append
+    visible to a starting compactor, and the lock check fails fast if
+    a compaction is underway."""
     import os as _os
 
-    path = _os.path.join(root, f"vectors-delta-{epoch}")
-    assigned_delta.write.mode("overwrite").partitionBy("cid").parquet(path)
+    from finmapreduce_spark.sources.sinks import append_marker, store_lock_path
+
+    with append_marker(root):
+        if _os.path.exists(store_lock_path(root)):
+            raise RuntimeError(
+                f"IVF index {root!r} is being compacted; retry after"
+            )
+        path = _os.path.join(root, f"vectors-delta-{epoch}")
+        assigned_delta.write.mode("overwrite").partitionBy("cid").parquet(path)
     return path
+
+
+def compact_ivf_index(spark: SparkSession, root: str) -> dict:
+    """Fold every ``vectors-delta-*`` segment into the base cells —
+    the lifecycle twin of compact_signature_store for the ANN index.
+    Replayed epochs re-append identical rows (routing is deterministic
+    under frozen centroids), so the rewrite dropDuplicates on vec_id;
+    the result is re-partitioned by cid so serving's partition pruning
+    sees one clean layout again. Two-rename swap with a
+    ``vectors.pre-compact`` rollback; consumed segments are deleted
+    only after the swap lands. Offline posture ENFORCED via the shared
+    two-sided guard (lock + append markers)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from finmapreduce_spark.sources.sinks import _check_no_appenders, _StoreLock
+
+    with _StoreLock(root):
+        _check_no_appenders(root)
+        segs = sorted(_glob.glob(_os.path.join(root, "vectors-delta-*")))
+        # raw union (NOT read_ivf_vectors: that already dedupes) so
+        # rows_before reflects what actually sits on disk
+        vecs = spark.read.parquet(_os.path.join(root, "vectors"))
+        for seg in segs:
+            vecs = vecs.unionByName(spark.read.parquet(seg))
+        rows_before = vecs.count()
+        files_before = sum(
+            len(_glob.glob(_os.path.join(d, "**", "*.parquet"), recursive=True))
+            for d in [_os.path.join(root, "vectors"), *segs]
+        )
+        compacted = vecs.dropDuplicates(["vec_id"])
+        tmp = _os.path.join(root, "vectors.compacting")
+        _shutil.rmtree(tmp, ignore_errors=True)
+        compacted.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+        rows_after = spark.read.parquet(tmp).count()
+        base = _os.path.join(root, "vectors")
+        old = _os.path.join(root, "vectors.pre-compact")
+        _shutil.rmtree(old, ignore_errors=True)
+        _os.rename(base, old)
+        _os.rename(tmp, base)
+        for s in segs:
+            _shutil.rmtree(s)
+        files_after = len(
+            _glob.glob(_os.path.join(base, "**", "*.parquet"), recursive=True)
+        )
+        return {
+            "segments_folded": len(segs),
+            "files_before": files_before,
+            "files_after": files_after,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+        }
 
 
 def read_ivf_vectors(spark: SparkSession, root: str) -> DataFrame:
     """The serving-side read: base cells ∪ every delta segment. Each
     piece keeps its cid=N partition dirs, so the probe's partition
-    pruning applies to segments exactly as to the base."""
+    pruning applies to segments exactly as to the base.
+
+    A REPLAYED epoch (crash-retry writing vectors-delta-N twice under
+    different N) duplicates vec_ids, and duplicates corrupt top-k
+    (the same neighbor occupies two ranks) — so reads dedupe on
+    vec_id whenever segments exist. The dedupe shuffle is the price
+    of an uncompacted index; compaction folds segments and returns
+    serving to the zero-shuffle pruned scan."""
     import glob as _glob
     import os as _os
 
     out = spark.read.parquet(_os.path.join(root, "vectors"))
-    for seg in sorted(_glob.glob(_os.path.join(root, "vectors-delta-*"))):
+    segs = sorted(_glob.glob(_os.path.join(root, "vectors-delta-*")))
+    for seg in segs:
         out = out.unionByName(spark.read.parquet(seg))
-    return out
+    return out.dropDuplicates(["vec_id"]) if segs else out
 
 
 # ---------------------------------------------------------------------------

@@ -275,3 +275,77 @@ def test_ivf_delta_segment_serves_union(spark, sf_dir, tmp_path):
     assert not any(
         "delta" in p for p in os.listdir(os.path.join(root, "vectors"))
     )
+
+
+def test_ivf_compaction_folds_segments_and_preserves_serving(spark, sf_dir, tmp_path):
+    """compact_ivf_index: a replayed epoch (same rows, new segment) is
+    deduped away, segments fold into one clean cid-partitioned layout,
+    and serving results are unchanged. The two-sided guard refuses
+    appends while the compaction lock is held."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.similarity import (
+        K_CLUSTERS,
+        KMEANS_ITERS,
+        _assign,
+        _ivf_is_delta,
+        _recompute,
+        _serve_cells,
+        append_ivf_delta,
+        compact_ivf_index,
+        emb_table,
+        read_ivf_vectors,
+    )
+    from finmapreduce_spark.sources.sinks import store_lock_path
+
+    root = str(tmp_path / "ivf")
+    v = emb_table(spark, sf_dir)
+    base = v.filter(~_ivf_is_delta(F.col("vec_id")))
+    delta = v.filter(_ivf_is_delta(F.col("vec_id")))
+    cents = base.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(base, cents))
+    cents = cents.persist()
+    _assign(base, cents).write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(root, "vectors")
+    )
+    routed = _assign(delta, cents)
+    append_ivf_delta(spark, root, routed, epoch=1)
+    append_ivf_delta(spark, root, routed, epoch=2)  # replayed epoch
+    cents.unpersist()
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                _serve_cells(
+                    read_ivf_vectors(spark, root).select(
+                        "vec_id", "v", "norm", "cid"
+                    )
+                ).collect(),
+            )
+        )
+
+    before = serve()
+    stats = compact_ivf_index(spark, root)
+    assert stats["segments_folded"] == 2
+    assert stats["rows_after"] < stats["rows_before"]  # replay deduped
+    assert serve() == before  # serving unchanged
+    assert not any("vectors-delta" in p for p in os.listdir(root))
+    # guard: append refuses while a compaction lock is held
+    lock = store_lock_path(root)
+    with open(lock, "w") as fh:
+        fh.write("pid=held")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="compacted"):
+            append_ivf_delta(spark, root, routed, epoch=3)
+    finally:
+        os.remove(lock)
