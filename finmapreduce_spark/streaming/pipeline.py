@@ -685,3 +685,55 @@ def serve_cleaning_gate(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_incremental_ann(
+    incoming_vectors: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+):
+    """Streaming ANN index maintenance — the ingest twin of
+    ann_ivf_incremental_topk (queries/similarity.py): each micro-batch
+    of new embeddings routes through the FROZEN centroid table
+    (``index_root/centroids``, K rows, broadcast) and lands as its own
+    ``vectors-delta-<epoch>/`` segment via append_ivf_delta. Serving
+    (read_ivf_vectors → _serve_cells) sees new vectors one epoch after
+    arrival, with no index rebuild anywhere.
+
+    Replay safety is by construction: the segment path is keyed on
+    epoch_id and written mode=overwrite, so a crash-replayed epoch
+    overwrites its own half-written attempt instead of duplicating
+    vectors (the cross-epoch duplicate case — the same vec_id
+    resubmitted in a LATER epoch — is handled by read_ivf_vectors'
+    read-side dedupe, and folded away by compact_ivf_index).
+
+    Scale: per epoch this is one broadcast crossJoin (K rows) + a
+    per-vector argmin + a partitioned write of |batch| rows —
+    O(|batch|·K), independent of index size. Centroid refresh is a
+    deliberate OFFLINE event (retrain + full re-route), exactly the
+    production IVF posture.
+    """
+    from finmapreduce_spark.queries.dedup import _dot
+    from finmapreduce_spark.queries.similarity import _assign, append_ivf_delta
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        import os
+
+        cents = spark.read.parquet(os.path.join(index_root, "centroids"))
+        # same norm formula as emb_table (sequential IEEE fold), so a
+        # vector routes identically whether it arrived batch or stream
+        vecs = batch_df.select(
+            "vec_id",
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"),
+        )
+        append_ivf_delta(spark, index_root, _assign(vecs, cents), int(epoch_id))
+
+    return (
+        incoming_vectors.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

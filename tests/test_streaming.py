@@ -1013,3 +1013,87 @@ def test_serve_mapreduce_response_cache_across_epochs(spark, sf_dir, tmpdir):
     results = spark.read.json(out)
     answers = [r["llm_answer"] for r in results.collect()]
     assert len(answers) == 2 and len(set(answers)) == 1  # identical
+
+
+def test_streaming_ann_index_maintenance_twin(spark, sf_dir, tmp_path):
+    """serve_incremental_ann: delta embeddings streamed across two
+    epochs route through the frozen centroids and land as per-epoch
+    segments; serving over the maintained index equals the batch
+    incremental query (whose oracle the driver certifies)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.similarity import (
+        K_CLUSTERS,
+        KMEANS_ITERS,
+        _assign,
+        _ivf_is_delta,
+        _recompute,
+        _serve_cells,
+        ann_ivf_incremental_topk,
+        emb_table,
+        read_ivf_vectors,
+    )
+    from finmapreduce_spark.streaming.pipeline import serve_incremental_ann
+
+    root = str(tmp_path / "ivf")
+    v = emb_table(spark, sf_dir)
+    base = v.filter(~_ivf_is_delta(F.col("vec_id")))
+    cents = base.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(base, cents))
+    cents = cents.persist()
+    _assign(base, cents).write.mode("overwrite").partitionBy("cid").parquet(
+        _os.path.join(root, "vectors")
+    )
+    cents.write.mode("overwrite").parquet(_os.path.join(root, "centroids"))
+    cents.unpersist()
+
+    # delta vectors arrive as two epochs (split by vec_id parity)
+    delta_rows = (
+        v.filter(_ivf_is_delta(F.col("vec_id"))).select("vec_id", "v").collect()
+    )
+    assert len(delta_rows) > 2
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for name, keep in (("e0.json", 0), ("e1.json", 1)):
+        with open(landing / name, "w") as fh:
+            for r in delta_rows:
+                if r["vec_id"] % 2 == keep:
+                    fh.write(
+                        _json.dumps({"vec_id": r["vec_id"], "v": list(r["v"])})
+                        + "\n"
+                    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = serve_incremental_ann(stream, root, str(tmp_path / "ckpt")).start()
+    q.awaitTermination()
+
+    # two per-epoch segments landed
+    segs = [p for p in _os.listdir(root) if p.startswith("vectors-delta-")]
+    assert len(segs) == 2
+
+    served = sorted(
+        map(
+            tuple,
+            _serve_cells(
+                read_ivf_vectors(spark, root).select("vec_id", "v", "norm", "cid")
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, ann_ivf_incremental_topk(spark, sf_dir).collect()))
+    assert served == want
