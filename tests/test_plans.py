@@ -858,3 +858,30 @@ def test_truncation_per_row_budget_varies(spark, sf_dir):
     r = out2.collect()[0]
     assert r["trunc_tokens"] == 1000  # floor budget sliced 1500 → 1000
     assert r["trunc_applied"] is True
+
+
+def test_temperature_mix_corpus_never_shuffles(spark, sf_dir):
+    """sample_temperature_mix: the corpus side must filter through ONE
+    BroadcastHashJoin against the tiny threshold table — no Exchange,
+    window, or sort touches the big side, and the scan reads only
+    (doc_id, lang). The threshold computation may shuffle (L-row
+    aggs); the corpus may not."""
+    plan = plan_of(QS["sample_temperature_mix"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    # corpus scan is pruned to the two columns used
+    assert "struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_ivf_incremental_serve_broadcasts_queries(spark, sf_dir):
+    """ann_ivf_incremental_topk: the serve join must broadcast the
+    tiny query-routing side against the indexed corpus (never
+    sort-merge or cartesian against it), and the whole train+route+
+    serve chain stays JVM-side. The only nested-loop joins allowed
+    are the K-row centroid crossJoins of training/routing."""
+    plan = plan_of(QS["ann_ivf_incremental_topk"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
