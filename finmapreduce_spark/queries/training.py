@@ -105,6 +105,67 @@ FROM packed
 """
 
 
+def pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card for the packed layout: per bucket, how many training
+    sequences the concat-then-chunk produces, how full they are, and
+    how many documents straddle a sequence boundary (the
+    attention-masking cost of packing). All-integer except the final
+    fill ratio, so the oracle is exact.
+
+    Scale: one aggregation over pack_training_sequences' output — the
+    window cumsum is already per-bucket-parallel, and the report adds
+    a single map-side-combined groupBy on the same bucket key (no new
+    exchange: the window partitioning is reused).
+    """
+    packed = pack_training_sequences(spark, sf_dir)
+    agg = packed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.col("seq_offset") + F.col("n_tokens") > SEQ_BUDGET, 1
+            ).otherwise(0)
+        ).alias("straddlers"),
+    )
+    n_seqs = (
+        F.floor((F.col("total_tokens") - 1) / SEQ_BUDGET).cast("long") + 1
+    )
+    return agg.select(
+        "bucket",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        n_seqs.alias("n_seqs"),
+        (n_seqs * SEQ_BUDGET - F.col("total_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.col("straddlers").cast("long").alias("straddlers"),
+        F.round(
+            F.col("total_tokens") / (n_seqs * SEQ_BUDGET).cast("double"), 6
+        ).alias("fill_pct"),
+    )
+
+
+PACK_FILL_ORACLE = f"""
+WITH packed AS ({PACK_ORACLE}),
+agg AS (
+  SELECT bucket, count(*) AS n_docs,
+         sum(n_tokens) AS total_tokens,
+         sum(CASE WHEN seq_offset + n_tokens > {SEQ_BUDGET}
+                  THEN 1 ELSE 0 END) AS straddlers
+  FROM packed GROUP BY bucket
+)
+SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(floor((total_tokens - 1) / {SEQ_BUDGET}) + 1 AS BIGINT) AS n_seqs,
+       CAST((floor((total_tokens - 1) / {SEQ_BUDGET}) + 1) * {SEQ_BUDGET}
+            - total_tokens AS BIGINT) AS waste_tokens,
+       CAST(straddlers AS BIGINT) AS straddlers,
+       round(total_tokens / CAST((floor((total_tokens - 1) / {SEQ_BUDGET}) + 1)
+                                 * {SEQ_BUDGET} AS DOUBLE), 6) AS fill_pct
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top-k terms per document
 # ---------------------------------------------------------------------------
@@ -254,6 +315,7 @@ FROM report WHERE n_contaminated > 0
 
 QUERIES: dict[str, QuerySpec] = {
     "pack_training_sequences": QuerySpec(pack_training_sequences, PACK_ORACLE),
+    "pack_fill_report": QuerySpec(pack_fill_report, PACK_FILL_ORACLE),
     "text_tfidf_topk": QuerySpec(text_tfidf_topk, TFIDF_ORACLE),
     "contamination_ngram_overlap": QuerySpec(
         contamination_ngram_overlap, CONTAMINATION_ORACLE
