@@ -45,13 +45,24 @@ def _key(kind: str, prompt_col, namespace: str = ""):
 
 
 def _recover_interrupted_compaction(cache_dir: str) -> None:
-    """Close the compaction crash window: if a previous compaction was
-    killed between its two renames, the table sits at
-    ``<cache_dir>.compact-old`` while ``cache_dir`` is gone — restore
-    it instead of silently re-paying every cached prompt."""
+    """Close the compaction crash windows: (a) killed between the two
+    renames — the table sits at ``<cache_dir>.compact-old`` while
+    ``cache_dir`` is gone — restore it instead of silently re-paying
+    every cached prompt; (b) killed after the swap but before the
+    staging carry-over — staged raws stranded under the old dir —
+    move them into the live table before anything deletes them."""
     old = cache_dir.rstrip("/") + ".compact-old"
     if not os.path.isdir(cache_dir) and os.path.isdir(old):
         os.rename(old, cache_dir)
+        return
+    old_staging = os.path.join(old, "_staging")
+    live_staging = os.path.join(cache_dir, "_staging")
+    if (
+        os.path.isdir(cache_dir)
+        and os.path.isdir(old_staging)
+        and not os.path.isdir(live_staging)
+    ):
+        os.rename(old_staging, live_staging)
 
 
 def _compact_lock_path(cache_dir: str) -> str:
@@ -213,37 +224,45 @@ def run_llm_stage_cached(
         return out
 
     # The ONLY execution of the paid stage: write raws durably, then
-    # read them back for both the cache append and the replay.
-    staging = os.path.join(cache_dir, "_staging", f"{kind}-{uuid.uuid4().hex}")
-    run_llm_stage(
-        misses,
-        prompt_col=prompt_col,
-        kind=kind,
-        out_schema=raw_schema,
-        row_builder=echo_builder,
-        client_factory=client_factory,
-        expect_json=expect_json,
-        concurrency=concurrency,
-    ).write.mode("overwrite").parquet(staging)
-    # explicit schema: an all-hits run stages an empty dataset, which
-    # schema inference would reject
-    fresh_raw = spark.read.schema(raw_schema).parquet(staging)
+    # read them back for both the cache append and the replay. The
+    # whole PAID (eager) phase holds an append marker so a starting
+    # compactor refuses rather than renaming the directory inode away
+    # mid-call — LLM batches can legitimately go minutes without a
+    # parquet flush, which the compactor's mtime quiesce cannot see.
+    from finmapreduce_spark.sources.sinks import append_marker
 
-    new_rows = fresh_raw.filter(F.col("__error").isNull()).select(
-        F.col("__key").alias("key"),
-        F.col("__content").alias("content"),
-        F.col("__in_tok").alias("input_tokens"),
-        F.col("__out_tok").alias("output_tokens"),
-    )
-    if new_rows.limit(1).count() > 0:
-        # each append lands in its OWN segment dir: concurrent runs
-        # (two CLIs, CLI + streaming server) sharing one cache_dir
-        # would otherwise stage under the SAME <cache_dir>/_temporary
-        # committer dir and clobber each other's in-flight task files;
-        # a per-job segment gives every writer a private committer.
-        new_rows.write.mode("overwrite").parquet(
-            os.path.join(cache_dir, f"seg-{uuid.uuid4().hex}")
+    staging = os.path.join(cache_dir, "_staging", f"{kind}-{uuid.uuid4().hex}")
+    with append_marker(cache_dir):
+        _raise_if_compacting(cache_dir)  # re-check under the marker
+        run_llm_stage(
+            misses,
+            prompt_col=prompt_col,
+            kind=kind,
+            out_schema=raw_schema,
+            row_builder=echo_builder,
+            client_factory=client_factory,
+            expect_json=expect_json,
+            concurrency=concurrency,
+        ).write.mode("overwrite").parquet(staging)
+        # explicit schema: an all-hits run stages an empty dataset,
+        # which schema inference would reject
+        fresh_raw = spark.read.schema(raw_schema).parquet(staging)
+
+        new_rows = fresh_raw.filter(F.col("__error").isNull()).select(
+            F.col("__key").alias("key"),
+            F.col("__content").alias("content"),
+            F.col("__in_tok").alias("input_tokens"),
+            F.col("__out_tok").alias("output_tokens"),
         )
+        if new_rows.limit(1).count() > 0:
+            # each append lands in its OWN segment dir: concurrent runs
+            # (two CLIs, CLI + streaming server) sharing one cache_dir
+            # would otherwise stage under the SAME <cache_dir>/_temporary
+            # committer dir and clobber each other's in-flight task files;
+            # a per-job segment gives every writer a private committer.
+            new_rows.write.mode("overwrite").parquet(
+                os.path.join(cache_dir, f"seg-{uuid.uuid4().hex}")
+            )
 
     combined = hits.unionByName(fresh_raw)
 
@@ -286,11 +305,12 @@ def compact_response_cache(
     files whose LISTING (not size) becomes the cache-read cost.
     Compaction rewrites the table as one deduped, key-sorted parquet
     (sorting aids dictionary/RLE compression on the md5 keys), then
-    atomically swaps it in and drops consumed staging dirs. Staged
-    SUCCESS rows are already folded into the table by the appends;
-    staged ERROR rows are deliberately not retained (errors must
-    retry fresh). Local-FS rename is atomic; an object-store
-    deployment swaps via a versioned prefix + pointer instead.
+    atomically swaps it in. ``_staging`` is PRESERVED across the swap
+    (a finished paid phase may still lazily re-read its staged raws
+    downstream — see _compact_locked); reclaim it explicitly with
+    ``prune_response_staging`` once no job could still reference it.
+    Local-FS rename is atomic; an object-store deployment swaps via a
+    versioned prefix + pointer instead.
 
     The "offline" assumption is ENFORCED, not conventional (ADVICE
     r05): (a) a lock file at ``<cache_dir>.compact-lock`` excludes
@@ -307,6 +327,8 @@ def compact_response_cache(
     """
     import time
 
+    import uuid
+
     lock = _compact_lock_path(cache_dir)
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -320,11 +342,30 @@ def compact_response_cache(
                 f"another compaction holds {lock!r} (age {age:.0f}s); "
                 "retry later or delete the lock if it crashed"
             )
-        os.remove(lock)
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        # ATOMIC steal: rename the expired lock aside — exactly one
+        # renamer wins (remove+recreate would let two stealers each
+        # delete the other's fresh lock and both run the swap)
+        stolen = f"{lock}.stolen-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(lock, stolen)
+        except OSError:
+            raise RuntimeError(
+                f"lost the steal race for {lock!r}; retry later"
+            ) from None
+        os.remove(stolen)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"another compactor acquired {lock!r} after the steal; "
+                "retry later"
+            ) from None
     os.write(fd, f"pid={os.getpid()}\n".encode())
     os.close(fd)
     try:
+        from finmapreduce_spark.sources.sinks import _check_no_appenders
+
+        _check_no_appenders(cache_dir)  # a paid eager phase is in flight
         _recover_interrupted_compaction(cache_dir)
         if quiesce_s > 0 and os.path.isdir(cache_dir):
             age = _newest_write_age_s(cache_dir)
@@ -359,6 +400,18 @@ def _compact_locked(spark: SparkSession, cache_dir: str) -> dict:
     if os.path.isdir(cache_dir):
         os.rename(cache_dir, old)
     os.rename(tmp, cache_dir)
+    # PRESERVE _staging across the swap: a job that finished its paid
+    # phase (marker released) may still lazily re-read its staged raws
+    # downstream — deleting them with the old dir would lose paid
+    # responses; moving the dir into the new table keeps them durable
+    # at the SAME path. (The job's root-file reads may still need a
+    # retry after the file listing changes; the retry is free BECAUSE
+    # staging survived.) A crash before this move strands staging in
+    # .compact-old — _recover_interrupted_compaction moves it back.
+    # Disk is reclaimed explicitly via prune_response_staging.
+    old_staging = os.path.join(old, "_staging")
+    if os.path.isdir(old_staging):
+        os.rename(old_staging, os.path.join(cache_dir, "_staging"))
     shutil.rmtree(old, ignore_errors=True)
     files_after = len(_cache_files(cache_dir))
     return {
@@ -366,3 +419,32 @@ def _compact_locked(spark: SparkSession, cache_dir: str) -> dict:
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def prune_response_staging(cache_dir: str, older_than_s: float = 86_400.0) -> int:
+    """Reclaim staging disk: delete ``_staging`` entries whose newest
+    write is older than ``older_than_s`` (default one day — far past
+    any job's lazy-read tail). Separated from compaction so the swap
+    never has to decide whether a staged raw is still referenced;
+    staged SUCCESS rows are already folded into the table by the
+    appends and staged ERROR rows must retry fresh, so pruning loses
+    nothing that the cache serves. Returns the number of entries
+    removed."""
+    import glob
+    import shutil
+    import time
+
+    removed = 0
+    for entry in glob.glob(os.path.join(cache_dir, "_staging", "*")):
+        newest = None
+        for dirpath, _dirs, files in os.walk(entry):
+            for name in files + ["."]:
+                try:
+                    m = os.path.getmtime(os.path.join(dirpath, name))
+                except OSError:
+                    continue
+                newest = m if newest is None else max(newest, m)
+        if newest is not None and time.time() - newest > older_than_s:
+            shutil.rmtree(entry, ignore_errors=True)
+            removed += 1
+    return removed

@@ -262,8 +262,9 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
 
     json format: each kept chunk renders to the reference's XML block
     (1-based index over kept chunks in chunk order) and blocks join
-    with single newlines (json_formatter.py:35-52); hybrid/plain gather
-    raw content with blank-line separators.
+    with single newlines (json_formatter.py:35-52); hybrid/plain
+    gather raw content, ALSO newline-joined (plain_text_formatter.py:69,
+    hybrid_formatter.py:73 — both are "\\n".join).
 
     ``max_reduce_chunks`` is the per-group size guard (SURVEY §7 risk
     4): a pathological million-chunk document would otherwise blow up

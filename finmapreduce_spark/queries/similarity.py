@@ -701,6 +701,22 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _train_centroids(v: DataFrame) -> DataFrame:
+    """Seed from the first {K_CLUSTERS} vec_ids, run {KMEANS_ITERS}
+    Lloyd rounds — the ONE training block every IVF consumer shares
+    (cluster-sizes report, monolithic search, incremental index,
+    persisted index, tests). A seeding/iteration change made here
+    cannot diverge the incremental index from the monolithic one."""
+    cents = v.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute(_assign(v, cents))
+    return cents
+
+
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of spherical k-means over the embedding
     table (seeds = the first K vectors by vec_id), reporting final
@@ -717,16 +733,7 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only.
     """
     v = _emb(spark, sf_dir)
-    cents = (
-        v.filter(F.col("vec_id") < K_CLUSTERS)
-        .select(
-            F.col("vec_id").cast("int").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("c_norm"),
-        )
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _recompute(_assign(v, cents))
+    cents = _train_centroids(v)
     final = _assign(v, cents)
     return (
         final.groupBy("cid")
@@ -830,13 +837,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     training cost amortizes across every subsequent query batch.
     """
     v = _emb(spark, sf_dir)
-    cents = v.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("c_norm"),
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _recompute(_assign(v, cents))
+    cents = _train_centroids(v)
     assigned = _assign(v, cents)
     return _serve_cells(assigned)
 
@@ -900,13 +901,7 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _emb(spark, sf_dir)
     base = v.filter(~_ivf_is_delta(F.col("vec_id")))
     delta = v.filter(_ivf_is_delta(F.col("vec_id")))
-    cents = base.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("c_norm"),
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _recompute(_assign(base, cents))
+    cents = _train_centroids(base)
     # the per-epoch insert job: assign ONLY the delta through the
     # frozen centroid table (in production this writes a
     # vectors-delta-<epoch>/ segment; see append_ivf_delta)
@@ -947,15 +942,85 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def valid_vectors(df: DataFrame, expected_dim: int) -> DataFrame:
+    """emb_table's validity predicates applied to an arbitrary
+    (vec_id, v) batch against the INDEX's declared dimension: non-NULL
+    vector, no NULL elements, exact dim (zip_with silently NULL-pads a
+    ragged vector), and finite positive norm (a zero vector's cosine
+    is NaN, and NaN ranks above every double — one poisoned ingest row
+    would otherwise become the rank-1 neighbor for every query probing
+    its cell). Returns (vec_id, v, norm) for the valid rows."""
+    from finmapreduce_spark.queries.dedup import _dot
+
+    return (
+        df.filter(
+            F.col("v").isNotNull()
+            & ~F.exists("v", lambda x: x.isNull())
+            & (F.size("v") == expected_dim)
+        )
+        .select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"))
+        .filter(
+            (F.col("norm") > 0)
+            & ~F.isnan("norm")
+            & (F.col("norm") != F.lit(float("inf")))
+        )
+    )
+
+
+def _ivf_segments(root: str) -> list[tuple[int, str, str]]:
+    """Parsed delta segments, seq-ascending: [(seq, tag, path)].
+    Segment dirs are named ``vectors-delta-<seq:08d>-<tag>`` — seq is
+    the index-local ingest order (precedence for latest-wins reads),
+    tag is the caller's batch identity (replay idempotency key)."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    out = []
+    for p in _glob.glob(_os.path.join(root, "vectors-delta-*")):
+        m = _re.match(r"vectors-delta-(\d{8})-(.+)$", _os.path.basename(p))
+        if m:
+            out.append((int(m.group(1)), m.group(2), p))
+    return sorted(out)
+
+
+def _recover_interrupted_ivf_compaction(root: str) -> None:
+    """Close compact_ivf_index's two-rename crash window: a crash
+    between the renames leaves the table at ``vectors.pre-compact``
+    with ``vectors/`` gone — restore it. Readers only recover when no
+    compaction lock is held (mid-compaction the gap is transient and
+    owned by the compactor)."""
+    import os as _os
+
+    from finmapreduce_spark.sources.sinks import store_lock_path
+
+    base = _os.path.join(root, "vectors")
+    old = _os.path.join(root, "vectors.pre-compact")
+    if (
+        not _os.path.isdir(base)
+        and _os.path.isdir(old)
+        and not _os.path.exists(store_lock_path(root))
+    ):
+        _os.rename(old, base)
+
+
 def append_ivf_delta(spark: SparkSession, root: str, assigned_delta: DataFrame,
-                     epoch: int) -> str:
-    """Per-epoch insert: write an already-routed delta batch as its
-    own ``vectors-delta-<epoch>/cid=N/`` segment next to the frozen
-    base index (same layout as ``vectors/``). The base cells are
-    never rewritten. Guarded by the store's two-sided append/compact
-    protocol (sources/sinks.py): the marker makes an in-flight append
-    visible to a starting compactor, and the lock check fails fast if
-    a compaction is underway."""
+                     tag) -> str:
+    """Per-batch insert: write an already-routed delta batch as its
+    own ``vectors-delta-<seq>-<tag>/cid=N/`` segment next to the
+    frozen base index (same layout as ``vectors/``). The base cells
+    are never rewritten.
+
+    ``tag`` is the batch's identity: re-appending the SAME tag (a
+    replayed epoch) overwrites its own segment — idempotent — while a
+    NEW tag gets the next ingest seq, so a vec_id resubmitted later
+    with a CHANGED vector deterministically supersedes the old row
+    (read_ivf_vectors keeps the highest seq). Appends are sequential
+    per index (the streaming serve's epochs are; two concurrent
+    appenders could race the seq assignment — multi-writer ingest
+    needs an external queue, same caveat as the signature store).
+    Guarded by the store's two-sided append/compact protocol
+    (sources/sinks.py)."""
     import os as _os
 
     from finmapreduce_spark.sources.sinks import append_marker, store_lock_path
@@ -965,21 +1030,29 @@ def append_ivf_delta(spark: SparkSession, root: str, assigned_delta: DataFrame,
             raise RuntimeError(
                 f"IVF index {root!r} is being compacted; retry after"
             )
-        path = _os.path.join(root, f"vectors-delta-{epoch}")
+        segs = _ivf_segments(root)
+        same_tag = [s for s in segs if s[1] == str(tag)]
+        seq = same_tag[0][0] if same_tag else (segs[-1][0] + 1 if segs else 1)
+        path = _os.path.join(root, f"vectors-delta-{seq:08d}-{tag}")
         assigned_delta.write.mode("overwrite").partitionBy("cid").parquet(path)
     return path
 
 
 def compact_ivf_index(spark: SparkSession, root: str) -> dict:
-    """Fold every ``vectors-delta-*`` segment into the base cells —
-    the lifecycle twin of compact_signature_store for the ANN index.
-    Replayed epochs re-append identical rows (routing is deterministic
-    under frozen centroids), so the rewrite dropDuplicates on vec_id;
-    the result is re-partitioned by cid so serving's partition pruning
-    sees one clean layout again. Two-rename swap with a
-    ``vectors.pre-compact`` rollback; consumed segments are deleted
-    only after the swap lands. Offline posture ENFORCED via the shared
-    two-sided guard (lock + append markers)."""
+    """Fold every delta segment into the base cells — the lifecycle
+    twin of compact_signature_store for the ANN index. The rewrite
+    keeps, per vec_id, the row from the HIGHEST ingest seq (same
+    latest-wins rule reads apply), so a re-embedded vector's newest
+    routing is what gets baked in; bit-identical replays collapse to
+    one row either way. Re-partitioned by cid so serving's partition
+    pruning sees one clean layout again.
+
+    Crash safety mirrors the response cache: two renames with a
+    ``vectors.pre-compact`` rollback that
+    ``_recover_interrupted_ivf_compaction`` (run by every reader and
+    by this function) restores, consumed segments and the rollback
+    copy deleted only after the swap lands. Offline posture ENFORCED
+    via the shared two-sided guard (lock + append markers)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -988,18 +1061,15 @@ def compact_ivf_index(spark: SparkSession, root: str) -> dict:
 
     with _StoreLock(root):
         _check_no_appenders(root)
-        segs = sorted(_glob.glob(_os.path.join(root, "vectors-delta-*")))
-        # raw union (NOT read_ivf_vectors: that already dedupes) so
-        # rows_before reflects what actually sits on disk
-        vecs = spark.read.parquet(_os.path.join(root, "vectors"))
-        for seg in segs:
-            vecs = vecs.unionByName(spark.read.parquet(seg))
+        _recover_interrupted_ivf_compaction_locked(root)
+        segs = _ivf_segments(root)
+        vecs = _ivf_union_with_ord(spark, root, segs)
         rows_before = vecs.count()
         files_before = sum(
             len(_glob.glob(_os.path.join(d, "**", "*.parquet"), recursive=True))
-            for d in [_os.path.join(root, "vectors"), *segs]
+            for d in [_os.path.join(root, "vectors"), *[p for _, _, p in segs]]
         )
-        compacted = vecs.dropDuplicates(["vec_id"])
+        compacted = _ivf_latest(vecs)
         tmp = _os.path.join(root, "vectors.compacting")
         _shutil.rmtree(tmp, ignore_errors=True)
         compacted.write.mode("overwrite").partitionBy("cid").parquet(tmp)
@@ -1009,8 +1079,9 @@ def compact_ivf_index(spark: SparkSession, root: str) -> dict:
         _shutil.rmtree(old, ignore_errors=True)
         _os.rename(base, old)
         _os.rename(tmp, base)
-        for s in segs:
-            _shutil.rmtree(s)
+        for _, _, p in segs:
+            _shutil.rmtree(p)
+        _shutil.rmtree(old, ignore_errors=True)  # swap landed; drop rollback
         files_after = len(
             _glob.glob(_os.path.join(base, "**", "*.parquet"), recursive=True)
         )
@@ -1023,25 +1094,64 @@ def compact_ivf_index(spark: SparkSession, root: str) -> dict:
         }
 
 
+def _recover_interrupted_ivf_compaction_locked(root: str) -> None:
+    """Recovery variant for the lock HOLDER (the reader-side check
+    skips recovery while a lock exists — which is us, here)."""
+    import os as _os
+
+    base = _os.path.join(root, "vectors")
+    old = _os.path.join(root, "vectors.pre-compact")
+    if not _os.path.isdir(base) and _os.path.isdir(old):
+        _os.rename(old, base)
+
+
+def _ivf_union_with_ord(spark: SparkSession, root: str, segs) -> DataFrame:
+    """Base (ord 0) ∪ segments (ord = 1-based position in seq order),
+    each row stamped with its piece's precedence."""
+    import os as _os
+
+    out = spark.read.parquet(_os.path.join(root, "vectors")).withColumn(
+        "__ord", F.lit(0)
+    )
+    for i, (_seq, _tag, path) in enumerate(segs):
+        out = out.unionByName(
+            spark.read.parquet(path).withColumn("__ord", F.lit(i + 1))
+        )
+    return out
+
+
+def _ivf_latest(vecs_with_ord: DataFrame) -> DataFrame:
+    """Latest-wins per vec_id: keep the row with the highest piece
+    precedence. Deterministic because __ord is unique per piece."""
+    w = W.partitionBy("vec_id").orderBy(F.desc("__ord"))
+    return (
+        vecs_with_ord.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__ord")
+    )
+
+
 def read_ivf_vectors(spark: SparkSession, root: str) -> DataFrame:
     """The serving-side read: base cells ∪ every delta segment. Each
     piece keeps its cid=N partition dirs, so the probe's partition
     pruning applies to segments exactly as to the base.
 
-    A REPLAYED epoch (crash-retry writing vectors-delta-N twice under
-    different N) duplicates vec_ids, and duplicates corrupt top-k
-    (the same neighbor occupies two ranks) — so reads dedupe on
-    vec_id whenever segments exist. The dedupe shuffle is the price
-    of an uncompacted index; compaction folds segments and returns
-    serving to the zero-shuffle pruned scan."""
-    import glob as _glob
+    Duplicates corrupt top-k (the same neighbor occupies two ranks),
+    and they arise two ways: a replayed epoch re-appended under a new
+    tag (bit-identical rows), and a vec_id legitimately RESUBMITTED
+    with a changed vector. Reads resolve both deterministically by
+    keeping the highest-ingest-seq row per vec_id. The dedupe window
+    is the price of an uncompacted index; compaction folds segments
+    and returns serving to the zero-shuffle pruned scan. Also runs
+    crash recovery for an interrupted compaction, like the response
+    cache's reader."""
     import os as _os
 
-    out = spark.read.parquet(_os.path.join(root, "vectors"))
-    segs = sorted(_glob.glob(_os.path.join(root, "vectors-delta-*")))
-    for seg in segs:
-        out = out.unionByName(spark.read.parquet(seg))
-    return out.dropDuplicates(["vec_id"]) if segs else out
+    _recover_interrupted_ivf_compaction(root)
+    segs = _ivf_segments(root)
+    if not segs:
+        return spark.read.parquet(_os.path.join(root, "vectors"))
+    return _ivf_latest(_ivf_union_with_ord(spark, root, segs))
 
 
 # ---------------------------------------------------------------------------
@@ -1306,13 +1416,7 @@ SEMDEDUP_THRESHOLD = 0.35
 
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _emb(spark, sf_dir)
-    cents = v.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("c_norm"),
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _recompute(_assign(v, cents))
+    cents = _train_centroids(v)
     # NOTE: final stays persisted — the returned plan references it on
     # BOTH sides of the within-cluster self-join and the driver
     # executes lazily (the bpe/classifier documented-leak pattern;
@@ -1541,14 +1645,7 @@ def materialize_ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
     def write(tmp: str) -> None:
         v = _emb(spark, sf_dir)
-        cents = v.filter(F.col("vec_id") < K_CLUSTERS).select(
-            F.col("vec_id").cast("int").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("c_norm"),
-        )
-        for _ in range(KMEANS_ITERS):
-            cents = _recompute(_assign(v, cents))
-        cents = cents.persist()
+        cents = _train_centroids(v).persist()
         assigned = _assign(v, cents)
         assigned.write.mode("overwrite").partitionBy("cid").parquet(
             _os.path.join(tmp, "vectors")

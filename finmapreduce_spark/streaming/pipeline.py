@@ -700,12 +700,21 @@ def serve_incremental_ann(
     (read_ivf_vectors → _serve_cells) sees new vectors one epoch after
     arrival, with no index rebuild anywhere.
 
-    Replay safety is by construction: the segment path is keyed on
-    epoch_id and written mode=overwrite, so a crash-replayed epoch
-    overwrites its own half-written attempt instead of duplicating
-    vectors (the cross-epoch duplicate case — the same vec_id
-    resubmitted in a LATER epoch — is handled by read_ivf_vectors'
-    read-side dedupe, and folded away by compact_ivf_index).
+    Replay safety: the segment tag is ``<run>-<epoch>`` where ``run``
+    is minted once per serve call — a crash-replayed epoch WITHIN a
+    run overwrites its own half-written segment (idempotent), while a
+    restart with a fresh checkpoint (whose epoch ids restart at 0)
+    mints a new run id and cannot clobber earlier runs' segments.
+    Cross-run re-delivery of the same rows only duplicates
+    bit-identical data, which read_ivf_vectors' latest-wins dedupe
+    resolves and compact_ivf_index folds away; a vec_id legitimately
+    RESUBMITTED with a changed vector supersedes the old row (higher
+    ingest seq wins).
+
+    Ingest is GUARDED: rows failing emb_table's validity predicates
+    (NULL/ragged vectors, zero or non-finite norm — one such row would
+    otherwise rank first for every query probing its cell, cosine NaN)
+    are dropped before routing, against the index's declared dim.
 
     Scale: per epoch this is one broadcast crossJoin (K rows) + a
     per-vector argmin + a partitioned write of |batch| rows —
@@ -713,8 +722,15 @@ def serve_incremental_ann(
     deliberate OFFLINE event (retrain + full re-route), exactly the
     production IVF posture.
     """
-    from finmapreduce_spark.queries.dedup import _dot
-    from finmapreduce_spark.queries.similarity import _assign, append_ivf_delta
+    import uuid
+
+    from finmapreduce_spark.queries.similarity import (
+        _assign,
+        append_ivf_delta,
+        valid_vectors,
+    )
+
+    run_tag = uuid.uuid4().hex[:8]
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -723,14 +739,15 @@ def serve_incremental_ann(
         import os
 
         cents = spark.read.parquet(os.path.join(index_root, "centroids"))
-        # same norm formula as emb_table (sequential IEEE fold), so a
-        # vector routes identically whether it arrived batch or stream
-        vecs = batch_df.select(
-            "vec_id",
-            "v",
-            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"),
+        expected_dim = len(cents.select("cv").first()["cv"])
+        # valid_vectors uses emb_table's norm formula (sequential IEEE
+        # fold), so a vector routes identically batch or stream
+        vecs = valid_vectors(batch_df.select("vec_id", "v"), expected_dim)
+        if vecs.isEmpty():
+            return
+        append_ivf_delta(
+            spark, index_root, _assign(vecs, cents), f"{run_tag}-{int(epoch_id)}"
         )
-        append_ivf_delta(spark, index_root, _assign(vecs, cents), int(epoch_id))
 
     return (
         incoming_vectors.writeStream.foreachBatch(process_batch)

@@ -189,7 +189,16 @@ def test_compaction_preserves_zero_call_idempotency(spark, tmp_path):
     assert stats["files_after"] <= stats["files_before"]
     import os as _os
 
-    assert not _os.path.isdir(_os.path.join(cache_dir, "_staging"))
+    # staging is PRESERVED across the swap (a finished job may still
+    # lazily re-read its staged raws); prune reclaims it explicitly —
+    # entries younger than the window stay, a zero window drops all
+    from finmapreduce_spark.llm.response_cache import prune_response_staging
+
+    staging = _os.path.join(cache_dir, "_staging")
+    assert _os.path.isdir(staging) and _os.listdir(staging)
+    assert prune_response_staging(cache_dir, older_than_s=10_000) == 0
+    assert prune_response_staging(cache_dir, older_than_s=0) > 0
+    assert not _os.listdir(staging)
 
     run2 = run_mapreduce(qa, docs, cfg)
     j2 = sorted((r["qa_id"], r["judgment"]) for r in run2["judgments"].collect())

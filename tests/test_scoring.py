@@ -261,8 +261,8 @@ def test_ivf_delta_segment_serves_union(spark, sf_dir, tmp_path):
     _assign(base, cents).write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(root, "vectors")
     )
-    seg = append_ivf_delta(spark, root, _assign(delta, cents), epoch=1)
-    assert "vectors-delta-1" in seg
+    seg = append_ivf_delta(spark, root, _assign(delta, cents), tag="e1")
+    assert "vectors-delta-00000001-e1" in seg
     cents.unpersist()
 
     served = _serve_cells(
@@ -316,8 +316,8 @@ def test_ivf_compaction_folds_segments_and_preserves_serving(spark, sf_dir, tmp_
         os.path.join(root, "vectors")
     )
     routed = _assign(delta, cents)
-    append_ivf_delta(spark, root, routed, epoch=1)
-    append_ivf_delta(spark, root, routed, epoch=2)  # replayed epoch
+    append_ivf_delta(spark, root, routed, tag="run1-0")
+    append_ivf_delta(spark, root, routed, tag="run2-0")  # cross-run replay
     cents.unpersist()
 
     def serve():
@@ -346,6 +346,65 @@ def test_ivf_compaction_folds_segments_and_preserves_serving(spark, sf_dir, tmp_
         import pytest as _pytest
 
         with _pytest.raises(RuntimeError, match="compacted"):
-            append_ivf_delta(spark, root, routed, epoch=3)
+            append_ivf_delta(spark, root, routed, tag="run3-0")
     finally:
         os.remove(lock)
+
+
+def test_ivf_resubmitted_vector_latest_wins(spark, tmp_path):
+    """A vec_id resubmitted with a CHANGED vector must be served from
+    its newest ingest (highest segment seq) — deterministically, both
+    through read_ivf_vectors and after compaction."""
+    import os
+
+    from finmapreduce_spark.queries.similarity import (
+        append_ivf_delta,
+        compact_ivf_index,
+        read_ivf_vectors,
+    )
+
+    root = str(tmp_path / "ivf")
+    schema = "vec_id long, v array<double>, norm double, cid int"
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1.0, 0), (2, [0.0, 1.0], 1.0, 1)], schema
+    )
+    base.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(root, "vectors")
+    )
+    v2a = spark.createDataFrame([(2, [0.6, 0.8], 1.0, 1)], schema)
+    v2b = spark.createDataFrame([(2, [0.8, 0.6], 1.0, 0)], schema)
+    append_ivf_delta(spark, root, v2a, tag="epoch-a")
+    append_ivf_delta(spark, root, v2b, tag="epoch-b")
+
+    def v_of_2():
+        rows = {r["vec_id"]: (list(r["v"]), r["cid"]) for r in
+                read_ivf_vectors(spark, root).collect()}
+        assert set(rows) == {1, 2}
+        return rows[2]
+
+    assert v_of_2() == ([0.8, 0.6], 0)  # newest ingest wins, new cell too
+    compact_ivf_index(spark, root)
+    assert v_of_2() == ([0.8, 0.6], 0)  # compaction bakes the same choice
+    # replaying tag epoch-b overwrites its own segment, not a new one
+    append_ivf_delta(spark, root, v2b, tag="epoch-b")
+    segs = [p for p in os.listdir(root) if p.startswith("vectors-delta-")]
+    assert len(segs) == 1 and segs[0].endswith("epoch-b")
+
+
+def test_valid_vectors_filters_poison_rows(spark):
+    """Ingest guard: NULL vector, NULL element, ragged dim, and zero
+    vector are all dropped; the good row keeps emb_table's norm."""
+    from finmapreduce_spark.queries.similarity import valid_vectors
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),          # good
+            (2, None),                # NULL vector
+            (3, [1.0, None]),         # NULL element
+            (4, [1.0, 2.0, 3.0]),     # ragged (dim 3, expect 2)
+            (5, [0.0, 0.0]),          # zero norm → NaN cosine poison
+        ],
+        "vec_id long, v array<double>",
+    )
+    out = valid_vectors(df, expected_dim=2).collect()
+    assert [(r["vec_id"], r["norm"]) for r in out] == [(1, 5.0)]
