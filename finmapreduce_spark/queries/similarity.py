@@ -1131,6 +1131,71 @@ def _ivf_latest(vecs_with_ord: DataFrame) -> DataFrame:
     )
 
 
+def refresh_ivf_index(spark: SparkSession, root: str) -> dict:
+    """The deliberate OFFLINE event incremental maintenance defers:
+    RETRAIN centroids on everything ingested so far (latest-wins over
+    base ∪ segments) and re-route the full corpus — the answer to
+    centroid drift once the delta fraction grows past what frozen
+    routing serves well. Training is _train_centroids — the same
+    seed rule (vec_id < K_CLUSTERS) and Lloyd loop as every other IVF
+    consumer — so a refreshed index equals a monolithic build over
+    the same vectors (pinned by test); a store whose id space lacks
+    the seed ids fails fast below rather than training on an empty
+    seed set. Rewrites ``vectors/`` AND ``centroids/`` behind
+    the same lock/rollback protocol as compact_ivf_index and consumes
+    every delta segment."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from finmapreduce_spark.sources.sinks import _check_no_appenders, _StoreLock
+
+    with _StoreLock(root):
+        _check_no_appenders(root)
+        _recover_interrupted_ivf_compaction_locked(root)
+        segs = _ivf_segments(root)
+        current = _ivf_latest(_ivf_union_with_ord(spark, root, segs)).select(
+            "vec_id", "v", "norm"
+        )
+        n_seeds = current.filter(F.col("vec_id") < K_CLUSTERS).count()
+        if n_seeds == 0:
+            raise ValueError(
+                f"refresh_ivf_index: no seed vectors (vec_id < "
+                f"{K_CLUSTERS}) in {root!r}; the store's id space does "
+                "not cover the seed rule"
+            )
+        cents = _train_centroids(current).persist()
+        assigned = _assign(current, cents)
+        tmp = _os.path.join(root, "vectors.compacting")
+        tmp_c = _os.path.join(root, "centroids.refreshing")
+        _shutil.rmtree(tmp, ignore_errors=True)
+        _shutil.rmtree(tmp_c, ignore_errors=True)
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+        cents.write.mode("overwrite").parquet(tmp_c)
+        cents.unpersist()
+        n_vectors = spark.read.parquet(tmp).count()
+        base = _os.path.join(root, "vectors")
+        old = _os.path.join(root, "vectors.pre-compact")
+        _shutil.rmtree(old, ignore_errors=True)
+        _os.rename(base, old)
+        _os.rename(tmp, base)
+        # centroids swap after vectors: a crash between the two leaves
+        # OLD centroids with NEW cells — routing stays consistent for
+        # already-assigned rows (cells are read by cid, not recomputed),
+        # and re-running the refresh converges; recovery never loses data
+        cdir = _os.path.join(root, "centroids")
+        old_c = _os.path.join(root, "centroids.pre-refresh")
+        _shutil.rmtree(old_c, ignore_errors=True)
+        if _os.path.isdir(cdir):
+            _os.rename(cdir, old_c)
+        _os.rename(tmp_c, cdir)
+        for _, _, p in segs:
+            _shutil.rmtree(p)
+        _shutil.rmtree(old, ignore_errors=True)
+        _shutil.rmtree(old_c, ignore_errors=True)
+        return {"segments_folded": len(segs), "n_vectors": n_vectors}
+
+
 def read_ivf_vectors(spark: SparkSession, root: str) -> DataFrame:
     """The serving-side read: base cells ∪ every delta segment. Each
     piece keeps its cid=N partition dirs, so the probe's partition

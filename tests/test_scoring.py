@@ -408,3 +408,58 @@ def test_valid_vectors_filters_poison_rows(spark):
     )
     out = valid_vectors(df, expected_dim=2).collect()
     assert [(r["vec_id"], r["norm"]) for r in out] == [(1, 5.0)]
+
+
+def test_ivf_refresh_equals_monolithic_rebuild(spark, sf_dir, tmp_path):
+    """refresh_ivf_index: after base build + delta appends, an offline
+    refresh (retrain on everything, full re-route) must yield serving
+    identical to ann_ivf_kmeans_topk's monolithic train over the same
+    corpus, with all delta segments consumed and centroids rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.similarity import (
+        _assign,
+        _ivf_is_delta,
+        _serve_cells,
+        _train_centroids,
+        ann_ivf_kmeans_topk,
+        append_ivf_delta,
+        emb_table,
+        read_ivf_vectors,
+        refresh_ivf_index,
+    )
+
+    root = str(tmp_path / "ivf")
+    v = emb_table(spark, sf_dir)
+    base = v.filter(~_ivf_is_delta(F.col("vec_id")))
+    delta = v.filter(_ivf_is_delta(F.col("vec_id")))
+    cents = _train_centroids(base).persist()
+    _assign(base, cents).write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(root, "vectors")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    append_ivf_delta(spark, root, _assign(delta, cents), tag="e1")
+    cents.unpersist()
+
+    stats = refresh_ivf_index(spark, root)
+    assert stats["segments_folded"] == 1
+    assert not any(p.startswith("vectors-delta") for p in os.listdir(root))
+
+    served = sorted(
+        map(
+            tuple,
+            _serve_cells(
+                read_ivf_vectors(spark, root).select("vec_id", "v", "norm", "cid")
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, ann_ivf_kmeans_topk(spark, sf_dir).collect()))
+    assert served == want
+    # the rewritten centroid sidecar matches the refreshed training
+    cdir = os.path.join(root, "centroids")
+    assert os.path.isdir(cdir)
+    got_c = {r["cid"] for r in spark.read.parquet(cdir).collect()}
+    want_c = {r["cid"] for r in _train_centroids(v).collect()}
+    assert got_c == want_c
