@@ -976,11 +976,21 @@ def _ivf_segments(root: str) -> list[tuple[int, str, str]]:
     import os as _os
     import re as _re
 
-    out = []
+    out, unknown = [], []
     for p in _glob.glob(_os.path.join(root, "vectors-delta-*")):
         m = _re.match(r"vectors-delta-(\d{8})-(.+)$", _os.path.basename(p))
         if m:
             out.append((int(m.group(1)), m.group(2), p))
+        else:
+            unknown.append(p)
+    if unknown:
+        # silently ignoring a segment would serve an index MISSING
+        # ingested vectors — fail loudly instead (e.g. a store written
+        # by an older layout needs a one-time rename to <seq>-<tag>)
+        raise RuntimeError(
+            f"unrecognized IVF delta segment name(s) {unknown}; expected "
+            "vectors-delta-<seq:08d>-<tag>"
+        )
     return sorted(out)
 
 

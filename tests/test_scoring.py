@@ -463,3 +463,21 @@ def test_ivf_refresh_equals_monolithic_rebuild(spark, sf_dir, tmp_path):
     got_c = {r["cid"] for r in spark.read.parquet(cdir).collect()}
     want_c = {r["cid"] for r in _train_centroids(v).collect()}
     assert got_c == want_c
+
+
+def test_ivf_unrecognized_segment_fails_loudly(spark, tmp_path):
+    """A delta dir that doesn't parse must raise, not be silently
+    ignored — ignoring it would serve an index missing ingested
+    vectors."""
+    import os
+
+    from finmapreduce_spark.queries.similarity import read_ivf_vectors
+
+    root = str(tmp_path / "ivf")
+    schema = "vec_id long, v array<double>, norm double, cid int"
+    spark.createDataFrame([(1, [1.0], 1.0, 0)], schema).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(os.path.join(root, "vectors"))
+    os.makedirs(os.path.join(root, "vectors-delta-1"))  # legacy layout
+    with pytest.raises(RuntimeError, match="unrecognized"):
+        read_ivf_vectors(spark, root)
