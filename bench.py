@@ -102,6 +102,11 @@ HEADLINE = [
     # the all-integer temperature-mixture hash-Bernoulli sampler
     "ann_ivf_incremental_topk",
     "sample_temperature_mix",
+    # round-6 (cont.): interpolated trigram LM — five count shuffles
+    # assembled into a probability spine on the distinct-trigram
+    # table, events join once (the plan shape that keeps the event
+    # stream to a single join at 100 TB)
+    "text_trigram_interp_quality",
 ]
 
 

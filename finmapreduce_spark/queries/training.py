@@ -941,6 +941,148 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Interpolated trigram-LM quality — the rung above the bigram on the
+# CCNet ladder (real LM filters are ~5-gram; the mechanics are all
+# here at order 3): per-doc mean -log2 of the Jelinek-Mercer mixture
+# P(w3|w1w2) = λ3·c123/c12· + λ2·c23/c2· + λ1·c3/N with fixed λ =
+# (0.6, 0.3, 0.1). Every count conditions on the event space it
+# normalizes over — ALL counts derive from the ONE trigram event
+# table, so Σ_w3 of each ML term is exactly 1 and, because the
+# corpus is its own LM, every event has c123 ≥ 1: the mixture is
+# strictly positive with no smoothing edge cases.
+# ---------------------------------------------------------------------------
+
+TRIGRAM_LAMBDAS = (0.6, 0.3, 0.1)
+TRIGRAM_MAX_BITS = 10.0
+
+
+def text_trigram_interp_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc interpolated-trigram cross-entropy under the corpus's
+    own LM.
+
+    Plan shape: ONE trigram-event materialization, persisted — it
+    feeds six consumers (the per-doc events and five count tables);
+    left lazy the corpus would re-scan and re-explode 6×. Five count
+    shuffles, all partial-agg'd map-side and all over corpus-LEVEL
+    aggregate tables (≈ |trigram vocab| rows, not |corpus|); the doc
+    events then join each count table on its own key — AQE broadcasts
+    the small ones, shuffle-joins the big ones on uniform hashed
+    keys — and one per-doc agg finishes. N rides along as a broadcast
+    1-row aggregate. Docs with < 3 words have no trigram event and
+    drop from the report in both engines (same load-bearing guard as
+    the bigram: sequence(1, 0) DESCENDS)."""
+    l3, l2, l1 = TRIGRAM_LAMBDAS
+    docs = _docs(spark, sf_dir)
+    w = F.col("__w")
+    ev = (
+        docs.withColumn("__w", _words(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    w.isNotNull() & (F.size(w) >= 3),
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 2),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("w1"),
+                            F.element_at(w, i + F.lit(1)).alias("w2"),
+                            F.element_at(w, i + F.lit(2)).alias("w3"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<w1:string,w2:string,w3:string>>"
+                    )
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.w1", "t.w2", "t.w3")
+        .persist()
+    )
+    c123 = ev.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    c12 = ev.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c23 = ev.groupBy("w2", "w3").agg(F.count("*").alias("c23"))
+    c2 = ev.groupBy("w2").agg(F.count("*").alias("c2"))
+    c3 = ev.groupBy("w3").agg(F.count("*").alias("c3"))
+    n = ev.agg(F.count("*").cast("double").alias("n_ev"))
+    p = (
+        F.lit(l3) * (F.col("c123") / F.col("c12"))
+        + F.lit(l2) * (F.col("c23") / F.col("c2"))
+        + F.lit(l1) * (F.col("c3") / F.col("n_ev"))
+    )
+    # probability SPINE: assemble p on the DISTINCT-trigram table
+    # (every join is |vocab|-sized, star-shaped around c123 with a
+    # shared key on each edge), then join the EVENT table exactly
+    # once — the event stream pays one join, not five, and no
+    # optimizer can be tempted into cross-producting keyless count
+    # tables (the DuckDB twin planned exactly that before the spine)
+    ptab = (
+        c123.join(c12, ["w1", "w2"])
+        .join(c23, ["w2", "w3"])
+        .join(c2, "w2")
+        .join(c3, "w3")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "w3", p.alias("p"))
+    )
+    return (
+        ev.join(ptab, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log2(F.col("p"))), 6).alias("bits_per_token"),
+            F.count("*").alias("n_trigrams"),
+        )
+        .withColumn("keep", F.col("bits_per_token") <= F.lit(TRIGRAM_MAX_BITS))
+    )
+
+
+TRIGRAM_LM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> {{'w1': ws[i], 'w2': ws[i + 1], 'w3': ws[i + 2]}})) AS t
+  FROM w
+), ev AS (
+  SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM tg
+), c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM ev GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM ev GROUP BY 1, 2),
+c23 AS (SELECT w2, w3, count(*) AS c23 FROM ev GROUP BY 1, 2),
+c2 AS (SELECT w2, count(*) AS c2 FROM ev GROUP BY 1),
+c3 AS (SELECT w3, count(*) AS c3 FROM ev GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_ev FROM ev),
+ptab AS (
+  -- probability spine on the DISTINCT-trigram table; n_ev enters as
+  -- a scalar subquery, NOT a comma cross join — with the comma join
+  -- present DuckDB's optimizer cross-producted ALL the count tables
+  -- as one hash-join build side (100 GB on 26k events)
+  SELECT w1, w2, w3,
+         {TRIGRAM_LAMBDAS[0]} * (c123 / c12)
+           + {TRIGRAM_LAMBDAS[1]} * (c23 / c2)
+           + {TRIGRAM_LAMBDAS[2]} * (c3 / (SELECT n_ev FROM n)) AS p
+  FROM c123 JOIN c12 USING (w1, w2) JOIN c23 USING (w2, w3)
+            JOIN c2 USING (w2) JOIN c3 USING (w3)
+)
+SELECT doc_id,
+       round(avg(-log2(p)), 6) AS bits_per_token,
+       count(*) AS n_trigrams,
+       round(avg(-log2(p)), 6) <= {TRIGRAM_MAX_BITS} AS keep
+FROM ev JOIN ptab USING (w1, w2, w3)
+GROUP BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "text_trigram_interp_quality": QuerySpec(
+            text_trigram_interp_quality, TRIGRAM_LM_ORACLE
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Distributed BPE tokenizer training (Sennrich et al. 2016, the merge
 # loop every modern tokenizer trainer runs): iterate K times — count
 # adjacent token pairs over the corpus, pick the global argmax pair,
