@@ -1073,10 +1073,66 @@ GROUP BY doc_id
 """
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's partitioning step: per language, split documents into
+    head/middle/tail THIRDS by LM cross-entropy (head = lowest bits =
+    most fluent; CCNet keeps head+middle for pretraining, tail for
+    inspection). Buckets come from ntile(3) over (bits, doc_id) — the
+    doc_id tiebreak makes the integer row-split deterministic across
+    engines — and the report is per-(lang, bucket) counts with the
+    bits range.
+
+    Scale: the expensive part is the trigram scorer (one event-table
+    pass, shared plan); the bucketing adds one per-lang window (L
+    independent sorted runs) and a tiny agg. The per-doc bucket
+    assignment — what a real pipeline writes back as a column — is
+    the window's direct output; this report certifies it compactly."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    bits = text_trigram_interp_quality(spark, sf_dir).select(
+        "doc_id", "bits_per_token"
+    )
+    w = W.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return (
+        docs.join(bits, "doc_id")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("bits_per_token"), 6).alias("min_bits"),
+            F.round(F.max("bits_per_token"), 6).alias("max_bits"),
+            F.round(F.avg("bits_per_token"), 6).alias("mean_bits"),
+        )
+    )
+
+
+CCNET_BUCKETS_ORACLE = f"""
+WITH bits AS ({TRIGRAM_LM_ORACLE}),
+assigned AS (
+  SELECT d.lang, b.bits_per_token,
+         ['head', 'middle', 'tail'][
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY b.bits_per_token, b.doc_id)] AS bucket
+  FROM documents d JOIN bits b ON d.doc_id = b.doc_id
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       round(min(bits_per_token), 6) AS min_bits,
+       round(max(bits_per_token), 6) AS max_bits,
+       round(avg(bits_per_token), 6) AS mean_bits
+FROM assigned GROUP BY lang, bucket
+"""
+
+
 QUERIES.update(
     {
         "text_trigram_interp_quality": QuerySpec(
             text_trigram_interp_quality, TRIGRAM_LM_ORACLE
+        ),
+        "ccnet_perplexity_buckets": QuerySpec(
+            ccnet_perplexity_buckets, CCNET_BUCKETS_ORACLE
         ),
     }
 )
