@@ -1035,11 +1035,21 @@ def append_ivf_delta(spark: SparkSession, root: str, assigned_delta: DataFrame,
 
     from finmapreduce_spark.sources.sinks import append_marker, store_lock_path
 
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", str(tag)):
+        # a tag the segment regex cannot round-trip (empty, slashes,
+        # spaces) would create a dir every subsequent read REJECTS —
+        # the writer must not be able to brick its own store
+        raise ValueError(
+            f"invalid IVF delta tag {tag!r}: use [A-Za-z0-9._-]+"
+        )
     with append_marker(root):
         if _os.path.exists(store_lock_path(root)):
             raise RuntimeError(
                 f"IVF index {root!r} is being compacted; retry after"
             )
+        _raise_if_refresh_interrupted(root)
         segs = _ivf_segments(root)
         same_tag = [s for s in segs if s[1] == str(tag)]
         seq = same_tag[0][0] if same_tag else (segs[-1][0] + 1 if segs else 1)
@@ -1071,6 +1081,12 @@ def compact_ivf_index(spark: SparkSession, root: str) -> dict:
 
     with _StoreLock(root):
         _check_no_appenders(root)
+        if _os.path.exists(_refresh_sentinel(root)):
+            raise RuntimeError(
+                f"IVF index {root!r} has an interrupted refresh; "
+                "compacting a mixed cid space would bake stale routing "
+                "— re-run refresh_ivf_index instead"
+            )
         _recover_interrupted_ivf_compaction_locked(root)
         segs = _ivf_segments(root)
         vecs = _ivf_union_with_ord(spark, root, segs)
@@ -1086,9 +1102,7 @@ def compact_ivf_index(spark: SparkSession, root: str) -> dict:
         rows_after = spark.read.parquet(tmp).count()
         base = _os.path.join(root, "vectors")
         old = _os.path.join(root, "vectors.pre-compact")
-        _shutil.rmtree(old, ignore_errors=True)
-        _os.rename(base, old)
-        _os.rename(tmp, base)
+        _two_rename_swap(base, tmp, old)
         for _, _, p in segs:
             _shutil.rmtree(p)
         _shutil.rmtree(old, ignore_errors=True)  # swap landed; drop rollback
@@ -1141,6 +1155,47 @@ def _ivf_latest(vecs_with_ord: DataFrame) -> DataFrame:
     )
 
 
+def _refresh_sentinel(root: str) -> str:
+    # inside root (root itself is stable); marks a multi-rename
+    # refresh in flight so nothing serves the intermediate state
+    import os as _os
+
+    return _os.path.join(root, ".refresh-pending")
+
+
+def _raise_if_refresh_interrupted(root: str) -> None:
+    """A crashed refresh leaves the store MIXED (e.g. re-routed base
+    beside stale-cid segments, or a missing centroid sidecar) — wrong
+    to serve, but always completable: refresh re-derives everything
+    from (vec_id, v, norm), which every partial state preserves.
+    Readers and appenders refuse while the sentinel exists without a
+    live lock; the remedy is re-running refresh_ivf_index."""
+    import os as _os
+
+    from finmapreduce_spark.sources.sinks import store_lock_path
+
+    if _os.path.exists(_refresh_sentinel(root)) and not _os.path.exists(
+        store_lock_path(root)
+    ):
+        raise RuntimeError(
+            f"IVF index {root!r} has an interrupted refresh "
+            "(.refresh-pending); re-run refresh_ivf_index to complete it"
+        )
+
+
+def _two_rename_swap(final_dir: str, tmp_dir: str, rollback_dir: str) -> None:
+    """The shared swap: park the current dir at ``rollback_dir``,
+    promote ``tmp_dir``. Not atomic — callers pair it with a recovery
+    path (compaction) or the refresh sentinel."""
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.rmtree(rollback_dir, ignore_errors=True)
+    if _os.path.isdir(final_dir):
+        _os.rename(final_dir, rollback_dir)
+    _os.rename(tmp_dir, final_dir)
+
+
 def refresh_ivf_index(spark: SparkSession, root: str) -> dict:
     """The deliberate OFFLINE event incremental maintenance defers:
     RETRAIN centroids on everything ingested so far (latest-wins over
@@ -1151,10 +1206,19 @@ def refresh_ivf_index(spark: SparkSession, root: str) -> dict:
     consumer — so a refreshed index equals a monolithic build over
     the same vectors (pinned by test); a store whose id space lacks
     the seed ids fails fast below rather than training on an empty
-    seed set. Rewrites ``vectors/`` AND ``centroids/`` behind
-    the same lock/rollback protocol as compact_ivf_index and consumes
-    every delta segment."""
-    import glob as _glob
+    seed set. Rewrites ``vectors/`` AND ``centroids/`` and consumes
+    every delta segment.
+
+    Crash posture: the multi-rename sequence cannot be atomic, and a
+    partial state is genuinely WRONG to serve (a re-routed base
+    beside stale-cid segments mixes two cid spaces). So the whole
+    mutation runs under a ``.refresh-pending`` sentinel that blocks
+    readers/appenders until a re-run completes — and a re-run from
+    ANY partial state is correct, because refresh consumes only
+    (vec_id, v, norm), which every intermediate state preserves
+    (cids are re-derived, segments already folded into the new base
+    are simply absent). Deterministic training makes the re-run
+    converge to the same result."""
     import os as _os
     import shutil as _shutil
 
@@ -1164,45 +1228,49 @@ def refresh_ivf_index(spark: SparkSession, root: str) -> dict:
         _check_no_appenders(root)
         _recover_interrupted_ivf_compaction_locked(root)
         segs = _ivf_segments(root)
-        current = _ivf_latest(_ivf_union_with_ord(spark, root, segs)).select(
-            "vec_id", "v", "norm"
+        current = (
+            _ivf_latest(_ivf_union_with_ord(spark, root, segs))
+            .select("vec_id", "v", "norm")
+            .persist()  # feeds seed count, K Lloyd rounds, and the write
         )
-        n_seeds = current.filter(F.col("vec_id") < K_CLUSTERS).count()
-        if n_seeds == 0:
-            raise ValueError(
-                f"refresh_ivf_index: no seed vectors (vec_id < "
-                f"{K_CLUSTERS}) in {root!r}; the store's id space does "
-                "not cover the seed rule"
-            )
-        cents = _train_centroids(current).persist()
-        assigned = _assign(current, cents)
-        tmp = _os.path.join(root, "vectors.compacting")
-        tmp_c = _os.path.join(root, "centroids.refreshing")
-        _shutil.rmtree(tmp, ignore_errors=True)
-        _shutil.rmtree(tmp_c, ignore_errors=True)
-        assigned.write.mode("overwrite").partitionBy("cid").parquet(tmp)
-        cents.write.mode("overwrite").parquet(tmp_c)
-        cents.unpersist()
-        n_vectors = spark.read.parquet(tmp).count()
+        try:
+            n_seeds = current.filter(F.col("vec_id") < K_CLUSTERS).count()
+            if n_seeds == 0:
+                raise ValueError(
+                    f"refresh_ivf_index: no seed vectors (vec_id < "
+                    f"{K_CLUSTERS}) in {root!r}; the store's id space "
+                    "does not cover the seed rule"
+                )
+            cents = _train_centroids(current).persist()
+            assigned = _assign(current, cents)
+            tmp = _os.path.join(root, "vectors.compacting")
+            tmp_c = _os.path.join(root, "centroids.refreshing")
+            _shutil.rmtree(tmp, ignore_errors=True)
+            _shutil.rmtree(tmp_c, ignore_errors=True)
+            assigned.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+            cents.write.mode("overwrite").parquet(tmp_c)
+            cents.unpersist()
+            n_vectors = spark.read.parquet(tmp).count()
+        finally:
+            current.unpersist()
+        # --- mutation begins: sentinel up until every step lands ---
+        fd = _os.open(_refresh_sentinel(root), _os.O_CREAT | _os.O_WRONLY)
+        _os.close(fd)
         base = _os.path.join(root, "vectors")
         old = _os.path.join(root, "vectors.pre-compact")
-        _shutil.rmtree(old, ignore_errors=True)
-        _os.rename(base, old)
-        _os.rename(tmp, base)
-        # centroids swap after vectors: a crash between the two leaves
-        # OLD centroids with NEW cells — routing stays consistent for
-        # already-assigned rows (cells are read by cid, not recomputed),
-        # and re-running the refresh converges; recovery never loses data
-        cdir = _os.path.join(root, "centroids")
-        old_c = _os.path.join(root, "centroids.pre-refresh")
-        _shutil.rmtree(old_c, ignore_errors=True)
-        if _os.path.isdir(cdir):
-            _os.rename(cdir, old_c)
-        _os.rename(tmp_c, cdir)
+        _two_rename_swap(base, tmp, old)
+        # segments die IMMEDIATELY after the vectors swap (they are
+        # folded into the new base, and their cids belong to the OLD
+        # centroid space — leaving them any longer than necessary
+        # invites latest-wins to prefer stale-cid rows)
         for _, _, p in segs:
             _shutil.rmtree(p)
+        cdir = _os.path.join(root, "centroids")
+        old_c = _os.path.join(root, "centroids.pre-refresh")
+        _two_rename_swap(cdir, tmp_c, old_c)
         _shutil.rmtree(old, ignore_errors=True)
         _shutil.rmtree(old_c, ignore_errors=True)
+        _os.remove(_refresh_sentinel(root))
         return {"segments_folded": len(segs), "n_vectors": n_vectors}
 
 
@@ -1222,6 +1290,7 @@ def read_ivf_vectors(spark: SparkSession, root: str) -> DataFrame:
     cache's reader."""
     import os as _os
 
+    _raise_if_refresh_interrupted(root)
     _recover_interrupted_ivf_compaction(root)
     segs = _ivf_segments(root)
     if not segs:

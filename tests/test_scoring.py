@@ -457,11 +457,16 @@ def test_ivf_refresh_equals_monolithic_rebuild(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, ann_ivf_kmeans_topk(spark, sf_dir).collect()))
     assert served == want
-    # the rewritten centroid sidecar matches the refreshed training
+    # the rewritten centroid sidecar carries the refreshed VECTORS,
+    # not just the cid set (the streaming appender routes through it)
     cdir = os.path.join(root, "centroids")
     assert os.path.isdir(cdir)
-    got_c = {r["cid"] for r in spark.read.parquet(cdir).collect()}
-    want_c = {r["cid"] for r in _train_centroids(v).collect()}
+    canon = lambda rows: sorted(  # noqa: E731
+        (r["cid"], [round(x, 9) for x in r["cv"]], round(r["c_norm"], 9))
+        for r in rows
+    )
+    got_c = canon(spark.read.parquet(cdir).collect())
+    want_c = canon(_train_centroids(v).collect())
     assert got_c == want_c
 
 
@@ -481,3 +486,57 @@ def test_ivf_unrecognized_segment_fails_loudly(spark, tmp_path):
     os.makedirs(os.path.join(root, "vectors-delta-1"))  # legacy layout
     with pytest.raises(RuntimeError, match="unrecognized"):
         read_ivf_vectors(spark, root)
+
+
+def test_ivf_interrupted_refresh_blocks_until_rerun(spark, tmp_path):
+    """A crashed refresh leaves a mixed state that is WRONG to serve
+    (re-routed base beside stale-cid segments). The sentinel blocks
+    reads, appends, and compaction; re-running refresh completes and
+    unblocks. Also: an invalid tag is rejected at WRITE time instead
+    of bricking every subsequent read."""
+    import os
+
+    from finmapreduce_spark.queries.similarity import (
+        _refresh_sentinel,
+        append_ivf_delta,
+        compact_ivf_index,
+        read_ivf_vectors,
+        refresh_ivf_index,
+    )
+
+    root = str(tmp_path / "ivf")
+    schema = "vec_id long, v array<double>, norm double, cid int"
+    base = spark.createDataFrame(
+        [(i, [1.0 * i, 1.0], float((i * i + 1) ** 0.5), i % 2)
+         for i in range(10)],
+        schema,
+    )
+    base.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(root, "vectors")
+    )
+    delta = spark.createDataFrame([(11, [2.0, 2.0], 8.0 ** 0.5, 1)], schema)
+    append_ivf_delta(spark, root, delta, tag="e1")
+
+    # writer-side tag validation (would otherwise brick the store)
+    with pytest.raises(ValueError, match="invalid IVF delta tag"):
+        append_ivf_delta(spark, root, delta, tag="")
+    with pytest.raises(ValueError, match="invalid IVF delta tag"):
+        append_ivf_delta(spark, root, delta, tag="a/b")
+
+    # simulate a refresh crash mid-mutation
+    with open(_refresh_sentinel(root), "w") as fh:
+        fh.write("")
+    with pytest.raises(RuntimeError, match="interrupted refresh"):
+        read_ivf_vectors(spark, root)
+    with pytest.raises(RuntimeError, match="interrupted refresh"):
+        append_ivf_delta(spark, root, delta, tag="e2")
+    with pytest.raises(RuntimeError, match="interrupted refresh"):
+        compact_ivf_index(spark, root)
+
+    # re-running refresh completes from the partial state and unblocks
+    stats = refresh_ivf_index(spark, root)
+    assert stats["n_vectors"] == 11
+    assert not os.path.exists(_refresh_sentinel(root))
+    assert {r["vec_id"] for r in read_ivf_vectors(spark, root).collect()} == (
+        set(range(10)) | {11}
+    )
