@@ -1168,15 +1168,15 @@ def _raise_if_refresh_interrupted(root: str) -> None:
     beside stale-cid segments, or a missing centroid sidecar) — wrong
     to serve, but always completable: refresh re-derives everything
     from (vec_id, v, norm), which every partial state preserves.
-    Readers and appenders refuse while the sentinel exists without a
-    live lock; the remedy is re-running refresh_ivf_index."""
+    Readers and appenders refuse while the sentinel exists — on its
+    own, NOT gated on the lock's absence: a hard-killed refresh
+    leaves both files behind, and the lock alone must not launder the
+    mixed state into service (the refresher itself never calls these
+    readers after raising the sentinel). The remedy is re-running
+    refresh_ivf_index, which clears both."""
     import os as _os
 
-    from finmapreduce_spark.sources.sinks import store_lock_path
-
-    if _os.path.exists(_refresh_sentinel(root)) and not _os.path.exists(
-        store_lock_path(root)
-    ):
+    if _os.path.exists(_refresh_sentinel(root)):
         raise RuntimeError(
             f"IVF index {root!r} has an interrupted refresh "
             "(.refresh-pending); re-run refresh_ivf_index to complete it"
