@@ -363,6 +363,88 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quality_select(_docs(spark, sf_dir))
 
 
+# 16-bit integrity hash of the TEXT column (the doc_id twin lives in
+# _hash_bucket_expr); summed per group it catches any row lost,
+# duplicated, or corrupted by a format round-trip
+def _text_hash16(col):
+    h = F.md5(col)
+    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+
+
+_TEXT_HASH16_SQL = (
+    "(((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1"
+)
+
+_FORMAT_SCAN_ORACLE = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum({_TEXT_HASH16_SQL}) AS BIGINT) AS text_hash_sum
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang
+"""
+
+
+def _format_scan_agg(back) -> DataFrame:
+    return (
+        back.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(_text_hash16(F.col("text"))).cast("long").alias(
+                "text_hash_sum"
+            ),
+        )
+    )
+
+
+def documents_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus integrity through the ORC layout (format breadth): a
+    ``save_corpus_orc`` copy read back with a lang predicate and
+    summarized with a per-row text hash — any row the ORC round-trip
+    loses, duplicates, or corrupts hash-mismatches the plain-parquet
+    oracle. The lang predicate prunes partition directories exactly
+    as in the sorted-parquet layout."""
+    import hashlib
+    import os
+    import tempfile
+
+    from finmapreduce_spark.sources.sinks import save_corpus_orc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"fmr_orc_corpus_{tag}")
+    save_corpus_orc(docs, path)
+    return _format_scan_agg(spark.read.orc(path))
+
+
+def documents_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus integrity through the CSV interchange export — the
+    round-trip that actually breaks in the wild (embedded quotes,
+    delimiters, newlines, unicode). The writer fully quotes/escapes
+    and the reader is multiLine with the same conventions; the
+    adversarial-corpus sweep drives poison text through this path,
+    so a quoting bug is a hash mismatch, not a silent corruption."""
+    import hashlib
+    import os
+    import tempfile
+
+    from finmapreduce_spark.sources.sinks import read_corpus_csv, save_corpus_csv
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"fmr_csv_corpus_{tag}")
+    save_corpus_csv(docs, path)
+    back = read_corpus_csv(
+        spark, path, "doc_id long, text string, lang string, n_chars long"
+    )
+    return _format_scan_agg(back)
+
+
 def text_quality_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same quality gate routed through the production corpus
     layout: a ``save_corpus_sorted`` copy (lang partition dirs,
@@ -1005,6 +1087,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_sorted_scan": QuerySpec(
         text_quality_sorted_scan, QUALITY_SORTED_ORACLE
     ),
+    "documents_orc_scan": QuerySpec(documents_orc_scan, _FORMAT_SCAN_ORACLE),
+    "documents_csv_scan": QuerySpec(documents_csv_scan, _FORMAT_SCAN_ORACLE),
     "text_repetition_metrics": QuerySpec(
         text_repetition_metrics, REPETITION_ORACLE
     ),

@@ -484,3 +484,59 @@ def compact_gram_store(
             "rows_before": rows_before,
             "rows_after": rows_after,
         }
+
+
+def save_corpus_orc(df, path: str) -> None:
+    """ORC corpus layout, partitioned by lang — the format-breadth
+    twin of the parquet layouts above for estates standardized on ORC
+    (Hive-lineage warehouses). Spark's ORC writer is built in; zlib
+    keeps the text column compact and lang-dir partitioning gives the
+    same partition pruning the sorted layout gets from its lang dirs.
+    Round-trip integrity is catalog-certified (documents_orc_scan:
+    the read-back aggregates hash-match the plain parquet oracle)."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy("lang")
+        .option("compression", "zlib")
+        .orc(path)
+    )
+
+
+def save_corpus_csv(df, path: str) -> None:
+    """CSV corpus export — the interchange format everything reads.
+    Text columns are fully quoted and escaped (embedded newlines,
+    quotes, and delimiters survive; readers must use multiLine), with
+    an explicit empty-string/null distinction so a round-trip is
+    lossless. Integrity is catalog-certified (documents_csv_scan)
+    INCLUDING the adversarial corpus, whose poison rows carry quotes,
+    commas, newlines, and unicode in every text field."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
+        # Spark's CSV WRITER trims cell whitespace by default (the
+        # reader does not) — an all-whitespace text would round-trip
+        # as '' even inside quotes; caught by the adversarial sweep
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
+
+
+def read_corpus_csv(spark, path: str, schema: str):
+    """The matching reader: multiLine + the same quote/escape/null
+    conventions. Schema is explicit — CSV inference on a 100 TB
+    corpus is a full extra scan and can mis-type columns."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
