@@ -885,3 +885,12 @@ def test_ivf_incremental_serve_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_orc_scan_prunes_lang_partitions(spark, sf_dir):
+    """documents_orc_scan: the lang predicate must reach the ORC scan
+    as a PartitionFilter (whole directories skipped), and the chain
+    stays JVM-side."""
+    plan = plan_of(QS["documents_orc_scan"].spark(spark, sf_dir))
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert "EvalPython" not in plan
