@@ -94,6 +94,13 @@ _PARITY_PINNED = [
     # identically; overflow-k rows exercise the try_cast contract):
     "text_bigram_lm_quality",
     "bpe_train_merges_batched",
+    # round-6: the CSV round-trip DIVERGED on poison (Spark's CSV
+    # writer trims whitespace inside quotes by default — an
+    # all-whitespace text silently became ''); the trigram scorer
+    # shares the bigram's NULL/short-doc drop semantics
+    "documents_csv_scan",
+    "documents_orc_scan",
+    "text_trigram_interp_quality",
 ]
 
 
