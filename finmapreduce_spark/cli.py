@@ -228,6 +228,8 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             client_factory=client_factory,
             context_window=args.context_window,
             buffer=args.buffer,
+            response_cache_dir=args.response_cache_dir,
+            response_cache_namespace=cache_namespace,
         )
         answers = run_truncation(qa, docs, cfg)["answered"]
 

@@ -34,6 +34,11 @@ class TruncationConfig:
     # question — and max_doc_tokens is ignored.
     context_window: int | None = None
     buffer: int = 2000
+    # cross-run response cache — paid-call idempotency parity with
+    # the mapreduce DAG (same table layout/namespace semantics; a
+    # re-run of a truncation job re-pays nothing)
+    response_cache_dir: str | None = None
+    response_cache_namespace: str = ""
 
 
 def truncate_docs(qa_docs: DataFrame, cfg: TruncationConfig) -> DataFrame:
@@ -99,8 +104,7 @@ def run_truncation(
         "prompt",
         F.concat(F.col("question"), F.lit("\n\n"), F.col("trunc_text")),
     )
-    answered = run_llm_stage(
-        with_prompt,
+    stage_kw = dict(
         prompt_col="prompt",
         kind="truncation",
         out_schema=ANSWER_SCHEMA,
@@ -108,4 +112,15 @@ def run_truncation(
         client_factory=cfg.client_factory,
         expect_json=True,
     )
+    if cfg.response_cache_dir:
+        from finmapreduce_spark.llm.response_cache import run_llm_stage_cached
+
+        answered = run_llm_stage_cached(
+            with_prompt,
+            cache_dir=cfg.response_cache_dir,
+            namespace=cfg.response_cache_namespace,
+            **stage_kw,
+        )
+    else:
+        answered = run_llm_stage(with_prompt, **stage_kw)
     return {"qa_docs": qa_docs, "truncated": truncated, "answered": answered}

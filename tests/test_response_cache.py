@@ -304,3 +304,40 @@ def test_compaction_lock_excludes_writers_and_compactors(spark, sf_dir, tmp_path
                                    stale_lock_s=3600)
     assert stats["rows"] > 0
     assert not os.path.exists(lock)
+
+
+def test_truncation_second_run_fires_zero_llm_calls(spark, tmp_path):
+    """Paid-call idempotency parity for the TRUNCATION approach: a
+    second run_truncation over the same corpus serves every response
+    from the cache table (zero new calls), value-identical."""
+    from finmapreduce_spark.plans.truncation import (
+        TruncationConfig,
+        run_truncation,
+    )
+
+    calls = str(tmp_path / "calls.log")
+    cfg = TruncationConfig(
+        max_doc_tokens=40,
+        response_cache_dir=str(tmp_path / "tc"),
+        client_factory=functools.partial(counting_factory, calls),
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " * 30), (1, "short doc")],
+        "doc_id long, text string",
+    )
+    qa = spark.createDataFrame(
+        [(i, d, f"question {i}?", "gold") for i, d in enumerate([0, 1, 999])],
+        "qa_id long, doc_id long, question string, answer string",
+    )
+    r1 = sorted(
+        (r["qa_id"], r["llm_answer"])
+        for r in run_truncation(qa, docs, cfg)["answered"].collect()
+    )
+    n1 = _count_calls(calls)
+    assert n1 > 0
+    r2 = sorted(
+        (r["qa_id"], r["llm_answer"])
+        for r in run_truncation(qa, docs, cfg)["answered"].collect()
+    )
+    assert _count_calls(calls) == n1  # zero new paid calls
+    assert r2 == r1
