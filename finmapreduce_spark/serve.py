@@ -50,6 +50,8 @@ def answer_single(
         return _answer_truncation(
             spark, path, question, strategy, max_doc_tokens, pdf_parser,
             client_factory=cfg.client_factory,
+            response_cache_dir=cfg.response_cache_dir,
+            response_cache_namespace=cfg.response_cache_namespace,
         )
     qa_row = load_upload(spark, path, question, pdf_parser=pdf_parser)
     qa = qa_row.select(
@@ -104,6 +106,8 @@ def _answer_truncation(
     max_doc_tokens: int,
     pdf_parser: str = "auto",
     client_factory=None,
+    response_cache_dir: str | None = None,
+    response_cache_namespace: str = "",
 ) -> dict:
     from finmapreduce_spark.llm.runner import mock_client_factory
     from finmapreduce_spark.plans.truncation import (
@@ -127,6 +131,10 @@ def _answer_truncation(
         max_doc_tokens=max_doc_tokens,
         strategy=strategy,
         client_factory=client_factory or mock_client_factory,
+        # serving cache parity: repeat questions over the same upload
+        # replay for free, same as the mapreduce serving path
+        response_cache_dir=response_cache_dir,
+        response_cache_namespace=response_cache_namespace,
     )
     stages = run_truncation(qa, docs, tcfg)
     rows = stages["answered"].collect()
