@@ -661,22 +661,31 @@ KMEANS_ITERS = 2
 
 def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by cosine (spherical k-means):
-    broadcast the K-row centroid table, rank per vector. Cosine is
-    rounded to 9 dp before ranking (both engines), cid breaks ties."""
+    broadcast the K-row centroid table, argmax per vector via a
+    single struct-max aggregation — partial (map-side) combine folds
+    the N×K candidate rows down to one row per vector per task, so
+    the shuffle carries ~N rows instead of sorting N×K under a
+    window. Cosine is rounded to 9 dp before ranking (both engines),
+    cid breaks ties (desc cos, asc cid ⇒ max over (cos, −cid))."""
     cos = F.round(
         _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("c_norm")), 9
     )
-    ranked = (
+    best = (
         v.crossJoin(F.broadcast(cents))
-        .withColumn("cos", cos)
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-            ),
+        .select(
+            "vec_id",
+            F.struct(
+                cos.alias("cos"),
+                (-F.col("cid")).alias("neg_cid"),
+                F.col("cid").alias("cid"),
+                F.col("v").alias("v"),
+                F.col("norm").alias("norm"),
+            ).alias("cand"),
         )
+        .groupBy("vec_id")
+        .agg(F.max("cand").alias("b"))
     )
-    return ranked.filter(F.col("crank") == 1).select("vec_id", "v", "norm", "cid")
+    return best.select("vec_id", "b.v", "b.norm", "b.cid")
 
 
 def _recompute(assigned: DataFrame) -> DataFrame:
@@ -723,8 +732,9 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster sizes and centroid norms — the training step that turns
     the label-cell IVF into a real data-driven index.
 
-    Scale: each iteration is two shuffles — the assignment window on
-    vec_id, and the (cid, idx) mean, which partial-aggregates
+    Scale: each iteration is two shuffles — the assignment argmax
+    (struct-max agg on vec_id, map-side-combined from N×K candidate
+    rows down to ~N), and the (cid, idx) mean, which partial-aggregates
     map-side so the wire carries K×dim×partitions pre-combined sums,
     not N×dim rows. The centroid table stays K rows and broadcasts;
     iteration count is a fixed config (Lloyd converges in few rounds;

@@ -432,6 +432,21 @@ def test_ann_training_family_never_sort_merges(spark, sf_dir, name):
     assert "SortMergeJoin" not in plan
 
 
+def test_kmeans_assign_is_aggregate_not_window(spark, sf_dir):
+    """Nearest-centroid assignment must compile to a struct-max
+    HashAggregate with a map-side partial (shuffle carries ~N
+    pre-combined rows), never a row_number window sorting all N×K
+    candidate rows (round-7 advice #3)."""
+    from finmapreduce_spark.queries.similarity import _assign, _emb, _train_centroids
+
+    v = _emb(spark, sf_dir)
+    plan = plan_of(_assign(v, _train_centroids(v)))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    # the broadcast of the K-row centroid table must survive
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_pq_only_corpus_codes_join_may_shuffle(spark, sf_dir):
     """PQ's centroid and query-dot-table joins broadcast; the ONE
     permitted shuffle join is codes0⋈codes1 — a corpus-sized self
