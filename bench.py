@@ -97,6 +97,7 @@ HEADLINE = [
     # join, and the plain_text 0-100 score DAG
     "dedup_simhash_pairs_grid",
     "pipeline_e2e_answers_plain",
+    "pipeline_e2e_answers_baseline",
     # round-6: incremental IVF maintenance (frozen-centroid delta
     # routing + union serve — the index-lifecycle plan shape), and
     # the all-integer temperature-mixture hash-Bernoulli sampler

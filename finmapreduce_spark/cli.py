@@ -78,7 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "to cap/max_concurrent_chunks so partitions x "
                         "per-partition concurrency <= cap")
     p.add_argument("--prompt_set", default=None,
-                   help="prompt set name; default follows format_type")
+                   help="prompt set name (default/baseline/standard/"
+                        "hybrid/direct/finqa, reference "
+                        "prompt_config.yml); default auto-detects "
+                        "from format_type (main_async.py:92-101)")
     # truncation budget combo (F6): explicit max_doc_tokens wins, else
     # max(1000, context_window - question_tokens - buffer) per doc
     p.add_argument("--context_window", type=int, default=None)
@@ -97,7 +100,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     if threshold is None:
         threshold = 50 if args.format_type == "plain_text" else 5
 
-    from finmapreduce_spark.llm.prompts import load_prompt_set
+    from finmapreduce_spark.llm.prompts import auto_prompt_set, load_prompt_set
     from finmapreduce_spark.session import get_spark
     from finmapreduce_spark.sources.readers import (
         load_financebench,
@@ -107,8 +110,11 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     from finmapreduce_spark.sources.sinks import save_results
 
     # S12 registry + validation; --prompt_set overrides the
-    # format-derived default (reference --prompt)
-    prompt_set = load_prompt_set(args.prompt_set or args.format_type)
+    # format-derived auto-detection (reference --prompt,
+    # main_async.py:92-101: hybrid→hybrid, plain_text→baseline,
+    # json→default)
+    prompt_set_name = args.prompt_set or auto_prompt_set(args.format_type)
+    prompt_set = load_prompt_set(prompt_set_name)
     spark = spark or get_spark("finmapreduce_cli")
 
     # client factory: hermetic mock by default; live providers build
@@ -236,7 +242,9 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     out_dir = save_results(
         answers,
         args.output_dir,
-        config={k: v for k, v in vars(args).items()},
+        # record the RESOLVED set name, as the reference's results
+        # config does (base_pipeline.py:430)
+        config={**vars(args), "prompt_set": prompt_set_name},
     )
     with open(f"{out_dir}/_summary.json") as f:
         print(json.dumps(json.load(f)["stats"]))

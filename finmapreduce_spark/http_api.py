@@ -88,6 +88,9 @@ MODELS_CATALOG = {
     },
     "pipeline_types": ["mapreduce", "truncation"],
     "format_types": ["json", "hybrid", "plain_text"],
+    "prompt_sets": [
+        "default", "baseline", "standard", "hybrid", "direct", "finqa",
+    ],
     "truncation_strategies": ["start", "end", "smart"],
     "pdf_parsers": ["marker", "pypdf", "pdfminer"],
     "providers": ["openai", "openrouter"],
@@ -113,7 +116,10 @@ def _request_config(cfg: MapReduceConfig, body: dict):
         raise ValueError(f"unknown strategy {strategy!r}")
     overrides: dict = {}
     if "format_type" in body or "prompt_set" in body:
-        from finmapreduce_spark.llm.prompts import load_prompt_set
+        from finmapreduce_spark.llm.prompts import (
+            auto_prompt_set,
+            load_prompt_set,
+        )
 
         fmt = body.get("format_type")
         if fmt is not None:
@@ -122,9 +128,11 @@ def _request_config(cfg: MapReduceConfig, body: dict):
             overrides["format_type"] = fmt
             if "score_threshold" not in body:
                 overrides["score_threshold"] = 50 if fmt == "plain_text" else 5
-        # prompt_set applies on its own too (default follows the
-        # format, exactly as the CLI); unknown names → 400 either way
-        prompt_set = load_prompt_set(body.get("prompt_set", fmt or "hybrid"))
+        # prompt_set applies on its own too (default auto-detects from
+        # the format, exactly as the CLI); unknown names → 400 either way
+        prompt_set = load_prompt_set(
+            body.get("prompt_set") or auto_prompt_set(fmt)
+        )
         overrides["map_template"] = prompt_set["map"]
         overrides["reduce_template"] = prompt_set["reduce"]
     for knob in ("score_threshold", "chunk_size", "chunk_overlap"):

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finmapreduce_spark.llm.prompts import load_prompt_set
 from finmapreduce_spark.llm.runner import normalize_judgment
 from finmapreduce_spark.plans.mapreduce import (
     MapReduceConfig,
@@ -635,6 +636,118 @@ LEFT JOIN preduced r ON q.qa_id = r.qa_id
 
 
 # ---------------------------------------------------------------------------
+# S12 round-8: the full pipeline under --prompt_set baseline — the
+# reference's plain-text prompt set (prompt_config.yml:8-11,
+# map_prompt_baseline.yml 0-100 score scale). Same DAG and format
+# semantics as the plain e2e, but the prompts the LLM sees come from
+# the named registry set, so the mock's md5-of-prompt outputs — and
+# therefore every answer hash — depend on the template text. The
+# oracle rebuilds the prompts from the SAME registry strings via
+# _sql_format, so a template edit that breaks CLI/API parity fails
+# the hash here instead of passing silently.
+# ---------------------------------------------------------------------------
+
+def _sql_format(template: str, *exprs: str) -> str:
+    """Expand a %s prompt template into the equivalent DuckDB concat
+    expression over SQL expressions — the oracle-side twin of
+    F.format_string (F15), generated from the registry string itself
+    so oracle and engine can never disagree about template text."""
+    parts = template.split("%s")
+    if len(parts) != len(exprs) + 1:
+        raise ValueError(
+            f"template has {len(parts) - 1} slots, got {len(exprs)} exprs"
+        )
+    pieces: list[str] = []
+    for i, part in enumerate(parts):
+        if part:
+            lit = "'" + part.replace("'", "''") + "'"
+            # keep the oracle SQL newline-free: splice chr(10)
+            lit = lit.replace("\n", "' || chr(10) || '")
+            pieces.append(lit)
+        if i < len(exprs):
+            pieces.append(f"({exprs[i]})")
+    return " || ".join(pieces) if pieces else "''"
+
+
+_BASELINE_SET = load_prompt_set("baseline")
+
+CFG_BASELINE = MapReduceConfig(
+    judge_batching="global",
+    format_type="plain_text",  # baseline ⇒ 0-100 scores, threshold 50
+    score_threshold=50,
+    map_template=_BASELINE_SET["map"],
+    reduce_template=_BASELINE_SET["reduce"],
+)
+
+
+def pipeline_e2e_answers_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG_BASELINE)
+    mapped = map_stage(chunks, CFG_BASELINE)
+    kept = filter_stage(mapped, CFG_BASELINE)
+    reduced = reduce_stage(kept, qa, CFG_BASELINE)
+    answers = answers_with_errors(qa, qa_docs, reduced)
+    return answers.select(
+        "qa_id",
+        "doc_id",
+        F.coalesce("doc_error", F.lit("ok")).alias("doc_status"),
+        "n_kept",
+        "llm_answer",
+        "llm_reasoning",
+    )
+
+
+_B_MAP_PROMPT = _sql_format(_BASELINE_SET["map"], "question", "chunk_text")
+_B_REDUCE_PROMPT = _sql_format(
+    _BASELINE_SET["reduce"],
+    "any_value(question)",
+    "string_agg(content, chr(10) ORDER BY chunk_index)",
+)
+
+BASELINE_E2E_ORACLE = f"""
+WITH {_PIPE_SQL},
+bmapped AS (
+  SELECT qa_id, doc_id, chunk_index, words, score,
+         CASE WHEN score = 0 THEN 'model returned no score'
+              ELSE 'Findings: ' || words[1] || ' ... ' || words[len(words)]
+                   || chr(10) || 'Score: ' || CAST(score AS VARCHAR)
+         END AS content
+  FROM (
+    SELECT qa_id, doc_id, chunk_index,
+           regexp_split_to_array(trim(prompt), '\\s+') AS words,
+           {_P4_SCORE} AS score
+    FROM (SELECT qa_id, doc_id, chunk_index,
+                 {_B_MAP_PROMPT} AS prompt
+          FROM chunks)
+  )
+),
+bkept AS (
+  SELECT * FROM bmapped WHERE score > 50
+),
+breduced AS (
+  SELECT qa_id, count(*) AS n_kept,
+         {_B_REDUCE_PROMPT} AS r_prompt
+  FROM bkept JOIN qa USING (qa_id)
+  GROUP BY qa_id
+)
+SELECT q.qa_id, q.doc_id,
+       coalesce(qd.doc_error, 'ok') AS doc_status,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CASE WHEN r.qa_id IS NOT NULL
+            THEN 'answer-' || substring(md5(r.r_prompt), 1, 8) END AS llm_answer,
+       CASE WHEN r.qa_id IS NOT NULL
+            THEN 'synthesized from '
+                 || CAST(len(regexp_split_to_array(trim(r.r_prompt), '\\s+')) AS VARCHAR)
+                 || ' tokens' END AS llm_reasoning
+FROM qa q
+LEFT JOIN (SELECT qa_id, doc_error FROM qa_docs) qd ON q.qa_id = qd.qa_id
+LEFT JOIN breduced r ON q.qa_id = r.qa_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # U4 bucketed-batching parity: the DEFAULT scale path (hash-bucketed
 # judge batches — no global sort). Verdicts are batching-invariant
 # (items judged independently within a batch), so the SAME oracle as
@@ -756,6 +869,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "p2_struct_score_filter": QuerySpec(p2_struct_score_filter, P2_STRUCT_ORACLE),
     "pipeline_e2e_answers_json": QuerySpec(pipeline_e2e_answers_json, JSON_E2E_ORACLE),
+    "pipeline_e2e_answers_baseline": QuerySpec(
+        pipeline_e2e_answers_baseline, BASELINE_E2E_ORACLE
+    ),
     "pipeline_e2e_answers_plain": QuerySpec(
         pipeline_e2e_answers_plain, PLAIN_E2E_ORACLE
     ),

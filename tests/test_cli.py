@@ -98,6 +98,76 @@ def test_cli_rejects_bad_registry_values(spark, fixture_dirs):
              "--docs_glob", docs_dir], spark=spark)
 
 
+def test_cli_rejects_unknown_prompt_set(spark, fixture_dirs):
+    """Validation parity with the reference loader
+    (document_processing.py:580-582): an unknown --prompt_set name
+    errors before any Spark work."""
+    qa_path, docs_dir, out_root = fixture_dirs
+    with pytest.raises(ValueError, match="unknown prompt set"):
+        run(["--dataset", "financebench", "--data_path", qa_path,
+             "--docs_glob", docs_dir, "--output_dir", out_root,
+             "--prompt_set", "bogus"], spark=spark)
+
+
+@pytest.mark.parametrize("prompt_set,format_type", [
+    ("baseline", "plain_text"),  # the reference's plain-text pairing
+    ("finqa", "hybrid"),
+    ("direct", "hybrid"),        # single-prompt: map == reduce template
+    ("standard", "json"),
+])
+def test_cli_named_prompt_sets_end_to_end(
+    spark, fixture_dirs, prompt_set, format_type
+):
+    """Every named reference set drives a full mapreduce run; the
+    resolved set name is recorded in the results config, as the
+    reference does (base_pipeline.py:430)."""
+    qa_path, docs_dir, out_root = fixture_dirs
+    out_dir = run(
+        [
+            "--dataset", "financebench",
+            "--approach", "mapreduce",
+            "--format_type", format_type,
+            "--prompt_set", prompt_set,
+            "--data_path", qa_path,
+            "--docs_glob", docs_dir,
+            "--output_dir", out_root,
+            "--chunk_size", "256",
+            "--chunk_overlap", "32",
+        ],
+        spark=spark,
+    )
+    rows = [
+        json.loads(l)
+        for p in os.listdir(out_dir)
+        if p.startswith("part-") and p.endswith(".json")
+        for l in open(os.path.join(out_dir, p))
+    ]
+    assert len(rows) == 3  # 2 answered + 1 missing-doc error row
+    summary = json.load(open(os.path.join(out_dir, "_summary.json")))
+    assert summary["config"]["prompt_set"] == prompt_set
+
+
+def test_cli_prompt_set_auto_detection_recorded(spark, fixture_dirs):
+    """No --prompt_set ⇒ the format-derived set is resolved and
+    recorded (main_async.py:92-101: plain_text → baseline)."""
+    qa_path, docs_dir, out_root = fixture_dirs
+    out_dir = run(
+        [
+            "--dataset", "financebench",
+            "--approach", "mapreduce",
+            "--format_type", "plain_text",
+            "--data_path", qa_path,
+            "--docs_glob", docs_dir,
+            "--output_dir", out_root,
+            "--chunk_size", "256",
+            "--chunk_overlap", "32",
+        ],
+        spark=spark,
+    )
+    summary = json.load(open(os.path.join(out_dir, "_summary.json")))
+    assert summary["config"]["prompt_set"] == "baseline"
+
+
 def test_cli_json_format_struct_filter(spark, fixture_dirs):
     """--format_type json routes the map stage through the P2 struct
     filter (from_json → relevance_score > 5) end to end."""

@@ -208,7 +208,10 @@ def test_prompt_sets_and_formatting(spark):
     )
 
     ps = load_prompt_set("hybrid")
-    assert set(ps) == {"map", "reduce", "judge"}
+    # hybrid carries question_improvement automatically — the only
+    # set that defines one in the reference registry
+    # (prompt_config.yml:18-22)
+    assert set(ps) == {"map", "reduce", "judge", "question_improvement"}
     assert "question_improvement" in load_prompt_set("json", include_improvement=True)
     with pytest.raises(ValueError):
         load_prompt_set("nope")
@@ -219,6 +222,59 @@ def test_prompt_sets_and_formatting(spark):
     got = [r["p"] for r in df.collect()]
     assert got[0] == render_prompt(ps["map"], "What?", "chunk text")
     assert got[1] == render_prompt(ps["map"], "Why?", None)
+
+
+def test_prompt_set_registry_reference_parity():
+    """S12 round-8: the six reference set names resolve
+    (prompt_config.yml:1-34), auto-detection mirrors
+    main_async.py:92-101, direct is single-prompt, score scales match
+    the reference files, legacy format aliases still resolve."""
+    import pytest
+
+    from finmapreduce_spark.llm.prompts import (
+        DEFAULT_SET,
+        auto_prompt_set,
+        available_prompt_sets,
+        load_prompt_set,
+    )
+
+    assert available_prompt_sets() == sorted(
+        ["default", "baseline", "standard", "hybrid", "direct", "finqa"]
+    )
+    for name in available_prompt_sets():
+        ps = load_prompt_set(name)
+        assert {"map", "reduce", "judge"} <= set(ps)
+        assert ps["map"].count("%s") == 2 and ps["reduce"].count("%s") == 2
+
+    # direct: ONE template for both slots (prompt_config.yml:24-27),
+    # and no score line requested
+    direct = load_prompt_set("direct")
+    assert direct["map"] == direct["reduce"]
+    assert "Score" not in direct["map"]
+
+    # score scales: baseline 0-100 (map_prompt_baseline.yml), the
+    # 0-10 family elsewhere
+    assert "0-100" in load_prompt_set("baseline")["map"]
+    assert "0-10" in load_prompt_set("hybrid")["map"]
+    assert "0-10" in load_prompt_set("finqa")["map"]
+    assert "relevance_score" in load_prompt_set("standard")["map"]
+
+    # auto-detection parity (main_async.py:92-101)
+    assert auto_prompt_set("hybrid") == "hybrid"
+    assert auto_prompt_set("plain_text") == "baseline"
+    assert auto_prompt_set("json") == DEFAULT_SET
+    assert auto_prompt_set(None) == DEFAULT_SET
+
+    # None → default_set; legacy format aliases follow auto-detection
+    assert load_prompt_set(None) == load_prompt_set(DEFAULT_SET)
+    assert load_prompt_set("json") == load_prompt_set("default")
+    assert load_prompt_set("plain_text") == load_prompt_set("baseline")
+
+    # only hybrid auto-includes question_improvement
+    assert "question_improvement" not in load_prompt_set("default")
+    assert "question_improvement" in load_prompt_set("hybrid")
+    with pytest.raises(ValueError, match="unknown prompt set"):
+        load_prompt_set("bogus")
 
 
 def test_request_key_cache_dedupes_identical_calls():

@@ -150,6 +150,10 @@ def test_http_models_catalog_and_path_containment(spark, tmp_path):
         assert cat == MODELS_CATALOG
         assert set(cat["providers"]) == {"openai", "openrouter"}
         assert "mapreduce" in cat["pipeline_types"]
+        # the six reference prompt sets are advertised for dropdowns
+        assert set(cat["prompt_sets"]) == {
+            "default", "baseline", "standard", "hybrid", "direct", "finqa",
+        }
 
         # relative path inside the root: allowed
         status, prev = post("/preview", {"path": "inside.txt"})
@@ -372,7 +376,18 @@ def test_http_prompt_set_without_format_type(spark):
     try:
         status, ans = post("/answer", {
             "content": body, "filename": "r.txt", "question": "q?",
-            "prompt_set": "plain_text",  # valid name, no format_type
+            "prompt_set": "plain_text",  # legacy alias, no format_type
+        })
+        assert status == 200
+        # named reference sets resolve per-request (prompt_config.yml)
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt", "question": "q?",
+            "prompt_set": "finqa",
+        })
+        assert status == 200
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt", "question": "q?",
+            "prompt_set": "direct",
         })
         assert status == 200
         with pytest.raises(urllib.error.HTTPError) as ei:
