@@ -217,6 +217,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             client_factory=client_factory,
             map_template=prompt_set["map"],
             reduce_template=prompt_set["reduce"],
+            judge_template=prompt_set["judge"],
             # real-run posture: the sink's write+stats and the judge all
             # consume `answers`; persist so LLM stages fire exactly once
             persist_llm_outputs=True,

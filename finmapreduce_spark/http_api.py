@@ -41,6 +41,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
 
+from finmapreduce_spark.llm.prompts import available_prompt_sets
 from finmapreduce_spark.plans.mapreduce import MapReduceConfig
 from finmapreduce_spark.serve import answer_single, preview
 
@@ -88,9 +89,9 @@ MODELS_CATALOG = {
     },
     "pipeline_types": ["mapreduce", "truncation"],
     "format_types": ["json", "hybrid", "plain_text"],
-    "prompt_sets": [
-        "default", "baseline", "standard", "hybrid", "direct", "finqa",
-    ],
+    # Derived from the registry so the catalog can't drift from
+    # load_prompt_set's actual validation surface.
+    "prompt_sets": available_prompt_sets(),
     "truncation_strategies": ["start", "end", "smart"],
     "pdf_parsers": ["marker", "pypdf", "pdfminer"],
     "providers": ["openai", "openrouter"],
@@ -129,12 +130,17 @@ def _request_config(cfg: MapReduceConfig, body: dict):
             if "score_threshold" not in body:
                 overrides["score_threshold"] = 50 if fmt == "plain_text" else 5
         # prompt_set applies on its own too (default auto-detects from
-        # the format, exactly as the CLI); unknown names → 400 either way
+        # the format, exactly as the CLI); unknown names → 400 either
+        # way. Presence check, not truthiness: an explicit empty
+        # string is an invalid NAME and must 400, not silently
+        # auto-detect.
+        named = body.get("prompt_set")
         prompt_set = load_prompt_set(
-            body.get("prompt_set") or auto_prompt_set(fmt)
+            named if named is not None else auto_prompt_set(fmt)
         )
         overrides["map_template"] = prompt_set["map"]
         overrides["reduce_template"] = prompt_set["reduce"]
+        overrides["judge_template"] = prompt_set["judge"]
     for knob in ("score_threshold", "chunk_size", "chunk_overlap"):
         if knob in body:
             overrides[knob] = int(body[knob])

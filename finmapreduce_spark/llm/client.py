@@ -501,8 +501,21 @@ class OpenAICompatClient:
         # JSON-emitting stages opt into the provider-side JSON mode;
         # hybrid/plain map replies are plain text with a trailing
         # Score: line, but the json-format map (P2) is a JSON object.
+        # OpenAI REJECTS json_object requests whose messages never
+        # mention JSON, and the reference never sends response_format
+        # at all (it only parses client-side — async_llm_client.py:
+        # 144-195 robust chain), so JSON mode is an opt-in extra: set
+        # it only when the rendered messages actually say JSON.
+        # Notably format_type=json auto-resolves to the 'default' set
+        # whose map template has no JSON wording (mirroring the
+        # reference's map_prompt_hybrid.yml) — that call must go out
+        # as a plain completion and rely on the robust parse.
         if kind in ("reduce", "judge", "truncation", "improve", "map_json"):
-            payload["response_format"] = {"type": "json_object"}
+            mentions_json = any(
+                "json" in m["content"].lower() for m in messages
+            )
+            if mentions_json:
+                payload["response_format"] = {"type": "json_object"}
         return payload
 
     def _resolve_key(self) -> str:

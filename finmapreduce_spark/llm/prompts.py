@@ -41,18 +41,28 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Shared judge template: two %s slots (rubric preamble, rendered
+# Shared judge template: ONE %s slot (the rendered
 # <evaluation_items> XML). Items are judged independently, so one
 # judge text serves every set except baseline (which has its own
-# judge file in the reference registry).
+# judge file in the reference registry). Both templates demand a
+# single valid JSON object, as the reference judge prompts do
+# (judge_prompt.yml:231-233, judge_prompt_baseline.yml:169-171) —
+# this wording is ALSO what lets the live client opt the call into
+# provider-side JSON mode (client.py build_payload only sets
+# response_format=json_object when the message mentions JSON,
+# because OpenAI rejects json_object requests that don't).
 _JUDGE = (
     "Judge each item as Correct/Coherent/Deviated/Incorrect/"
-    "No answer.\n%s\n\nItems:\n%s"
+    "No answer. Reply with a single valid JSON object whose "
+    '"evaluation_results" key holds one object per item with keys '
+    "evaluation_number, judgement and reasoning.\n\nItems:\n%s"
 )
 _JUDGE_BASELINE = (
     "For every item below, compare the model answer to the gold "
     "answer and label it Correct, Coherent, Deviated, Incorrect or "
-    "No answer.\n%s\n\nItems:\n%s"
+    "No answer. Reply with a single valid JSON object whose "
+    '"evaluation_results" key holds one object per item with keys '
+    "evaluation_number, judgement and reasoning.\n\nItems:\n%s"
 )
 
 # The direct set uses ONE template for both the map and reduce slots

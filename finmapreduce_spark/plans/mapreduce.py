@@ -79,6 +79,12 @@ class MapReduceConfig:
     # by format name (llm/prompts.py).
     map_template: str = "%s\n\n%s"  # (question, chunk)
     reduce_template: str = "Question: %s\n\n%s"  # (question, gathered)
+    # Judge wrapper around the rendered <evaluation_items> XML. The
+    # "%s" default keeps the prompt byte-identical to the historical
+    # inline form (oracle-independent); the CLI/API swap in the
+    # prompt set's judge template, whose JSON wording is what opts a
+    # live call into provider JSON mode (llm/prompts.py _JUDGE).
+    judge_template: str = "%s"
     # Per-group size guard for the reduce gather (SURVEY §7 risk 4):
     # keep at most N chunks per QA (top score, then chunk order).
     # None = reference semantics (no bound).
@@ -409,8 +415,13 @@ def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
         )
         .withColumn(
             "prompt",
-            F.concat(
-                F.lit("<evaluation_items>\n"), F.col("prompt"), F.lit("\n</evaluation_items>")
+            F.format_string(
+                cfg.judge_template,
+                F.concat(
+                    F.lit("<evaluation_items>\n"),
+                    F.col("prompt"),
+                    F.lit("\n</evaluation_items>"),
+                ),
             ),
         )
     )

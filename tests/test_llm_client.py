@@ -367,9 +367,66 @@ def test_openai_payload_shaping():
         {"role": "user", "content": "hello"},
     ]
     assert "response_format" not in p  # map is plain text
-    assert c.build_payload("x", "reduce")["response_format"] == {
-        "type": "json_object"
-    }
+    # JSON mode is conditional on the messages actually mentioning
+    # JSON (OpenAI rejects json_object requests that don't; the
+    # reference never sends response_format at all and robust-parses
+    # client-side — async_llm_client.py:144-195).
+    assert c.build_payload("Reply as JSON: x", "reduce")[
+        "response_format"
+    ] == {"type": "json_object"}
+    assert "response_format" not in c.build_payload("x", "reduce")
+
+
+def test_json_mode_follows_prompt_wording_per_set():
+    """ADVICE r8: format_type=json auto-resolves to the 'default' set
+    whose map template has no JSON wording — that live call must NOT
+    request provider JSON mode (it would 400), while the 'standard'
+    set's JSON-worded map and every set's judge/JSON-worded reduce
+    must keep it."""
+    from finmapreduce_spark.llm.client import OpenAICompatClient
+    from finmapreduce_spark.llm.prompts import (
+        auto_prompt_set,
+        available_prompt_sets,
+        load_prompt_set,
+        render_prompt,
+    )
+
+    c = OpenAICompatClient(api_key="k")
+
+    # format json → default set → map prompt without 'JSON' → plain
+    # completion even under the map_json kind.
+    default_map = load_prompt_set(auto_prompt_set("json"))["map"]
+    assert "json" not in default_map.lower()
+    p = c.build_payload(render_prompt(default_map, "q?", "chunk"), "map_json")
+    assert "response_format" not in p
+
+    # explicit standard set: JSON-worded map → JSON mode kept.
+    std_map = load_prompt_set("standard")["map"]
+    assert "json" in std_map.lower()
+    p = c.build_payload(render_prompt(std_map, "q?", "chunk"), "map_json")
+    assert p["response_format"] == {"type": "json_object"}
+
+    # every registry judge template demands a JSON object (reference
+    # judge_prompt.yml:231), so live judge calls keep JSON mode.
+    for name in available_prompt_sets():
+        ps = load_prompt_set(name)
+        judge_prompt = render_prompt(ps["judge"], "<evaluation_items/>")
+        assert "json" in judge_prompt.lower(), name
+        p = c.build_payload(judge_prompt, "judge")
+        assert p["response_format"] == {"type": "json_object"}, name
+
+    # reduce: JSON-emitting sets keep JSON mode; baseline reduce is
+    # plain text (reference reduce_prompt_baseline.yml has no JSON
+    # wording) and must go out as a plain completion.
+    for name in ("default", "standard", "hybrid", "finqa"):
+        rp = render_prompt(load_prompt_set(name)["reduce"], "q?", "findings")
+        assert c.build_payload(rp, "reduce")["response_format"] == {
+            "type": "json_object"
+        }, name
+    base_reduce = render_prompt(
+        load_prompt_set("baseline")["reduce"], "q?", "extracts"
+    )
+    assert "response_format" not in c.build_payload(base_reduce, "reduce")
 
 
 def test_openai_success_parses_usage():

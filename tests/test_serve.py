@@ -150,7 +150,12 @@ def test_http_models_catalog_and_path_containment(spark, tmp_path):
         assert cat == MODELS_CATALOG
         assert set(cat["providers"]) == {"openai", "openrouter"}
         assert "mapreduce" in cat["pipeline_types"]
-        # the six reference prompt sets are advertised for dropdowns
+        # the six reference prompt sets are advertised for dropdowns —
+        # and the catalog entry derives from the registry, so this
+        # pins BOTH against the reference list
+        from finmapreduce_spark.llm.prompts import available_prompt_sets
+
+        assert cat["prompt_sets"] == available_prompt_sets()
         assert set(cat["prompt_sets"]) == {
             "default", "baseline", "standard", "hybrid", "direct", "finqa",
         }
@@ -393,6 +398,13 @@ def test_http_prompt_set_without_format_type(spark):
         with pytest.raises(urllib.error.HTTPError) as ei:
             post("/answer", {"content": body, "filename": "r.txt",
                              "question": "q?", "prompt_set": "nope"})
+        assert ei.value.code == 400
+        # an explicit EMPTY name is an invalid name, not "absent" —
+        # it must 400 like any other unknown set, never silently
+        # auto-detect (ADVICE r8)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.txt",
+                             "question": "q?", "prompt_set": ""})
         assert ei.value.code == 400
         # explicitly requested parser that is not installed → 400
         with pytest.raises(urllib.error.HTTPError) as ei:
