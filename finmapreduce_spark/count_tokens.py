@@ -1,0 +1,151 @@
+"""Corpus token-count CLI — parity with the reference's
+scripts/count_tokens.py (per-file token counts over markdown
+directories, per-directory and grand totals, histogram-ready
+distribution), re-expressed as ONE Spark aggregation over the
+whole-file corpus scan instead of a sequential file loop.
+
+Token models (the reference hard-codes tiktoken cl100k_base via
+utils.num_tokens_from_string):
+  --model ws       whitespace model (default; functions/text.py F1)
+  --model tiktoken tokenizer-exact via tiktoken, when installed
+  --model merges   tokenizer-exact via a trained merge list
+                   (--merges_file, the bpe_train_merges format /
+                   functions/mini_bpe.py)
+
+Usage:
+  python -m finmapreduce_spark.count_tokens --docs_glob 'corpus/*.md'
+  python -m finmapreduce_spark.count_tokens --docs_glob 'a/*.md' 'b/*.md' \
+      --model merges --merges_file merges.txt --per_file
+
+Prints one JSON document: per-directory rows, the grand total, and a
+log2-bucket histogram (the reference collects the same per-file list
+for its matplotlib histograms).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _counted(spark, glob_path: str, model: str, merges_file: str | None):
+    from finmapreduce_spark.functions.text import token_count
+    from finmapreduce_spark.sources.readers import load_markdown_documents
+
+    docs = load_markdown_documents(spark, glob_path)
+    if model == "ws":
+        return docs.withColumn("n_tokens", token_count(F.col("content")))
+    if model == "tiktoken":
+        from finmapreduce_spark.functions.exact_tokens import (
+            tiktoken_encoder_factory,
+        )
+
+        factory = tiktoken_encoder_factory()
+    elif model == "merges":
+        if not merges_file:
+            raise SystemExit("--model merges needs --merges_file")
+        from finmapreduce_spark.functions.mini_bpe import MergesBPE
+
+        factory = MergesBPE.factory(
+            list(MergesBPE.from_merges_file(merges_file).ranks)
+        )
+    else:
+        raise SystemExit(f"unknown --model {model!r}")
+
+    @F.pandas_udf(T.LongType())
+    def _n(texts: pd.Series) -> pd.Series:
+        enc = factory()
+        return texts.fillna("").map(lambda s: len(enc.encode(s)))
+
+    return docs.withColumn("n_tokens", _n(F.col("content")))
+
+
+def run(
+    spark,
+    docs_globs: list[str],
+    model: str = "ws",
+    merges_file: str | None = None,
+    per_file: bool = False,
+) -> dict:
+    """One summary dict over all globs; Spark-side aggregation — the
+    per-file list never lands on the driver unless --per_file."""
+    dirs = []
+    hist: dict[str, int] = {}
+    grand = {"files": 0, "tokens": 0}
+    for glob_path in docs_globs:
+        df = _counted(spark, glob_path, model, merges_file).select(
+            "doc_name", "n_tokens"
+        )
+        agg = df.agg(
+            F.count("*").alias("files"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg"),
+            F.min("n_tokens").alias("min"),
+            F.max("n_tokens").alias("max"),
+        ).first()
+        entry = {
+            "glob": glob_path,
+            "files": int(agg["files"]),
+            "tokens": int(agg["tokens"] or 0),
+            "avg": float(agg["avg"] or 0.0),
+            "min": int(agg["min"] or 0),
+            "max": int(agg["max"] or 0),
+        }
+        if per_file:
+            entry["per_file"] = {
+                r["doc_name"]: int(r["n_tokens"])
+                for r in df.orderBy("doc_name").collect()
+            }
+        dirs.append(entry)
+        grand["files"] += entry["files"]
+        grand["tokens"] += entry["tokens"]
+        # log2 buckets: histogram-ready without a per-file collect
+        buckets = (
+            df.withColumn(
+                "bucket",
+                F.when(F.col("n_tokens") <= 0, F.lit(0)).otherwise(
+                    F.floor(F.log2(F.col("n_tokens"))) + 1
+                ),
+            )
+            .groupBy("bucket")
+            .count()
+            .collect()
+        )
+        for b in buckets:
+            if b["bucket"]:
+                lo = 2 ** (int(b["bucket"]) - 1)
+                key = f"{lo}-{2 ** int(b['bucket']) - 1}"
+            else:
+                key = "0"
+            hist[key] = hist.get(key, 0) + int(b["count"])
+    return {"model": model, "dirs": dirs, "total": grand, "histogram": hist}
+
+
+def main(argv=None, spark=None) -> dict:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m finmapreduce_spark.count_tokens", description=__doc__
+    )
+    ap.add_argument("--docs_glob", nargs="+", required=True)
+    ap.add_argument("--model", choices=("ws", "tiktoken", "merges"),
+                    default="ws")
+    ap.add_argument("--merges_file", default=None)
+    ap.add_argument("--per_file", action="store_true")
+    args = ap.parse_args(argv)
+
+    if spark is None:
+        from finmapreduce_spark.session import get_spark
+
+        spark = get_spark("count_tokens")
+    out = run(spark, args.docs_glob, args.model, args.merges_file,
+              args.per_file)
+    print(json.dumps(out, indent=2, sort_keys=True))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -196,6 +196,21 @@ def make_server(
                 self._send(200, {"status": "ok"})
             elif self.path == "/models":
                 self._send(200, MODELS_CATALOG)
+            elif self.path in ("/", "/index.html"):
+                # the single-file frontend (webapp/index.html) — the
+                # rebuild's twin of the reference webapp's
+                # frontend/index.html + static/app.js surface
+                page = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "webapp", "index.html",
+                )
+                with open(page, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 

@@ -304,3 +304,50 @@ def test_cli_max_total_requests_shapes_partitions(spark, fixture_dirs):
         for l in open(os.path.join(out_dir, p))
     ]
     assert len(rows) == 3
+
+
+def test_count_tokens_cli(spark, fixture_dirs, capsys):
+    """scripts/count_tokens.py parity: per-directory totals, grand
+    total, and a log2-bucket histogram, as one Spark agg per glob.
+    Exact ws-model expectations derive from the fixture texts: the
+    acme doc is 8 words × 40 reps, the beta doc 4 words × 40 reps
+    (trailing space does not create a token)."""
+    qa_path, docs_dir, _ = fixture_dirs
+    from finmapreduce_spark.count_tokens import main
+
+    out = main(["--docs_glob", docs_dir, "--per_file"], spark=spark)
+    (d,) = out["dirs"]
+    assert d["files"] == 2
+    assert d["per_file"] == {"acme_2023": 320, "beta_2022": 160}
+    assert d["tokens"] == 480 and out["total"] == {"files": 2, "tokens": 480}
+    assert (d["min"], d["max"], d["avg"]) == (160, 320, 240.0)
+    # 160 → floor(log2)=7 → 128-255; 320 → floor(log2)=8 → 256-511
+    assert out["histogram"] == {"128-255": 1, "256-511": 1}
+    assert json.loads(capsys.readouterr().out)["total"]["tokens"] == 480
+
+
+def test_count_tokens_cli_merges_model(spark, fixture_dirs):
+    """--model merges drives the trained-tokenizer path through the
+    same CLI (MergesBPE over a merges file; here an EMPTY merge list
+    ⇒ every letter/char is one token, so counts equal char counts of
+    the letter/non-letter runs — exact and hand-derivable)."""
+    qa_path, docs_dir, _ = fixture_dirs
+    import os
+
+    from finmapreduce_spark.count_tokens import main
+
+    merges = os.path.join(os.path.dirname(docs_dir), "empty_merges.txt")
+    with open(merges, "w") as f:
+        f.write("# no merges\n")
+    out = main(
+        ["--docs_glob", docs_dir, "--model", "merges",
+         "--merges_file", merges, "--per_file"],
+        spark=spark,
+    )
+    (d,) = out["dirs"]
+    # zero merges ⇒ token count == character count (every char is a
+    # single-char token, letters and non-letters alike)
+    assert d["per_file"] == {
+        "acme_2023": len("Acme revenue grew nine percent in fiscal 2023. " * 40),
+        "beta_2022": len("Beta filed a 10-K. " * 40),
+    }

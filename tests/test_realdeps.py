@@ -205,3 +205,98 @@ def test_pdf_auto_gate_lists_every_miss():
         _real_pdf_parse("auto", minimal_pdf())
     msg = str(ei.value)
     assert "marker" in msg and "pypdf" in msg and "pdfminer" in msg
+
+
+# ---------------------------------------------------------------------------
+# Live provider: response-cache idempotency through the REAL stack
+# (VERDICT r8 #5 — the real twin of the fake-wire cached test in
+# test_llm_client). Paid, so gated on OPENAI_API_KEY being set.
+# ---------------------------------------------------------------------------
+
+
+def _poison_client_factory():
+    """Executor-side factory whose transport REFUSES to speak HTTP —
+    a fully-cached second run never reaches it; any cache miss
+    surfaces as an error row that breaks the equality assertion."""
+    from finmapreduce_spark.llm.client import (
+        OpenAICompatClient,
+        RateLimitConfig,
+        RateLimitedClient,
+    )
+    from finmapreduce_spark.llm.runner import resolve_provider_config
+
+    def _no_http(url, headers, payload):
+        raise AssertionError(f"HTTP call issued on a fully-cached run: {url}")
+
+    return RateLimitedClient(
+        OpenAICompatClient(
+            resolve_provider_config("openai"), api_key="poison",
+            transport=_no_http,
+        ),
+        RateLimitConfig(max_retries=0),
+    )
+
+
+@realdeps
+@pytest.mark.skipif(
+    not __import__("os").environ.get("OPENAI_API_KEY"),
+    reason="OPENAI_API_KEY not set — live-provider smoke is opt-in (paid)",
+)
+def test_live_openai_second_run_pays_zero_http_calls(spark, tmp_path):
+    """Two-question fixture through the live OpenAI-compatible stack
+    with a response cache: run 1 pays the API, run 2 runs the SAME
+    DAG with a transport that raises on ANY HTTP attempt and must
+    reproduce run 1's answers purely from the cache parquet."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.llm.prompts import load_prompt_set
+    from finmapreduce_spark.llm.runner import (
+        cache_namespace_for,
+        provider_client_factory,
+        resolve_provider_config,
+    )
+    from finmapreduce_spark.plans.mapreduce import MapReduceConfig, run_mapreduce
+
+    qa = spark.createDataFrame(
+        [(1, "d1", "What grew fifteen percent?"),
+         (2, "d2", "What did operating costs do?")],
+        "qa_id long, doc_id string, question string",
+    ).withColumn("answer", F.lit(""))
+    docs = spark.createDataFrame(
+        [("d1", "Revenue grew fifteen percent year over year."),
+         ("d2", "Operating costs declined while margins improved.")],
+        "doc_id string, text string",
+    )
+
+    resolved = resolve_provider_config("openai", max_tokens=128)
+    ps = load_prompt_set("default")
+    base_kw = dict(
+        chunk_size=512, chunk_overlap=0,
+        map_template=ps["map"], reduce_template=ps["reduce"],
+        judge_template=ps["judge"],
+        response_cache_dir=str(tmp_path / "cache"),
+        response_cache_namespace=f"openai:{cache_namespace_for(resolved)}",
+        persist_llm_outputs=True,
+        concurrency=2,
+    )
+
+    live = MapReduceConfig(
+        client_factory=functools.partial(
+            provider_client_factory, "openai", max_tokens=128
+        ),
+        **base_kw,
+    )
+    first = sorted(
+        (r["qa_id"], r["llm_answer"])
+        for r in run_mapreduce(qa, docs, live)["answers"].collect()
+    )
+    assert all(a for _, a in first)  # live run produced real answers
+
+    cached = MapReduceConfig(client_factory=_poison_client_factory, **base_kw)
+    second = sorted(
+        (r["qa_id"], r["llm_answer"])
+        for r in run_mapreduce(qa, docs, cached)["answers"].collect()
+    )
+    assert second == first

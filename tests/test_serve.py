@@ -160,6 +160,18 @@ def test_http_models_catalog_and_path_containment(spark, tmp_path):
             "default", "baseline", "standard", "hybrid", "direct", "finqa",
         }
 
+        # GET / serves the single-file frontend (reference webapp
+        # frontend surface): html that drives /models + /preview +
+        # /answer, including the prompt_set dropdown
+        req = urllib.request.Request(base + "/")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        for needle in ("prompt_set", "/models", "/preview", "/answer",
+                       "pipeline_type"):
+            assert needle in page, needle
+
         # relative path inside the root: allowed
         status, prev = post("/preview", {"path": "inside.txt"})
         assert status == 200 and prev["doc_name"] == "inside.txt"

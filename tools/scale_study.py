@@ -17,6 +17,12 @@ identical:
 Usage:
   python tools/scale_study.py q21_sole_late_suppliers kmeans_cluster_sizes
   python tools/scale_study.py --copies 10 --base /root/testdata/sf0.1 <queries...>
+
+Heap guidance (round-9 finding): localCheckpoint blocks (the CC
+rounds) stay pinned until driver GC drops the RDD handles —
+catalog.clearCache() does NOT release them — so multi-query studies
+under the default 1 GiB local heap can OOM by the 4th query. Run
+one-query-per-process, or set SPARK_GRAFT_DRIVER_MEM=16g.
 """
 
 from __future__ import annotations
