@@ -108,6 +108,10 @@ HEADLINE = [
     # table, events join once (the plan shape that keeps the event
     # stream to a single join at 100 TB)
     "text_trigram_interp_quality",
+    # round-9: tokenizer-exact chunking under the in-engine-trained
+    # BPE — the tokenize→chunk corpus path as pure JVM string
+    # expressions (sentinel-delimited bounded-pass merges), no Python
+    "bpe_chunk_documents_exact",
 ]
 
 

@@ -1536,6 +1536,171 @@ QUERIES.update(
     }
 )
 
+
+# ---------------------------------------------------------------------------
+# Tokenizer-exact document chunking with the in-engine-trained BPE
+# (F2 exact variant, driver-witnessed): the reference chunks in
+# tiktoken tokens (document_processing.py:246-267); here the tokenizer
+# is the engine's OWN trained merge list and the whole
+# tokenize→chunk pipeline is JVM string expressions — no Python in
+# the corpus path, whole-stage codegen end to end.
+#
+# Encoding semantics (identical in both engines, and pinned equal to
+# functions/mini_bpe.py::MergesBPE on real corpus text in
+# tests/test_exact_tokens.py): text splits into maximal [a-z]+ vs
+# other runs; letter runs are char-split, sentinel-joined (chr(30),
+# stripped from input first), and each merge applies in rank order
+# as THREE bounded left-to-right replace passes — the exact
+# bounded-pass BPE variant the trainer itself is certified with.
+# Non-letter runs are one token per char, so tokens PARTITION the
+# text and a chunk is the literal substring its token slice covers.
+#
+# Chunk arithmetic mirrors functions/chunking.py::chunk_plan in token
+# space: step = size − overlap, n_chunks = 1 if n ≤ size else
+# ceil((n − size)/step) + 1, chunk i = tokens[i·step, i·step + size).
+# ---------------------------------------------------------------------------
+
+BPE_CHUNK_SIZE = 512
+BPE_CHUNK_OVERLAP = 64
+_RS = "\x1e"  # token delimiter; cannot appear in tokens (stripped)
+
+
+def _bpe_tokens_col(text_col, merges: list[tuple[str, str]]):
+    """array<string> token column — pure JVM expressions."""
+
+    def char_join(r):
+        return F.concat_ws(_RS, F.split(r, "(?<=.)(?=.)"))
+
+    def apply_merges(s):
+        s = F.concat(F.lit(_RS), s, F.lit(_RS))
+        for left, right in merges:
+            pat = F.lit(f"{_RS}{left}{_RS}{right}{_RS}")
+            rep = F.lit(f"{_RS}{left}{right}{_RS}")
+            for _ in range(3):
+                s = F.replace(s, pat, rep)
+        return F.regexp_replace(
+            F.regexp_replace(s, f"^{_RS}", ""), f"{_RS}$", ""
+        )
+
+    runs = F.regexp_extract_all(
+        F.replace(F.coalesce(text_col, F.lit("")), F.lit(_RS), F.lit("")),
+        F.lit("[a-z]+|[^a-z]+"),
+        0,
+    )
+    toks_per_run = F.transform(
+        runs,
+        lambda r: F.when(r.rlike("^[a-z]"), apply_merges(char_join(r))).otherwise(
+            char_join(r)
+        ),
+    )
+    return F.split(F.array_join(toks_per_run, _RS), _RS)
+
+
+def bpe_chunk_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 3 merges on the corpus (the bounded-collect merge loop),
+    then chunk every document token-exactly under that tokenizer."""
+    rows, toks = _bpe_train(spark, sf_dir)
+    toks.unpersist()
+    merges = [tuple(r[1].split(" ")) for r in sorted(rows)]
+    docs = _docs(spark, sf_dir)
+    size, step = BPE_CHUNK_SIZE, BPE_CHUNK_SIZE - BPE_CHUNK_OVERLAP
+    tk = _bpe_tokens_col(F.col("text"), merges)
+    n = F.size(tk)
+    n_chunks = (
+        F.when(n <= size, F.lit(1).cast("long"))
+        .otherwise(F.ceil((n - size) / F.lit(step)) + 1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_index"),
+            F.least(F.lit(size), n - i * step).cast("int").alias("chunk_tokens"),
+            F.concat_ws("", F.slice(tk, (i * step + 1).cast("int"), size)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_index", "c.chunk_tokens", "c.chunk_text"
+    )
+
+
+def _bpe_tokens_sql(n_merges: int) -> str:
+    """DuckDB twin of _bpe_tokens_col. Subqueries are not allowed
+    inside DuckDB lambdas, so the caller cross-joins 1-row merge
+    views exposing plain columns l{k}/r{k}/g{k} (left, right,
+    merged) for each rank k — lambdas may reference row columns."""
+    body = (
+        "chr(30) || array_to_string(string_split(run, ''), chr(30)) || chr(30)"
+    )
+    for k in range(1, n_merges + 1):
+        pat = f"chr(30) || l{k} || chr(30) || r{k} || chr(30)"
+        rep = f"chr(30) || g{k} || chr(30)"
+        for _ in range(3):
+            body = f"replace({body}, {pat}, {rep})"
+    return f"""
+  string_split(
+    array_to_string(
+      list_transform(
+        regexp_extract_all(replace(coalesce(text, ''), chr(30), ''),
+                           '[a-z]+|[^a-z]+'),
+        run -> CASE WHEN regexp_matches(run, '^[a-z]')
+          THEN regexp_replace(regexp_replace({body},
+                 '^' || chr(30), ''), chr(30) || '$', '')
+          ELSE array_to_string(string_split(run, ''), chr(30)) END
+      ), chr(30)),
+    chr(30))
+"""
+
+
+_BPE_STEP = BPE_CHUNK_SIZE - BPE_CHUNK_OVERLAP
+
+BPE_CHUNK_ORACLE = f"""
+WITH words AS (
+  SELECT w, count(*) AS weight FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE w <> '' AND length(w) <= {BPE_MAX_WORD_LEN}
+  GROUP BY w
+),
+t0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS s, weight FROM words),
+m1 AS ({_bpe_top_sql('t0')}),
+t1 AS ({_bpe_apply_sql('t0', 'm1')}),
+m2 AS ({_bpe_top_sql('t1')}),
+t2 AS ({_bpe_apply_sql('t1', 'm2')}),
+m3 AS ({_bpe_top_sql('t2')}),
+m1v AS (SELECT string_split(pair, ' ')[1] AS l1, string_split(pair, ' ')[2] AS r1,
+               merged AS g1 FROM m1),
+m2v AS (SELECT string_split(pair, ' ')[1] AS l2, string_split(pair, ' ')[2] AS r2,
+               merged AS g2 FROM m2),
+m3v AS (SELECT string_split(pair, ' ')[1] AS l3, string_split(pair, ' ')[2] AS r3,
+               merged AS g3 FROM m3),
+tok AS (
+  SELECT doc_id, coalesce({_bpe_tokens_sql(3)}, ['']) AS tk
+  FROM documents, m1v, m2v, m3v
+),
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM tok)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_index,
+       CAST(least({BPE_CHUNK_SIZE}, n - i * {_BPE_STEP}) AS INT) AS chunk_tokens,
+       array_to_string(
+         list_slice(tk, i * {_BPE_STEP} + 1, i * {_BPE_STEP} + {BPE_CHUNK_SIZE}),
+         '') AS chunk_text
+FROM sized,
+     unnest(range(0, CASE WHEN n <= {BPE_CHUNK_SIZE} THEN 1
+                          ELSE CAST(ceil((n - {BPE_CHUNK_SIZE})
+                                    / {_BPE_STEP}.0) AS BIGINT) + 1 END)) AS t(i)
+"""
+
+
+QUERIES.update(
+    {
+        "bpe_chunk_documents_exact": QuerySpec(
+            bpe_chunk_documents_exact, BPE_CHUNK_ORACLE
+        ),
+    }
+)
+
 # ---------------------------------------------------------------------------
 # Distributed linear-classifier training (the fasttext-style langid /
 # quality-classifier step of a pre-training data pipeline): hashed

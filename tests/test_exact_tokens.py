@@ -240,6 +240,31 @@ def test_mini_bpe_fixture_is_deterministic():
     assert len(committed) == 200
 
 
+def test_jvm_bpe_tokens_match_mergesbpe_on_real_corpus(spark, sf_dir):
+    """The catalog's JVM tokenizer (queries/training.py::
+    _bpe_tokens_col — sentinel-delimited bounded-pass replaces) must
+    produce EXACTLY MergesBPE.encode's tokens on real corpus text,
+    and tokens must reassemble the text losslessly. This pins the
+    driver-witnessed bpe_chunk_documents_exact query to the
+    production Python encoder the tokenizer-exact lane uses."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.training import _bpe_tokens_col
+    from finmapreduce_spark.session import read_table
+
+    merges = [("e", "r"), ("o", "r"), ("i", "n")]
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    got = docs.select(
+        "text", _bpe_tokens_col(F.col("text"), merges).alias("tk")
+    ).collect()
+    enc = MergesBPE(merges)
+    for r in got:
+        text = (r["text"] or "").replace("\x1e", "")
+        py = [enc._tok[i] for i in enc.encode(text)]
+        assert list(r["tk"]) == (py or [""])
+        assert "".join(r["tk"]) == text
+
+
 def test_truncate_exact_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, "a b c")], "id long, text string")
     for bad in (0, -5):
