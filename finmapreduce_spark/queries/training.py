@@ -1655,8 +1655,9 @@ def _bpe_tokens_sql(n_merges: int) -> str:
 
 _BPE_STEP = BPE_CHUNK_SIZE - BPE_CHUNK_OVERLAP
 
-BPE_CHUNK_ORACLE = f"""
-WITH words AS (
+# Shared training + tokenization CTE prefix (3 merges → per-doc token
+# arrays) for both exact-lane oracles below.
+_BPE_TOK_CTES = f"""words AS (
   SELECT w, count(*) AS weight FROM (
     SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
     FROM documents
@@ -1678,7 +1679,10 @@ m3v AS (SELECT string_split(pair, ' ')[1] AS l3, string_split(pair, ' ')[2] AS r
 tok AS (
   SELECT doc_id, coalesce({_bpe_tokens_sql(3)}, ['']) AS tk
   FROM documents, m1v, m2v, m3v
-),
+)"""
+
+BPE_CHUNK_ORACLE = f"""
+WITH {_BPE_TOK_CTES},
 sized AS (SELECT doc_id, tk, len(tk) AS n FROM tok)
 SELECT doc_id,
        CAST(i AS INT) AS chunk_index,
@@ -1697,6 +1701,65 @@ QUERIES.update(
     {
         "bpe_chunk_documents_exact": QuerySpec(
             bpe_chunk_documents_exact, BPE_CHUNK_ORACLE
+        ),
+    }
+)
+
+
+# F3/F4 exact variants under the same trained tokenizer: start keeps
+# tokens[:B], end keeps tokens[-B:]; the truncated text is the
+# literal substring the kept token slice covers (tokens partition the
+# text). Same output contract as functions/truncation.py /
+# functions/exact_tokens.py::truncate_words_exact.
+
+BPE_TRUNC_BUDGET = 1024
+
+
+def bpe_truncate_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, toks = _bpe_train(spark, sf_dir)
+    toks.unpersist()
+    merges = [tuple(r[1].split(" ")) for r in sorted(rows)]
+    docs = _docs(spark, sf_dir)
+    b = BPE_TRUNC_BUDGET
+    tk = _bpe_tokens_col(F.col("text"), merges)
+    n = F.size(tk)
+    kept = F.least(F.lit(b), n)
+    start_txt = F.concat_ws("", F.slice(tk, 1, b))
+    end_txt = F.concat_ws(
+        "", F.slice(tk, F.greatest(F.lit(1), n - b + 1).cast("int"), b)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("trunc_original"),
+        kept.cast("int").alias("trunc_tokens"),
+        (n > b).alias("trunc_applied"),
+        F.round(kept / n, 6).alias("trunc_retention"),
+        start_txt.alias("trunc_start_text"),
+        end_txt.alias("trunc_end_text"),
+    )
+
+
+BPE_TRUNC_ORACLE = f"""
+WITH {_BPE_TOK_CTES},
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM tok)
+SELECT doc_id,
+       CAST(n AS INT) AS trunc_original,
+       CAST(least({BPE_TRUNC_BUDGET}, n) AS INT) AS trunc_tokens,
+       n > {BPE_TRUNC_BUDGET} AS trunc_applied,
+       round(least({BPE_TRUNC_BUDGET}, n) * 1.0 / n, 6) AS trunc_retention,
+       array_to_string(list_slice(tk, 1, {BPE_TRUNC_BUDGET}), '')
+         AS trunc_start_text,
+       array_to_string(
+         list_slice(tk, greatest(1, n - {BPE_TRUNC_BUDGET} + 1), n), '')
+         AS trunc_end_text
+FROM sized
+"""
+
+
+QUERIES.update(
+    {
+        "bpe_truncate_documents_exact": QuerySpec(
+            bpe_truncate_documents_exact, BPE_TRUNC_ORACLE
         ),
     }
 )
