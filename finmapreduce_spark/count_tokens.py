@@ -79,30 +79,14 @@ def run(
         df = _counted(spark, glob_path, model, merges_file).select(
             "doc_name", "n_tokens"
         )
-        agg = df.agg(
-            F.count("*").alias("files"),
-            F.sum("n_tokens").alias("tokens"),
-            F.round(F.avg("n_tokens"), 2).alias("avg"),
-            F.min("n_tokens").alias("min"),
-            F.max("n_tokens").alias("max"),
-        ).first()
-        entry = {
-            "glob": glob_path,
-            "files": int(agg["files"]),
-            "tokens": int(agg["tokens"] or 0),
-            "avg": float(agg["avg"] or 0.0),
-            "min": int(agg["min"] or 0),
-            "max": int(agg["max"] or 0),
-        }
+        # ONE Spark job per glob: aggregate per log2 bucket, then
+        # derive the summary from the <=64 bucket rows on the driver.
+        # A corpus-wide encode is expensive under --model
+        # tiktoken/merges, so it must not run once per statistic
+        # (round-9 review finding #6). --per_file adds the only other
+        # pass, over a persisted frame so the encode still runs once.
         if per_file:
-            entry["per_file"] = {
-                r["doc_name"]: int(r["n_tokens"])
-                for r in df.orderBy("doc_name").collect()
-            }
-        dirs.append(entry)
-        grand["files"] += entry["files"]
-        grand["tokens"] += entry["tokens"]
-        # log2 buckets: histogram-ready without a per-file collect
+            df = df.persist()
         buckets = (
             df.withColumn(
                 "bucket",
@@ -111,16 +95,40 @@ def run(
                 ),
             )
             .groupBy("bucket")
-            .count()
+            .agg(
+                F.count("*").alias("files"),
+                F.sum("n_tokens").alias("tokens"),
+                F.min("n_tokens").alias("min"),
+                F.max("n_tokens").alias("max"),
+            )
             .collect()
         )
+        files = sum(int(b["files"]) for b in buckets)
+        tokens = sum(int(b["tokens"] or 0) for b in buckets)
+        entry = {
+            "glob": glob_path,
+            "files": files,
+            "tokens": tokens,
+            "avg": round(tokens / files, 2) if files else 0.0,
+            "min": min((int(b["min"]) for b in buckets), default=0),
+            "max": max((int(b["max"]) for b in buckets), default=0),
+        }
+        if per_file:
+            entry["per_file"] = {
+                r["doc_name"]: int(r["n_tokens"])
+                for r in df.orderBy("doc_name").collect()
+            }
+            df.unpersist()
+        dirs.append(entry)
+        grand["files"] += entry["files"]
+        grand["tokens"] += entry["tokens"]
         for b in buckets:
             if b["bucket"]:
                 lo = 2 ** (int(b["bucket"]) - 1)
                 key = f"{lo}-{2 ** int(b['bucket']) - 1}"
             else:
                 key = "0"
-            hist[key] = hist.get(key, 0) + int(b["count"])
+            hist[key] = hist.get(key, 0) + int(b["files"])
     return {"model": model, "dirs": dirs, "total": grand, "histogram": hist}
 
 

@@ -141,6 +141,52 @@ def _request_config(cfg: MapReduceConfig, body: dict):
         overrides["map_template"] = prompt_set["map"]
         overrides["reduce_template"] = prompt_set["reduce"]
         overrides["judge_template"] = prompt_set["judge"]
+    # Per-request provider/model selection (reference endpoints.py:
+    # 62-124 builds the LLM per request from the posted model config).
+    # "mock" is accepted for hermetic serving; live providers resolve
+    # credentials executor-side at call time, so a missing key
+    # surfaces as the row's error field, not a server crash.
+    provider = body.get("provider")
+    if provider is not None:
+        if provider not in ("mock", *MODELS_CATALOG["providers"]):
+            raise ValueError(f"unknown provider {provider!r}")
+        if provider == "mock":
+            from finmapreduce_spark.llm.runner import mock_client_factory
+
+            overrides["client_factory"] = mock_client_factory
+            overrides["response_cache_namespace"] = ""
+        else:
+            import functools
+
+            from finmapreduce_spark.llm.runner import (
+                cache_namespace_for,
+                provider_client_factory,
+                resolve_provider_config,
+            )
+
+            temp = body.get("temperature")
+            if temp is not None:
+                rng = MODELS_CATALOG["temperature_range"]
+                if not rng["min"] <= float(temp) <= rng["max"]:
+                    raise ValueError(f"temperature out of range: {temp}")
+            resolved = resolve_provider_config(
+                provider,
+                model=body.get("model"),
+                temperature=float(temp) if temp is not None else None,
+            )
+            overrides["client_factory"] = functools.partial(
+                provider_client_factory,
+                provider,
+                model=resolved.model,
+                temperature=resolved.temperature,
+                max_tokens=resolved.max_tokens,
+                base_url=resolved.base_url,
+            )
+            overrides["response_cache_namespace"] = (
+                f"{provider}:{cache_namespace_for(resolved)}"
+            )
+    elif "model" in body:
+        raise ValueError("'model' requires 'provider'")
     for knob in ("score_threshold", "chunk_size", "chunk_overlap"):
         if knob in body:
             overrides[knob] = int(body[knob])
@@ -204,8 +250,12 @@ def make_server(
                     os.path.dirname(os.path.abspath(__file__)),
                     "webapp", "index.html",
                 )
-                with open(page, "rb") as f:
-                    body = f.read()
+                try:
+                    with open(page, "rb") as f:
+                        body = f.read()
+                except OSError as e:  # py-only deploys: JSON 404,
+                    self._send(404, {"error": f"frontend unavailable: {e}"})
+                    return  # not a dropped connection
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(body)))

@@ -266,7 +266,14 @@ def reduce_row_builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
         try:
             parsed = robust_json_parse(r.content)
         except ValueError:
-            parsed = {}
+            # reference posture: the plain_text reduce uses the RAW
+            # reply as the answer (plain_text_formatter.py:70-89) and
+            # the truncation formatter falls back to raw text on
+            # parse failure (truncation_formatter.py:163-171) — a
+            # non-JSON reply is an ANSWER, never a silent None on a
+            # paid call (the baseline set's reduce is plain prose by
+            # design, so live runs hit this path routinely)
+            parsed = {"answer": r.content}
         answers.append(parsed.get("answer"))
         reasonings.append(parsed.get("reasoning"))
         ev = parsed.get("evidence")

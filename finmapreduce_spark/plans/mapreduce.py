@@ -328,7 +328,13 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
         out_schema=REDUCE_OUT_SCHEMA,
         row_builder=reduce_row_builder,
         client_factory=cfg.client_factory,
-        expect_json=True,
+        # reference main_async.py:131-169: parse_json is True for the
+        # hybrid reduce LLM and the json format, False for plain_text
+        # — the plain reduce reply IS prose by design
+        # (plain_text_formatter.py:70-89), so demanding JSON here
+        # would make the retry layer burn its full retry budget on
+        # every live baseline/plain_text reduce and then hard-fail.
+        expect_json=cfg.format_type != "plain_text",
     )
     return reduced
 
@@ -353,6 +359,21 @@ def answers_with_errors(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         "input_tokens",
         "output_tokens",
+        # Observability: a null answer must say WHY (round-9 review —
+        # a keyless live request previously reported answer=None,
+        # error=None). Precedence: document problem > the reduce
+        # call's own error > every chunk dropped before reduce
+        # (covers all-map-calls-failed and all-scored-below-threshold;
+        # the per-chunk detail stays on the mapped stage's error col).
+        F.coalesce(
+            "doc_error",
+            F.col("error"),
+            F.when(
+                F.col("llm_answer").isNull()
+                & (F.coalesce("n_kept", F.lit(0)) == 0),
+                F.lit("no chunks passed the relevance filter"),
+            ),
+        ).alias("error"),
     )
 
 

@@ -71,7 +71,11 @@ def answer_row_builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
         try:
             parsed = robust_json_parse(r.content)
         except ValueError:
-            parsed = {}
+            # reference truncation_formatter.py:163-171 — a reply
+            # that is not JSON IS the answer (plain prose from a
+            # provider that ignored or never received the JSON
+            # instruction), never a silent None on a paid call
+            parsed = {"answer": r.content}
         answers.append(parsed.get("answer"))
         reasonings.append(parsed.get("reasoning"))
         errors.append(None)
@@ -110,7 +114,12 @@ def run_truncation(
         out_schema=ANSWER_SCHEMA,
         row_builder=answer_row_builder,
         client_factory=cfg.client_factory,
-        expect_json=True,
+        # reference main_async.py:175-182 creates the truncation LLM
+        # with parse_json=False and the formatter text-falls-back
+        # (truncation_formatter.py:163-171) — demanding JSON at the
+        # retry layer would burn the retry budget on live prose
+        # replies to a prompt that never asks for JSON.
+        expect_json=False,
     )
     if cfg.response_cache_dir:
         from finmapreduce_spark.llm.response_cache import run_llm_stage_cached

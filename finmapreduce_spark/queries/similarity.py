@@ -676,19 +676,24 @@ def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
             "__cents"
         )
     )
+    # Each cosine is computed EXACTLY once (transform materializes the
+    # K-struct candidate array, array_max picks desc-cos/asc-cid);
+    # duplicated subexpressions inside HOF lambdas are NOT
+    # common-subexpression-eliminated, so a compare-and-carry fold
+    # would evaluate the O(dim) dot product 2-3× per centroid
+    # (round-9 review finding #5).
     cos_of = lambda c: F.round(  # noqa: E731
         _dot(F.col("v"), c["cv"]) / (F.col("norm") * c["c_norm"]), 9
     )
-    best = F.aggregate(
-        F.col("__cents"),
-        F.struct(
-            F.lit(-2.0).alias("cos"), F.lit(-1).cast("int").alias("cid")
-        ),
-        lambda acc, c: F.when(
-            (cos_of(c) > acc["cos"])
-            | ((cos_of(c) == acc["cos"]) & (c["cid"] < acc["cid"])),
-            F.struct(cos_of(c).alias("cos"), c["cid"].alias("cid")),
-        ).otherwise(acc),
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cos_of(c).alias("cos"),
+                (-c["cid"]).alias("neg_cid"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
     return (
         v.crossJoin(F.broadcast(cent_arr))

@@ -1566,21 +1566,46 @@ _RS = "\x1e"  # token delimiter; cannot appear in tokens (stripped)
 
 
 def _bpe_tokens_col(text_col, merges: list[tuple[str, str]]):
-    """array<string> token column — pure JVM expressions."""
+    """array<string> token column — pure JVM expressions.
+
+    Merge application is EXACT greedy BPE (bit-identical to
+    functions/mini_bpe.py::MergesBPE) via the doubled-separator
+    trick: tokens are joined by TWO sentinels and each merge pattern
+    carries only ONE sentinel at its outer edges, so a match consumes
+    the inner half of each boundary and the replacement restores it —
+    adjacent occurrences of a left==right pair no longer overlap on a
+    shared delimiter, and ONE leftmost-nonoverlapping replace pass
+    per merge equals exhaustive greedy merging (a merge can never
+    recreate an occurrence of itself: merging produces the fused
+    token, not its parts). The naive single-sentinel 3-pass form
+    diverged from greedy on repeated-char runs ('a'*10 under (a,a):
+    6 tokens vs greedy's 5 — round-9 review finding #4).
+
+    The char split carries (?s) so line terminators split like every
+    other character (Java '.' excludes \\n by default; finding #1 —
+    without it a '.\\n N' run stayed one token while the oracle and
+    MergesBPE made three)."""
 
     def char_join(r):
-        return F.concat_ws(_RS, F.split(r, "(?<=.)(?=.)"))
+        # chars joined by a DOUBLE sentinel, double-sentinel padding
+        return F.concat(
+            F.lit(_RS * 2),
+            F.concat_ws(_RS * 2, F.split(r, "(?s)(?<=.)(?=.)")),
+            F.lit(_RS * 2),
+        )
 
     def apply_merges(s):
-        s = F.concat(F.lit(_RS), s, F.lit(_RS))
         for left, right in merges:
-            pat = F.lit(f"{_RS}{left}{_RS}{right}{_RS}")
-            rep = F.lit(f"{_RS}{left}{right}{_RS}")
-            for _ in range(3):
-                s = F.replace(s, pat, rep)
-        return F.regexp_replace(
-            F.regexp_replace(s, f"^{_RS}", ""), f"{_RS}$", ""
+            s = F.replace(
+                s,
+                F.lit(f"{_RS}{left}{_RS}{_RS}{right}{_RS}"),
+                F.lit(f"{_RS}{left}{right}{_RS}"),
+            )
+        # strip the edge padding, collapse boundaries to one sentinel
+        s = F.regexp_replace(
+            F.regexp_replace(s, f"^{_RS}{_RS}", ""), f"{_RS}{_RS}$", ""
         )
+        return F.replace(s, F.lit(_RS * 2), F.lit(_RS))
 
     runs = F.regexp_extract_all(
         F.replace(F.coalesce(text_col, F.lit("")), F.lit(_RS), F.lit("")),
@@ -1589,9 +1614,9 @@ def _bpe_tokens_col(text_col, merges: list[tuple[str, str]]):
     )
     toks_per_run = F.transform(
         runs,
-        lambda r: F.when(r.rlike("^[a-z]"), apply_merges(char_join(r))).otherwise(
-            char_join(r)
-        ),
+        lambda r: F.when(
+            r.rlike("^[a-z]"), apply_merges(char_join(r))
+        ).otherwise(F.concat_ws(_RS, F.split(r, "(?s)(?<=.)(?=.)"))),
     )
     return F.split(F.array_join(toks_per_run, _RS), _RS)
 
@@ -1626,18 +1651,23 @@ def bpe_chunk_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_tokens_sql(n_merges: int) -> str:
-    """DuckDB twin of _bpe_tokens_col. Subqueries are not allowed
+    """DuckDB twin of _bpe_tokens_col (same doubled-separator exact
+    greedy merging — see that docstring). Subqueries are not allowed
     inside DuckDB lambdas, so the caller cross-joins 1-row merge
     views exposing plain columns l{k}/r{k}/g{k} (left, right,
     merged) for each rank k — lambdas may reference row columns."""
+    rs, rs2 = "chr(30)", "chr(30) || chr(30)"
     body = (
-        "chr(30) || array_to_string(string_split(run, ''), chr(30)) || chr(30)"
+        f"{rs2} || array_to_string(string_split(run, ''), {rs2}) || {rs2}"
     )
     for k in range(1, n_merges + 1):
-        pat = f"chr(30) || l{k} || chr(30) || r{k} || chr(30)"
-        rep = f"chr(30) || g{k} || chr(30)"
-        for _ in range(3):
-            body = f"replace({body}, {pat}, {rep})"
+        pat = f"{rs} || l{k} || {rs2} || r{k} || {rs}"
+        rep = f"{rs} || g{k} || {rs}"
+        body = f"replace({body}, {pat}, {rep})"
+    body = (
+        f"replace(regexp_replace(regexp_replace({body}, "
+        f"'^' || {rs2}, ''), {rs2} || '$', ''), {rs2}, {rs})"
+    )
     return f"""
   string_split(
     array_to_string(
@@ -1645,8 +1675,7 @@ def _bpe_tokens_sql(n_merges: int) -> str:
         regexp_extract_all(replace(coalesce(text, ''), chr(30), ''),
                            '[a-z]+|[^a-z]+'),
         run -> CASE WHEN regexp_matches(run, '^[a-z]')
-          THEN regexp_replace(regexp_replace({body},
-                 '^' || chr(30), ''), chr(30) || '$', '')
+          THEN {body}
           ELSE array_to_string(string_split(run, ''), chr(30)) END
       ), chr(30)),
     chr(30))

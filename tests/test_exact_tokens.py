@@ -265,6 +265,37 @@ def test_jvm_bpe_tokens_match_mergesbpe_on_real_corpus(spark, sf_dir):
         assert "".join(r["tk"]) == text
 
 
+@pytest.mark.parametrize(
+    "text,merges",
+    [
+        # round-9 review #1: '.' in the char-split regex must match
+        # line terminators ((?s)) or punct+newline runs stay fused
+        ("ends.\nNext line", [("e", "r"), ("o", "r"), ("i", "n")]),
+        ("error training\n\nrain", [("e", "r"), ("i", "n")]),
+        ("AB\r\ncd", [("c", "d")]),
+        # round-9 review #4: left==right merges on repeated-char runs
+        # — the doubled-separator single-pass replace must equal
+        # greedy ('a'*10 → 5×aa, never the alternating 6-token form)
+        ("a" * 10 + " " + "a" * 5, [("a", "a")]),
+        ("ll bell llll", [("l", "l"), ("ll", "ll")]),
+        ("", [("e", "r")]),
+    ],
+)
+def test_jvm_bpe_tokens_pathological_parity(spark, text, merges):
+    """JVM tokenizer ≡ MergesBPE on the inputs the round-9 review
+    proved divergent under the previous implementation."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.training import _bpe_tokens_col
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(_bpe_tokens_col(F.col("text"), merges).alias("tk")).first()
+    enc = MergesBPE(merges)
+    py = [enc._tok[i] for i in enc.encode(text)]
+    assert list(got["tk"]) == (py or [""])
+    assert "".join(got["tk"]) == text
+
+
 def test_truncate_exact_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, "a b c")], "id long, text string")
     for bad in (0, -5):

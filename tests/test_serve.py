@@ -418,6 +418,43 @@ def test_http_prompt_set_without_format_type(spark):
             post("/answer", {"content": body, "filename": "r.txt",
                              "question": "q?", "prompt_set": ""})
         assert ei.value.code == 400
+
+        # per-request provider/model (round-9 review #3: the frontend
+        # dropdowns must actually steer the request). Selecting a
+        # LIVE provider in a keyless environment must visibly fail in
+        # the row's error field — proof the posted provider replaced
+        # the server's default mock factory.
+        import os as _os
+        if not _os.environ.get("OPENAI_API_KEY"):
+            status, ans = post("/answer", {
+                "content": body, "filename": "r.txt", "question": "q?",
+                "provider": "openai", "model": "gpt-4o-mini",
+            })
+            assert status == 200
+            assert ans.get("answer") in (None, "")
+            # all map calls fail on the missing key → every chunk
+            # drops → the answer row explains the null answer
+            assert ans["chunk_stats"]["chunks_after_filtering"] == 0
+            assert "no chunks passed" in (ans.get("error") or "")
+        # explicit mock provider keeps working end to end
+        status, ans = post("/answer", {
+            "content": body, "filename": "r.txt", "question": "q?",
+            "provider": "mock",
+        })
+        assert status == 200 and ans["answer"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.txt",
+                             "question": "q?", "provider": "bogus"})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.txt",
+                             "question": "q?", "model": "gpt-4o-mini"})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.txt",
+                             "question": "q?", "provider": "openai",
+                             "temperature": 99})
+        assert ei.value.code == 400
         # explicitly requested parser that is not installed → 400
         with pytest.raises(urllib.error.HTTPError) as ei:
             post("/answer", {"content": body, "filename": "r.pdf",
