@@ -147,6 +147,20 @@ def _request_config(cfg: MapReduceConfig, body: dict):
     # credentials executor-side at call time, so a missing key
     # surfaces as the row's error field, not a server crash.
     provider = body.get("provider")
+    temp = body.get("temperature")
+    if temp is not None:
+        # validated whenever posted (not only on the live branch —
+        # a silently-dropped knob reads as applied); non-numeric
+        # values are a 400, not a 500
+        try:
+            temp = float(temp)
+        except (TypeError, ValueError):
+            raise ValueError(f"temperature must be a number: {temp!r}")
+        rng = MODELS_CATALOG["temperature_range"]
+        if not rng["min"] <= temp <= rng["max"]:
+            raise ValueError(f"temperature out of range: {temp}")
+        if provider is None:
+            raise ValueError("'temperature' requires 'provider'")
     if provider is not None:
         if provider not in ("mock", *MODELS_CATALOG["providers"]):
             raise ValueError(f"unknown provider {provider!r}")
@@ -164,15 +178,18 @@ def _request_config(cfg: MapReduceConfig, body: dict):
                 resolve_provider_config,
             )
 
-            temp = body.get("temperature")
-            if temp is not None:
-                rng = MODELS_CATALOG["temperature_range"]
-                if not rng["min"] <= float(temp) <= rng["max"]:
-                    raise ValueError(f"temperature out of range: {temp}")
+            model = body.get("model")
+            if model is not None and model not in MODELS_CATALOG[
+                "models"
+            ].get(provider, []):
+                # the reference webapp restricts to its published
+                # catalog (endpoints.py:325-348); custom endpoints
+                # use OPENAI_MODEL/OPENAI_BASE_URL server-side
+                raise ValueError(
+                    f"unknown model {model!r} for provider {provider!r}"
+                )
             resolved = resolve_provider_config(
-                provider,
-                model=body.get("model"),
-                temperature=float(temp) if temp is not None else None,
+                provider, model=model, temperature=temp
             )
             overrides["client_factory"] = functools.partial(
                 provider_client_factory,

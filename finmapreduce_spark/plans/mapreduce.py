@@ -328,26 +328,62 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
         out_schema=REDUCE_OUT_SCHEMA,
         row_builder=reduce_row_builder,
         client_factory=cfg.client_factory,
-        # reference main_async.py:131-169: parse_json is True for the
-        # hybrid reduce LLM and the json format, False for plain_text
-        # — the plain reduce reply IS prose by design
-        # (plain_text_formatter.py:70-89), so demanding JSON here
-        # would make the retry layer burn its full retry budget on
-        # every live baseline/plain_text reduce and then hard-fail.
-        expect_json=cfg.format_type != "plain_text",
+        # Demand JSON at the retry layer only when the reduce
+        # TEMPLATE asks for it — the same principle as the live
+        # client's response_format gate. Gating on format_type alone
+        # is wrong because prompt_set is selectable independently
+        # (round-9 review pass 2: --prompt_set baseline under the
+        # default hybrid format has a prose reduce; expect_json=True
+        # there would burn the full retry budget per QA on live
+        # prose replies). Templates that ask for JSON (default/
+        # standard/hybrid/finqa sets) keep strict parse+retry;
+        # prose templates (baseline set, the plain_text format, the
+        # historical inline default) text-fallback in the builder.
+        expect_json="json" in cfg.reduce_template.lower()
+        and cfg.format_type != "plain_text",
     )
     return reduced
 
 
 def answers_with_errors(
-    qa: DataFrame, qa_docs: DataFrame, reduced: DataFrame
+    qa: DataFrame, qa_docs: DataFrame, reduced: DataFrame,
+    mapped: DataFrame | None = None,
 ) -> DataFrame:
     """Reattach error rows (missing doc / all chunks filtered) as
-    null-answer rows so downstream judging sees every QA (P5 union)."""
+    null-answer rows so downstream judging sees every QA (P5 union).
+
+    ``mapped`` (optional) joins in a per-QA map-call error digest so
+    an all-calls-failed QA reports the ACTUAL failure (e.g. the 401)
+    rather than the misleading relevance-filter label (round-9 review
+    pass 2). Pass it ONLY when the mapped stage is persisted — the
+    digest re-reads mapped, and an unpersisted re-read would re-fire
+    every paid map call (run_mapreduce wires this automatically under
+    persist_llm_outputs)."""
     base = qa.select("qa_id", "doc_id", "question", "answer").join(
         qa_docs.select("qa_id", "doc_error"), "qa_id", "left"
     )
-    return base.join(reduced, "qa_id", "left").select(
+    joined = base.join(reduced, "qa_id", "left")
+    if mapped is not None:
+        digest = (
+            mapped.filter(F.col("error").isNotNull())
+            .groupBy("qa_id")
+            .agg(
+                F.count("*").alias("__n_map_errors"),
+                F.min("error").alias("__map_error"),
+            )
+        )
+        joined = joined.join(digest, "qa_id", "left")
+        map_err = F.when(
+            F.col("__map_error").isNotNull(),
+            F.format_string(
+                "%s map calls failed; first error: %s",
+                F.col("__n_map_errors").cast("string"),
+                F.col("__map_error"),
+            ),
+        )
+    else:
+        map_err = F.lit(None).cast("string")
+    return joined.select(
         "qa_id",
         "doc_id",
         "question",
@@ -362,16 +398,18 @@ def answers_with_errors(
         # Observability: a null answer must say WHY (round-9 review —
         # a keyless live request previously reported answer=None,
         # error=None). Precedence: document problem > the reduce
-        # call's own error > every chunk dropped before reduce
-        # (covers all-map-calls-failed and all-scored-below-threshold;
-        # the per-chunk detail stays on the mapped stage's error col).
+        # call's own error > map-call failures > every chunk scored
+        # below the relevance threshold.
         F.coalesce(
             "doc_error",
             F.col("error"),
             F.when(
                 F.col("llm_answer").isNull()
                 & (F.coalesce("n_kept", F.lit(0)) == 0),
-                F.lit("no chunks passed the relevance filter"),
+                F.coalesce(
+                    map_err,
+                    F.lit("no chunks passed the relevance filter"),
+                ),
             ),
         ).alias("error"),
     )
@@ -492,7 +530,11 @@ def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
         out_schema=JUDGE_OUT_SCHEMA,
         row_builder=batch_judge_builder,
         client_factory=cfg.client_factory,
-        expect_json=True,
+        # same template-wording gate as reduce: the registry judge
+        # templates all demand JSON (strict parse+retry); under the
+        # bare "%s" default a prose reply degrades to the builder's
+        # per-item Error fallback instead of a retry burn
+        expect_json="json" in cfg.judge_template.lower(),
     )
 
 
@@ -510,7 +552,11 @@ def run_mapreduce(
     reduced = reduce_stage(kept, qa, cfg)
     if cfg.persist_llm_outputs:
         reduced = reduced.persist()
-    answers = answers_with_errors(qa, qa_docs, reduced)
+    answers = answers_with_errors(
+        qa, qa_docs, reduced,
+        # error digest re-reads mapped — only safe when persisted
+        mapped=mapped if cfg.persist_llm_outputs else None,
+    )
     judgments = judge_stage(answers, cfg)
     return {
         "qa_docs": qa_docs,

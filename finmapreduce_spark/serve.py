@@ -53,6 +53,12 @@ def answer_single(
             response_cache_dir=cfg.response_cache_dir,
             response_cache_namespace=cfg.response_cache_namespace,
         )
+    # serving is a real-client surface: persist LLM stages so paid
+    # calls fire exactly once per request (SURVEY §7 M5) — this also
+    # makes the per-QA map-error digest safe (answers_with_errors)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, persist_llm_outputs=True)
     qa_row = load_upload(spark, path, question, pdf_parser=pdf_parser)
     qa = qa_row.select(
         "qa_id",
@@ -72,6 +78,10 @@ def answer_single(
     row = answers.collect()[0].asDict()
     n_chunks = stages["chunks"].count()
     answers.unpersist()
+    # per-request persists must not accumulate across a long-lived
+    # server (unpersist is a no-op on non-persisted frames)
+    stages["mapped"].unpersist()
+    stages["reduced"].unpersist()
     total_time = round(time.time() - t0, 3)
     # Reference AnswerResponse structure (endpoints.py:279-293:
     # token_stats / timing_stats / chunk_stats / request_id) alongside

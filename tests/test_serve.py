@@ -432,10 +432,12 @@ def test_http_prompt_set_without_format_type(spark):
             })
             assert status == 200
             assert ans.get("answer") in (None, "")
-            # all map calls fail on the missing key → every chunk
-            # drops → the answer row explains the null answer
+            # all map calls fail on the missing key → the answer row
+            # carries the ACTUAL failure (the per-QA map-error
+            # digest), not a misleading relevance-filter label
             assert ans["chunk_stats"]["chunks_after_filtering"] == 0
-            assert "no chunks passed" in (ans.get("error") or "")
+            err = ans.get("error") or ""
+            assert "map calls failed" in err and "API key" in err
         # explicit mock provider keeps working end to end
         status, ans = post("/answer", {
             "content": body, "filename": "r.txt", "question": "q?",
@@ -454,6 +456,24 @@ def test_http_prompt_set_without_format_type(spark):
             post("/answer", {"content": body, "filename": "r.txt",
                              "question": "q?", "provider": "openai",
                              "temperature": 99})
+        assert ei.value.code == 400
+        # temperature is validated whenever posted: without a
+        # provider it cannot apply, so it 400s instead of silently
+        # dropping; non-numeric values 400 rather than 500
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.txt",
+                             "question": "q?", "temperature": 0.5})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.txt",
+                             "question": "q?", "provider": "openai",
+                             "temperature": [1]})
+        assert ei.value.code == 400
+        # model names are validated against the published catalog
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/answer", {"content": body, "filename": "r.txt",
+                             "question": "q?", "provider": "openai",
+                             "model": "gpt-4o-minni"})
         assert ei.value.code == 400
         # explicitly requested parser that is not installed → 400
         with pytest.raises(urllib.error.HTTPError) as ei:
