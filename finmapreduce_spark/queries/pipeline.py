@@ -812,13 +812,23 @@ FROM (SELECT doc_id,
 
 # U5: improve_question preprocessing (reference base_pipeline.py:521-630)
 
+# U5 renders the registry's question-improvement template around the
+# question before the call — reference base_pipeline.py:598-605
+# (prompt_template.format(question=...)); only the hybrid set defines
+# the template (prompt_config.yml:18-22).
+IMPROVE_TEMPLATE = load_prompt_set("hybrid")["question_improvement"]
+
+
 def improve_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from finmapreduce_spark.llm.client import robust_json_parse
     from finmapreduce_spark.llm.runner import run_llm_stage
 
-    qa = synthetic_qa(spark, sf_dir)
+    qa = synthetic_qa(spark, sf_dir).withColumn(
+        "prompt",
+        F.format_string(IMPROVE_TEMPLATE, F.col("question"), F.lit("")),
+    )
 
     def builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
         improved = []
@@ -837,7 +847,7 @@ def improve_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_llm_stage(
         qa,
-        prompt_col="question",
+        prompt_col="prompt",
         kind="improve",
         out_schema="qa_id long, question string, improved_question string",
         row_builder=builder,
@@ -845,17 +855,24 @@ def improve_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the oracle rebuilds the rendered improvement prompt from the SAME
+# registry string (template drift fails the value hash, as with the
+# baseline e2e)
+_IMPROVE_PROMPT = _sql_format(IMPROVE_TEMPLATE, "question", "''")
+
 IMPROVE_ORACLE = f"""
-SELECT doc_id AS qa_id,
-       'What is document ' || CAST(doc_id AS VARCHAR) || ' about?' AS question,
-       'Improved: What is document ' || CAST(doc_id AS VARCHAR) || ' about?'
-         AS improved_question
-FROM documents
-UNION ALL
-SELECT 1000000 + t.i,
-       'What is document ' || CAST(-1 - t.i AS VARCHAR) || ' about?',
-       'Improved: What is document ' || CAST(-1 - t.i AS VARCHAR) || ' about?'
-FROM range(0, {N_MISSING}) t(i)
+WITH qa AS (
+  SELECT doc_id AS qa_id,
+         'What is document ' || CAST(doc_id AS VARCHAR) || ' about?' AS question
+  FROM documents
+  UNION ALL
+  SELECT 1000000 + t.i,
+         'What is document ' || CAST(-1 - t.i AS VARCHAR) || ' about?'
+  FROM range(0, {N_MISSING}) t(i)
+)
+SELECT qa_id, question,
+       'Improved: ' || ({_IMPROVE_PROMPT}) AS improved_question
+FROM qa
 """
 
 
