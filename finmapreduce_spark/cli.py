@@ -100,7 +100,11 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     if threshold is None:
         threshold = 50 if args.format_type == "plain_text" else 5
 
-    from finmapreduce_spark.llm.prompts import auto_prompt_set, load_prompt_set
+    from finmapreduce_spark.llm.prompts import (
+        auto_prompt_set,
+        load_prompt_set,
+        prompt_set_flags,
+    )
     from finmapreduce_spark.session import get_spark
     from finmapreduce_spark.sources.readers import (
         load_financebench,
@@ -218,6 +222,8 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             map_template=prompt_set["map"],
             reduce_template=prompt_set["reduce"],
             judge_template=prompt_set["judge"],
+            reduce_expect_json=prompt_set_flags(prompt_set_name)["reduce_json"],
+            judge_expect_json=prompt_set_flags(prompt_set_name)["judge_json"],
             # real-run posture: the sink's write+stats and the judge all
             # consume `answers`; persist so LLM stages fire exactly once
             persist_llm_outputs=True,

@@ -120,6 +120,7 @@ def _request_config(cfg: MapReduceConfig, body: dict):
         from finmapreduce_spark.llm.prompts import (
             auto_prompt_set,
             load_prompt_set,
+            prompt_set_flags,
         )
 
         fmt = body.get("format_type")
@@ -135,12 +136,14 @@ def _request_config(cfg: MapReduceConfig, body: dict):
         # string is an invalid NAME and must 400, not silently
         # auto-detect.
         named = body.get("prompt_set")
-        prompt_set = load_prompt_set(
-            named if named is not None else auto_prompt_set(fmt)
-        )
+        set_name = named if named is not None else auto_prompt_set(fmt)
+        prompt_set = load_prompt_set(set_name)
+        flags = prompt_set_flags(set_name)
         overrides["map_template"] = prompt_set["map"]
         overrides["reduce_template"] = prompt_set["reduce"]
         overrides["judge_template"] = prompt_set["judge"]
+        overrides["reduce_expect_json"] = flags["reduce_json"]
+        overrides["judge_expect_json"] = flags["judge_json"]
     # Per-request provider/model selection (reference endpoints.py:
     # 62-124 builds the LLM per request from the posted model config).
     # "mock" is accepted for hermetic serving; live providers resolve
@@ -165,6 +168,14 @@ def _request_config(cfg: MapReduceConfig, body: dict):
         if provider not in ("mock", *MODELS_CATALOG["providers"]):
             raise ValueError(f"unknown provider {provider!r}")
         if provider == "mock":
+            # model/temperature cannot apply to the mock — a silently
+            # dropped knob reads as applied, so both 400
+            if "model" in body:
+                raise ValueError("'model' is not applicable to provider 'mock'")
+            if temp is not None:
+                raise ValueError(
+                    "'temperature' is not applicable to provider 'mock'"
+                )
             from finmapreduce_spark.llm.runner import mock_client_factory
 
             overrides["client_factory"] = mock_client_factory

@@ -174,6 +174,35 @@ def load_prompt_set(
     return out
 
 
+# Which slots of each set expect a machine-parseable JSON reply —
+# STRUCTURAL flags mirroring the reference's parse_json wiring
+# (main_async.py:131-192: the hybrid/json reduce LLM parses JSON,
+# plain_text does not; the judge always parses JSON). The baseline
+# reduce is prose by design and the direct set answers in prose; a
+# wording edit to a template can therefore never silently flip retry
+# semantics (the stages consume these flags, not a substring sniff).
+_REDUCE_JSON = {
+    "default": True,
+    "baseline": False,
+    "standard": True,
+    "hybrid": True,
+    "direct": False,
+    "finqa": True,
+}
+
+
+def prompt_set_flags(name: str | None = None) -> dict[str, bool]:
+    """Parse expectations for a set: ``reduce_json`` / ``judge_json``
+    say whether those stages should strictly parse (and retry) JSON
+    replies. Same name resolution as load_prompt_set."""
+    if name is None:
+        name = DEFAULT_SET
+    name = _FORMAT_ALIASES.get(name, name)
+    if name not in _SETS:
+        raise ValueError(f"unknown prompt set {name!r}; one of {sorted(_SETS)}")
+    return {"reduce_json": _REDUCE_JSON[name], "judge_json": True}
+
+
 def available_prompt_sets() -> list[str]:
     """The six reference set names, for CLI/API validation surfaces."""
     return sorted(_SETS)

@@ -85,6 +85,13 @@ class MapReduceConfig:
     # prompt set's judge template, whose JSON wording is what opts a
     # live call into provider JSON mode (llm/prompts.py _JUDGE).
     judge_template: str = "%s"
+    # Structural parse expectations (llm/prompts.py prompt_set_flags,
+    # set by the CLI/API alongside the templates): should the reduce /
+    # judge stage strictly parse (and retry) a JSON reply? None =
+    # infer from the template wording — a fallback for callers that
+    # set templates directly without the registry.
+    reduce_expect_json: bool | None = None
+    judge_expect_json: bool | None = None
     # Per-group size guard for the reduce gather (SURVEY §7 risk 4):
     # keep at most N chunks per QA (top score, then chunk order).
     # None = reference semantics (no bound).
@@ -328,18 +335,20 @@ def reduce_stage(kept: DataFrame, qa: DataFrame, cfg: MapReduceConfig) -> DataFr
         out_schema=REDUCE_OUT_SCHEMA,
         row_builder=reduce_row_builder,
         client_factory=cfg.client_factory,
-        # Demand JSON at the retry layer only when the reduce
-        # TEMPLATE asks for it — the same principle as the live
-        # client's response_format gate. Gating on format_type alone
-        # is wrong because prompt_set is selectable independently
-        # (round-9 review pass 2: --prompt_set baseline under the
-        # default hybrid format has a prose reduce; expect_json=True
-        # there would burn the full retry budget per QA on live
-        # prose replies). Templates that ask for JSON (default/
-        # standard/hybrid/finqa sets) keep strict parse+retry;
-        # prose templates (baseline set, the plain_text format, the
-        # historical inline default) text-fallback in the builder.
-        expect_json="json" in cfg.reduce_template.lower()
+        # Demand JSON at the retry layer only when the reduce reply
+        # is JSON BY CONTRACT. The registry's structural flag wins
+        # (prompt_set_flags — a wording edit can't flip semantics);
+        # callers that set templates directly fall back to the
+        # wording sniff. Gating on format_type alone was wrong:
+        # prompt_set is selectable independently (round-9 review —
+        # --prompt_set baseline under the default hybrid format has a
+        # prose reduce; expect_json=True there would burn the full
+        # retry budget per QA on live prose replies).
+        expect_json=(
+            cfg.reduce_expect_json
+            if cfg.reduce_expect_json is not None
+            else "json" in cfg.reduce_template.lower()
+        )
         and cfg.format_type != "plain_text",
     )
     return reduced
@@ -375,8 +384,10 @@ def answers_with_errors(
         joined = joined.join(digest, "qa_id", "left")
         map_err = F.when(
             F.col("__map_error").isNotNull(),
+            # min(error) is a deterministic SAMPLE (lexicographically
+            # smallest), not the chronologically first failure
             F.format_string(
-                "%s map calls failed; first error: %s",
+                "%s map calls failed; e.g.: %s",
                 F.col("__n_map_errors").cast("string"),
                 F.col("__map_error"),
             ),
@@ -530,11 +541,15 @@ def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
         out_schema=JUDGE_OUT_SCHEMA,
         row_builder=batch_judge_builder,
         client_factory=cfg.client_factory,
-        # same template-wording gate as reduce: the registry judge
-        # templates all demand JSON (strict parse+retry); under the
-        # bare "%s" default a prose reply degrades to the builder's
-        # per-item Error fallback instead of a retry burn
-        expect_json="json" in cfg.judge_template.lower(),
+        # same structural-flag-then-wording gate as reduce: every
+        # registry set's judge demands JSON (strict parse+retry);
+        # under the bare "%s" default a prose reply degrades to the
+        # builder's per-item Error fallback instead of a retry burn
+        expect_json=(
+            cfg.judge_expect_json
+            if cfg.judge_expect_json is not None
+            else "json" in cfg.judge_template.lower()
+        ),
     )
 
 

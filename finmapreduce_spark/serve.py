@@ -75,13 +75,17 @@ def answer_single(
     t0 = time.time()
     stages = run_mapreduce(qa, docs, cfg)
     answers = stages["answers"].persist()  # one execution, several reads
-    row = answers.collect()[0].asDict()
-    n_chunks = stages["chunks"].count()
-    answers.unpersist()
-    # per-request persists must not accumulate across a long-lived
-    # server (unpersist is a no-op on non-persisted frames)
-    stages["mapped"].unpersist()
-    stages["reduced"].unpersist()
+    try:
+        row = answers.collect()[0].asDict()
+        n_chunks = stages["chunks"].count()
+    finally:
+        # per-request persists must not accumulate across a
+        # long-lived server EVEN when the request fails mid-action
+        # (the HTTP layer catches and keeps serving); unpersist is a
+        # no-op on non-persisted frames
+        answers.unpersist()
+        stages["mapped"].unpersist()
+        stages["reduced"].unpersist()
     total_time = round(time.time() - t0, 3)
     # Reference AnswerResponse structure (endpoints.py:279-293:
     # token_stats / timing_stats / chunk_stats / request_id) alongside

@@ -94,7 +94,15 @@ def serve_mapreduce(
         if batch_df.isEmpty():
             return
         stages = run_mapreduce(batch_df.drop("submitted_at"), docs, cfg)
-        _epoch_json(stages["answers"], out_dir, epoch_id)
+        try:
+            _epoch_json(stages["answers"], out_dir, epoch_id)
+        finally:
+            # under persist_llm_outputs (the real-client posture)
+            # each epoch persists mapped/reduced — release them or a
+            # long-running stream accumulates cached frames per epoch
+            # (no-op when the flag is off)
+            stages["mapped"].unpersist()
+            stages["reduced"].unpersist()
 
     return (
         requests.writeStream.foreachBatch(process_batch)

@@ -276,6 +276,24 @@ def test_prompt_set_registry_reference_parity():
     with pytest.raises(ValueError, match="unknown prompt set"):
         load_prompt_set("bogus")
 
+    # structural parse flags (reference parse_json wiring,
+    # main_async.py:131-192): prose-by-design reduces are baseline
+    # and direct; every judge parses JSON. The flags must also agree
+    # with the template wording so the live client's response_format
+    # gate and the stage's retry gate can never contradict.
+    from finmapreduce_spark.llm.prompts import prompt_set_flags
+
+    for name in available_prompt_sets():
+        flags = prompt_set_flags(name)
+        ps = load_prompt_set(name)
+        assert flags["judge_json"] is True
+        assert flags["reduce_json"] == ("json" in ps["reduce"].lower()), name
+    assert prompt_set_flags("baseline")["reduce_json"] is False
+    assert prompt_set_flags("direct")["reduce_json"] is False
+    assert prompt_set_flags("plain_text") == prompt_set_flags("baseline")
+    with pytest.raises(ValueError, match="unknown prompt set"):
+        prompt_set_flags("bogus")
+
 
 def test_request_key_cache_dedupes_identical_calls():
     """Identical (kind, prompt) hit the inner client once; distinct
