@@ -454,6 +454,25 @@ def test_kmeans_assign_is_zero_shuffle_fold(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["bpe_chunk_documents_exact", "bpe_truncate_documents_exact"]
+)
+def test_bpe_exact_lane_corpus_path_is_single_scan(spark, sf_dir, name):
+    """The tokenize→chunk/truncate corpus path must stay ONE parquet
+    scan of documents with pure JVM string expressions: no exchange,
+    no join, no Python (BatchEvalPython/ArrowEvalPython) anywhere in
+    the final plan — training collects run as separate bounded jobs
+    before the plan is built."""
+    plan = plan_of(QS[name].spark(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    # formatted explain repeats each node in the details section —
+    # count scans in the tree section only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+
+
 def test_pq_only_corpus_codes_join_may_shuffle(spark, sf_dir):
     """PQ's centroid and query-dot-table joins broadcast; the ONE
     permitted shuffle join is codes0⋈codes1 — a corpus-sized self
