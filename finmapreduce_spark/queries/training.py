@@ -1565,8 +1565,24 @@ BPE_CHUNK_OVERLAP = 64
 _RS = "\x1e"  # token delimiter; cannot appear in tokens (stripped)
 
 
+# Measured ceiling for the JVM replace chain (one nested F.replace
+# per merge): 200 merges compiles and runs fine (0.9 s warm over
+# sf0.01 documents, ~2× faster than the Arrow MergesBPE UDF, token
+# totals identical), but ~500 merges StackOverflows Catalyst's
+# recursive expression converter at PLAN BUILD time. Production
+# vocabularies (tens of thousands of merges) must use the
+# Arrow-batched MergesBPE UDF (dict-based rank lookup) instead.
+_JVM_BPE_MAX_MERGES = 256
+
+
 def _bpe_tokens_col(text_col, merges: list[tuple[str, str]]):
     """array<string> token column — pure JVM expressions.
+
+    Loud guard: above ~{max} merges the nested replace chain blows the
+    JVM stack while Catalyst converts the expression tree (measured:
+    200 OK, 500 StackOverflowError) — callers with real vocabularies
+    should encode via functions/mini_bpe.py::MergesBPE in an
+    Arrow-batched UDF, which handles any merge count.
 
     Merge application is EXACT greedy BPE (bit-identical to
     functions/mini_bpe.py::MergesBPE) via the doubled-separator
@@ -1585,6 +1601,13 @@ def _bpe_tokens_col(text_col, merges: list[tuple[str, str]]):
     other character (Java '.' excludes \\n by default; finding #1 —
     without it a '.\\n N' run stayed one token while the oracle and
     MergesBPE made three)."""
+    if len(merges) > _JVM_BPE_MAX_MERGES:
+        raise ValueError(
+            f"{len(merges)} merges exceeds the JVM replace-chain limit "
+            f"({_JVM_BPE_MAX_MERGES}): Catalyst StackOverflows converting "
+            "the nested expression — encode with "
+            "functions.mini_bpe.MergesBPE in an Arrow-batched UDF instead"
+        )
 
     def char_join(r):
         # chars joined by a DOUBLE sentinel, double-sentinel padding

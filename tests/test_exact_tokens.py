@@ -303,3 +303,40 @@ def test_truncate_exact_rejects_nonpositive_budget(spark):
             truncate_words_exact(
                 df, "text", bad, strategy="end", encoder_factory=_factory
             )
+
+
+def test_jvm_bpe_tokens_full_fixture_model_equivalence(spark):
+    """Full-model equivalence: the JVM replace chain under ALL 200
+    vendored merges equals MergesBPE on mixed prose (the unit goldens
+    above use 3-4 merges; this exercises deep merge chains where
+    later merges consume earlier merges' outputs)."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.training import _bpe_tokens_col
+
+    merges = list(MergesBPE.from_merges_file(MERGES_FIXTURE).ranks)
+    texts = [
+        "The quarterly report shows increasing revenue.\n\n"
+        "Operating expenses decreased; earnings per share grew 12%.",
+        "training rain error or\nERROR", "", "aaa lll",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select("text", _bpe_tokens_col(F.col("text"), merges).alias("tk")).collect()
+    enc = MergesBPE(merges)
+    for r in got:
+        py = [enc._tok[i] for i in enc.encode(r["text"])]
+        assert list(r["tk"]) == (py or [""])
+
+
+def test_jvm_bpe_merge_count_guard():
+    """Above the measured Catalyst stack limit the JVM chain refuses
+    loudly (500 merges StackOverflows plan build) and points to the
+    Arrow MergesBPE path."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.training import _bpe_tokens_col
+
+    merges = [(f"a{i}", f"b{i}") for i in range(300)]
+    with _pytest.raises(ValueError, match="MergesBPE"):
+        _bpe_tokens_col(F.lit("x"), merges)
