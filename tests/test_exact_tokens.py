@@ -340,3 +340,36 @@ def test_jvm_bpe_merge_count_guard():
     merges = [(f"a{i}", f"b{i}") for i in range(300)]
     with _pytest.raises(ValueError, match="MergesBPE"):
         _bpe_tokens_col(F.lit("x"), merges)
+
+
+def test_jvm_bpe_tokens_frozen_fuzz_parity(spark):
+    """Frozen-seed fuzz (one Spark job): 40 generated texts mixing
+    newlines/CRLF/repeated chars/unicode/punctuation runs, under a
+    merge list that includes same-sided and chained pairs, must
+    tokenize identically in the JVM chain and MergesBPE and
+    reassemble losslessly. Seeded+frozen so failures reproduce."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.training import _bpe_tokens_col
+
+    merges = [("e", "r"), ("o", "r"), ("i", "n"), ("l", "l"),
+              ("ll", "ll"), ("a", "a"), ("er", "s"), ("th", "e"),
+              ("t", "h")]
+    rng = random.Random(90210)
+    alphabet = list("aberlinots") + [" ", "\n", "\r\n", ".", ",", "!",
+                                     "É", "7", "L", "a" * 4, "ll", "er "]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r["i"]: list(r["tk"]) for r in df.select(
+        "i", _bpe_tokens_col(F.col("text"), merges).alias("tk")).collect()}
+    enc = MergesBPE(merges)
+    for i, t in enumerate(texts):
+        py = [enc._tok[x] for x in enc.encode(t)]
+        assert got[i] == (py or [""]), (i, repr(t))
+        assert "".join(got[i]) == t, (i, repr(t))
