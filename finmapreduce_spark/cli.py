@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="S4/S5 parser chain for --docs_format pdf "
                         "(reference --pdf_parser)")
+    p.add_argument("--preprocess_questions", action="store_true",
+                   help="rewrite questions through the prompt set's "
+                        "question_improvement template before the run "
+                        "(reference base_pipeline.py:262-264; only the "
+                        "hybrid set defines the template — other sets "
+                        "warn and keep the originals)")
     p.add_argument("--comment", default=None,
                    help="free-form run note recorded in the results config")
     p.add_argument("--output_dir", default="results")
@@ -205,6 +211,35 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     # replay for a DIFFERENT model/endpoint/temperature sharing the
     # cache dir (namespace derives from the RESOLVED provider config,
     # not raw CLI args — OPENAI_MODEL/OPENAI_BASE_URL count)
+
+    if args.preprocess_questions:
+        # reference base_pipeline.py:262-264 + :593-596 (shared base —
+        # applies to BOTH approaches): rewrite questions through the
+        # set's improvement template when it defines one; warn and
+        # keep the originals otherwise. Failed/unparseable calls fall
+        # back to the original question per row.
+        if "question_improvement" in prompt_set:
+            from finmapreduce_spark.plans.mapreduce import (
+                MapReduceConfig as _PreCfg,
+                preprocess_questions,
+            )
+
+            qa = preprocess_questions(
+                qa,
+                prompt_set["question_improvement"],
+                _PreCfg(
+                    client_factory=client_factory,
+                    concurrency=concurrency,
+                    llm_partitions=llm_partitions,
+                    response_cache_dir=args.response_cache_dir,
+                    response_cache_namespace=cache_namespace,
+                ),
+            ).persist()  # paid stage: fire once, reuse downstream
+        else:
+            print(
+                f"Warning: prompt set {prompt_set_name!r} has no "
+                "question_improvement template, keeping original questions"
+            )
 
     if args.approach == "mapreduce":
         from finmapreduce_spark.plans.mapreduce import MapReduceConfig, run_mapreduce

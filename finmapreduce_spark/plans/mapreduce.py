@@ -553,6 +553,59 @@ def judge_stage(answers: DataFrame, cfg: MapReduceConfig) -> DataFrame:
     )
 
 
+def preprocess_questions(
+    qa: DataFrame, template: str, cfg: MapReduceConfig
+) -> DataFrame:
+    """U5 as a pipeline stage — reference base_pipeline.py:262-264 +
+    535-537 (the ``preprocess_questions`` kwarg): rewrite every
+    question through the prompt set's question_improvement template
+    before the pipeline runs. A failed call or an unparseable reply
+    falls back to the ORIGINAL question (reference :616), so
+    preprocessing can never lose a QA. Returns qa with ``question``
+    replaced; all other columns pass through."""
+    import pandas as pd
+
+    from finmapreduce_spark.llm.client import robust_json_parse
+    from finmapreduce_spark.llm.runner import run_llm_stage
+
+    qa_cols = list(qa.columns)
+    with_prompt = qa.withColumn(
+        "__prompt", F.format_string(template, F.col("question"), F.lit(""))
+    )
+
+    def builder(pdf: pd.DataFrame, responses: list) -> pd.DataFrame:
+        improved = []
+        for q, r in zip(pdf["question"], responses):
+            if isinstance(r, Exception):
+                improved.append(q)
+                continue
+            try:
+                improved.append(robust_json_parse(r.content)["improved_question"])
+            except (ValueError, KeyError, TypeError):
+                improved.append(q)
+        # columns in qa order — pandas output matches by position
+        return pd.DataFrame(
+            {c: improved if c == "question" else pdf[c].values
+             for c in qa_cols}
+        )
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in qa.schema.fields
+    )
+    improved = _llm_stage(
+        with_prompt,
+        cfg,
+        prompt_col="__prompt",
+        kind="improve",
+        out_schema=schema,
+        row_builder=builder,
+        client_factory=cfg.client_factory,
+        expect_json=True,
+    )
+    return improved.select(*qa.columns)
+
+
 def run_mapreduce(
     qa: DataFrame, docs: DataFrame, cfg: MapReduceConfig | None = None
 ) -> dict[str, DataFrame]:

@@ -351,3 +351,66 @@ def test_count_tokens_cli_merges_model(spark, fixture_dirs):
         "acme_2023": len("Acme revenue grew nine percent in fiscal 2023. " * 40),
         "beta_2022": len("Beta filed a 10-K. " * 40),
     }
+
+
+def test_cli_preprocess_questions_hybrid(spark, fixture_dirs, capsys):
+    """--preprocess_questions under the hybrid set rewrites every
+    question through the improvement template before the pipeline
+    (mock improve echoes 'Improved: <prompt>'), visible in the
+    results rows' question column."""
+    qa_path, docs_dir, out_root = fixture_dirs
+    out_dir = run(
+        [
+            "--dataset", "financebench",
+            "--approach", "mapreduce",
+            "--format_type", "hybrid",
+            "--preprocess_questions",
+            "--data_path", qa_path,
+            "--docs_glob", docs_dir,
+            "--output_dir", out_root + "_pre",
+            "--chunk_size", "256",
+            "--chunk_overlap", "32",
+        ],
+        spark=spark,
+    )
+    rows = [
+        json.loads(l)
+        for p in os.listdir(out_dir)
+        if p.startswith("part-") and p.endswith(".json")
+        for l in open(os.path.join(out_dir, p))
+    ]
+    assert len(rows) == 3
+    for r in rows:
+        assert r["question"].startswith("Improved: ")
+        assert "Rewrite the question" in r["question"]  # template rendered
+
+
+def test_cli_preprocess_questions_warns_without_template(
+    spark, fixture_dirs, capsys
+):
+    """Sets without a question_improvement template keep the original
+    questions and say so (reference base_pipeline.py:593-596)."""
+    qa_path, docs_dir, out_root = fixture_dirs
+    out_dir = run(
+        [
+            "--dataset", "financebench",
+            "--approach", "mapreduce",
+            "--format_type", "hybrid",
+            "--prompt_set", "default",  # no improvement template
+            "--preprocess_questions",
+            "--data_path", qa_path,
+            "--docs_glob", docs_dir,
+            "--output_dir", out_root + "_nopre",
+            "--chunk_size", "256",
+            "--chunk_overlap", "32",
+        ],
+        spark=spark,
+    )
+    assert "no question_improvement template" in capsys.readouterr().out
+    rows = [
+        json.loads(l)
+        for p in os.listdir(out_dir)
+        if p.startswith("part-") and p.endswith(".json")
+        for l in open(os.path.join(out_dir, p))
+    ]
+    assert all(not r["question"].startswith("Improved: ") for r in rows)
