@@ -279,6 +279,13 @@ def test_jvm_bpe_tokens_match_mergesbpe_on_real_corpus(spark, sf_dir):
         ("a" * 10 + " " + "a" * 5, [("a", "a")]),
         ("ll bell llll", [("l", "l"), ("ll", "ll")]),
         ("", [("e", "r")]),
+        # astral-plane parity: Java regex '.' under (?s) matches a
+        # full code point (surrogate PAIR), DuckDB string_split('')
+        # and Python iteration split code points — probed identical
+        # across all three engines (round-9)
+        ("smile \U0001F600 end", [("e", "r")]),
+        ("mixed é\U0001F4A9 er", [("e", "r")]),
+        ("\U0001F600\U0001F600", [("e", "r")]),
     ],
 )
 def test_jvm_bpe_tokens_pathological_parity(spark, text, merges):
