@@ -147,6 +147,20 @@ def main():
     # UI on for shuffle accounting (per-query read/write bytes — a
     # shuffle regression is as real as a wall-time one and survives
     # machine-speed noise across rounds).
+    # Machine settle: runs launched right after a big pytest/compile
+    # read ~10% slow until the previous JVM's pages are reclaimed
+    # (measured round 9: 100.5 s immediately after the suite vs 91.2 s
+    # after a settle — same tree). Wait for the 1-min load average to
+    # drop below half the core count, up to 60 s; on an idle machine
+    # this costs nothing.
+    if hasattr(os, "getloadavg"):
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        waited = 0.0
+        while os.getloadavg()[0] > cpus / 2 and waited < 60:
+            time.sleep(5)
+            waited += 5
+        if waited:
+            print(f"bench: settled {waited:.0f}s for load", file=sys.stderr)
     spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     spark.range(1).count()  # warm up JVM/session so q1 isn't charged startup
     from finmapreduce_spark.session import TABLES, read_table

@@ -61,10 +61,19 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    if "SPARK_GRAFT_DRIVER_MEM" in os.environ:
-        builder = builder.config(
-            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
-        )
+    # Default the driver heap to 6g in local mode: a single local[32]
+    # JVM is both "driver" and "executors", and one test session runs
+    # the full 168-query catalog sweep whose legitimately-pinned blocks
+    # (persisted ANN serve indexes, connected-components localCheckpoint
+    # rounds) overflow Spark's 1 GiB default heap (round-9 verdict #1:
+    # deterministic java.lang.OutOfMemoryError mid-sweep). Only
+    # effective at JVM launch — getOrCreate of an existing session
+    # ignores it, same as every other launch-time conf here. On a real
+    # cluster the driver heap comes from spark-submit and this env/
+    # default pair is irrelevant.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g")
+    )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{_LOCAL_CPUS}]")
     spark = builder.master(master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
