@@ -72,23 +72,12 @@ def run(
 ) -> dict:
     """One summary dict over all globs; Spark-side aggregation — the
     per-file list never lands on the driver unless --per_file."""
-    dirs = []
-    hist: dict[str, int] = {}
-    grand = {"files": 0, "tokens": 0}
-    for glob_path in docs_globs:
-        df = _counted(spark, glob_path, model, merges_file).select(
-            "doc_name", "n_tokens"
-        )
-        # ONE Spark job per glob: aggregate per log2 bucket, then
-        # derive the summary from the <=64 bucket rows on the driver.
-        # A corpus-wide encode is expensive under --model
-        # tiktoken/merges, so it must not run once per statistic
-        # (round-9 review finding #6). --per_file adds the only other
-        # pass, over a persisted frame so the encode still runs once.
-        if per_file:
-            df = df.persist()
-        buckets = (
-            df.withColumn(
+    import glob as _pyglob
+    import os as _os
+
+    def _bucketed(frame):
+        return (
+            frame.withColumn(
                 "bucket",
                 F.when(F.col("n_tokens") <= 0, F.lit(0)).otherwise(
                     F.floor(F.log2(F.col("n_tokens"))) + 1
@@ -103,6 +92,49 @@ def run(
             )
             .collect()
         )
+
+    dirs = []
+    hist: dict[str, int] = {}
+    grand = {"files": 0, "tokens": 0}
+    seen_paths: set[str] = set()  # grand total dedup across globs
+    for glob_path in docs_globs:
+        # Per-glob entries intentionally count every matched file (the
+        # reference's per-directory semantics), but a file matched by
+        # MORE THAN ONE --docs_glob must hit the grand total/histogram
+        # once (round-9 advice #3). Overlap is detected driver-side
+        # with Python glob — free, no Spark job, no second encode in
+        # the disjoint (normal) case.
+        matched = set()
+        for p in _pyglob.glob(glob_path):
+            if _os.path.isdir(p):  # spark.read.text(dir) = files within
+                matched |= {
+                    _os.path.realpath(_os.path.join(p, f))
+                    for f in _os.listdir(p)
+                    if _os.path.isfile(_os.path.join(p, f))
+                }
+            else:
+                matched.add(_os.path.realpath(p))
+        dup = matched & seen_paths
+        seen_paths |= matched
+        df = _counted(spark, glob_path, model, merges_file).select(
+            "doc_name", "n_tokens", "source"
+        )
+        # ONE Spark job per glob: aggregate per log2 bucket, then
+        # derive the summary from the <=64 bucket rows on the driver.
+        # A corpus-wide encode is expensive under --model
+        # tiktoken/merges, so it must not run once per statistic
+        # (round-9 review finding #6). --per_file adds the only other
+        # pass, over a persisted frame so the encode still runs once.
+        if per_file or dup:
+            df = df.persist()
+        buckets = _bucketed(df)
+        if dup:
+            # second (persisted — no re-encode) agg excluding the
+            # files an earlier glob already fed into the grand total
+            norm = F.regexp_replace(F.col("source"), "^file:/*", "/")
+            gbuckets = _bucketed(df.filter(~norm.isin(sorted(dup))))
+        else:
+            gbuckets = buckets
         files = sum(int(b["files"]) for b in buckets)
         tokens = sum(int(b["tokens"] or 0) for b in buckets)
         entry = {
@@ -118,11 +150,12 @@ def run(
                 r["doc_name"]: int(r["n_tokens"])
                 for r in df.orderBy("doc_name").collect()
             }
+        if per_file or dup:
             df.unpersist()
         dirs.append(entry)
-        grand["files"] += entry["files"]
-        grand["tokens"] += entry["tokens"]
-        for b in buckets:
+        grand["files"] += sum(int(b["files"]) for b in gbuckets)
+        grand["tokens"] += sum(int(b["tokens"] or 0) for b in gbuckets)
+        for b in gbuckets:
             if b["bucket"]:
                 lo = 2 ** (int(b["bucket"]) - 1)
                 key = f"{lo}-{2 ** int(b['bucket']) - 1}"

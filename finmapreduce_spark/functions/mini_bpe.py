@@ -115,12 +115,17 @@ class MergesBPE:
         rank = line order — the format tools/make_mini_bpe_fixture.py
         writes and bpe_train_merges' ``pair`` column uses."""
         merges = []
-        for line in lines:
+        for lineno, line in enumerate(lines, 1):
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            left, right = line.split(" ")
-            merges.append((left, right))
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"merges line {lineno}: expected exactly 'left right', "
+                    f"got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
         return cls(merges)
 
     @classmethod

@@ -1584,6 +1584,15 @@ def _bpe_tokens_col(text_col, merges: list[tuple[str, str]]):
     should encode via functions/mini_bpe.py::MergesBPE in an
     Arrow-batched UDF, which handles any merge count.
 
+    PRECONDITION (round-9 advice #1): ``merges`` must be CAUSALLY
+    ORDERED — each pair's components are single characters or the
+    output of an EARLIER entry, which every trained merge list
+    satisfies by construction. One replace pass per merge in list
+    order equals MergesBPE's rank-greedy loop only under that order;
+    a hand-built list where an early pair references a later merge's
+    output (e.g. [(a,bb),(b,b)] on 'abb') silently diverges
+    (a|bb here vs abb from MergesBPE). Asserted below.
+
     Merge application is EXACT greedy BPE (bit-identical to
     functions/mini_bpe.py::MergesBPE) via the doubled-separator
     trick: tokens are joined by TWO sentinels and each merge pattern
@@ -1608,6 +1617,18 @@ def _bpe_tokens_col(text_col, merges: list[tuple[str, str]]):
             "the nested expression — encode with "
             "functions.mini_bpe.MergesBPE in an Arrow-batched UDF instead"
         )
+    earlier_outputs: set[str] = set()
+    for i, (left, right) in enumerate(merges):
+        for side in (left, right):
+            if len(side) > 1 and side not in earlier_outputs:
+                raise ValueError(
+                    f"merge {i} ({left!r},{right!r}): component {side!r} is "
+                    "neither a single character nor an earlier merge's "
+                    "output — the one-pass-per-merge replace chain only "
+                    "equals rank-greedy BPE for causally-ordered (trained) "
+                    "merge lists"
+                )
+        earlier_outputs.add(left + right)
 
     def char_join(r):
         # chars joined by a DOUBLE sentinel, double-sentinel padding

@@ -414,3 +414,25 @@ def test_cli_preprocess_questions_warns_without_template(
         for l in open(os.path.join(out_dir, p))
     ]
     assert all(not r["question"].startswith("Improved: ") for r in rows)
+
+
+def test_count_tokens_overlapping_globs_dedupe_grand_total(spark, tmp_path):
+    """Round-9 advice #3: a file matched by two --docs_glob patterns
+    keeps its per-glob entries (reference per-directory semantics) but
+    must land in the grand total and histogram exactly once."""
+    from finmapreduce_spark.count_tokens import main
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.md").write_text("one two three")  # 3 ws tokens
+    (d / "b.md").write_text("four five")  # 2 ws tokens
+    out = main(
+        ["--docs_glob", str(d / "*.md"), str(d / "a.md")], spark=spark
+    )
+    ga, gb = out["dirs"]
+    assert (ga["files"], ga["tokens"]) == (2, 5)
+    assert (gb["files"], gb["tokens"]) == (1, 3)  # per-glob: still counted
+    # grand total deduped: a.md once
+    assert out["total"] == {"files": 2, "tokens": 5}
+    # 3 tokens -> bucket 2-3; 2 tokens -> bucket 2-3: one entry, 2 files
+    assert sum(out["histogram"].values()) == 2

@@ -361,9 +361,11 @@ def test_jvm_bpe_tokens_frozen_fuzz_parity(spark):
 
     from finmapreduce_spark.queries.training import _bpe_tokens_col
 
+    # causally ordered (t+h before th+e) — _bpe_tokens_col now
+    # asserts the trained-list precondition (round-9 advice #1)
     merges = [("e", "r"), ("o", "r"), ("i", "n"), ("l", "l"),
-              ("ll", "ll"), ("a", "a"), ("er", "s"), ("th", "e"),
-              ("t", "h")]
+              ("ll", "ll"), ("a", "a"), ("er", "s"), ("t", "h"),
+              ("th", "e")]
     rng = random.Random(90210)
     alphabet = list("aberlinots") + [" ", "\n", "\r\n", ".", ",", "!",
                                      "É", "7", "L", "a" * 4, "ll", "er "]
@@ -380,3 +382,30 @@ def test_jvm_bpe_tokens_frozen_fuzz_parity(spark):
         py = [enc._tok[x] for x in enc.encode(t)]
         assert got[i] == (py or [""]), (i, repr(t))
         assert "".join(got[i]) == t, (i, repr(t))
+
+
+def test_from_merges_lines_rejects_malformed_line():
+    """Round-9 advice #2: a malformed merges line must raise a clear
+    parse error naming the line, not a bare unpack ValueError."""
+    import pytest
+
+    with pytest.raises(ValueError, match=r"line 3.*'a b c'"):
+        MergesBPE.from_merges_lines(["# ok", "a b", "a b c"])
+    with pytest.raises(ValueError, match="line 1"):
+        MergesBPE.from_merges_lines(["ab"])
+
+
+def test_jvm_bpe_rejects_non_causal_merge_list():
+    """Round-9 advice #1: _bpe_tokens_col's one-pass-per-merge chain
+    equals rank-greedy BPE only for causally-ordered (trained) merge
+    lists; a hand-built list referencing a later merge's output must
+    be rejected loudly instead of silently diverging from MergesBPE."""
+    import pytest
+
+    from finmapreduce_spark.queries.training import _bpe_tokens_col
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="causally-ordered"):
+        _bpe_tokens_col(F.lit("abb"), [("a", "bb"), ("b", "b")])
+    # trained-order lists still pass (b+b first, then a+bb)
+    _bpe_tokens_col(F.lit("abb"), [("b", "b"), ("a", "bb")])
