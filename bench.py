@@ -112,6 +112,7 @@ HEADLINE = [
     # BPE — the tokenize→chunk corpus path as pure JVM string
     # expressions (sentinel-delimited bounded-pass merges), no Python
     "bpe_chunk_documents_exact",
+    "bpe_vocab_chunk_documents",
 ]
 
 

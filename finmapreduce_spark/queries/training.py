@@ -13,6 +13,7 @@ oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1167,8 +1168,8 @@ BPE_MERGES = 3
 BPE_MAX_WORD_LEN = 16
 
 
-def _bpe_words(spark: SparkSession, sf_dir: str):
-    docs = _docs(spark, sf_dir)
+def _bpe_words(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None):
+    docs = docs if docs is not None else _docs(spark, sf_dir)
     return (
         docs.select(
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
@@ -1179,8 +1180,10 @@ def _bpe_words(spark: SparkSession, sf_dir: str):
     )
 
 
-def _bpe_char_toks(spark: SparkSession, sf_dir: str):
-    words = _bpe_words(spark, sf_dir)
+def _bpe_char_toks(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+):
+    words = _bpe_words(spark, sf_dir, docs)
     # char-tokenized, space-joined ("(?<=.)(?=.)" splits BETWEEN
     # characters — no trailing empty token, matching SQL's split-by-'')
     return words.select(
@@ -1279,8 +1282,9 @@ def _bpe_train_batched(
     sf_dir: str,
     rounds: int = BPE_BATCH_ROUNDS,
     batch: int = BPE_BATCH_M,
+    docs: DataFrame | None = None,
 ):
-    toks = _bpe_char_toks(spark, sf_dir).persist()
+    toks = _bpe_char_toks(spark, sf_dir, docs).persist()
     rows = []
     for r in range(1, rounds + 1):
         cand = (
@@ -1308,7 +1312,15 @@ def _bpe_train_batched(
         rows.extend(
             (rk, pair, pair.replace(" ", ""), cnt) for rk, pair, cnt in chosen
         )
-        nxt = _bpe_apply_merges(toks, [pair for _, pair, _c in chosen]).persist()
+        nxt = _bpe_apply_merges(toks, [pair for _, pair, _c in chosen])
+        # Lineage truncation (same pattern as the CC rounds in
+        # queries/dedup.py): vocab-scale runs iterate for MANY rounds,
+        # and chained persists keep the whole replace-expression
+        # lineage in every task binary — ~60 rounds deep it
+        # StackOverflows task DEserialization and takes the
+        # SparkContext down. localCheckpoint every few rounds cuts the
+        # chain; persist covers the rounds in between.
+        nxt = nxt.localCheckpoint() if r % 8 == 0 else nxt.persist()
         toks.unpersist()
         toks = nxt
     return rows, toks
@@ -1833,6 +1845,190 @@ QUERIES.update(
     {
         "bpe_truncate_documents_exact": QuerySpec(
             bpe_truncate_documents_exact, BPE_TRUNC_ORACLE
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Vocab-scale BPE lane (round-10): the exact lane above certifies the
+# ≤256-merge JVM replace chain; THIS lane certifies the production
+# tokenizer path real vocabularies take — a vendored 512-merge table
+# (finmapreduce_spark/resources/vocab_bpe_merges.txt, deliberately
+# ABOVE the JVM chain's Catalyst envelope, regenerated byte-identically
+# by tools/make_vocab_bpe_fixture.py's pure-Python twin of the
+# distributed batched trainer; tests/test_exact_tokens.py pins the
+# Spark trainer against it) applied with the Arrow-batched MergesBPE
+# UDF (functions/mini_bpe.py — dict-based rank lookup, merge-count-
+# independent, measured 7-8 MB/s/core).
+#
+# Scale: embarrassingly parallel — the merge table (a few KB) ships in
+# the UDF closure, every document tokenizes inside its own partition,
+# ZERO shuffle before the (absent) aggregation. At 100 TB this is a
+# single mapInArrow-style pass over the corpus scan.
+#
+# Oracle: the same 512 merges replayed in DuckDB as literal
+# doubled-separator replace chains (see _bpe_tokens_col's equivalence
+# note), batched ~48 merges per CTE to stay far under DuckDB's
+# max_expression_depth. The oracle uses a FLAT whole-document char
+# form instead of the per-run lambda: every char is a token joined by
+# double sentinels; merges are lowercase-only pairs, so they can never
+# fuse across a letter/non-letter boundary — per-run and flat forms
+# are therefore equivalent, and the flat form lets the replace chain
+# split across CTEs (a lambda body cannot).
+# ---------------------------------------------------------------------------
+
+VOCAB_CHUNK_SIZE = 128
+VOCAB_CHUNK_OVERLAP = 32
+_VOCAB_STEP = VOCAB_CHUNK_SIZE - VOCAB_CHUNK_OVERLAP
+
+
+def _vocab_merges() -> list[tuple[str, str]]:
+    import os
+
+    from finmapreduce_spark.functions.mini_bpe import MergesBPE
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources",
+        "vocab_bpe_merges.txt",
+    )
+    # ranks is insertion-ordered: rank order == file line order
+    return list(MergesBPE.from_merges_file(path).ranks)
+
+
+def _docs_rs_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # chr(30) is the oracle's token sentinel; both engines strip it
+    # from the input (the synthetic corpus never contains it — this
+    # is exactness hygiene, mirroring _bpe_tokens_col)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(_RS), F.lit("")
+        ).alias("text"),
+    )
+
+
+def bpe_vocab_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 at vocab scale: token-exact chunking of every document under
+    the 512-merge vendored tokenizer via the Arrow MergesBPE UDF —
+    the path real (tens-of-thousands-of-merges) vocabularies take."""
+    from finmapreduce_spark.functions.exact_tokens import explode_chunks_exact
+    from finmapreduce_spark.functions.mini_bpe import MergesBPE
+
+    return explode_chunks_exact(
+        _docs_rs_stripped(spark, sf_dir),
+        text_col="text",
+        key_cols=("doc_id",),
+        chunk_size=VOCAB_CHUNK_SIZE,
+        chunk_overlap=VOCAB_CHUNK_OVERLAP,
+        encoder_factory=MergesBPE.factory(_vocab_merges()),
+    )
+
+
+def bpe_vocab_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 at vocab scale: per-document exact token counts + observed
+    compression under the vendored 512-merge tokenizer."""
+    from pyspark.sql import types as T
+
+    from finmapreduce_spark.functions.mini_bpe import MergesBPE
+
+    factory = MergesBPE.factory(_vocab_merges())
+
+    @F.pandas_udf(T.LongType())
+    def _n_tokens(texts: pd.Series) -> pd.Series:
+        enc = factory()
+        return texts.fillna("").map(lambda s: len(enc.encode(s)))
+
+    docs = _docs_rs_stripped(spark, sf_dir)
+    n = _n_tokens(F.col("text"))
+    chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        chars.cast("long").alias("n_chars"),
+        F.when(chars > 0, F.round(n / chars, 6)).alias("compression"),
+    )
+
+
+def _vocab_tokens_ctes(batch: int = 48) -> str:
+    """CTE chain ``vp0 .. vpK, vtok``: documents → flat double-sentinel
+    char form → literal replace batches → token array column tk."""
+    import re as _re
+
+    merges = _vocab_merges()
+    rs, rs2 = "chr(30)", "chr(30) || chr(30)"
+    for left, right in merges:  # literals are embedded: keep them tame
+        assert _re.fullmatch(r"[a-z]+", left + right), (left, right)
+    ctes = [
+        f"""vp0 AS (
+  SELECT doc_id,
+         {rs2} || array_to_string(
+           string_split(replace(coalesce(text, ''), chr(30), ''), ''),
+           {rs2}) || {rs2} AS s
+  FROM documents
+)"""
+    ]
+    bi = 0
+    for start in range(0, len(merges), batch):
+        bi += 1
+        expr = "s"
+        for left, right in merges[start : start + batch]:
+            pat = f"{rs} || '{left}' || {rs2} || '{right}' || {rs}"
+            rep = f"{rs} || '{left}{right}' || {rs}"
+            expr = f"replace({expr}, {pat}, {rep})"
+        ctes.append(
+            f"vp{bi} AS (SELECT doc_id, {expr} AS s FROM vp{bi - 1})"
+        )
+    ctes.append(
+        f"""vtok AS (
+  SELECT doc_id,
+         CASE WHEN s = {rs2} || {rs2} THEN CAST([] AS VARCHAR[])
+              ELSE string_split(
+                replace(regexp_replace(regexp_replace(s,
+                  '^' || {rs2}, ''), {rs2} || '$', ''), {rs2}, {rs}),
+                {rs})
+         END AS tk
+  FROM vp{bi}
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+VOCAB_CHUNK_ORACLE = f"""
+WITH {_vocab_tokens_ctes()},
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM vtok)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_index,
+       array_to_string(
+         list_slice(tk, i * {_VOCAB_STEP} + 1,
+                    i * {_VOCAB_STEP} + {VOCAB_CHUNK_SIZE}),
+         '') AS chunk_text
+FROM sized,
+     unnest(range(0, CASE WHEN n <= {VOCAB_CHUNK_SIZE} THEN 1
+                          ELSE CAST(ceil((n - {VOCAB_CHUNK_SIZE})
+                                    / {_VOCAB_STEP}.0) AS BIGINT) + 1 END))
+       AS t(i)
+"""
+
+VOCAB_STATS_ORACLE = f"""
+WITH {_vocab_tokens_ctes()},
+chars AS (SELECT doc_id, length(replace(coalesce(text, ''), chr(30), '')) AS c
+          FROM documents)
+SELECT vtok.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(c AS BIGINT) AS n_chars,
+       CASE WHEN c > 0 THEN round(len(tk) * 1.0 / c, 6) END AS compression
+FROM vtok JOIN chars ON vtok.doc_id = chars.doc_id
+"""
+
+QUERIES.update(
+    {
+        "bpe_vocab_chunk_documents": QuerySpec(
+            bpe_vocab_chunk_documents, VOCAB_CHUNK_ORACLE
+        ),
+        "bpe_vocab_token_stats": QuerySpec(
+            bpe_vocab_token_stats, VOCAB_STATS_ORACLE
         ),
     }
 )

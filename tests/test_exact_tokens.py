@@ -409,3 +409,37 @@ def test_jvm_bpe_rejects_non_causal_merge_list():
         _bpe_tokens_col(F.lit("abb"), [("a", "bb"), ("b", "b")])
     # trained-order lists still pass (b+b first, then a+bb)
     _bpe_tokens_col(F.lit("abb"), [("b", "b"), ("a", "bb")])
+
+
+def test_spark_batched_trainer_reproduces_vocab_fixture(spark):
+    """The vendored 512-merge vocab fixture is trained by
+    tools/make_vocab_bpe_fixture.py's pure-Python twin of the
+    distributed batched trainer. This pins the REAL Spark trainer
+    (rounds of one pair-count shuffle + bounded candidate collect +
+    full-closure greedy batch) against that file over the same
+    embedded corpus — if either side's semantics drift (candidate
+    window, tie order, closure rule), the merge lists diverge."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from make_vocab_bpe_fixture import BATCH_M, CORPUS, N_ROUNDS
+
+    from finmapreduce_spark.queries.training import _bpe_train_batched
+
+    docs = spark.createDataFrame([(CORPUS,)], "text string")
+    rows, toks = _bpe_train_batched(
+        spark, sf_dir=None, rounds=N_ROUNDS, batch=BATCH_M, docs=docs,
+    )
+    toks.unpersist()
+    got = [tuple(r[1].split(" ")) for r in sorted(rows)]
+
+    from finmapreduce_spark.functions.mini_bpe import MergesBPE
+
+    fixture_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "finmapreduce_spark", "resources", "vocab_bpe_merges.txt")
+    fixture = list(MergesBPE.from_merges_file(fixture_path).ranks)
+    assert len(fixture) > 256  # beyond the JVM replace-chain envelope
+    assert got == fixture

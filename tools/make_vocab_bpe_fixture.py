@@ -1,0 +1,158 @@
+"""Regenerate finmapreduce_spark/resources/vocab_bpe_merges.txt — the
+vendored vocab-scale BPE merge table (500+ merges, deliberately ABOVE
+the ~256-merge JVM replace-chain envelope) that certifies the
+Arrow-batched MergesBPE production path end-to-end.
+
+Trainer: a sequential pure-Python twin of the engine's BATCHED
+distributed trainer (queries/training.py::_bpe_train_batched) with
+EXACTLY its semantics — words are lowercase ``[a-z]+`` runs of length
+<= 16 weighted by occurrence count; each round counts adjacent token
+pairs, ranks by (count desc, "left right" asc), scans the top-64
+candidates, and greedily accepts up to M=8 pairs under FULL-CLOSURE
+disjointness ({left, right, merged} disjoint from every earlier
+pick's closure) so in-batch application commutes; accepted merges
+apply everywhere before the next round. tests/test_exact_tokens.py
+pins that the Spark trainer reproduces this file byte-identically
+over the same corpus, so regenerating must be a no-op unless this
+script changes.
+
+The corpus is EMBEDDED (original text, fixed forever) so the fixture
+is deterministic across rounds and machines — never train the
+fixture on driver-generated testdata.
+
+Run: python tools/make_vocab_bpe_fixture.py
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import re
+
+N_ROUNDS = 66  # 66 rounds x up-to-8 picks ≈ 510+ merges, >> the
+BATCH_M = 8    # ~256-merge JVM replace-chain envelope
+CAND_WINDOW = 64
+MAX_WORD_LEN = 16
+
+CORPUS = """
+The quarterly report shows that total revenue increased while the
+operating expenses decreased over the period. The company reported
+strong earnings growth and the management expects further revenue
+expansion next quarter. Interest expense on the outstanding debt
+declined because the company repaid a portion of the principal.
+The balance sheet remains healthy with increasing cash reserves and
+decreasing liabilities. Shareholders approved the proposed dividend
+and the board authorized an additional share repurchase program.
+Operating margins improved as the cost of goods sold decreased
+relative to total revenue. The auditors confirmed that the financial
+statements present fairly the financial position of the company.
+Analysts expect the earnings per share to increase again next year
+while the revenue growth rate stabilizes around historical averages.
+The effective tax rate decreased slightly because of the research
+credits recognized during the reporting period under review.
+Capital expenditure guidance anticipates measured investment across
+manufacturing facilities, logistics infrastructure, and software
+platforms supporting digital transformation initiatives worldwide.
+Inventory turnover accelerated through disciplined procurement while
+receivables collection improved following renegotiated payment terms
+with several strategic distribution partners in emerging markets.
+Currency fluctuations produced unfavorable translation adjustments,
+partially offset by commodity hedging contracts maturing quarterly.
+Segment disclosures highlight robust subscription momentum, modest
+hardware softness, and resilient professional services demand among
+enterprise customers renewing multiyear maintenance agreements.
+Litigation reserves reflect probable settlements concerning patent
+disputes, employment claims, and environmental remediation matters
+inherited through historical acquisitions awaiting final approval.
+Pension obligations benefited from higher discount assumptions while
+actuarial losses diminished alongside favorable mortality updates.
+Goodwill impairment testing incorporated conservative terminal value
+estimates, elevated weighted average capital costs, and compressed
+peer multiples observed throughout volatile public equity markets.
+Liquidity remains ample given undrawn revolving credit facilities,
+staggered bond maturities, and substantial unrestricted deposits
+held across diversified global banking counterparties with strong
+ratings. Regulatory developments introduce compliance obligations
+surrounding data privacy, carbon disclosure, and supplier auditing
+which management addresses through expanded governance frameworks.
+Research productivity strengthened as laboratory automation reduced
+experiment cycle times and computational screening prioritized the
+most promising candidate formulations for clinical advancement.
+"""
+
+
+def train_batched(corpus: str, n_rounds: int) -> list[tuple[str, str]]:
+    """Round-for-round twin of _bpe_train_batched: exactly n_rounds
+    rounds, each accepting UP TO BATCH_M pairs (a round can come up
+    short when the top-CAND_WINDOW candidates exhaust under closure
+    disjointness — same as the distributed trainer), so the emitted
+    list is the Spark trainer's verbatim output for (rounds, batch)."""
+    words = collections.Counter(
+        w
+        for w in re.findall(r"[a-z]+", corpus.lower())
+        if len(w) <= MAX_WORD_LEN
+    )
+    toks: dict[str, list[str]] = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _round in range(n_rounds):
+        counts: collections.Counter = collections.Counter()
+        for w, freq in words.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] += freq
+        if not counts:
+            break
+        # rank (count desc, "left right" asc), scan top CAND_WINDOW
+        cand = sorted(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )[:CAND_WINDOW]
+        chosen: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for (a, b), _cnt in cand:
+            if {a, b, a + b} & used:
+                continue
+            chosen.append((a, b))
+            used |= {a, b, a + b}
+            if len(chosen) == BATCH_M:
+                break
+        if not chosen:
+            break
+        merges.extend(chosen)
+        chosen_set = set(chosen)
+        for w in toks:
+            t = toks[w]
+            out: list[str] = []
+            i = 0
+            while i < len(t):
+                if i < len(t) - 1 and (t[i], t[i + 1]) in chosen_set:
+                    out.append(t[i] + t[i + 1])
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    return merges
+
+
+def main() -> str:
+    merges = train_batched(CORPUS, N_ROUNDS)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "finmapreduce_spark",
+        "resources",
+        "vocab_bpe_merges.txt",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w", encoding="utf-8") as f:
+        f.write(
+            "# vocab-scale BPE merge table — regenerate with "
+            "tools/make_vocab_bpe_fixture.py (do not hand-edit)\n"
+        )
+        for left, right in merges:
+            f.write(f"{left} {right}\n")
+    print(f"wrote {out}: {len(merges)} merges")
+    return out
+
+
+if __name__ == "__main__":
+    main()
