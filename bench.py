@@ -113,6 +113,9 @@ HEADLINE = [
     # expressions (sentinel-delimited bounded-pass merges), no Python
     "bpe_chunk_documents_exact",
     "bpe_vocab_chunk_documents",
+    # round-10: winnowing exact-substring dedup (linear fingerprint
+    # scan -> candidate doc slice -> exact gram verify)
+    "dedup_exact_substring",
 ]
 
 

@@ -2489,3 +2489,156 @@ QUERIES.update(
         "pagerank_links": QuerySpec(pagerank_links, PAGERANK_ORACLE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (round-10): document pairs sharing a VERBATIM
+# substring of length >= L at ARBITRARY offsets — the suffix-array
+# setting of "Deduplicating Training Data Makes Language Models
+# Better" (Lee et al. 2021), re-expressed for Spark as winnowing
+# (Schleimer et al. 2003, the MOSS fingerprinter) + an exact gram
+# verify:
+#
+#   1. per doc, k-gram rolling hashes (k=16, one JVM transform);
+#   2. winnow with window w = L-k+1 = 25: per window keep the MIN
+#      hash; the selected set is ~2n/(w+1) fingerprints (13x fewer
+#      rows than stride-1 grams). Window guarantee: any common
+#      substring of length >= w+k-1 = L contains ONE window fully
+#      inside it in both docs with identical hash arrays, so both
+#      select the same min — ZERO false negatives by construction,
+#      regardless of hash collisions (collisions only ADD candidates);
+#   3. candidate docs = docs holding a fingerprint seen in >= 2 docs
+#      (a groupBy-count semi-join — LINEAR, no pair explosion);
+#   4. exact verify: stride-1 L-gram self-join WITHIN the candidate
+#      doc set only. By the guarantee every true pair's endpoints are
+#      candidates, so this equals the oracle's full-corpus gram join
+#      while scanning only the (tiny) candidate slice.
+#
+# 100 TB posture: stages 1-3 are linear scans + one groupBy(fp) with
+# map-side combine; all quadratic work is confined to stage 4, whose
+# size is the true duplicate structure itself (pair OUTPUT is
+# inherently quadratic in a boilerplate cluster — a production
+# pipeline would feed these pairs into the connected-components
+# keep-list like the other dedup families rather than materialize
+# them; the catalog query keeps exact pair semantics for the oracle).
+# O(n·w) slice-min per doc is fine at w=25; gigabyte docs would swap
+# in a monotonic-deque mapInPandas winnow, same selected set.
+# ---------------------------------------------------------------------------
+
+SUBSTR_L = 40   # minimum verbatim match length certified
+SUBSTR_K = 16   # rolling-gram width
+SUBSTR_W = SUBSTR_L - SUBSTR_K + 1  # winnow window (guarantee t = w+k-1)
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    min_len: int = SUBSTR_L,
+    k: int = SUBSTR_K,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_grams): all unordered doc pairs sharing
+    at least one verbatim ``min_len``-char substring; n_shared_grams
+    counts their DISTINCT shared ``min_len``-grams. ``docs`` needs
+    (doc_id, text)."""
+    w = min_len - k + 1
+    base = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    # The winnow map is the expensive stage (hash every k-gram +
+    # O(n·w) slice-min). A small local parquet is ONE row group → one
+    # scan split → the whole corpus winnows on one core (measured
+    # 9.6 s single-task at sf0.1). Fan out when the scan under-splits;
+    # at cluster scale the scan has thousands of splits and this is a
+    # no-op (explicit numPartitions, so AQE won't coalesce it back).
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, "doc_id")
+    n = F.length("t")
+    tcol = F.col("t")
+    # k-gram hash array (guarded: sequence() DESCENDS when end < start)
+    gh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(tcol.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = base.select("doc_id", "t", gh.alias("gh"))
+    winnowed = F.when(
+        F.size("gh") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("gh") - w + 1),
+                lambda j: F.array_min(F.slice("gh", j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # persisted: the winnow transform (xxhash over every k-gram +
+    # O(n·w) slice-min) is the expensive map; without the cache the
+    # fp-count aggregate, the candidate semi-join, and BOTH sides of
+    # the gram self-join each recompute it (4 parquet scans, measured
+    # 16.7 s → 5.5 s warm at sf0.1). Lifecycle is caller-owned per the
+    # catalog-wide contract (clearCache when done — same as pairgrid).
+    fps = g.select("doc_id", F.explode(winnowed).alias("fp")).persist()
+    # fingerprints seen in >=2 docs -> candidate doc ids (rows are
+    # unique per (doc, fp) via array_distinct, so count(*) = doc count)
+    shared_fp = (
+        fps.groupBy("fp").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    )
+    cand_ids = fps.join(shared_fp, "fp").select("doc_id").distinct()
+    # exact stride-1 L-gram verify within the candidate slice
+    cd = base.join(F.broadcast(cand_ids), "doc_id")
+    ct = F.col("t")
+    cn = F.length(ct)
+    grams = cd.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                cn >= min_len,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), cn - min_len + 1),
+                        lambda i: ct.substr(i, F.lit(min_len)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).persist()  # both self-join sides read the candidate gram slice
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    return (
+        ga.join(
+            gb,
+            (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"),
+            F.col("gb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substring_pairs(_docs(spark, sf_dir))
+
+
+EXACT_SUBSTRING_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    range(1, length(coalesce(text, '')) - {SUBSTR_L} + 2),
+    i -> substring(coalesce(text, ''), CAST(i AS INT), {SUBSTR_L}))) AS gram
+  FROM documents WHERE length(coalesce(text, '')) >= {SUBSTR_L}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "dedup_exact_substring": QuerySpec(
+            dedup_exact_substring, EXACT_SUBSTRING_ORACLE
+        ),
+    }
+)

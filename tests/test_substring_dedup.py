@@ -1,0 +1,116 @@
+"""Exact substring dedup (winnowing + gram verify): planted
+cross-document verbatim spans at arbitrary offsets, boundary-length
+behavior, and a frozen-seed fuzz against a brute-force Python oracle
+— the adversarial cases the templated synthetic corpus never covers.
+Reference setting: Lee et al. 2021 (suffix-array dedup);
+fingerprinting: Schleimer et al. 2003 (winnowing window guarantee
+t = w + k - 1, zero false negatives)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from finmapreduce_spark.queries.dedup import (
+    SUBSTR_K,
+    SUBSTR_L,
+    exact_substring_pairs,
+)
+
+
+def _rand_text(rng, n):
+    # alphanumeric + space; high-entropy so accidental L-grams
+    # essentially never collide
+    return "".join(rng.choice(string.ascii_letters + "   ") for _ in range(n))
+
+
+def _pairs(spark, rows, min_len=SUBSTR_L, k=SUBSTR_K):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_grams"]
+        for r in exact_substring_pairs(docs, min_len, k).collect()
+    }
+    spark.catalog.clearCache()
+    return out
+
+
+def test_planted_span_found_at_arbitrary_offsets(spark):
+    rng = random.Random(4040)
+    span = _rand_text(rng, SUBSTR_L)  # exactly L chars
+    rows = [
+        (1, _rand_text(rng, 120) + span + _rand_text(rng, 200)),
+        (2, span + _rand_text(rng, 310)),  # span at offset 0
+        (3, _rand_text(rng, 290) + span),  # span at the very end
+        (4, _rand_text(rng, 400)),  # no span
+    ]
+    got = _pairs(spark, rows)
+    # exactly-L span -> exactly one shared L-gram per sharing pair
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_span_one_char_short_is_not_a_pair(spark):
+    rng = random.Random(4041)
+    span = _rand_text(rng, SUBSTR_L - 1)  # L-1: must NOT pair
+    rows = [
+        (1, _rand_text(rng, 100) + span + _rand_text(rng, 100)),
+        (2, _rand_text(rng, 50) + span + _rand_text(rng, 150)),
+    ]
+    assert _pairs(spark, rows) == {}
+
+
+def test_long_span_counts_all_contained_grams(spark):
+    rng = random.Random(4042)
+    extra = 30
+    span = _rand_text(rng, SUBSTR_L + extra)
+    rows = [
+        (1, span + _rand_text(rng, 100)),
+        (2, _rand_text(rng, 77) + span),
+    ]
+    # a span of length L+e contains e+1 distinct L-grams
+    assert _pairs(spark, rows) == {(1, 2): extra + 1}
+
+
+def test_short_and_null_docs_are_total(spark):
+    rng = random.Random(4043)
+    rows = [(1, None), (2, ""), (3, "tiny"), (4, _rand_text(rng, 200))]
+    assert _pairs(spark, rows) == {}
+
+
+def test_internal_repetition_never_self_pairs(spark):
+    rng = random.Random(4044)
+    span = _rand_text(rng, SUBSTR_L)
+    rows = [(1, span + "x" + span + "y" + span), (2, _rand_text(rng, 100))]
+    assert _pairs(spark, rows) == {}
+
+
+def test_frozen_fuzz_matches_bruteforce(spark):
+    """20 docs, random planted spans (length L-3 .. L+20) copied
+    between random doc pairs at random offsets; operator output must
+    equal the brute-force all-grams Python oracle exactly."""
+    rng = random.Random(90210)
+    texts = {i: list(_rand_text(rng, rng.randint(0, 400))) for i in range(20)}
+    for _ in range(12):
+        a, b = rng.sample(range(20), 2)
+        ln = rng.randint(SUBSTR_L - 3, SUBSTR_L + 20)
+        span = _rand_text(rng, ln)
+        for d in (a, b):
+            t = texts[d]
+            pos = rng.randint(0, len(t))
+            texts[d] = t[:pos] + list(span) + t[pos:]
+    rows = [(i, "".join(t)) for i, t in texts.items()]
+
+    def grams(s):
+        return {
+            s[i : i + SUBSTR_L]
+            for i in range(0, max(0, len(s) - SUBSTR_L + 1))
+        }
+
+    expect = {}
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1 :]:
+            shared = grams(ta) & grams(tb)
+            if shared:
+                lo, hi = min(ida, idb), max(ida, idb)
+                expect[(lo, hi)] = len(shared)
+    assert expect, "fuzz should plant at least one real pair"
+    assert _pairs(spark, rows) == expect
