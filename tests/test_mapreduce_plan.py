@@ -209,3 +209,97 @@ def test_json_format_struct_filter(spark):
     # e2e: answers still produced under the json format
     answers = stages["answers"].collect()
     assert {r["qa_id"] for r in answers} == {0, 1, 2}
+
+
+def test_judge_malformed_reply_never_misattributes(spark):
+    """Round-10 property sweep (VERDICT r9 next #5): the judge reply's
+    per-item assignment is keyed by evaluation_number and joined back
+    by qa_id — REORDERED, TRUNCATED, DUPLICATED, and OUT-OF-RANGE
+    evaluation_numbers must never land a verdict on the wrong QA. The
+    reference's positional apply-back (async_evaluation.py:406-418)
+    would misassign under the reversed+truncated reply this fake
+    emits; the key-join provably cannot. Identity is threaded through
+    the reply itself: each result's reasoning embeds the <gold> text
+    of the item it claims to judge, and gold encodes the qa_id."""
+    import re
+    from dataclasses import replace as _replace
+
+    from finmapreduce_spark.llm.client import (
+        LLMResponse,
+        RateLimitConfig,
+        RateLimitedClient,
+    )
+    from finmapreduce_spark.plans.mapreduce import judge_stage
+
+    class AdversarialJudge:
+        async def acomplete(self, prompt, *, kind="judge"):
+            import json
+
+            golds = re.findall(r"<gold>gold-(\d+)</gold>", prompt)
+            results = [
+                {
+                    "evaluation_number": i,
+                    "judgement": "Correct",
+                    "reasoning": f"seen:gold-{qid}",
+                }
+                for i, qid in enumerate(golds, start=1)
+            ]
+            if len(golds) >= 4:
+                # full batch: reverse order, drop number 3, overwrite
+                # number 1 with a later duplicate, add junk numbers
+                results = [r for r in results if r["evaluation_number"] != 3]
+                results.reverse()
+                results.append(
+                    {"evaluation_number": 1, "judgement": "Incorrect",
+                     "reasoning": "dup-overwrite"}
+                )
+                results.append({"evaluation_number": 0, "judgement": "X",
+                                "reasoning": "junk"})
+                results.append({"evaluation_number": 99, "judgement": "X",
+                                "reasoning": "junk"})
+                return LLMResponse(
+                    json.dumps({"evaluation_results": results})
+                )
+            # partial batch: outright non-JSON prose
+            return LLMResponse("I refuse to emit JSON today.")
+
+    def factory():
+        return RateLimitedClient(
+            AdversarialJudge(),
+            RateLimitConfig(
+                requests_per_minute=60_000_000,
+                tokens_per_minute=60_000_000_000,
+                burst=10_000_000,
+            ),
+        )
+
+    # 7 QAs, global batching, batch of 5 -> one full batch (qa 10..14
+    # sorted) + one partial (qa 15, 16). Non-consecutive ids prove the
+    # join key is qa_id, not position.
+    qa_ids = [14, 10, 12, 16, 11, 15, 13]
+    answers = spark.createDataFrame(
+        [(q, f"answer {q}", f"gold-{q}") for q in qa_ids],
+        "qa_id long, llm_answer string, answer string",
+    )
+    cfg = _replace(
+        CFG, client_factory=factory, judge_batching="global",
+        judge_batch_size=5,
+    )
+    got = {
+        r["qa_id"]: (r["judgment"], r["reasoning"])
+        for r in judge_stage(answers, cfg).collect()
+    }
+    assert set(got) == set(qa_ids)  # no drops, no dupes
+    full = sorted(qa_ids)[:5]  # 10..14 -> evaluation_numbers 1..5
+    for pos, q in enumerate(full, start=1):
+        if pos == 1:
+            # duplicated number: LAST entry wins, deterministically
+            assert got[q] == ("Incorrect", "dup-overwrite")
+        elif pos == 3:
+            # truncated out of the reply -> typed per-item fallback
+            assert got[q] == ("Error", "missing item")
+        else:
+            # reversed order + junk numbers: still the RIGHT item
+            assert got[q] == ("Correct", f"seen:gold-{q}")
+    for q in sorted(qa_ids)[5:]:  # non-JSON batch -> all Error
+        assert got[q][0] == "Error"
