@@ -2530,15 +2530,17 @@ SUBSTR_K = 16   # rolling-gram width
 SUBSTR_W = SUBSTR_L - SUBSTR_K + 1  # winnow window (guarantee t = w+k-1)
 
 
-def exact_substring_pairs(
+def _substring_candidate_slice(
     docs: DataFrame,
     min_len: int = SUBSTR_L,
     k: int = SUBSTR_K,
-) -> DataFrame:
-    """(doc_a, doc_b, n_shared_grams): all unordered doc pairs sharing
-    at least one verbatim ``min_len``-char substring; n_shared_grams
-    counts their DISTINCT shared ``min_len``-grams. ``docs`` needs
-    (doc_id, text)."""
+) -> tuple[DataFrame, DataFrame]:
+    """Shared winnow front-end: → (base, candidate_docs) where base is
+    (doc_id, t) for the whole corpus and candidate_docs is the slice
+    holding a fingerprint seen in >=2 docs. By the window guarantee
+    every doc participating in a cross-doc verbatim match of length
+    >= min_len is in the slice — downstream exact stages may confine
+    themselves to it."""
     w = min_len - k + 1
     base = docs.select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
@@ -2585,8 +2587,20 @@ def exact_substring_pairs(
         fps.groupBy("fp").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
     )
     cand_ids = fps.join(shared_fp, "fp").select("doc_id").distinct()
+    return base, base.join(F.broadcast(cand_ids), "doc_id")
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    min_len: int = SUBSTR_L,
+    k: int = SUBSTR_K,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_grams): all unordered doc pairs sharing
+    at least one verbatim ``min_len``-char substring; n_shared_grams
+    counts their DISTINCT shared ``min_len``-grams. ``docs`` needs
+    (doc_id, text)."""
+    _, cd = _substring_candidate_slice(docs, min_len, k)
     # exact stride-1 L-gram verify within the candidate slice
-    cd = base.join(F.broadcast(cand_ids), "doc_id")
     ct = F.col("t")
     cn = F.length(ct)
     grams = cd.select(
@@ -2639,6 +2653,135 @@ QUERIES.update(
     {
         "dedup_exact_substring": QuerySpec(
             dedup_exact_substring, EXACT_SUBSTRING_ORACLE
+        ),
+    }
+)
+
+
+def substring_duplication_coverage(
+    docs: DataFrame,
+    min_len: int = SUBSTR_L,
+    k: int = SUBSTR_K,
+) -> DataFrame:
+    """Per-doc substring-duplication coverage — the Lee-2021 trim/drop
+    signal: what fraction of each document's characters lies inside a
+    verbatim ``min_len``-char substring also present in ANOTHER doc.
+
+    Shape: the winnow front-end confines the positional gram explode
+    to the candidate slice (exact — a shared L-gram implies both docs
+    are candidates), shared grams are one distinct+groupBy, and the
+    covered length is an interval-union sweep: with fixed-length
+    intervals [pos, pos+L) sorted per doc, each position contributes
+    min(L, next_pos - pos), the last contributes L. One window over
+    positions per doc — no interval materialization."""
+    base, cd = _substring_candidate_slice(docs, min_len, k)
+    ct = F.col("t")
+    cn = F.length(ct)
+    gpos = (
+        cd.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    cn >= min_len,
+                    F.transform(
+                        F.sequence(F.lit(1), cn - min_len + 1),
+                        lambda i: ct.substr(i, F.lit(min_len)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+        .persist()  # read by the shared-gram agg AND the position join
+    )
+    shared = (
+        gpos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gram")
+    )
+    pos = gpos.join(shared, "gram").select("doc_id", "pos")
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        pos.withColumn("nxt", F.lead("pos").over(wdoc))
+        .withColumn(
+            "contrib",
+            F.when(F.col("nxt").isNull(), F.lit(min_len)).otherwise(
+                F.least(F.lit(min_len), F.col("nxt") - F.col("pos"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("covered_chars"),
+            F.count("*").cast("long").alias("n_dup_positions"),
+        )
+    )
+    nch = F.col("n_chars")
+    return (
+        base.select("doc_id", F.length("t").cast("long").alias("n_chars"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("covered_chars", F.lit(0))
+            .cast("long")
+            .alias("covered_chars"),
+            F.coalesce("n_dup_positions", F.lit(0))
+            .cast("long")
+            .alias("n_dup_positions"),
+            F.when(
+                nch > 0,
+                F.round(F.coalesce("covered_chars", F.lit(0)) / nch, 6),
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_duplication_coverage(_docs(spark, sf_dir))
+
+
+SUBSTRING_COVERAGE_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substring(coalesce(text, ''), CAST(i AS INT), {SUBSTR_L}) AS gram
+  FROM documents,
+       LATERAL unnest(range(1, length(coalesce(text, '')) - {SUBSTR_L} + 2))
+         AS t(i)
+  WHERE length(coalesce(text, '')) >= {SUBSTR_L}
+),
+shared AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1
+  ) WHERE c > 1
+),
+pos AS (SELECT doc_id, pos FROM g JOIN shared USING (gram)),
+cov AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_positions,
+         CAST(sum(coalesce(least({SUBSTR_L}, nxt - pos), {SUBSTR_L}))
+              AS BIGINT) AS covered_chars
+  FROM (SELECT doc_id, pos,
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM pos)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+       coalesce(cov.covered_chars, 0) AS covered_chars,
+       coalesce(cov.n_dup_positions, 0) AS n_dup_positions,
+       CASE WHEN length(coalesce(d.text, '')) > 0
+            THEN round(coalesce(cov.covered_chars, 0) * 1.0
+                       / length(coalesce(d.text, '')), 6)
+       END AS dup_coverage
+FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+"""
+
+QUERIES.update(
+    {
+        "dedup_substring_coverage": QuerySpec(
+            dedup_substring_coverage, SUBSTRING_COVERAGE_ORACLE
         ),
     }
 )

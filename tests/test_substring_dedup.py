@@ -114,3 +114,69 @@ def test_frozen_fuzz_matches_bruteforce(spark):
                 expect[(lo, hi)] = len(shared)
     assert expect, "fuzz should plant at least one real pair"
     assert _pairs(spark, rows) == expect
+
+
+def _coverage(spark, rows, min_len=SUBSTR_L, k=SUBSTR_K):
+    from finmapreduce_spark.queries.dedup import (
+        substring_duplication_coverage,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["covered_chars"], r["n_dup_positions"],
+                      r["dup_coverage"])
+        for r in substring_duplication_coverage(docs, min_len, k).collect()
+    }
+    spark.catalog.clearCache()
+    return out
+
+
+def test_coverage_exact_span_arithmetic(spark):
+    """A shared span of length L+e yields e+1 dup positions whose
+    fixed-length intervals union to exactly e+L covered chars."""
+    rng = random.Random(7001)
+    e = 25
+    span = _rand_text(rng, SUBSTR_L + e)
+    head, tail = _rand_text(rng, 63), _rand_text(rng, 90)
+    rows = [(1, head + span + tail), (2, span)]
+    got = _coverage(spark, rows)
+    n1 = len(head) + len(span) + len(tail)
+    assert got[1] == (SUBSTR_L + e, e + 1,
+                      round((SUBSTR_L + e) / n1, 6))
+    # doc 2 IS the span: fully covered
+    assert got[2] == (SUBSTR_L + e, e + 1, 1.0)
+
+
+def test_coverage_disjoint_spans_sum(spark):
+    rng = random.Random(7002)
+    s1, s2 = _rand_text(rng, SUBSTR_L), _rand_text(rng, SUBSTR_L + 10)
+    gap = _rand_text(rng, 70)
+    rows = [
+        (1, s1 + gap + s2),
+        (2, s1 + _rand_text(rng, 120)),
+        (3, _rand_text(rng, 55) + s2),
+    ]
+    got = _coverage(spark, rows)
+    # doc 1: two disjoint covered spans -> their lengths sum
+    assert got[1][0] == len(s1) + len(s2)
+    assert got[1][1] == 1 + 11  # 1 position for s1, 11 for s2
+
+
+def test_coverage_zero_and_edge_docs(spark):
+    rng = random.Random(7003)
+    rows = [(1, _rand_text(rng, 200)), (2, None), (3, ""), (4, "abc")]
+    got = _coverage(spark, rows)
+    assert got[1] == (0, 0, 0.0)
+    assert got[2] == (0, 0, None)  # null text -> 0 chars -> null ratio
+    assert got[3] == (0, 0, None)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_coverage_internal_repetition_not_counted(spark):
+    """A span repeated WITHIN one doc but present in no other doc is
+    not cross-document duplication."""
+    rng = random.Random(7004)
+    span = _rand_text(rng, SUBSTR_L)
+    rows = [(1, span + "x" + span), (2, _rand_text(rng, 150))]
+    got = _coverage(spark, rows)
+    assert got[1] == (0, 0, 0.0)
