@@ -2530,6 +2530,76 @@ SUBSTR_K = 16   # rolling-gram width
 SUBSTR_W = SUBSTR_L - SUBSTR_K + 1  # winnow window (guarantee t = w+k-1)
 
 
+def _substring_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, t) with text coalesced, fanned out for the winnow map.
+
+    The winnow map is the expensive stage (hash every k-gram +
+    O(n·w) slice-min). A small local parquet is ONE row group → one
+    scan split → the whole corpus winnows on one core (measured
+    9.6 s single-task at sf0.1). Fan out when the scan under-splits;
+    at cluster scale the scan has thousands of splits and this is a
+    no-op (explicit numPartitions, so AQE won't coalesce it back)."""
+    base = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, "doc_id")
+    return base
+
+
+def substring_fp_table(
+    base: DataFrame, min_len: int = SUBSTR_L, k: int = SUBSTR_K
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints over a (doc_id, t) base —
+    per-doc-distinct min-of-window k-gram hashes, ~2n/(w+1) rows per
+    doc. This IS the persisted store schema for incremental substring
+    dedup (build once over history, append admitted deltas)."""
+    w = min_len - k + 1
+    n = F.length("t")
+    tcol = F.col("t")
+    # k-gram hash array (guarded: sequence() DESCENDS when end < start)
+    gh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(tcol.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = base.select("doc_id", gh.alias("gh"))
+    winnowed = F.when(
+        F.size("gh") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("gh") - w + 1),
+                lambda j: F.array_min(F.slice("gh", j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return g.select("doc_id", F.explode(winnowed).alias("fp"))
+
+
+def _l_grams(base_slice: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, gram): per-doc-DISTINCT stride-1 min_len-grams of a
+    (doc_id, t) slice — the exact-verify currency."""
+    ct = F.col("t")
+    cn = F.length(ct)
+    return base_slice.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                cn >= min_len,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), cn - min_len + 1),
+                        lambda i: ct.substr(i, F.lit(min_len)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+
+
 def _substring_candidate_slice(
     docs: DataFrame,
     min_len: int = SUBSTR_L,
@@ -2541,46 +2611,14 @@ def _substring_candidate_slice(
     every doc participating in a cross-doc verbatim match of length
     >= min_len is in the slice — downstream exact stages may confine
     themselves to it."""
-    w = min_len - k + 1
-    base = docs.select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
-    )
-    # The winnow map is the expensive stage (hash every k-gram +
-    # O(n·w) slice-min). A small local parquet is ONE row group → one
-    # scan split → the whole corpus winnows on one core (measured
-    # 9.6 s single-task at sf0.1). Fan out when the scan under-splits;
-    # at cluster scale the scan has thousands of splits and this is a
-    # no-op (explicit numPartitions, so AQE won't coalesce it back).
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target, "doc_id")
-    n = F.length("t")
-    tcol = F.col("t")
-    # k-gram hash array (guarded: sequence() DESCENDS when end < start)
-    gh = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.xxhash64(tcol.substr(i, F.lit(k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    g = base.select("doc_id", "t", gh.alias("gh"))
-    winnowed = F.when(
-        F.size("gh") >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("gh") - w + 1),
-                lambda j: F.array_min(F.slice("gh", j, w)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # persisted: the winnow transform (xxhash over every k-gram +
-    # O(n·w) slice-min) is the expensive map; without the cache the
-    # fp-count aggregate, the candidate semi-join, and BOTH sides of
-    # the gram self-join each recompute it (4 parquet scans, measured
-    # 16.7 s → 5.5 s warm at sf0.1). Lifecycle is caller-owned per the
-    # catalog-wide contract (clearCache when done — same as pairgrid).
-    fps = g.select("doc_id", F.explode(winnowed).alias("fp")).persist()
+    base = _substring_base(docs)
+    # persisted: the winnow transform is the expensive map; without
+    # the cache the fp-count aggregate, the candidate semi-join, and
+    # BOTH sides of the gram self-join each recompute it (4 parquet
+    # scans, measured 16.7 s → 5.5 s warm at sf0.1). Lifecycle is
+    # caller-owned per the catalog-wide contract (clearCache when
+    # done — same as pairgrid).
+    fps = substring_fp_table(base, min_len, k).persist()
     # fingerprints seen in >=2 docs -> candidate doc ids (rows are
     # unique per (doc, fp) via array_distinct, so count(*) = doc count)
     shared_fp = (
@@ -2600,23 +2638,9 @@ def exact_substring_pairs(
     counts their DISTINCT shared ``min_len``-grams. ``docs`` needs
     (doc_id, text)."""
     _, cd = _substring_candidate_slice(docs, min_len, k)
-    # exact stride-1 L-gram verify within the candidate slice
-    ct = F.col("t")
-    cn = F.length(ct)
-    grams = cd.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                cn >= min_len,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), cn - min_len + 1),
-                        lambda i: ct.substr(i, F.lit(min_len)),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    ).persist()  # both self-join sides read the candidate gram slice
+    # exact stride-1 L-gram verify within the candidate slice;
+    # persisted: both self-join sides read it
+    grams = _l_grams(cd, min_len).persist()
     ga, gb = grams.alias("ga"), grams.alias("gb")
     return (
         ga.join(
@@ -2782,6 +2806,85 @@ QUERIES.update(
     {
         "dedup_substring_coverage": QuerySpec(
             dedup_substring_coverage, SUBSTRING_COVERAGE_ORACLE
+        ),
+    }
+)
+
+
+def incremental_substring_pairs(
+    incoming: DataFrame,
+    history: DataFrame,
+    min_len: int = SUBSTR_L,
+    k: int = SUBSTR_K,
+    history_fps: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, hist_id, n_shared_grams): which incoming docs share a
+    verbatim >=min_len substring with the EXISTING corpus — the
+    ingest-time complement of exact_substring_pairs, same lifecycle
+    as the other incremental families (band-signature / passage-gram
+    stores): history's fingerprint table is built once and persisted
+    (substring_fp_table IS the store schema), each delta winnows
+    itself and probes the store, and only fp-hit docs on EITHER side
+    pay the exact gram verify. Per-ingest cost is |delta| winnow +
+    probe × hit rate — never a corpus self-join, and the window
+    guarantee makes the probe miss nothing >= min_len.
+
+    ``history_fps``: pass the persisted store (substring_fp_table over
+    history) to skip rebuilding it per call — the streaming twin
+    (streaming/pipeline.py::serve_incremental_substring) builds it
+    once and probes it every epoch."""
+    bi = _substring_base(incoming)
+    bh = _substring_base(history)
+    fi = substring_fp_table(bi, min_len, k).persist()
+    fh = (
+        history_fps
+        if history_fps is not None
+        else substring_fp_table(bh, min_len, k).persist()
+    )
+    hits = fi.join(
+        fh.select(F.col("doc_id").alias("hist_id"), "fp"), "fp"
+    ).persist()
+    inc_ids = hits.select("doc_id").distinct()
+    hist_ids = hits.select(F.col("hist_id").alias("doc_id")).distinct()
+    gi = _l_grams(bi.join(F.broadcast(inc_ids), "doc_id"), min_len)
+    gh = _l_grams(bh.join(F.broadcast(hist_ids), "doc_id"), min_len).select(
+        F.col("doc_id").alias("hist_id"), "gram"
+    )
+    return (
+        gi.join(gh, "gram")
+        .groupBy("doc_id", "hist_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+
+
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming batch = doc_id % INGEST_MOD == 0 (the catalog-wide
+    ingest-split convention); history = the rest."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    incoming = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    return incremental_substring_pairs(incoming, history)
+
+
+DEDUP_INC_SUBSTRING_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    range(1, length(coalesce(text, '')) - {SUBSTR_L} + 2),
+    i -> substring(coalesce(text, ''), CAST(i AS INT), {SUBSTR_L}))) AS gram
+  FROM documents WHERE length(coalesce(text, '')) >= {SUBSTR_L}
+)
+SELECT gi.doc_id AS doc_id, gh.doc_id AS hist_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM (SELECT * FROM g WHERE doc_id % {INGEST_MOD} = 0) gi
+JOIN (SELECT * FROM g WHERE doc_id % {INGEST_MOD} <> 0) gh
+  ON gi.gram = gh.gram
+GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "dedup_incremental_substring": QuerySpec(
+            dedup_incremental_substring, DEDUP_INC_SUBSTRING_ORACLE
         ),
     }
 )

@@ -193,6 +193,46 @@ def serve_incremental_passages(
     )
 
 
+def serve_incremental_substring(
+    incoming_docs: DataFrame,
+    history_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    history_fps: DataFrame | None = None,
+):
+    """Continuous ingest EXACT-SUBSTRING dedup: each micro-batch of
+    incoming documents winnows itself (k-gram hashes → per-window min
+    fingerprints; narrow ops) and probes the STATIC history
+    fingerprint store; verbatim-overlap pairs with shared-gram counts
+    append as JSON. The batch twin is queries/dedup.py::
+    dedup_incremental_substring — both call
+    incremental_substring_pairs, so stream and batch produce
+    identical pairs for identical inputs (twin-tested in
+    tests/test_streaming.py).
+
+    Pass ``history_fps`` (persisted substring_fp_table over history)
+    so the store is built once, not per epoch; ``history_docs`` stays
+    needed for the exact gram verify, which touches only fp-hit
+    history docs — per-trigger cost is |batch| winnow + probe × hit
+    rate, the same delta-sized contract as the other incremental
+    families."""
+    from finmapreduce_spark.queries.dedup import incremental_substring_pairs
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_substring_pairs(
+            batch_df, history_docs, history_fps=history_fps
+        )
+        _epoch_json(pairs, out_dir, epoch_id)
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def serve_incremental_passages_continuous(
     incoming_docs: DataFrame,
     store_dir: str,

@@ -1097,3 +1097,69 @@ def test_streaming_ann_index_maintenance_twin(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, ann_ivf_incremental_topk(spark, sf_dir).collect()))
     assert served == want
+
+
+def test_streaming_incremental_substring_matches_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """Round-10: incoming docs streamed through
+    serve_incremental_substring produce EXACTLY the verbatim-overlap
+    pairs the batch operator computes for the same split — stream and
+    batch share incremental_substring_pairs, and this pins it."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.dedup import (
+        INGEST_MOD,
+        _substring_base,
+        incremental_substring_pairs,
+        substring_fp_table,
+    )
+    from finmapreduce_spark.session import read_table
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_substring,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    store = substring_fp_table(_substring_base(history)).persist()
+
+    want = sorted(
+        map(
+            tuple,
+            incremental_substring_pairs(
+                incoming, history, history_fps=store
+            ).collect(),
+        )
+    )
+    assert want, "twin test is vacuous with no shared substrings"
+
+    landing = tmp_path / "ss_landing"
+    landing.mkdir()
+    rows = [r.asDict() for r in incoming.collect()]
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(landing / f"batch_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "ss_out"
+    q = serve_incremental_substring(
+        stream, history, str(out), str(tmp_path / "ss_ckpt"),
+        history_fps=store,
+    ).start()
+    q.awaitTermination()
+
+    got_df = spark.read.json(str(out))
+    got = sorted(
+        tuple(r)
+        for r in got_df.select("doc_id", "hist_id", "n_shared_grams").collect()
+    )
+    assert got == want
+    spark.catalog.clearCache()

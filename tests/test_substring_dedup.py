@@ -180,3 +180,49 @@ def test_coverage_internal_repetition_not_counted(spark):
     rows = [(1, span + "x" + span), (2, _rand_text(rng, 150))]
     got = _coverage(spark, rows)
     assert got[1] == (0, 0, 0.0)
+
+
+def test_incremental_equals_batch_restriction(spark):
+    """Twin invariant: the incremental probe (delta vs history) must
+    equal the batch pair query restricted to cross-partition pairs —
+    same planted spans, two routes, one answer."""
+    from finmapreduce_spark.queries.dedup import (
+        exact_substring_pairs,
+        incremental_substring_pairs,
+    )
+
+    rng = random.Random(8001)
+    span1 = _rand_text(rng, SUBSTR_L + 7)
+    span2 = _rand_text(rng, SUBSTR_L)
+    rows = [
+        (0, span1 + _rand_text(rng, 80)),            # incoming (id%2==0)
+        (2, _rand_text(rng, 50) + span2),            # incoming, hits 3
+        (4, _rand_text(rng, 200)),                   # incoming, clean
+        (1, _rand_text(rng, 30) + span1),            # history, hits 0
+        (3, span2 + _rand_text(rng, 120)),           # history, hits 2
+        (5, span1 + span2),                          # history, hits 0+2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    incoming = docs.filter("doc_id % 2 = 0")
+    history = docs.filter("doc_id % 2 <> 0")
+    inc = {
+        (r["doc_id"], r["hist_id"]): r["n_shared_grams"]
+        for r in incremental_substring_pairs(incoming, history).collect()
+    }
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_grams"]
+        for r in exact_substring_pairs(docs).collect()
+    }
+    spark.catalog.clearCache()
+    cross = {
+        (a, b): v
+        for (a, b), v in batch.items()
+        if (a % 2 == 0) != (b % 2 == 0)
+    }
+    # batch pairs are (min, max); incremental keys are (inc, hist)
+    normalized = {
+        ((a, b) if a % 2 == 0 else (b, a)): v for (a, b), v in cross.items()
+    }
+    assert inc == normalized
+    assert (0, 1) in inc and (0, 5) in inc and (2, 3) in inc
+    assert not any(d == 4 for d, _ in inc)
