@@ -158,7 +158,13 @@ def main():
     # drop below half the core count, up to 60 s; on an idle machine
     # this costs nothing.
     if hasattr(os, "getloadavg"):
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # threshold on the MACHINE's cores, not the Spark thread count
+        # (on an 8-core box local[32] after a pytest sweep would never
+        # trip a 32-based gate — round-10 review finding)
+        cpus = min(
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            os.cpu_count() or 32,
+        )
         waited = 0.0
         while os.getloadavg()[0] > cpus / 2 and waited < 60:
             time.sleep(5)

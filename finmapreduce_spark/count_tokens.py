@@ -93,10 +93,36 @@ def run(
             .collect()
         )
 
+    def _expand_braces(pattern: str) -> list[str]:
+        # Hadoop globs (what spark.read.text uses) support {a,b}
+        # alternation; Python glob does not — expand before globbing
+        # so brace-expressed overlaps are detected (round-10 review).
+        i = pattern.find("{")
+        if i < 0:
+            return [pattern]
+        depth, j = 0, i
+        for j in range(i, len(pattern)):
+            depth += pattern[j] == "{"
+            depth -= pattern[j] == "}"
+            if depth == 0:
+                break
+        else:
+            return [pattern]  # unbalanced: leave as-is
+        out = []
+        for alt in pattern[i + 1 : j].split(","):
+            out.extend(_expand_braces(pattern[:i] + alt + pattern[j + 1 :]))
+        return out
+
     dirs = []
     hist: dict[str, int] = {}
     grand = {"files": 0, "tokens": 0}
-    seen_paths: set[str] = set()  # grand total dedup across globs
+    # Grand-total dedup across globs: detection keys on realpath (so
+    # symlink-aliased overlaps are seen), but the Spark-side filter
+    # matches input_file_name, which is URL-encoded and NOT
+    # symlink-resolved — so track every literal form too and filter
+    # on the decoded normalized source against all of them.
+    seen_real: set[str] = set()
+    raw_by_real: dict[str, set[str]] = {}
     for glob_path in docs_globs:
         # Per-glob entries intentionally count every matched file (the
         # reference's per-directory semantics), but a file matched by
@@ -104,18 +130,29 @@ def run(
         # once (round-9 advice #3). Overlap is detected driver-side
         # with Python glob — free, no Spark job, no second encode in
         # the disjoint (normal) case.
-        matched = set()
-        for p in _pyglob.glob(glob_path):
-            if _os.path.isdir(p):  # spark.read.text(dir) = files within
-                matched |= {
-                    _os.path.realpath(_os.path.join(p, f))
-                    for f in _os.listdir(p)
-                    if _os.path.isfile(_os.path.join(p, f))
-                }
-            else:
-                matched.add(_os.path.realpath(p))
-        dup = matched & seen_paths
-        seen_paths |= matched
+        matched: dict[str, set[str]] = {}  # realpath -> literal paths
+
+        def _note(p):
+            ap = _os.path.abspath(p)
+            matched.setdefault(_os.path.realpath(p), set()).add(ap)
+
+        for pat in _expand_braces(glob_path):
+            for p in _pyglob.glob(pat):
+                if _os.path.isdir(p):  # spark.read.text(dir) = within
+                    for f in _os.listdir(p):
+                        fp = _os.path.join(p, f)
+                        if _os.path.isfile(fp):
+                            _note(fp)
+                else:
+                    _note(p)
+        dup_real = set(matched) & seen_real
+        # every literal form any glob used for the duplicated files
+        dup = set()
+        for rp in dup_real:
+            dup |= matched[rp] | raw_by_real.get(rp, set()) | {rp}
+        seen_real |= set(matched)
+        for rp, raws in matched.items():
+            raw_by_real.setdefault(rp, set()).update(raws)
         df = _counted(spark, glob_path, model, merges_file).select(
             "doc_name", "n_tokens", "source"
         )
@@ -130,8 +167,12 @@ def run(
         buckets = _bucketed(df)
         if dup:
             # second (persisted — no re-encode) agg excluding the
-            # files an earlier glob already fed into the grand total
-            norm = F.regexp_replace(F.col("source"), "^file:/*", "/")
+            # files an earlier glob already fed into the grand total;
+            # url_decode undoes input_file_name's percent-encoding
+            # (spaces etc.) so the path-string compare is faithful
+            norm = F.url_decode(
+                F.regexp_replace(F.col("source"), "^file:/*", "/")
+            )
             gbuckets = _bucketed(df.filter(~norm.isin(sorted(dup))))
         else:
             gbuckets = buckets

@@ -2817,6 +2817,7 @@ def incremental_substring_pairs(
     min_len: int = SUBSTR_L,
     k: int = SUBSTR_K,
     history_fps: DataFrame | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """(doc_id, hist_id, n_shared_grams): which incoming docs share a
     verbatim >=min_len substring with the EXISTING corpus — the
@@ -2832,18 +2833,29 @@ def incremental_substring_pairs(
     ``history_fps``: pass the persisted store (substring_fp_table over
     history) to skip rebuilding it per call — the streaming twin
     (streaming/pipeline.py::serve_incremental_substring) builds it
-    once and probes it every epoch."""
+    once and probes it every epoch.
+
+    ``scratch``: if given, every DataFrame THIS call persists is
+    appended to it so a long-lived caller (a per-epoch foreachBatch)
+    can unpersist after materializing — clearCache() is not an option
+    there because it would evict the shared store (round-10 review:
+    without this, each micro-batch leaked its delta fp table and hit
+    join until storage OOM). Batch/catalog callers may ignore it per
+    the catalog-wide clearCache contract."""
     bi = _substring_base(incoming)
     bh = _substring_base(history)
+    created = scratch if scratch is not None else []
     fi = substring_fp_table(bi, min_len, k).persist()
-    fh = (
-        history_fps
-        if history_fps is not None
-        else substring_fp_table(bh, min_len, k).persist()
-    )
+    created.append(fi)
+    if history_fps is not None:
+        fh = history_fps
+    else:
+        fh = substring_fp_table(bh, min_len, k).persist()
+        created.append(fh)
     hits = fi.join(
         fh.select(F.col("doc_id").alias("hist_id"), "fp"), "fp"
     ).persist()
+    created.append(hits)
     inc_ids = hits.select("doc_id").distinct()
     hist_ids = hits.select(F.col("hist_id").alias("doc_id")).distinct()
     gi = _l_grams(bi.join(F.broadcast(inc_ids), "doc_id"), min_len)

@@ -1319,7 +1319,13 @@ def _bpe_train_batched(
         # lineage in every task binary — ~60 rounds deep it
         # StackOverflows task DEserialization and takes the
         # SparkContext down. localCheckpoint every few rounds cuts the
-        # chain; persist covers the rounds in between.
+        # chain; persist covers the rounds in between. NB the
+        # unpersist below is a cache-manager no-op on checkpointed
+        # frames — their blocks are released by the ContextCleaner
+        # when driver GC drops the RDD handle. Acceptable: the table
+        # is the DISTINCT-WORD vocabulary (corpus-compressed, ~|vocab|
+        # rows at any corpus size), so a few pinned generations are
+        # KBs locally / MBs at 100 TB, not corpus-sized.
         nxt = nxt.localCheckpoint() if r % 8 == 0 else nxt.persist()
         toks.unpersist()
         toks = nxt
@@ -1958,8 +1964,14 @@ def _vocab_tokens_ctes(batch: int = 48) -> str:
 
     merges = _vocab_merges()
     rs, rs2 = "chr(30)", "chr(30) || chr(30)"
-    for left, right in merges:  # literals are embedded: keep them tame
-        assert _re.fullmatch(r"[a-z]+", left + right), (left, right)
+    for left, right in merges:
+        # literals are embedded in SQL: an explicit raise (not assert —
+        # python -O strips asserts) guards the injection surface
+        if not _re.fullmatch(r"[a-z]+", left + right):
+            raise ValueError(
+                f"vocab merge ({left!r},{right!r}) is not pure [a-z] — "
+                "refusing to embed it as a SQL literal"
+            )
     ctes = [
         f"""vp0 AS (
   SELECT doc_id,

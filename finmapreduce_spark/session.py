@@ -24,6 +24,25 @@ from pyspark.sql import SparkSession
 _LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _spark_defaults_sets(key: str) -> bool:
+    """True if the operator's spark-defaults.conf configures ``key``
+    (best effort; missing/unreadable file → False)."""
+    conf_dir = os.environ.get("SPARK_CONF_DIR") or os.path.join(
+        os.environ.get("SPARK_HOME", ""), "conf"
+    )
+    try:
+        with open(os.path.join(conf_dir, "spark-defaults.conf")) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                if line.split(None, 1)[0].split("=", 1)[0] == key:
+                    return True
+    except OSError:
+        pass
+    return False
+
+
 def get_spark(
     app_name: str = "finmapreduce_spark",
     extra_conf: dict[str, str] | None = None,
@@ -63,17 +82,23 @@ def get_spark(
         builder = builder.config(k, v)
     # Default the driver heap to 6g in local mode: a single local[32]
     # JVM is both "driver" and "executors", and one test session runs
-    # the full 168-query catalog sweep whose legitimately-pinned blocks
+    # the full catalog sweep whose legitimately-pinned blocks
     # (persisted ANN serve indexes, connected-components localCheckpoint
     # rounds) overflow Spark's 1 GiB default heap (round-9 verdict #1:
     # deterministic java.lang.OutOfMemoryError mid-sweep). Only
     # effective at JVM launch — getOrCreate of an existing session
     # ignores it, same as every other launch-time conf here. On a real
     # cluster the driver heap comes from spark-submit and this env/
-    # default pair is irrelevant.
-    builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g")
-    )
+    # default pair is irrelevant. An operator-provided
+    # spark-defaults.conf wins over OUR default (builder confs beat
+    # spark-defaults, so setting ours unconditionally would silently
+    # downgrade a configured 16g — round-10 review finding); the
+    # explicit SPARK_GRAFT_DRIVER_MEM env var wins over both.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem is None and not _spark_defaults_sets("spark.driver.memory"):
+        mem = "6g"
+    if mem is not None:
+        builder = builder.config("spark.driver.memory", mem)
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{_LOCAL_CPUS}]")
     spark = builder.master(master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -221,10 +221,18 @@ def serve_incremental_substring(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        pairs = incremental_substring_pairs(
-            batch_df, history_docs, history_fps=history_fps
-        )
-        _epoch_json(pairs, out_dir, epoch_id)
+        # per-epoch persists must be released HERE (clearCache would
+        # evict the shared history store) — round-10 review finding
+        scratch: list = []
+        try:
+            pairs = incremental_substring_pairs(
+                batch_df, history_docs, history_fps=history_fps,
+                scratch=scratch,
+            )
+            _epoch_json(pairs, out_dir, epoch_id)
+        finally:
+            for df in scratch:
+                df.unpersist()
 
     return (
         incoming_docs.writeStream.foreachBatch(process_batch)
