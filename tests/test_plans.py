@@ -935,3 +935,32 @@ def test_orc_scan_prunes_lang_partitions(spark, sf_dir):
     plan = plan_of(QS["documents_orc_scan"].spark(spark, sf_dir))
     assert "PartitionFilters" in plan and "lang" in plan
     assert "EvalPython" not in plan
+
+
+def test_bpe_vocab_chunk_is_single_scan_zero_shuffle(spark, sf_dir):
+    """Round-10 vocab lane: the Arrow MergesBPE chunk path must be ONE
+    parquet scan feeding one Arrow hop + posexplode — the merge table
+    ships in the UDF closure, so ANY Exchange or Join here is a bug
+    (the lane's whole 100 TB story is embarrassing parallelism)."""
+    import re
+
+    plan = plan_of(QS["bpe_vocab_chunk_documents"].spark(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # formatted explain lists each node once in the tree and once in
+    # the details section — count detail headers, not substrings
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_substring_dedup_winnow_side_shuffles_are_bounded(spark, sf_dir):
+    """The winnow front-end's only exchanges are the explicit local
+    fan-out repartition, the fp-count aggregate, and the candidate-id
+    distinct; the candidate-slice and gram joins must broadcast (the
+    candidate set is duplicate-structure-sized) — a SortMergeJoin or
+    nested-loop anywhere means the linear/quadratic split regressed."""
+    plan = plan_of(QS["dedup_exact_substring"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
