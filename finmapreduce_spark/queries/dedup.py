@@ -2811,6 +2811,49 @@ QUERIES.update(
 )
 
 
+def dedup_substring_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verbatim-substring pair graph;
+    canonical = min doc_id per component — the document-level
+    keep/drop decision for verbatim duplication ("train on one copy",
+    Lee et al. 2021), composed from the same O(log n)-round
+    large-star/small-star CC the near-dup cluster query uses. Only
+    docs participating in at least one pair appear (matching the
+    oracle's walk over the edge set)."""
+    pairs = dedup_exact_substring(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+SUBSTR_CLUSTER_ORACLE = f"""
+WITH RECURSIVE spairs AS ({EXACT_SUBSTRING_ORACLE}),
+edges AS (
+  SELECT doc_a, doc_b FROM spairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM spairs
+),
+walk(doc_id, label) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_b, w.label FROM walk w JOIN edges e ON e.doc_a = w.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id,
+       doc_id = min(label) AS is_canonical
+FROM walk GROUP BY doc_id
+"""
+
+QUERIES.update(
+    {
+        "dedup_substring_clusters": QuerySpec(
+            dedup_substring_clusters, SUBSTR_CLUSTER_ORACLE
+        ),
+    }
+)
+
+
 def incremental_substring_pairs(
     incoming: DataFrame,
     history: DataFrame,

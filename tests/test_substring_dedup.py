@@ -226,3 +226,30 @@ def test_incremental_equals_batch_restriction(spark):
     assert inc == normalized
     assert (0, 1) in inc and (0, 5) in inc and (2, 3) in inc
     assert not any(d == 4 for d, _ in inc)
+
+
+def test_substring_clusters_transitive_components(spark):
+    """A->B and B->C verbatim overlaps (A and C share nothing) must
+    cluster all three together with min-id canonical — CC transitivity
+    over the pair graph."""
+    from finmapreduce_spark.queries.dedup import (
+        connected_components,
+        exact_substring_pairs,
+    )
+
+    rng = random.Random(9001)
+    s_ab = _rand_text(rng, SUBSTR_L)
+    s_bc = _rand_text(rng, SUBSTR_L)
+    rows = [
+        (10, s_ab + _rand_text(rng, 100)),
+        (11, _rand_text(rng, 40) + s_ab + s_bc),
+        (12, s_bc + _rand_text(rng, 90)),
+        (13, _rand_text(rng, 260)),  # isolated: absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = exact_substring_pairs(docs).select("doc_a", "doc_b")
+    labels = {
+        r["doc_id"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    spark.catalog.clearCache()
+    assert labels == {10: 10, 11: 10, 12: 10}
