@@ -486,6 +486,51 @@ def compact_gram_store(
         }
 
 
+def compact_fp_store(
+    spark,
+    store_dir: str,
+    target_files: int = 4,
+) -> dict:
+    """Periodic offline compaction for the winnowing FINGERPRINT store
+    (substring_fp_table rows appended per epoch by
+    serve_incremental_substring_continuous) — the lifecycle twin of
+    compact_signature_store for the exact-substring family. Rewrite =
+    dropDuplicates on the logical key (doc_id, fp) (replayed epochs
+    re-append identical rows) → repartition to ``target_files`` on the
+    probe key fp → sort within files by fp so the store's probe joins
+    skip on tight row-group min/max. Atomic directory swap with a
+    ``.pre-compact`` rollback copy, same locking/append-marker guards
+    as the other stores."""
+    import glob
+    import shutil
+
+    with _StoreLock(store_dir):
+        _check_no_appenders(store_dir)
+        seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
+        files_before = len(seen)
+        df = spark.read.option("mergeSchema", "true").parquet(store_dir)
+        rows_before = df.count()
+        cols = [c for c in df.columns if c != "epoch_id"]
+        compacted = (
+            df.select(*cols)  # sealed on rewrite, like the band store
+            .dropDuplicates(["doc_id", "fp"])
+            .repartition(target_files, F.col("fp"))
+            .sortWithinPartitions("fp")
+        )
+        tmp_dir = store_dir.rstrip("/") + ".compacting"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        compacted.write.mode("overwrite").parquet(tmp_dir)
+        rows_after = spark.read.parquet(tmp_dir).count()
+        _swap_in_compacted(store_dir, tmp_dir, seen)
+        files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+        }
+
+
 def save_corpus_orc(df, path: str) -> None:
     """ORC corpus layout, partitioned by lang — the format-breadth
     twin of the parquet layouts above for estates standardized on ORC

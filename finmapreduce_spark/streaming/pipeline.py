@@ -241,6 +241,95 @@ def serve_incremental_substring(
     )
 
 
+SUBSTR_MAX_CONTAINMENT = 0.5
+
+
+def serve_incremental_substring_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_containment: float = SUBSTR_MAX_CONTAINMENT,
+):
+    """EXACT-SUBSTRING ingest dedup with a LIVE fingerprint store —
+    the winnowing member of the continuous-store family. Each epoch:
+    winnow the micro-batch (substring_fp_table — the store schema),
+    probe the store, and score each incoming doc's WINNOW CONTAINMENT
+    = fraction of its selected fingerprints already present in
+    history (the MOSS-style overlap score; a verbatim copy scores
+    ~1.0, fresh text ~0.0). Docs above ``max_containment`` are
+    rejected (verdict rows append as JSON with their scores); the
+    ADMITTED docs' fingerprints append back, so a doc admitted in
+    epoch N rejects its verbatim copy in epoch N+1 (cross-epoch pin
+    in tests). Containment is fingerprint-level — the cheap streaming
+    gate; batch-side exact verification (the L-gram join) remains the
+    offline arbiter, same division as bands-vs-verify in the LSH
+    family.
+
+    Replay/locking posture is identical to
+    serve_incremental_dedup_continuous: _prior_history excludes this
+    epoch's own crashed-attempt appends (keyed on epoch_id, so a doc
+    resubmitted in a LATER epoch still matches its prior rows),
+    appends run under the append-marker/compaction-lock guard, and
+    compact_fp_store rewrites the accreted epoch files.
+
+    Scale: per-epoch cost is |delta| winnow + one semi-join against
+    the store's distinct fingerprints; the store grows by
+    admitted-delta and its probe join skips on fp min/max after the
+    compactor's sorted rewrite."""
+    from finmapreduce_spark.queries.dedup import (
+        _substring_base,
+        substring_fp_table,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _check_store_unlocked(store_dir)
+        spark = batch_df.sparkSession
+        inc_fps = substring_fp_table(_substring_base(batch_df)).persist()
+        rejected = None
+        try:
+            history = _prior_history(spark, store_dir, epoch_id).dropDuplicates(
+                ["doc_id", "fp"]
+            )
+            totals = inc_fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+            hits = (
+                inc_fps.join(history.select("fp").distinct(), "fp")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_hit"))
+            )
+            scored = (
+                totals.join(hits, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "n_fps",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(
+                        F.coalesce("n_hit", F.lit(0)) / F.col("n_fps"), 6
+                    ).alias("containment"),
+                )
+            )
+            rejected = scored.filter(
+                F.col("containment") > max_containment
+            ).persist()
+            _epoch_json(rejected, out_dir, epoch_id)
+            admitted_fps = inc_fps.join(
+                rejected.select("doc_id"), "doc_id", "left_anti"
+            )
+            _guarded_store_append(admitted_fps, store_dir, epoch_id)
+        finally:
+            if rejected is not None:
+                rejected.unpersist()
+            inc_fps.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def serve_incremental_passages_continuous(
     incoming_docs: DataFrame,
     store_dir: str,

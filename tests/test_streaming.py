@@ -1163,3 +1163,138 @@ def test_streaming_incremental_substring_matches_batch_twin(
     )
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_continuous_substring_store_grows_across_epochs(spark, tmp_path):
+    """Round-10: a doc ADMITTED in epoch 0 must reject its verbatim
+    copy arriving in epoch 1 via winnow containment — the fingerprint
+    store actually updates between micro-batches."""
+    import json as _json
+    import os as _os
+    import random
+    import string
+    import time as _time
+
+    from finmapreduce_spark.queries.dedup import (
+        _substring_base,
+        substring_fp_table,
+    )
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_substring_continuous,
+    )
+
+    rng = random.Random(10010)
+
+    def txt(n):
+        return "".join(
+            rng.choice(string.ascii_letters + "   ") for _ in range(n)
+        )
+
+    base_text = txt(400)
+    verbatim_copy = base_text[: 360]  # 90% of the admitted doc
+    unrelated, unrelated2 = txt(400), txt(400)
+
+    store = tmp_path / "fp_store"
+    seed = spark.createDataFrame(
+        [(1, unrelated)], "doc_id long, text string"
+    )
+    substring_fp_table(_substring_base(seed)).write.parquet(str(store))
+
+    landing = tmp_path / "ss_landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 100, "text": base_text}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 200, "text": verbatim_copy}) + "\n"
+        + _json.dumps({"doc_id": 201, "text": unrelated2}) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "ss_verdicts"
+    q = serve_incremental_substring_continuous(
+        stream, str(store), str(out), str(tmp_path / "ss_ckpt")
+    ).start()
+    q.awaitTermination()
+
+    rej = {
+        r["doc_id"]: r["containment"]
+        for r in spark.read.json(str(out)).collect()
+    }
+    assert 100 not in rej  # fresh text admitted against unrelated seed
+    assert 201 not in rej  # fresh text admitted in epoch 1
+    assert rej.get(200, 0) > 0.5  # verbatim copy caught by UPDATED store
+    # store holds seed + admitted docs' fps, not the rejected copy's
+    store_docs = {
+        r["doc_id"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(str(store))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert store_docs == {1, 100, 201}
+
+
+def test_compact_fp_store_preserves_probe_results(spark, tmp_path):
+    """compact_fp_store: files shrink, duplicate replayed rows
+    collapse, and a containment probe sees identical results before
+    and after the rewrite."""
+    import random
+    import string
+
+    from finmapreduce_spark.queries.dedup import (
+        _substring_base,
+        substring_fp_table,
+    )
+    from finmapreduce_spark.sources.sinks import compact_fp_store
+
+    rng = random.Random(10011)
+
+    def txt(n):
+        return "".join(
+            rng.choice(string.ascii_letters + "   ") for _ in range(n)
+        )
+
+    store = tmp_path / "fp_store2"
+    docs = spark.createDataFrame(
+        [(i, txt(300)) for i in range(6)], "doc_id long, text string"
+    )
+    fps = substring_fp_table(_substring_base(docs))
+    fps.write.parquet(str(store))
+    # simulate replayed epoch appends: same rows again, stamped
+    from pyspark.sql import functions as F
+
+    fps.withColumn("epoch_id", F.lit(3).cast("long")).write.mode(
+        "append"
+    ).parquet(str(store))
+    fps.withColumn("epoch_id", F.lit(3).cast("long")).write.mode(
+        "append"
+    ).parquet(str(store))
+
+    def probe():
+        hist = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(str(store))
+            .select("doc_id", "fp")
+            .dropDuplicates(["doc_id", "fp"])
+        )
+        return sorted(
+            tuple(r) for r in hist.groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    before = probe()
+    stats = compact_fp_store(spark, str(store), target_files=2)
+    after = probe()
+    assert after == before
+    assert stats["rows_after"] < stats["rows_before"]  # replays collapsed
+    assert stats["files_after"] <= stats["files_before"]
+    assert "epoch_id" not in spark.read.parquet(str(store)).columns
