@@ -2811,6 +2811,110 @@ QUERIES.update(
 )
 
 
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = SUBSTR_L,
+    k: int = SUBSTR_K,
+) -> DataFrame:
+    """(doc_a, doc_b, a_start, b_start, span_len): the MAXIMAL
+    verbatim spans (>= min_len chars) each unordered doc pair shares —
+    what Lee-2021-style trimming actually removes, located by 1-based
+    char offset in both documents.
+
+    Shape: the char-level twin of the word-level passage detector —
+    positional stride-1 L-grams of the candidate slice join on gram
+    (doc_a < doc_b), each match lands on a diagonal (pa - pb), and
+    consecutive-position islands per (pair, diagonal) are maximal
+    spans: an island of r matched grams covers r + L - 1 chars. A
+    gram repeated within a doc matches on several diagonals — each is
+    a genuine distinct alignment and reports its own span. Uncapped
+    (exactness vs the oracle is the contract here); a production
+    ingest would bound per-gram occurrences like the passage family's
+    PASSAGE_MAX_OCC before the join."""
+    _, cd = _substring_candidate_slice(docs, min_len, k)
+    ct = F.col("t")
+    cn = F.length(ct)
+    gp = (
+        cd.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    cn >= min_len,
+                    F.transform(
+                        F.sequence(F.lit(1), cn - min_len + 1),
+                        lambda i: ct.substr(i, F.lit(min_len)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gram")
+        .persist()  # both self-join sides
+    )
+    ga, gb = gp.alias("ga"), gp.alias("gb")
+    pr = ga.join(
+        gb,
+        (F.col("ga.gram") == F.col("gb.gram"))
+        & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+    ).select(
+        F.col("ga.doc_id").alias("doc_a"),
+        F.col("gb.doc_id").alias("doc_b"),
+        F.col("ga.pos").alias("pa"),
+        F.col("gb.pos").alias("pb"),
+        (F.col("ga.pos") - F.col("gb.pos")).alias("diag"),
+    )
+    wd = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pr.withColumn("grp", F.col("pa") - F.row_number().over(wd))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count("*") + F.lit(min_len - 1)).cast("long").alias("span_len"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+    )
+
+
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substring_spans(_docs(spark, sf_dir))
+
+
+EXACT_SUBSTRING_SPANS_ORACLE = f"""
+WITH cg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substring(coalesce(text, ''), CAST(i AS INT), {SUBSTR_L}) AS gram
+  FROM documents,
+       LATERAL unnest(range(1, length(coalesce(text, '')) - {SUBSTR_L} + 2))
+         AS t(i)
+  WHERE length(coalesce(text, '')) >= {SUBSTR_L}
+),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+  FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS grp
+  FROM pr
+)
+SELECT doc_a, doc_b,
+       CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(count(*) + {SUBSTR_L} - 1 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_a, doc_b, diag, grp
+"""
+
+QUERIES.update(
+    {
+        "dedup_exact_substring_spans": QuerySpec(
+            dedup_exact_substring_spans, EXACT_SUBSTRING_SPANS_ORACLE
+        ),
+    }
+)
+
+
 def dedup_substring_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verbatim-substring pair graph;
     canonical = min doc_id per component — the document-level

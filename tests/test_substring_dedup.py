@@ -253,3 +253,51 @@ def test_substring_clusters_transitive_components(spark):
     }
     spark.catalog.clearCache()
     assert labels == {10: 10, 11: 10, 12: 10}
+
+
+def test_spans_exact_boundaries_and_offsets(spark):
+    """Maximal spans report 1-based offsets in BOTH docs and the full
+    span length (not just >= L): planted span of L+e at known offsets
+    must come back as exactly one island with those coordinates."""
+    from finmapreduce_spark.queries.dedup import exact_substring_spans
+
+    rng = random.Random(11001)
+    e = 17
+    span = _rand_text(rng, SUBSTR_L + e)
+    head_a, head_b = _rand_text(rng, 53), _rand_text(rng, 8)
+    rows = [
+        (1, head_a + span + _rand_text(rng, 60)),
+        (2, head_b + span + _rand_text(rng, 33)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in exact_substring_spans(docs)
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+        .collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == [(1, 2, len(head_a) + 1, len(head_b) + 1, SUBSTR_L + e)]
+
+
+def test_spans_two_alignments_report_separately(spark):
+    """The same span planted TWICE in one doc matches the other doc's
+    single copy on two diagonals — two distinct maximal spans, both
+    full length."""
+    from finmapreduce_spark.queries.dedup import exact_substring_spans
+
+    rng = random.Random(11002)
+    span = _rand_text(rng, SUBSTR_L)
+    gap = _rand_text(rng, 45)
+    rows = [
+        (1, span + gap + span),
+        (2, _rand_text(rng, 20) + span + _rand_text(rng, 70)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["a_start"], r["b_start"], r["span_len"])
+        for r in exact_substring_spans(docs).collect()
+    )
+    spark.catalog.clearCache()
+    second = 1 + SUBSTR_L + len(gap)
+    assert got == [(1, 21, SUBSTR_L), (second, 21, SUBSTR_L)]
