@@ -2034,6 +2034,66 @@ SELECT vtok.doc_id,
 FROM vtok JOIN chars ON vtok.doc_id = chars.doc_id
 """
 
+def bpe_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostics per document under the vendored
+    vocab: single-char-token fraction (high = the vocabulary doesn't
+    cover this text — chars fall through unmerged) and average token
+    length (chars/token; tokens partition the text, so the numerator
+    is just n_chars). The per-doc signal a pipeline uses to decide
+    whether a trained tokenizer transfers to a new corpus slice."""
+    from pyspark.sql import types as T
+
+    from finmapreduce_spark.functions.mini_bpe import MergesBPE
+
+    factory = MergesBPE.factory(_vocab_merges())
+
+    @F.pandas_udf("n_tokens long, n_single long")
+    def _fert(texts: pd.Series) -> pd.DataFrame:
+        enc = factory()
+
+        def stats(s):
+            toks = [enc._tok[i] for i in enc.encode(s)]
+            return len(toks), sum(1 for t in toks if len(t) == 1)
+
+        out = texts.fillna("").map(stats)
+        return pd.DataFrame(
+            {"n_tokens": [a for a, _ in out], "n_single": [b for _, b in out]}
+        )
+
+    docs = _docs_rs_stripped(spark, sf_dir)
+    st = _fert(F.col("text")).alias("st")
+    chars = F.length("text")
+    return docs.select("doc_id", st, chars.alias("c")).select(
+        "doc_id",
+        F.col("st.n_tokens").alias("n_tokens"),
+        F.col("st.n_single").alias("n_single"),
+        F.when(
+            F.col("st.n_tokens") > 0,
+            F.round(F.col("st.n_single") / F.col("st.n_tokens"), 6),
+        ).alias("single_frac"),
+        F.when(
+            F.col("st.n_tokens") > 0,
+            F.round(F.col("c") / F.col("st.n_tokens"), 6),
+        ).alias("avg_token_len"),
+    )
+
+
+VOCAB_FERTILITY_ORACLE = f"""
+WITH {_vocab_tokens_ctes()},
+chars AS (SELECT doc_id,
+                 length(replace(coalesce(text, ''), chr(30), '')) AS c
+          FROM documents)
+SELECT vtok.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(tk, t -> length(t) = 1)) AS BIGINT) AS n_single,
+       CASE WHEN len(tk) > 0
+            THEN round(len(list_filter(tk, t -> length(t) = 1)) * 1.0
+                       / len(tk), 6) END AS single_frac,
+       CASE WHEN len(tk) > 0
+            THEN round(c * 1.0 / len(tk), 6) END AS avg_token_len
+FROM vtok JOIN chars ON vtok.doc_id = chars.doc_id
+"""
+
 QUERIES.update(
     {
         "bpe_vocab_chunk_documents": QuerySpec(
@@ -2041,6 +2101,9 @@ QUERIES.update(
         ),
         "bpe_vocab_token_stats": QuerySpec(
             bpe_vocab_token_stats, VOCAB_STATS_ORACLE
+        ),
+        "bpe_vocab_fertility": QuerySpec(
+            bpe_vocab_fertility, VOCAB_FERTILITY_ORACLE
         ),
     }
 )
