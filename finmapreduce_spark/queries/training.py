@@ -2041,8 +2041,6 @@ def bpe_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (chars/token; tokens partition the text, so the numerator
     is just n_chars). The per-doc signal a pipeline uses to decide
     whether a trained tokenizer transfers to a new corpus slice."""
-    from pyspark.sql import types as T
-
     from finmapreduce_spark.functions.mini_bpe import MergesBPE
 
     factory = MergesBPE.factory(_vocab_merges())

@@ -371,11 +371,39 @@ def compact_signature_store(
     stay cheap and reads stay wide-file. Returns before/after file and
     row counts so the scheduler can decide when compaction pays.
     """
+    return _compact_store(
+        spark,
+        store_dir,
+        target_files,
+        rewrite=lambda d: d.dropDuplicates(["doc_id", "band_id", "key"]),
+        probe_key="key",
+    )
+
+
+def _compact_store(
+    spark,
+    store_dir: str,
+    target_files: int,
+    rewrite,
+    probe_key: str,
+) -> dict:
+    """Shared compaction skeleton for every epoch-append store
+    (signature / gram / fingerprint — round-10 review: three verbatim
+    copies of the lock/list/rewrite/swap protocol must not diverge).
+    ``rewrite(df) -> df`` applies the store-specific dedup/caps to the
+    epoch-stripped merged frame; the skeleton owns locking, the
+    in-lock file listing, the probe-key-sorted rewrite (tight
+    row-group min/max for the store's point-probe joins), the atomic
+    two-rename swap with the concurrent-append guard, and the
+    before/after stats."""
     import glob
     import shutil
 
     with _StoreLock(store_dir):
         _check_no_appenders(store_dir)
+        # list INSIDE the lock: a file appended between an outside
+        # listing and the locked read would be included in the rewrite
+        # yet flagged as 'gained' by the swap guard
         seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
         files_before = len(seen)
         # mergeSchema: live epoch appends carry an epoch_id stamp the
@@ -385,10 +413,9 @@ def compact_signature_store(
         df = spark.read.option("mergeSchema", "true").parquet(store_dir)
         rows_before = df.count()
         compacted = (
-            df.drop("epoch_id")
-            .dropDuplicates(["doc_id", "band_id", "key"])
-            .repartition(target_files, F.col("key"))
-            .sortWithinPartitions("key")
+            rewrite(df.drop("epoch_id"))
+            .repartition(target_files, F.col(probe_key))
+            .sortWithinPartitions(probe_key)
         )
         tmp_dir = store_dir.rstrip("/") + ".compacting"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -430,9 +457,6 @@ def compact_gram_store(
     re-application is two count-only aggs + a semi join — no list
     collection grows with store size.
     """
-    import glob
-    import shutil
-
     from finmapreduce_spark.queries.dedup import (
         PASSAGE_MAX_DF,
         PASSAGE_MAX_OCC,
@@ -440,24 +464,15 @@ def compact_gram_store(
 
     if max_df is None:
         max_df = PASSAGE_MAX_DF
-    with _StoreLock(store_dir):
-        # list INSIDE the lock (like the signature-store twin): a file
-        # appended between an outside listing and the locked read
-        # would be included in the rewrite yet flagged as 'gained'
-        # by the swap guard, failing compaction spuriously
-        _check_no_appenders(store_dir)
-        seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
-        files_before = len(seen)
-        df = spark.read.option("mergeSchema", "true").parquet(store_dir)
-        rows_before = df.count()
+
+    def rewrite(df):
         per = (
-            df.drop("epoch_id")  # sealed on rewrite, like the band store
-            .dropDuplicates(["doc_id", "pos", "h"])
+            df.dropDuplicates(["doc_id", "pos", "h"])
             .groupBy("h", "doc_id")
             .agg(
-                F.slice(F.sort_array(F.collect_list("pos")), 1, PASSAGE_MAX_OCC).alias(
-                    "poss"
-                )
+                F.slice(
+                    F.sort_array(F.collect_list("pos")), 1, PASSAGE_MAX_OCC
+                ).alias("poss")
             )
         )
         ok = (
@@ -466,24 +481,11 @@ def compact_gram_store(
             .filter(F.col("df") <= max_df)
             .select("h")
         )
-        compacted = (
-            per.join(ok, "h")
-            .select("doc_id", F.explode("poss").alias("pos"), "h")
-            .repartition(target_files, F.col("h"))
-            .sortWithinPartitions("h")
+        return per.join(ok, "h").select(
+            "doc_id", F.explode("poss").alias("pos"), "h"
         )
-        tmp_dir = store_dir.rstrip("/") + ".compacting"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        compacted.write.mode("overwrite").parquet(tmp_dir)
-        rows_after = spark.read.parquet(tmp_dir).count()
-        _swap_in_compacted(store_dir, tmp_dir, seen)
-        files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
-        return {
-            "files_before": files_before,
-            "files_after": files_after,
-            "rows_before": rows_before,
-            "rows_after": rows_after,
-        }
+
+    return _compact_store(spark, store_dir, target_files, rewrite, "h")
 
 
 def compact_fp_store(
@@ -501,34 +503,13 @@ def compact_fp_store(
     skip on tight row-group min/max. Atomic directory swap with a
     ``.pre-compact`` rollback copy, same locking/append-marker guards
     as the other stores."""
-    import glob
-    import shutil
-
-    with _StoreLock(store_dir):
-        _check_no_appenders(store_dir)
-        seen = set(glob.glob(os.path.join(store_dir, "*.parquet")))
-        files_before = len(seen)
-        df = spark.read.option("mergeSchema", "true").parquet(store_dir)
-        rows_before = df.count()
-        cols = [c for c in df.columns if c != "epoch_id"]
-        compacted = (
-            df.select(*cols)  # sealed on rewrite, like the band store
-            .dropDuplicates(["doc_id", "fp"])
-            .repartition(target_files, F.col("fp"))
-            .sortWithinPartitions("fp")
-        )
-        tmp_dir = store_dir.rstrip("/") + ".compacting"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        compacted.write.mode("overwrite").parquet(tmp_dir)
-        rows_after = spark.read.parquet(tmp_dir).count()
-        _swap_in_compacted(store_dir, tmp_dir, seen)
-        files_after = len(glob.glob(os.path.join(store_dir, "*.parquet")))
-        return {
-            "files_before": files_before,
-            "files_after": files_after,
-            "rows_before": rows_before,
-            "rows_after": rows_after,
-        }
+    return _compact_store(
+        spark,
+        store_dir,
+        target_files,
+        rewrite=lambda d: d.dropDuplicates(["doc_id", "fp"]),
+        probe_key="fp",
+    )
 
 
 def save_corpus_orc(df, path: str) -> None:

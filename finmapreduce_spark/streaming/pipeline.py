@@ -290,9 +290,12 @@ def serve_incremental_substring_continuous(
         inc_fps = substring_fp_table(_substring_base(batch_df)).persist()
         rejected = None
         try:
-            history = _prior_history(spark, store_dir, epoch_id).dropDuplicates(
-                ["doc_id", "fp"]
-            )
+            # no (doc_id, fp) dedup here: the probe only consumes the
+            # DISTINCT fp set, which subsumes it (round-10 review —
+            # the extra dedup was a redundant whole-store shuffle per
+            # epoch; the band twin needs its row-level dedup because
+            # its history rows feed a fan-out join, ours do not)
+            history = _prior_history(spark, store_dir, epoch_id)
             totals = inc_fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
             hits = (
                 inc_fps.join(history.select("fp").distinct(), "fp")
