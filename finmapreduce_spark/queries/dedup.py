@@ -2958,6 +2958,99 @@ QUERIES.update(
 )
 
 
+def dedup_master_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone ship-to-training decision, combining EVERY dedup
+    signal this engine computes: edge set = exact content-hash dup
+    pairs ∪ MinHash-LSH near-dup pairs (grid, Jaccard-verified) ∪
+    SimHash pairs (grid, Hamming-verified) ∪ semantic pairs
+    (band-candidates ∘ embedding-cosine gate) ∪ verbatim-substring
+    pairs (winnow + exact gram verify) → ONE connected-components
+    pass → keep the min-id doc per component. A doc survives only if
+    no signal ties it to a smaller-id duplicate by ANY definition of
+    duplicate.
+
+    Scale: each edge generator is the already-bounded family operator
+    (banded/grid/candidate-sliced — never n²); the union is edge-
+    volume-sized; CC is the O(log n)-round star algorithm. This is
+    the plan shape a production curation run actually executes."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", F.md5(F.trim(F.lower("text"))).alias("content_hash")
+    )
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper")
+    )
+    exact_edges = (
+        hashed.join(keepers, "content_hash")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    edges = (
+        exact_edges.unionByName(
+            dedup_lsh_pairs_grid(spark, sf_dir).select("doc_a", "doc_b")
+        )
+        .unionByName(
+            dedup_simhash_pairs_grid(spark, sf_dir).select("doc_a", "doc_b")
+        )
+        .unionByName(
+            dedup_semantic_verify(spark, sf_dir).select("doc_a", "doc_b")
+        )
+        .unionByName(exact_substring_pairs(docs).select("doc_a", "doc_b"))
+        .distinct()
+    )
+    labels = connected_components(edges)
+    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    return docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+
+
+DEDUP_MASTER_KEEP_ORACLE = f"""
+WITH RECURSIVE
+hashed AS (
+  SELECT doc_id, md5(trim(lower(text))) AS content_hash FROM documents
+),
+keepers AS (
+  SELECT content_hash, min(doc_id) AS keeper FROM hashed GROUP BY 1
+),
+edges0 AS (
+  SELECT keeper AS doc_a, doc_id AS doc_b
+  FROM hashed JOIN keepers USING (content_hash) WHERE doc_id <> keeper
+  UNION
+  SELECT doc_a, doc_b FROM ({DEDUP_LSH_ORACLE})
+  UNION
+  SELECT doc_a, doc_b FROM ({DEDUP_SIMHASH_PAIRS_ORACLE})
+  UNION
+  SELECT doc_a, doc_b FROM ({DEDUP_SEMANTIC_ORACLE})
+  UNION
+  SELECT doc_a, doc_b FROM ({EXACT_SUBSTRING_ORACLE})
+),
+edges AS (
+  SELECT doc_a, doc_b FROM edges0
+  UNION ALL
+  SELECT doc_b, doc_a FROM edges0
+),
+walk(doc_id, label) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_b, w.label FROM walk w JOIN edges e ON e.doc_a = w.doc_id
+),
+losers AS (
+  SELECT doc_id FROM walk GROUP BY doc_id HAVING doc_id <> min(label)
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+QUERIES.update(
+    {
+        "dedup_master_keep_list": QuerySpec(
+            dedup_master_keep_list, DEDUP_MASTER_KEEP_ORACLE
+        ),
+    }
+)
+
+
 def incremental_substring_pairs(
     incoming: DataFrame,
     history: DataFrame,
