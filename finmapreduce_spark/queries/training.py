@@ -2106,6 +2106,76 @@ QUERIES.update(
     }
 )
 
+
+def pack_vocab_exact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by EXACT token counts under the vendored
+    vocab tokenizer — the production twin of pack_training_sequences
+    (whose whitespace counts drift from what a trainer's dataloader
+    actually sees; budget-exact packing needs the real tokenizer).
+    Same deterministic layout math: bucket = doc_id mod N, one window
+    cumulative sum per bucket, seq_id/offset from the running total —
+    only the token counter changes (one Arrow MergesBPE pass)."""
+    from finmapreduce_spark.functions.mini_bpe import MergesBPE
+
+    factory = MergesBPE.factory(_vocab_merges())
+
+    @F.pandas_udf("long")
+    def _n_tokens(texts: pd.Series) -> pd.Series:
+        enc = factory()
+        return texts.fillna("").map(lambda s: len(enc.encode(s)))
+
+    docs = _docs_rs_stripped(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(N_PACK_BUCKETS)).alias("bucket"),
+        _n_tokens(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(F.col("cum_before") / SEQ_BUDGET).cast("long").alias("seq_id"),
+        F.pmod(F.col("cum_before"), F.lit(SEQ_BUDGET)).cast("long").alias(
+            "seq_offset"
+        ),
+    )
+
+
+PACK_VOCAB_ORACLE = f"""
+WITH {_vocab_tokens_ctes()},
+toks AS (
+  SELECT doc_id, doc_id % {N_PACK_BUCKETS} AS bucket,
+         CAST(len(tk) AS BIGINT) AS n_tokens
+  FROM vtok
+), packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS cum_before
+  FROM toks
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
+FROM packed
+"""
+
+QUERIES.update(
+    {
+        "pack_vocab_exact_layout": QuerySpec(
+            pack_vocab_exact_layout, PACK_VOCAB_ORACLE
+        ),
+    }
+)
+
 # ---------------------------------------------------------------------------
 # Distributed linear-classifier training (the fasttext-style langid /
 # quality-classifier step of a pre-training data pipeline): hashed
