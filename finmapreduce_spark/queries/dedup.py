@@ -1040,12 +1040,32 @@ FROM walk GROUP BY doc_id
 # removal sets — the removal side is |dups|, far smaller than corpus).
 # ---------------------------------------------------------------------------
 
-def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def _content_hash_keepers(docs: DataFrame):
+    """(hashed, keepers): the ONE definition of the exact-dup
+    canonicalization (md5 of trimmed lowercase text, min-id keeper) —
+    shared by dedup_keep_list and dedup_master_keep_list so the two
+    keep decisions cannot use divergent exact-dup semantics
+    (round-10 review). SQL twin: _EXACT_HASH_CTES."""
     hashed = docs.select(
         "doc_id", F.md5(F.trim(F.lower("text"))).alias("content_hash")
     )
-    keepers = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("keeper"))
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper")
+    )
+    return hashed, keepers
+
+
+_EXACT_HASH_CTES = """hashed AS (
+  SELECT doc_id, md5(trim(lower(text))) AS content_hash FROM documents
+),
+keepers AS (
+  SELECT content_hash, min(doc_id) AS keeper FROM hashed GROUP BY 1
+)"""
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    hashed, keepers = _content_hash_keepers(docs)
     exact_losers = (
         hashed.join(keepers, "content_hash")
         .filter(F.col("doc_id") != F.col("keeper"))
@@ -1065,12 +1085,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_KEEP_ORACLE = f"""
 WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
-hashed AS (
-  SELECT doc_id, md5(trim(lower(text))) AS content_hash FROM documents
-),
-keepers AS (
-  SELECT content_hash, min(doc_id) AS keeper FROM hashed GROUP BY 1
-),
+{_EXACT_HASH_CTES},
 exact_losers AS (
   SELECT doc_id FROM hashed JOIN keepers USING (content_hash)
   WHERE doc_id <> keeper
@@ -2974,12 +2989,7 @@ def dedup_master_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume-sized; CC is the O(log n)-round star algorithm. This is
     the plan shape a production curation run actually executes."""
     docs = _docs(spark, sf_dir)
-    hashed = docs.select(
-        "doc_id", F.md5(F.trim(F.lower("text"))).alias("content_hash")
-    )
-    keepers = hashed.groupBy("content_hash").agg(
-        F.min("doc_id").alias("keeper")
-    )
+    hashed, keepers = _content_hash_keepers(docs)
     exact_edges = (
         hashed.join(keepers, "content_hash")
         .filter(F.col("doc_id") != F.col("keeper"))
@@ -3007,12 +3017,7 @@ def dedup_master_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_MASTER_KEEP_ORACLE = f"""
 WITH RECURSIVE
-hashed AS (
-  SELECT doc_id, md5(trim(lower(text))) AS content_hash FROM documents
-),
-keepers AS (
-  SELECT content_hash, min(doc_id) AS keeper FROM hashed GROUP BY 1
-),
+{_EXACT_HASH_CTES},
 edges0 AS (
   SELECT keeper AS doc_a, doc_id AS doc_b
   FROM hashed JOIN keepers USING (content_hash) WHERE doc_id <> keeper

@@ -67,6 +67,14 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(N_PACK_BUCKETS)).alias("bucket"),
         F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    return _pack_layout(toks)
+
+
+def _pack_layout(toks: DataFrame) -> DataFrame:
+    """The ONE definition of the packed-layout math (round-10 review:
+    the ws and vocab-exact packers must not be able to diverge): toks
+    is (doc_id, bucket, n_tokens); layout = per-bucket window
+    cumulative sum → seq_id/offset from the running total."""
     w = (
         W.partitionBy("bucket")
         .orderBy("doc_id")
@@ -86,23 +94,29 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sql_tail(toks_rel: str) -> str:
+    """SQL twin of _pack_layout over a (doc_id, bucket, n_tokens)
+    relation — shared by both packing oracles."""
+    return f"""packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS cum_before
+  FROM {toks_rel}
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
+FROM packed"""
+
+
 PACK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, doc_id % {N_PACK_BUCKETS} AS bucket,
          CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
            AS n_tokens
   FROM documents
-), packed AS (
-  SELECT doc_id, bucket, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS cum_before
-  FROM toks
-)
-SELECT doc_id, bucket, n_tokens,
-       CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
-       CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
-FROM packed
+), {_pack_sql_tail('toks')}
 """
 
 
@@ -1932,22 +1946,27 @@ def bpe_vocab_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_vocab_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 at vocab scale: per-document exact token counts + observed
-    compression under the vendored 512-merge tokenizer."""
-    from pyspark.sql import types as T
-
+def _vocab_n_tokens_udf():
+    """The ONE exact-token-count UDF under the vendored vocab (shared
+    by the stats and packing queries — round-10 review: duplicates
+    must not be able to desynchronize against the oracle chain)."""
     from finmapreduce_spark.functions.mini_bpe import MergesBPE
 
     factory = MergesBPE.factory(_vocab_merges())
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf("long")
     def _n_tokens(texts: pd.Series) -> pd.Series:
         enc = factory()
         return texts.fillna("").map(lambda s: len(enc.encode(s)))
 
+    return _n_tokens
+
+
+def bpe_vocab_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 at vocab scale: per-document exact token counts + observed
+    compression under the vendored 512-merge tokenizer."""
     docs = _docs_rs_stripped(spark, sf_dir)
-    n = _n_tokens(F.col("text"))
+    n = _vocab_n_tokens_udf()(F.col("text"))
     chars = F.length("text")
     return docs.select(
         "doc_id",
@@ -2114,39 +2133,17 @@ def pack_vocab_exact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually sees; budget-exact packing needs the real tokenizer).
     Same deterministic layout math: bucket = doc_id mod N, one window
     cumulative sum per bucket, seq_id/offset from the running total —
-    only the token counter changes (one Arrow MergesBPE pass)."""
-    from finmapreduce_spark.functions.mini_bpe import MergesBPE
-
-    factory = MergesBPE.factory(_vocab_merges())
-
-    @F.pandas_udf("long")
-    def _n_tokens(texts: pd.Series) -> pd.Series:
-        enc = factory()
-        return texts.fillna("").map(lambda s: len(enc.encode(s)))
-
+    only the token counter changes (one Arrow MergesBPE pass); both
+    the layout and the counter are the SHARED definitions
+    (_pack_layout / _vocab_n_tokens_udf), so the twins cannot
+    diverge."""
     docs = _docs_rs_stripped(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(N_PACK_BUCKETS)).alias("bucket"),
-        _n_tokens(F.col("text")).alias("n_tokens"),
+        _vocab_n_tokens_udf()(F.col("text")).alias("n_tokens"),
     )
-    w = (
-        W.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = toks.withColumn(
-        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
-    return packed.select(
-        "doc_id",
-        "bucket",
-        "n_tokens",
-        F.floor(F.col("cum_before") / SEQ_BUDGET).cast("long").alias("seq_id"),
-        F.pmod(F.col("cum_before"), F.lit(SEQ_BUDGET)).cast("long").alias(
-            "seq_offset"
-        ),
-    )
+    return _pack_layout(toks)
 
 
 PACK_VOCAB_ORACLE = f"""
@@ -2155,17 +2152,7 @@ toks AS (
   SELECT doc_id, doc_id % {N_PACK_BUCKETS} AS bucket,
          CAST(len(tk) AS BIGINT) AS n_tokens
   FROM vtok
-), packed AS (
-  SELECT doc_id, bucket, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS cum_before
-  FROM toks
-)
-SELECT doc_id, bucket, n_tokens,
-       CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
-       CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
-FROM packed
+), {_pack_sql_tail('toks')}
 """
 
 QUERIES.update(
