@@ -38,6 +38,8 @@ def grid_self_pairs(
     id_col: str,
     payload_cols: list[str],
     block: int = DEFAULT_BLOCK,
+    dedupe: bool = True,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Ordered within-bucket pairs (``id_a < id_b``), grid-tiled.
 
@@ -45,10 +47,19 @@ def grid_self_pairs(
     (deduped across buckets), with ``{id}_a`` / ``{id}_b`` and each
     payload column suffixed ``_a`` / ``_b``.
 
+    ``dedupe=False`` keeps one row per (bucket, row-pair) instead —
+    each left/right row pair meets in exactly ONE cell, so the output
+    multiset equals the plain bucket self-join's and per-bucket
+    counting aggregates (e.g. "distinct shared grams per doc pair")
+    can run directly on it without a dropDuplicates shuffle.
+
     The intermediate bucket table is persisted (both join sides read
     it; without the cache the upstream pipeline runs once per side).
     Lifecycle is caller-owned per the catalog-wide contract —
-    ``spark.catalog.clearCache()`` when done.
+    ``spark.catalog.clearCache()`` when done — unless ``scratch`` is
+    given, in which case every frame THIS call persists is appended
+    to it so a long-lived library caller can unpersist after
+    materializing (the incremental-substring pattern).
     """
     wk = W.partitionBy(*bucket_cols)
     indexed = (
@@ -59,6 +70,8 @@ def grid_self_pairs(
         .withColumn("__blk", (F.col("__idx") / block).cast("int"))
         .persist()
     )
+    if scratch is not None:
+        scratch.append(indexed)
     carry = [id_col, *payload_cols, *bucket_cols]
     left = indexed.select(
         *carry,
@@ -86,9 +99,7 @@ def grid_self_pairs(
             F.col(f"l.{c}").alias(f"{c}_a"),
             F.col(f"r.{c}").alias(f"{c}_b"),
         ]
-    return (
-        left.alias("l")
-        .join(right.alias("r"), cond)
-        .select(*out_cols)
-        .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
-    )
+    paired = left.alias("l").join(right.alias("r"), cond).select(*out_cols)
+    if not dedupe:
+        return paired
+    return paired.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])

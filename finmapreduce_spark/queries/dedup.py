@@ -2619,55 +2619,100 @@ def _substring_candidate_slice(
     docs: DataFrame,
     min_len: int = SUBSTR_L,
     k: int = SUBSTR_K,
+    scratch: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared winnow front-end: → (base, candidate_docs) where base is
     (doc_id, t) for the whole corpus and candidate_docs is the slice
     holding a fingerprint seen in >=2 docs. By the window guarantee
     every doc participating in a cross-doc verbatim match of length
     >= min_len is in the slice — downstream exact stages may confine
-    themselves to it."""
+    themselves to it.
+
+    ``scratch``: if given, frames THIS call persists are appended so a
+    long-lived library caller can unpersist after materializing
+    (the incremental_substring_pairs lifecycle); batch/catalog callers
+    may ignore it per the catalog-wide clearCache contract."""
     base = _substring_base(docs)
     # persisted: the winnow transform is the expensive map; without
     # the cache the fp-count aggregate, the candidate semi-join, and
     # BOTH sides of the gram self-join each recompute it (4 parquet
     # scans, measured 16.7 s → 5.5 s warm at sf0.1). Lifecycle is
     # caller-owned per the catalog-wide contract (clearCache when
-    # done — same as pairgrid).
+    # done — same as pairgrid) unless scratch collects it.
     fps = substring_fp_table(base, min_len, k).persist()
+    if scratch is not None:
+        scratch.append(fps)
     # fingerprints seen in >=2 docs -> candidate doc ids (rows are
     # unique per (doc, fp) via array_distinct, so count(*) = doc count)
     shared_fp = (
         fps.groupBy("fp").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
     )
     cand_ids = fps.join(shared_fp, "fp").select("doc_id").distinct()
-    return base, base.join(F.broadcast(cand_ids), "doc_id")
+    # No forced broadcast hint: on a healthy corpus the candidate set
+    # is tiny and AQE broadcasts it at runtime; on a heavily
+    # boilerplated corpus (exactly this family's target workload) it
+    # approaches corpus size and a pinned hint would OOM the driver
+    # instead of degrading to a shuffle join (round-10 advice).
+    return base, base.join(cand_ids, "doc_id")
+
+
+SUBSTR_GRID_BLOCK = 64  # local-fixture sizing; production ~1024
 
 
 def exact_substring_pairs(
     docs: DataFrame,
     min_len: int = SUBSTR_L,
     k: int = SUBSTR_K,
+    block: int | None = SUBSTR_GRID_BLOCK,
+    scratch: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared_grams): all unordered doc pairs sharing
     at least one verbatim ``min_len``-char substring; n_shared_grams
     counts their DISTINCT shared ``min_len``-grams. ``docs`` needs
-    (doc_id, text)."""
-    _, cd = _substring_candidate_slice(docs, min_len, k)
-    # exact stride-1 L-gram verify within the candidate slice;
-    # persisted: both self-join sides read it
-    grams = _l_grams(cd, min_len).persist()
-    ga, gb = grams.alias("ga"), grams.alias("gb")
-    return (
-        ga.join(
+    (doc_id, text).
+
+    The exact verify is a gram self-join — a bucket key like any
+    band/shingle key, and the ONE place in this family where a hot
+    gram (a license header or nav bar planted in H candidate docs)
+    would funnel H²/2 pair rows through a single task. So it routes
+    through the shared pairgrid tiler (``block``-sized cells; each
+    row pair meets in exactly one cell, so the per-gram pair MULTISET
+    is identical to the plain join and per-pair count(*) still equals
+    the distinct shared-gram count — the same oracle certifies both).
+    ``block=None`` selects the plain self-join (the un-tiled twin the
+    skew study compares against)."""
+    _, cd = _substring_candidate_slice(docs, min_len, k, scratch=scratch)
+    if block is not None:
+        from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+        pairs = grid_self_pairs(
+            _l_grams(cd, min_len),
+            ["gram"],
+            "doc_id",
+            [],
+            block=block,
+            dedupe=False,
+            scratch=scratch,
+        ).select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+        )
+    else:
+        # plain twin: persisted because both self-join sides read it
+        grams = _l_grams(cd, min_len).persist()
+        if scratch is not None:
+            scratch.append(grams)
+        ga, gb = grams.alias("ga"), grams.alias("gb")
+        pairs = ga.join(
             gb,
             (F.col("ga.gram") == F.col("gb.gram"))
             & (F.col("ga.doc_id") < F.col("gb.doc_id")),
-        )
-        .groupBy(
+        ).select(
             F.col("ga.doc_id").alias("doc_a"),
             F.col("gb.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias("n_shared_grams")
     )
 
 
@@ -2701,6 +2746,7 @@ def substring_duplication_coverage(
     docs: DataFrame,
     min_len: int = SUBSTR_L,
     k: int = SUBSTR_K,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Per-doc substring-duplication coverage — the Lee-2021 trim/drop
     signal: what fraction of each document's characters lies inside a
@@ -2712,8 +2758,10 @@ def substring_duplication_coverage(
     covered length is an interval-union sweep: with fixed-length
     intervals [pos, pos+L) sorted per doc, each position contributes
     min(L, next_pos - pos), the last contributes L. One window over
-    positions per doc — no interval materialization."""
-    base, cd = _substring_candidate_slice(docs, min_len, k)
+    positions per doc — no interval materialization. (No pair join
+    here — the shared-gram reduction is a groupBy + semi-join, linear
+    in gram rows, so no grid tiling is needed.)"""
+    base, cd = _substring_candidate_slice(docs, min_len, k, scratch=scratch)
     ct = F.col("t")
     cn = F.length(ct)
     gpos = (
@@ -2732,6 +2780,8 @@ def substring_duplication_coverage(
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
         .persist()  # read by the shared-gram agg AND the position join
     )
+    if scratch is not None:
+        scratch.append(gpos)
     shared = (
         gpos.select("doc_id", "gram")
         .distinct()
@@ -2830,6 +2880,7 @@ def exact_substring_spans(
     docs: DataFrame,
     min_len: int = SUBSTR_L,
     k: int = SUBSTR_K,
+    scratch: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, a_start, b_start, span_len): the MAXIMAL
     verbatim spans (>= min_len chars) each unordered doc pair shares —
@@ -2845,37 +2896,45 @@ def exact_substring_spans(
     a genuine distinct alignment and reports its own span. Uncapped
     (exactness vs the oracle is the contract here); a production
     ingest would bound per-gram occurrences like the passage family's
-    PASSAGE_MAX_OCC before the join."""
-    _, cd = _substring_candidate_slice(docs, min_len, k)
+    PASSAGE_MAX_OCC before the join.
+
+    The positional gram join is the same hot-gram-skewed self-join as
+    exact_substring_pairs', so it routes through the same pairgrid
+    tiler (pos as payload; dedupe off — every positional alignment is
+    a distinct row, and each left/right row pair meets in exactly one
+    cell, so the output multiset equals the plain join's and the same
+    oracle certifies it)."""
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    _, cd = _substring_candidate_slice(docs, min_len, k, scratch=scratch)
     ct = F.col("t")
     cn = F.length(ct)
-    gp = (
-        cd.select(
-            "doc_id",
-            F.posexplode(
-                F.when(
-                    cn >= min_len,
-                    F.transform(
-                        F.sequence(F.lit(1), cn - min_len + 1),
-                        lambda i: ct.substr(i, F.lit(min_len)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("p0", "gram"),
-        )
-        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gram")
-        .persist()  # both self-join sides
-    )
-    ga, gb = gp.alias("ga"), gp.alias("gb")
-    pr = ga.join(
-        gb,
-        (F.col("ga.gram") == F.col("gb.gram"))
-        & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+    gp = cd.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                cn >= min_len,
+                F.transform(
+                    F.sequence(F.lit(1), cn - min_len + 1),
+                    lambda i: ct.substr(i, F.lit(min_len)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gram")
+    pr = grid_self_pairs(
+        gp,
+        ["gram"],
+        "doc_id",
+        ["pos"],
+        block=SUBSTR_GRID_BLOCK,
+        dedupe=False,
+        scratch=scratch,
     ).select(
-        F.col("ga.doc_id").alias("doc_a"),
-        F.col("gb.doc_id").alias("doc_b"),
-        F.col("ga.pos").alias("pa"),
-        F.col("gb.pos").alias("pb"),
-        (F.col("ga.pos") - F.col("gb.pos")).alias("diag"),
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.col("pos_a").alias("pa"),
+        F.col("pos_b").alias("pb"),
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
     )
     wd = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     isl = pr.withColumn("grp", F.col("pa") - F.row_number().over(wd))

@@ -249,3 +249,67 @@ def test_grid_self_pairs_block_boundaries(spark):
     assert got == want
     # sanity: the multi-bucket pair (0,1) appears exactly once
     assert sum(1 for a, b, *_ in got if (a, b) == (0, 1)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Grid-tiled exact-substring verify join (hot 40-grams)
+# ---------------------------------------------------------------------------
+
+def test_substring_grid_equals_plain_on_hot_gram_corpus(spark, sf_dir, tmp_path):
+    """The pairgrid-routed exact-substring verify (the default) must
+    produce EXACTLY the un-tiled gram self-join's (doc_a, doc_b,
+    n_shared_grams) rows — including on a corpus where one planted
+    boilerplate sentence puts 20% of docs behind shared gram keys
+    spanning many grid blocks (the license-header pathology the tiler
+    exists for)."""
+    from tools.adversarial_corpus import build_hot_gram_corpus
+
+    from finmapreduce_spark.queries.dedup import (
+        SUBSTR_GRID_BLOCK,
+        _docs,
+        exact_substring_pairs,
+    )
+
+    hot_dir = build_hot_gram_corpus(sf_dir, str(tmp_path / "hotgram"), frac=0.2)
+    docs = _docs(spark, hot_dir)
+    grid = sorted(map(tuple, exact_substring_pairs(docs).collect()))
+    spark.catalog.clearCache()
+    plain = sorted(
+        map(tuple, exact_substring_pairs(docs, block=None).collect())
+    )
+    spark.catalog.clearCache()
+    assert grid == plain
+    assert len(plain) > 0
+    # the planted cluster really exercises multi-block tiling: H docs
+    # share every boilerplate gram, H > block
+    n_hot = sum(1 for a, b, _n in plain if a >= 600000 and b >= 600000)
+    assert n_hot > SUBSTR_GRID_BLOCK
+
+
+def test_substring_batch_scratch_releases_persists(spark, sf_dir):
+    """Batch substring operators must route every internal persist
+    through the caller's scratch list so a long-lived library caller
+    can release them without clearCache (round-10 advice: the
+    streaming path needed exactly this fix for its per-epoch leak)."""
+    from finmapreduce_spark.queries.dedup import (
+        _docs,
+        exact_substring_pairs,
+        exact_substring_spans,
+        substring_duplication_coverage,
+    )
+
+    docs = _docs(spark, sf_dir)
+    for op in (
+        exact_substring_pairs,
+        exact_substring_spans,
+        substring_duplication_coverage,
+    ):
+        scratch = []
+        op(docs, scratch=scratch).count()
+        assert scratch, f"{op.__name__} persisted nothing into scratch"
+        for df in scratch:
+            assert df.is_cached
+            df.unpersist()
+        # nothing pinned beyond what scratch handed back
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() == 0

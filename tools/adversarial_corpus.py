@@ -200,6 +200,69 @@ def build_hot_bucket_corpus(sf_dir: str, out: str, frac: float = 0.10) -> str:
     return out
 
 
+def build_hot_gram_corpus(sf_dir: str, out: str, frac: float = 0.20) -> str:
+    """Distribution poison for the EXACT-SUBSTRING family: append
+    ``frac`` × |docs| documents that are pairwise UNIQUE except for one
+    shared >=40-char boilerplate sentence embedded mid-document (the
+    license-header / nav-bar pathology). Unlike the identical-clone
+    hot-bucket corpus, the unique text keeps MinHash/SimHash buckets
+    cold — only the stride-1 L-gram verify join sees a hot key: every
+    planted doc shares the boilerplate's grams, so the un-tiled
+    self-join must push H²/2 pair rows through single gram keys while
+    the pairgrid-tiled verify spreads them over ceil(H/B)² cells.
+    Used by the round-11 skew study (SCALE.md) and
+    tests/test_skew.py::test_substring_grid_equals_plain_on_hot_gram_corpus.
+
+        python tools/adversarial_corpus.py /tmp/fmr_hotgram BASE --hot-gram
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    hot = int(n * frac)
+    # EXACTLY 40 chars (= SUBSTR_L): the planted docs share exactly
+    # ONE stride-1 40-gram (their unique flanks kill every window
+    # crossing the boundary), so the un-tiled verify join must push
+    # the whole H²/2 pair volume through a SINGLE join key — the
+    # sharpest form of the pathology. A longer boilerplate spreads
+    # over len-39 keys and dilutes the funnel (measured: 90 chars →
+    # 51 keys ≈ evenly spread at local scale).
+    boiler = "copyright acme corp all rights reserved."
+    assert len(boiler) == 40
+    # unique flanks: md5 of the row index keyed twice, so no two
+    # planted docs share any 40-gram OUTSIDE the boilerplate
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/documents.parquet'
+          UNION ALL
+          SELECT doc_id, text, lang, source,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM (
+            SELECT 600000 + t.i AS doc_id,
+                   'page ' || t.i || ' ' || md5('L' || t.i) || ' '
+                     || md5('l' || t.i) || ' {boiler} '
+                     || md5('R' || t.i) || ' ' || md5('r' || t.i)
+                     || ' tail ' || t.i AS text,
+                   'en' AS lang, 'hotgram' AS source
+            FROM range(0, {hot}) t(i)
+          )
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings".split()
+    ):
+        dst = f"{out}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(f"{sf_dir}/{t}.parquet", dst)
+    return out
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fmr_adv"
     base = (
@@ -209,5 +272,7 @@ if __name__ == "__main__":
     )
     if "--hot" in sys.argv:
         print(build_hot_bucket_corpus(base, out))
+    elif "--hot-gram" in sys.argv:
+        print(build_hot_gram_corpus(base, out))
     else:
         print(build_adversarial_corpus(base, out))
