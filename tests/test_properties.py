@@ -410,8 +410,8 @@ def test_simhash_banding_recall_is_exact(spark, sf_dir):
 
 
 def test_ml_minhash_lsh_precision_one_and_measured_recall(spark, sf_dir):
-    """Ground-truth gate for the one rows-only catalog entry
-    (`dedup_ml_minhash_lsh`): its seeded Spark-ML hash coefficients
+    """Ground-truth gate for the ml.MinHashLSH pair builder
+    (`ml_minhash_pairs`): its seeded Spark-ML hash coefficients
     are not SQL-reproducible, but the property it guarantees IS
     checkable — approxSimilarityJoin survivors carry EXACT Jaccard
     distances, so the pair set must be a SUBSET of the exhaustive
@@ -419,17 +419,21 @@ def test_ml_minhash_lsh_precision_one_and_measured_recall(spark, sf_dir):
     with the reported jaccard matching the set-exact value, and
     recall must clear the same kind of floor `dedup_lsh_recall`
     applies to the custom band join. Truth is computed driver-side
-    from the identical shingle sets (fixture-sized corpus only)."""
+    from the identical shingle sets (fixture-sized corpus only).
+    The distributed twin of this check is the catalog entry
+    `dedup_ml_minhash_lsh` (the cross-certification report with an
+    exact DuckDB oracle) — this test is the independent driver-side
+    derivation."""
     from finmapreduce_spark.queries.dedup import (
         JACCARD_THRESHOLD,
         _docs,
-        dedup_ml_minhash_lsh,
+        ml_minhash_pairs,
         with_shingles,
     )
 
     ml_pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in dedup_ml_minhash_lsh(spark, sf_dir).collect()
+        for r in ml_minhash_pairs(spark, sf_dir).collect()
     }
     spark.catalog.clearCache()  # the query persists features (caller-owned)
     sets = {
@@ -460,6 +464,41 @@ def test_ml_minhash_lsh_precision_one_and_measured_recall(spark, sf_dir):
     # silent banding collapse, the exact value is corpus-dependent
     recall = len(ml_pairs) / len(truth)
     assert recall >= 0.5, f"ml LSH recall collapsed: {recall:.3f}"
+
+
+def test_ml_minhash_lsh_certification_report(spark, sf_dir):
+    """The catalog's distributed cross-certification report must agree
+    with the driver-side truth on this fixture: theorem columns zero,
+    recall floor met, and n_true equal to the exhaustive pair count."""
+    from finmapreduce_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        _docs,
+        dedup_ml_minhash_lsh,
+        with_shingles,
+    )
+
+    row = dedup_ml_minhash_lsh(spark, sf_dir).collect()[0]
+    spark.catalog.clearCache()
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingles(_docs(spark, sf_dir))
+        .select("doc_id", "shingles")
+        .collect()
+        if r["shingles"]
+    }
+    ids = sorted(sets)
+    n_true = sum(
+        1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sets[a] & sets[b]
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        >= JACCARD_THRESHOLD
+    )
+    assert row["n_true"] == n_true
+    assert row["n_false_positives"] == 0
+    assert row["n_jaccard_mismatches"] == 0
+    assert row["recall_floor_met"] is True
 
 
 def test_shingles_short_docs_total_and_engine_equivalent(spark):
