@@ -7,6 +7,13 @@ Prints ONE JSON line:
 The metric is total wall time across the headline set; per-query
 seconds let regressions be localized. Results are forced with a cheap
 count() action (no driver-side collect of big results).
+
+Each query runs BENCH_TRIALS times (default 3) and the recorded
+per-query second (and the headline total) is the TRIAL MEDIAN —
+rounds 9/10 both spent judge+builder effort re-explaining a ±15%
+uniform host drift on plan-untouched queries measured from single
+trials; the median retires that. Per-trial times live in the
+BENCH_DETAILS sidecar under "trials".
 """
 
 from __future__ import annotations
@@ -190,31 +197,55 @@ def main():
         n for n in sorted(os.environ.get("BENCH_EXTRA", "").split(",")) if n in qs
     ]
     probe = _shuffle_probe(spark)
+    n_trials = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
     timings = {}
     rows = {}
     shuffle = {}
+    trials = {}
     total = 0.0
     for name in names:
         before = probe() if probe else None
-        t0 = time.time()
-        df = qs[name].spark(spark, SF_DIR)
-        n = df.count()
-        dt = round(time.time() - t0, 3)
+        per_trial = []
+        n = None
+        for t in range(n_trials):
+            t0 = time.time()
+            df = qs[name].spark(spark, SF_DIR)
+            n_t = df.count()
+            per_trial.append(round(time.time() - t0, 3))
+            if n is None:
+                n = n_t
+            elif n_t != n:
+                # nondeterministic cardinality is itself a regression
+                print(
+                    f"bench: {name} rows drifted across trials "
+                    f"({n} vs {n_t})",
+                    file=sys.stderr,
+                )
+            # drop caches a query legitimately left behind (iterative
+            # trainers persist their feature/vocab tables into the
+            # returned plan) so later queries/trials aren't measured
+            # under the accumulated memory pressure of earlier ones
+            spark.catalog.clearCache()
+            if t == 0 and probe is not None:
+                # shuffle volume is plan-determined — one measurement
+                after1 = probe()
+                if before is not None and after1 is not None:
+                    new = {
+                        k: v for k, v in after1.items() if k not in before
+                    }
+                    shuffle[name] = {
+                        "read_mb": round(
+                            sum(v[0] for v in new.values()) / 1e6, 3
+                        ),
+                        "write_mb": round(
+                            sum(v[1] for v in new.values()) / 1e6, 3
+                        ),
+                    }
+        dt = round(sorted(per_trial)[len(per_trial) // 2], 3)  # median
         timings[name] = dt
+        trials[name] = per_trial
         rows[name] = n  # cardinality: catches silent result drift across rounds
         total += dt
-        # drop caches a query legitimately left behind (iterative
-        # trainers persist their feature/vocab tables into the
-        # returned plan) so later queries aren't measured under the
-        # accumulated memory pressure of earlier ones
-        spark.catalog.clearCache()
-        after = probe() if probe else None
-        if before is not None and after is not None:
-            new = {k: v for k, v in after.items() if k not in before}
-            shuffle[name] = {
-                "read_mb": round(sum(v[0] for v in new.values()) / 1e6, 3),
-                "write_mb": round(sum(v[1] for v in new.values()) / 1e6, 3),
-            }
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_total_wall",
@@ -227,7 +258,7 @@ def main():
     # triple the line length and the driver's capture truncates long
     # stdout — keep the contract line compact and park detail in a
     # sidecar next to this script.
-    detail = dict(out, rows=rows, shuffle=shuffle)
+    detail = dict(out, rows=rows, shuffle=shuffle, trials=trials)
     root = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(root, "BENCH_DETAILS.json")
     try:

@@ -140,3 +140,68 @@ class MergesBPE:
         the UDF closure and works on any executor."""
         merges = [tuple(p) for p in merges]
         return lambda: MergesBPE(merges)
+
+
+def py_train_batched(
+    words: dict[str, int],
+    rounds: int,
+    batch: int,
+    cand_window: int,
+) -> list[tuple[str, str]]:
+    """Pure-Python round-for-round twin of the engine's batched
+    distributed BPE trainer (queries/training.py::_bpe_train_batched):
+    each round counts adjacent token pairs over the weighted
+    distinct-word table, ranks by (count desc, "left right" asc),
+    scans the top ``cand_window`` candidates, and greedily accepts up
+    to ``batch`` pairs under FULL-CLOSURE disjointness ({left, right,
+    merged} disjoint from every earlier pick's closure) so in-batch
+    application commutes; accepted merges apply everywhere before the
+    next round; an empty round terminates. Byte-identical output is
+    the parity contract — pinned on the embedded fixture corpus by
+    tests/test_exact_tokens.py and on real corpus word tables by
+    tests/test_training.py / the vocab-scale study
+    (tools/bpe_batch_study.py --twin-parity).
+
+    ``words``: {word: weight} with the trainer's pre-tokenization
+    already applied (lowercase [a-z]+ runs, length cap)."""
+    import collections
+
+    toks: dict[str, list[str]] = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _round in range(rounds):
+        counts: collections.Counter = collections.Counter()
+        for w, freq in words.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] += freq
+        if not counts:
+            break
+        cand = sorted(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )[:cand_window]
+        chosen: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for (a, b), _cnt in cand:
+            if {a, b, a + b} & used:
+                continue
+            chosen.append((a, b))
+            used |= {a, b, a + b}
+            if len(chosen) == batch:
+                break
+        if not chosen:
+            break
+        merges.extend(chosen)
+        chosen_set = set(chosen)
+        for w in toks:
+            t = toks[w]
+            out: list[str] = []
+            i = 0
+            while i < len(t):
+                if i < len(t) - 1 and (t[i], t[i + 1]) in chosen_set:
+                    out.append(t[i] + t[i + 1])
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    return merges

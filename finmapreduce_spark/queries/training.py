@@ -1297,6 +1297,7 @@ def _bpe_train_batched(
     rounds: int = BPE_BATCH_ROUNDS,
     batch: int = BPE_BATCH_M,
     docs: DataFrame | None = None,
+    cand_window: int = BPE_CAND_WINDOW,
 ):
     toks = _bpe_char_toks(spark, sf_dir, docs).persist()
     rows = []
@@ -1304,7 +1305,7 @@ def _bpe_train_batched(
         cand = (
             _bpe_pair_counts(toks)
             .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(BPE_CAND_WINDOW)
+            .limit(cand_window)
             .collect()
         )
         chosen: list[tuple[int, str, int]] = []
@@ -1323,6 +1324,11 @@ def _bpe_train_batched(
             used |= {a, b, merged}
             if len(chosen) == batch:
                 break
+        if not chosen:
+            # vocabulary exhausted (every word is one token, or the
+            # candidate window closed over itself) — same terminal
+            # condition as the pure-Python twin
+            break
         rows.extend(
             (rk, pair, pair.replace(" ", ""), cnt) for rk, pair, cnt in chosen
         )

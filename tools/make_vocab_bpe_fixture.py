@@ -86,52 +86,25 @@ def train_batched(corpus: str, n_rounds: int) -> list[tuple[str, str]]:
     rounds, each accepting UP TO BATCH_M pairs (a round can come up
     short when the top-CAND_WINDOW candidates exhaust under closure
     disjointness — same as the distributed trainer), so the emitted
-    list is the Spark trainer's verbatim output for (rounds, batch)."""
+    list is the Spark trainer's verbatim output for (rounds, batch).
+    The trainer body lives in functions/mini_bpe.py::py_train_batched
+    (round 11: factored out so the vocab-scale parity study can run
+    the same twin over real corpus word tables); this wrapper only
+    applies the fixture's pre-tokenization and constants."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from finmapreduce_spark.functions.mini_bpe import py_train_batched
+
     words = collections.Counter(
         w
         for w in re.findall(r"[a-z]+", corpus.lower())
         if len(w) <= MAX_WORD_LEN
     )
-    toks: dict[str, list[str]] = {w: list(w) for w in words}
-    merges: list[tuple[str, str]] = []
-    for _round in range(n_rounds):
-        counts: collections.Counter = collections.Counter()
-        for w, freq in words.items():
-            t = toks[w]
-            for i in range(len(t) - 1):
-                counts[(t[i], t[i + 1])] += freq
-        if not counts:
-            break
-        # rank (count desc, "left right" asc), scan top CAND_WINDOW
-        cand = sorted(
-            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
-        )[:CAND_WINDOW]
-        chosen: list[tuple[str, str]] = []
-        used: set[str] = set()
-        for (a, b), _cnt in cand:
-            if {a, b, a + b} & used:
-                continue
-            chosen.append((a, b))
-            used |= {a, b, a + b}
-            if len(chosen) == BATCH_M:
-                break
-        if not chosen:
-            break
-        merges.extend(chosen)
-        chosen_set = set(chosen)
-        for w in toks:
-            t = toks[w]
-            out: list[str] = []
-            i = 0
-            while i < len(t):
-                if i < len(t) - 1 and (t[i], t[i + 1]) in chosen_set:
-                    out.append(t[i] + t[i + 1])
-                    i += 2
-                else:
-                    out.append(t[i])
-                    i += 1
-            toks[w] = out
-    return merges
+    return py_train_batched(
+        dict(words), rounds=n_rounds, batch=BATCH_M, cand_window=CAND_WINDOW
+    )
 
 
 def main() -> str:
