@@ -2439,3 +2439,290 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-class langid (VERDICT r10 #6 — the real fasttext shape): the
+# corpus has >= 3 languages, so the binary en-vs-rest perceptron
+# becomes one-vs-all — per-CLASS integer weight rows trained jointly
+# (every epoch is ONE margin job + ONE update aggregate covering ALL
+# classes: the feature table joins the tiny (doc, class, ±1) label
+# table once, margins group by (class, doc), deltas by (class, idx),
+# and K×(dim+1) longs travel to the driver per epoch — still the
+# O(dim) k-means/centroid pattern, now O(K·dim)), with argmax
+# prediction over averaged margins (ties broken by class name asc,
+# deterministically in both engines). Arithmetic stays ALL-INTEGER,
+# so the unrolled-CTE DuckDB oracle is bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _cls_features_unlabeled(spark: SparkSession, sf_dir: str):
+    """(doc_id, idx, wgt): the label-free hashed-BoW feature table +
+    bias rows — identical tokenization/bucket/sign arithmetic to
+    _cls_features (the certified binary lane), with the label moved
+    out to the per-class y table."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), "[ \t\n\f\r]+")
+        ).alias("w"),
+    )
+    h = F.md5(F.col("w"))
+    idx = (F.conv(F.substring(h, 7, 2), 16, 10).cast("int") % CLS_DIM)
+    sign = F.when(
+        F.conv(F.substring(h, 10, 1), 16, 10).cast("int") % 2 == 1, 1
+    ).otherwise(-1)
+    feat = (
+        toks.select("doc_id", idx.alias("idx"), sign.alias("sign"))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("sign").cast("long").alias("wgt"))
+    )
+    bias = docs.select(
+        "doc_id",
+        F.lit(CLS_DIM).alias("idx"),
+        F.lit(1).cast("long").alias("wgt"),
+    )
+    return feat.unionByName(bias)
+
+
+def _cls_multiclass_train(spark: SparkSession, sf_dir: str):
+    """Shared one-vs-all training loop; → (classes, weights, acc,
+    margins builder, labels frame, fy frame). fy stays persisted —
+    callers embedding margins() plans in their result own the
+    lifecycle (catalog-wide clearCache contract)."""
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("lang", F.lit("")).alias("lang")
+    )
+    classes = sorted(
+        r["lang"] for r in labels.select("lang").distinct().collect()
+    )
+    ydf = labels.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("cls"),
+                    F.when(F.col("lang") == c, 1)
+                    .otherwise(-1)
+                    .alias("y"),
+                )
+                for c in classes
+            ])
+        ).alias("cy"),
+    ).select("doc_id", "cy.cls", "cy.y")
+    # (cls, y, doc_id, idx, wgt): K×(≤65) rows per doc; persisted —
+    # every epoch's margin and update jobs read it
+    fy = (
+        _cls_features_unlabeled(spark, sf_dir)
+        .join(ydf, "doc_id")
+        .persist()
+    )
+    weights = {c: [0] * (CLS_DIM + 1) for c in classes}
+    acc = {c: [0] * (CLS_DIM + 1) for c in classes}
+
+    def margins(wd, out_col="m"):
+        wmap = F.create_map(
+            *[
+                x
+                for c in classes
+                for x in (
+                    F.lit(c),
+                    F.array(*[F.lit(int(v)).cast("long") for v in wd[c]]),
+                )
+            ]
+        )
+        return (
+            fy.select(
+                "cls",
+                "doc_id",
+                "y",
+                (
+                    F.col("wgt")
+                    * F.element_at(
+                        F.element_at(wmap, F.col("cls")), F.col("idx") + 1
+                    )
+                ).alias("t"),
+            )
+            .groupBy("cls", "doc_id", "y")
+            .agg(F.sum("t").cast("long").alias(out_col))
+        )
+
+    for epoch in range(CLS_EPOCHS):
+        if epoch == 0:
+            # w0 = 0 ⇒ margin 0 ⇒ every (class, doc) misclassified:
+            # first update is one aggregate, no margin job (the
+            # oracle's w1 CTE states the same identity per class)
+            miss_feat = fy
+        else:
+            miss = (
+                margins(weights)
+                .filter(F.col("y") * F.col("m") <= 0)
+                .select("cls", "doc_id")
+            )
+            miss_feat = fy.join(miss, ["cls", "doc_id"])
+        delta = (
+            miss_feat.groupBy("cls", "idx")
+            .agg(F.sum(F.col("y") * F.col("wgt")).alias("d"))
+            .collect()
+        )
+        for r in delta:
+            weights[r["cls"]][r["idx"]] += int(r["d"])
+        for c in classes:
+            wc, ac = weights[c], acc[c]
+            for j in range(CLS_DIM + 1):
+                ac[j] += wc[j]
+    return classes, weights, acc, margins, labels, fy
+
+
+def classifier_langid_multiclass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, label, pred_lang, margin_avg, correct): one-vs-all
+    averaged-perceptron language prediction — argmax of the averaged
+    margin across classes (ties → class name asc). Same honest
+    accuracy note as the binary lane: the synthetic corpus draws all
+    languages from one vocabulary, so what the oracle certifies is
+    the distributed one-vs-all training ARITHMETIC, bit-exact."""
+    _, _, acc, margins, labels, _ = _cls_multiclass_train(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy(F.desc("m_avg"), F.asc("cls"))
+    pick = (
+        margins(acc, "m_avg")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return pick.join(labels, "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        F.col("cls").alias("pred_lang"),
+        F.col("m_avg").cast("long").alias("margin_avg"),
+        (F.col("cls") == F.col("lang")).cast("int").alias("correct"),
+    )
+
+
+def classifier_langid_multiclass_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multi-class model ARTIFACT: per-(class, bucket) final and
+    epoch-summed weights — the K×(dim+1)-row table a serving path
+    broadcasts (idx CLS_DIM is the bias)."""
+    classes, weights, acc, _, _, fy = _cls_multiclass_train(spark, sf_dir)
+    fy.unpersist()
+    return spark.createDataFrame(
+        [
+            (c, i, int(weights[c][i]), int(acc[c][i]))
+            for c in classes
+            for i in range(CLS_DIM + 1)
+        ],
+        "cls string, idx int, w_final long, w_avg long",
+    )
+
+
+def _cls_multi_oracle(tail: str) -> str:
+    """Unrolled-epoch CTE chain with the class threaded through every
+    relation — the one-vs-all twin of _cls_oracle."""
+    dim = CLS_DIM
+    hp7 = _HEXPOS.format(p=7)
+    hp8 = _HEXPOS.format(p=8)
+    hp10 = _HEXPOS.format(p=10)
+    epochs = []
+    prev_w = "w1"
+    for e in range(2, CLS_EPOCHS + 1):
+        epochs.append(f"""
+m{e - 1} AS (
+  SELECT fy.cls, fy.doc_id, fy.y, sum(fy.wgt * w.w) AS m
+  FROM fy JOIN {prev_w} w ON w.cls = fy.cls AND w.idx = fy.idx
+  GROUP BY 1, 2, 3
+),
+d{e} AS (
+  SELECT m.cls, fy.idx, sum(fy.y * fy.wgt) AS d
+  FROM fy JOIN m{e - 1} m ON m.cls = fy.cls AND m.doc_id = fy.doc_id
+  WHERE m.y * m.m <= 0
+  GROUP BY 1, 2
+),
+w{e} AS (
+  SELECT w.cls, w.idx, w.w + coalesce(d.d, 0) AS w
+  FROM {prev_w} w LEFT JOIN d{e} d ON d.cls = w.cls AND d.idx = w.idx
+),""")
+        prev_w = f"w{e}"
+    wsum = " + ".join(f"w{e}.w" for e in range(1, CLS_EPOCHS + 1))
+    wjoin = " ".join(
+        f"JOIN w{e} ON w{e}.cls = w1.cls AND w{e}.idx = w1.idx"
+        for e in range(2, CLS_EPOCHS + 1)
+    )
+    return f"""
+WITH lab AS (
+  SELECT doc_id, coalesce(lang, '') AS lang, text FROM documents
+), classes AS (
+  SELECT DISTINCT lang AS cls FROM lab
+), y AS (
+  SELECT c.cls, l.doc_id,
+         CASE WHEN l.lang = c.cls THEN 1 ELSE -1 END AS y
+  FROM lab l CROSS JOIN classes c
+), hx AS (
+  SELECT doc_id, md5(w) AS h FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM lab
+  )
+), feat0 AS (
+  SELECT doc_id,
+         (({hp7}) * 16 + {hp8}) % {dim} AS idx,
+         sum(CASE WHEN ({hp10}) % 2 = 1 THEN 1 ELSE -1 END) AS wgt
+  FROM hx GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, {dim} AS idx, 1 AS wgt FROM lab
+), fy AS (
+  SELECT y.cls, y.y, f.doc_id, f.idx, f.wgt
+  FROM feat0 f JOIN y USING (doc_id)
+),
+w1 AS (
+  SELECT cls, idx, sum(y * wgt) AS w FROM fy GROUP BY 1, 2
+),{"".join(epochs)}
+wavg AS (
+  SELECT w1.cls, w1.idx, {wsum} AS w
+  FROM w1 {wjoin}
+),
+final AS (
+  SELECT fy.cls, fy.doc_id, sum(fy.wgt * wavg.w) AS m_avg
+  FROM fy JOIN wavg ON wavg.cls = fy.cls AND wavg.idx = fy.idx
+  GROUP BY 1, 2
+){tail}
+"""
+
+
+CLASSIFIER_MULTICLASS_ORACLE = _cls_multi_oracle(
+    tail="""
+, pick AS (
+  SELECT doc_id, cls, m_avg,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY m_avg DESC, cls ASC) AS rn
+  FROM final
+)
+SELECT p.doc_id, l.lang AS label, p.cls AS pred_lang,
+       CAST(p.m_avg AS BIGINT) AS margin_avg,
+       CAST(CASE WHEN p.cls = l.lang THEN 1 ELSE 0 END AS INT) AS correct
+FROM pick p JOIN lab l USING (doc_id) WHERE rn = 1"""
+)
+
+CLASSIFIER_MULTICLASS_WEIGHTS_ORACLE = _cls_multi_oracle(
+    tail=f"""
+SELECT c.cls, CAST(r.i AS INT) AS idx,
+       CAST(coalesce(wf.w, 0) AS BIGINT) AS w_final,
+       CAST(coalesce(wa.w, 0) AS BIGINT) AS w_avg
+FROM classes c CROSS JOIN range(0, {CLS_DIM + 1}) AS r(i)
+LEFT JOIN w{CLS_EPOCHS} wf ON wf.cls = c.cls AND wf.idx = r.i
+LEFT JOIN wavg wa ON wa.cls = c.cls AND wa.idx = r.i"""
+)
+
+QUERIES.update(
+    {
+        "classifier_langid_multiclass": QuerySpec(
+            classifier_langid_multiclass, CLASSIFIER_MULTICLASS_ORACLE
+        ),
+        "classifier_langid_multiclass_weights": QuerySpec(
+            classifier_langid_multiclass_weights,
+            CLASSIFIER_MULTICLASS_WEIGHTS_ORACLE,
+        ),
+    }
+)

@@ -568,3 +568,97 @@ def test_shingles_null_text_under_both_ansi_modes(spark):
             assert sorted(got[2]) == ["a b c", "b c d"]
         finally:
             spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def test_multiclass_en_column_equals_binary_langid(spark, sf_dir):
+    """One-vs-all consistency: the multiclass trainer's 'en' class is
+    EXACTLY the binary en-vs-rest problem, so its (w_final, w_avg)
+    rows must be bit-identical to the certified binary artifact
+    (classifier_langid_weights) — same features, same labels, same
+    integer updates, merely trained jointly with the other classes."""
+    from finmapreduce_spark.queries.training import (
+        classifier_langid_multiclass_weights,
+        classifier_langid_weights,
+    )
+
+    binary = {
+        r["idx"]: (r["w_final"], r["w_avg"])
+        for r in classifier_langid_weights(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    multi_en = {
+        r["idx"]: (r["w_final"], r["w_avg"])
+        for r in classifier_langid_multiclass_weights(spark, sf_dir)
+        .filter("cls = 'en'")
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert multi_en == binary
+
+
+def test_multiclass_pred_is_argmax_with_name_tiebreak(spark, sf_dir):
+    """The reported pred_lang must be the argmax of the per-class
+    averaged margins with ties broken by class name ascending —
+    re-derived here from the weight artifact applied driver-side."""
+    from finmapreduce_spark.queries.training import (
+        _cls_features_unlabeled,
+        classifier_langid_multiclass,
+        classifier_langid_multiclass_weights,
+    )
+
+    wavg = {}
+    for r in classifier_langid_multiclass_weights(spark, sf_dir).collect():
+        wavg.setdefault(r["cls"], {})[r["idx"]] = r["w_avg"]
+    spark.catalog.clearCache()
+    feats = {}
+    for r in _cls_features_unlabeled(spark, sf_dir).collect():
+        feats.setdefault(r["doc_id"], []).append((r["idx"], r["wgt"]))
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["margin_avg"])
+        for r in classifier_langid_multiclass(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(got) == set(feats)
+    for doc_id, fv in feats.items():
+        scored = sorted(
+            (
+                (-sum(w * wavg[c][i] for i, w in fv), c)
+                for c in wavg
+            ),
+        )
+        neg_m, cls = scored[0]
+        assert got[doc_id] == (cls, -neg_m), doc_id
+
+
+def test_bpe_batched_trainer_matches_python_twin_on_wide_vocab(
+    spark, tmp_path
+):
+    """Byte-identical parity pin for the vocab-scale lane: the
+    distributed batched trainer and the pure-Python twin
+    (mini_bpe.py::py_train_batched) must emit the SAME merge sequence
+    over a wide-vocabulary corpus the 31-word testdata cannot
+    represent (closure skips, short rounds, and window exhaustion all
+    exercise here; the 4k-merge study in SCALE.md is the full-size
+    form of this test)."""
+    from finmapreduce_spark.functions.mini_bpe import py_train_batched
+    from finmapreduce_spark.queries.training import (
+        _bpe_train_batched,
+        _bpe_words,
+    )
+    from tools.bpe_batch_study import gen_vocab_corpus
+
+    d = gen_vocab_corpus(str(tmp_path / "vocab"), 200)
+    rounds, batch, window = 8, 8, 64
+    rows, toks = _bpe_train_batched(
+        spark, d, rounds=rounds, batch=batch, cand_window=window
+    )
+    toks.unpersist()
+    words = {
+        r["w"]: int(r["weight"]) for r in _bpe_words(spark, d).collect()
+    }
+    twin = py_train_batched(
+        words, rounds=rounds, batch=batch, cand_window=window
+    )
+    got = [tuple(pair.split(" ")) for _rk, pair, _m, _c in rows]
+    assert got == twin
+    assert len(got) > batch  # multiple real rounds ran
