@@ -46,19 +46,45 @@ def _load_model(name: str):
                     "environment); 'hashing-bow' is the numpy twin"
                 ) from e
             model = _torch_bow_batch
-        else:  # pragma: no cover - real models not installed here
+        elif name.startswith("st:"):
+            # real sentence-transformers model (round 11 — closes the
+            # U6 model-wiring gap vs the reference's torch scorers,
+            # scores/text_evaluation_metrics.py:20-283): loaded once
+            # per worker, encodes Arrow batches. Gated: absent deps
+            # raise the informative NotImplementedError, never crash.
             try:
-                import torch  # noqa: F401
-                import transformers  # noqa: F401
+                from sentence_transformers import SentenceTransformer
             except ImportError as e:
                 raise NotImplementedError(
-                    f"model '{name}' needs torch/transformers (not in this "
-                    "environment); use model_name='hashing-bow' for the "
-                    "real dependency-free embedder or 'fake-hash' for the "
-                    "content-oblivious test path"
+                    f"model '{name}' needs sentence-transformers (not in "
+                    "this environment); 'hashing-bow' is the hermetic "
+                    "default embedder"
                 ) from e
+            model = _st_batch_factory(SentenceTransformer(name[3:]))
+        elif name.startswith("hf:"):
+            # real transformers encoder with attention-mask mean
+            # pooling — the FinBERT-cosine shape of the reference's
+            # text_evaluation_metrics (model embeds sentence, cosine
+            # downstream stays native engine math).
+            try:
+                import torch  # noqa: F401
+                from transformers import AutoModel, AutoTokenizer
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"model '{name}' needs torch+transformers (not in "
+                    "this environment); 'hashing-bow' is the hermetic "
+                    "default embedder"
+                ) from e
+            model = _hf_batch_factory(
+                AutoTokenizer.from_pretrained(name[3:]),
+                AutoModel.from_pretrained(name[3:]),
+            )
+        else:
             raise NotImplementedError(
-                f"real-model loading for '{name}' is intentionally stubbed"
+                f"unknown embedder '{name}'; use 'hashing-bow' (hermetic "
+                "default), 'fake-hash', 'torch-bow', 'st:<model>' "
+                "(sentence-transformers) or 'hf:<model>' (transformers "
+                "mean-pooled encoder)"
             )
         _MODELS[name] = model
     return model
@@ -127,6 +153,46 @@ def _torch_bow_batch(texts: pd.Series) -> np.ndarray:
                 torch.tensor(signs, dtype=torch.float64),
             )
     return out.numpy()
+
+
+def _st_batch_factory(st_model):
+    """Wrap a loaded SentenceTransformer as a batch callable (worker-
+    local handle lives in _MODELS; encode() already batches)."""
+
+    def st_batch(texts: pd.Series) -> np.ndarray:
+        return np.asarray(
+            st_model.encode(
+                texts.fillna("").tolist(), show_progress_bar=False
+            ),
+            dtype=np.float64,
+        )
+
+    return st_batch
+
+
+def _hf_batch_factory(tokenizer, hf_model):
+    """Wrap a loaded transformers encoder as a batch callable:
+    tokenize with padding/truncation, mean-pool the last hidden state
+    over the attention mask (the standard sentence-embedding pooling;
+    cosine over these is the reference's FinBERT-similarity shape)."""
+    import torch
+
+    hf_model.eval()
+
+    def hf_batch(texts: pd.Series) -> np.ndarray:
+        with torch.no_grad():
+            enc = tokenizer(
+                texts.fillna("").tolist(),
+                padding=True,
+                truncation=True,
+                return_tensors="pt",
+            )
+            hidden = hf_model(**enc).last_hidden_state
+            mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+            emb = (hidden * mask).sum(1) / mask.sum(1).clamp(min=1)
+        return emb.double().numpy()
+
+    return hf_batch
 
 
 def embed_text_udf(model_name: str = "hashing-bow"):

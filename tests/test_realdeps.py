@@ -195,6 +195,113 @@ def test_torch_bow_gate_raises_informatively():
 
 
 @pytest.mark.skipif(
+    _has("sentence_transformers"),
+    reason="sentence-transformers present — gate not reachable",
+)
+def test_st_model_gate_raises_informatively():
+    from finmapreduce_spark.functions.scoring import _load_model
+
+    with pytest.raises(NotImplementedError, match="sentence-transformers"):
+        _load_model("st:all-MiniLM-L6-v2")
+
+
+@pytest.mark.skipif(
+    _has("transformers") and _has("torch"),
+    reason="transformers+torch present — gate not reachable",
+)
+def test_hf_model_gate_raises_informatively():
+    from finmapreduce_spark.functions.scoring import _load_model
+
+    with pytest.raises(NotImplementedError, match="transformers"):
+        _load_model("hf:bert-base-uncased")
+
+
+def test_unknown_embedder_name_lists_the_registry():
+    from finmapreduce_spark.functions.scoring import _load_model
+
+    with pytest.raises(NotImplementedError) as ei:
+        _load_model("not-a-model")
+    msg = str(ei.value)
+    assert "hashing-bow" in msg and "st:" in msg and "hf:" in msg
+
+
+# ---------------------------------------------------------------------------
+# Real embedding model through the UDF seam (VERDICT r10 #7): needs
+# the library AND a downloaded/downloadable model, so it is double-
+# gated — on the import and on an explicit opt-in env var naming the
+# model (like the live-provider smoke). Where it runs, it drives the
+# full Spark path: embed_text_udf -> Arrow batches -> worker-local
+# model -> array<double> column -> native cosine.
+# ---------------------------------------------------------------------------
+
+
+def _real_embed_assertions(spark, model_name):
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.functions.scoring import embed_text_udf
+
+    df = spark.createDataFrame(
+        [
+            (1, "revenue increased fifteen percent this quarter"),
+            (2, "quarterly revenue grew by fifteen percent"),
+            (3, "the cat sat on a warm windowsill all afternoon"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("emb", embed_text_udf(model_name)(F.col("text")))
+    rows = {r["doc_id"]: r["emb"] for r in df.collect()}
+    dims = {len(v) for v in rows.values()}
+    assert len(dims) == 1 and dims.pop() > 0  # fixed-width embeddings
+
+    def cos(a, b):
+        import math
+
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    # the semantic property a real model must show and the hashing
+    # fake cannot: paraphrases closer than unrelated text
+    assert cos(rows[1], rows[2]) > cos(rows[1], rows[3])
+    # determinism across a second run (worker-local model reuse)
+    again = {r["doc_id"]: r["emb"] for r in df.collect()}
+    assert again == rows
+
+
+@realdeps
+@pytest.mark.skipif(
+    not (
+        _has("sentence_transformers")
+        and __import__("os").environ.get("FMR_REALDEPS_ST_MODEL")
+    ),
+    reason="needs sentence-transformers + FMR_REALDEPS_ST_MODEL=<model> "
+    "(model download is opt-in)",
+)
+def test_real_sentence_transformer_through_udf(spark):
+    import os
+
+    _real_embed_assertions(
+        spark, f"st:{os.environ['FMR_REALDEPS_ST_MODEL']}"
+    )
+
+
+@realdeps
+@pytest.mark.skipif(
+    not (
+        _has("transformers")
+        and _has("torch")
+        and __import__("os").environ.get("FMR_REALDEPS_HF_MODEL")
+    ),
+    reason="needs transformers+torch + FMR_REALDEPS_HF_MODEL=<model> "
+    "(model download is opt-in)",
+)
+def test_real_hf_encoder_through_udf(spark):
+    import os
+
+    _real_embed_assertions(spark, f"hf:{os.environ['FMR_REALDEPS_HF_MODEL']}")
+
+
+@pytest.mark.skipif(
     _has("pypdf") or _has("pdfminer") or shutil.which("marker_single"),
     reason="a PDF parser is present — gate not reachable",
 )
