@@ -108,8 +108,23 @@ def run(
                 break
         else:
             return [pattern]  # unbalanced: leave as-is
+        # split the body on DEPTH-0 commas only: '{a,b{c,d}}' must
+        # yield alternatives ['a', 'b{c,d}'], not the garbage
+        # ['a', 'b{c', 'd}'] a naive split produces (round-10 advice —
+        # nested alternations then recurse correctly and overlap
+        # detection sees the real file set)
+        alts, buf, d = [], [], 0
+        for ch in pattern[i + 1 : j]:
+            if ch == "," and d == 0:
+                alts.append("".join(buf))
+                buf = []
+                continue
+            d += ch == "{"
+            d -= ch == "}"
+            buf.append(ch)
+        alts.append("".join(buf))
         out = []
-        for alt in pattern[i + 1 : j].split(","):
+        for alt in alts:
             out.extend(_expand_braces(pattern[:i] + alt + pattern[j + 1 :]))
         return out
 

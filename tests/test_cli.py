@@ -353,6 +353,24 @@ def test_count_tokens_cli_merges_model(spark, fixture_dirs):
     }
 
 
+def test_count_tokens_cli_nested_brace_glob(spark, fixture_dirs):
+    """Nested brace alternation must expand to the REAL file set:
+    '{acme*,{beta*,acme*}}' is alternatives ['acme*', '{beta*,acme*}']
+    (depth-0 comma split — round-10 advice; a naive split yields
+    '{beta*' / 'acme*}' which match nothing), so both docs are
+    counted and the doubly-matched acme hits the grand total ONCE."""
+    qa_path, docs_dir, _ = fixture_dirs
+    from finmapreduce_spark.count_tokens import main
+
+    pattern = f"{docs_dir}/{{acme*,{{beta*,acme*}}}}"
+    out = main(["--docs_glob", pattern, "--per_file"], spark=spark)
+    (d,) = out["dirs"]
+    # per-glob entry counts every match (acme twice is still one FILE
+    # per distinct path); grand total dedups on realpath
+    assert d["per_file"] == {"acme_2023": 320, "beta_2022": 160}
+    assert out["total"] == {"files": 2, "tokens": 480}
+
+
 def test_cli_preprocess_questions_hybrid(spark, fixture_dirs, capsys):
     """--preprocess_questions under the hybrid set rewrites every
     question through the improvement template before the pipeline
