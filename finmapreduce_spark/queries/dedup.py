@@ -3315,3 +3315,174 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup + host frontier ranking (round-11 frontier item —
+# the crawl-side curation pair RefinedWeb/CCNet run BEFORE content
+# dedup: normalize URLs, collapse exact-URL duplicates, then rank
+# HOSTS by accumulated page quality to prioritize the crawl frontier).
+# The corpus has no real URLs, so raw URLs are synthesized
+# deterministically per doc with realistic mess — scheme case, www
+# prefix, default :443 port, trailing slash, tracking params — and
+# the OPERATOR (the canonicalization pipeline + dedup + host rollup ∘
+# pagerank composition) is what the catalog certifies, same posture
+# as the synthesized link graph above.
+#
+# Canonicalization is a pure JVM string projection (zero shuffle);
+# the dedup is one uniform-key groupBy on the canonical URL; the
+# frontier rank joins the |hosts|-row rollup with the integer-exact
+# PageRank — all-integer ranks keep both engines bit-identical.
+# Engine-parity constraint: every regex is RE2-safe (no lookahead —
+# DuckDB is RE2; Java regex would accept more) and every backref-free.
+# ---------------------------------------------------------------------------
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url_raw, url_canonical): deterministic messy URL per
+    doc + its canonical form. Raw mess varies WITHIN a canonical
+    group (www/slash/port keyed on moduli coprime to the collision
+    modulus 80), so normalization does real merging work."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), s(d % 5), F.lit(".example.com"),
+        F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p"), s(d % 16),
+        F.when(d % 9 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(d % 8 == 1, F.lit("?page=2"))
+        .when(d % 8 == 5, F.lit("?page=2&utm_source=feed"))
+        .otherwise(F.lit("")),
+    )
+    u = F.lower(raw)
+    u = F.regexp_replace(u, r"[?&]utm_[a-z_]*=[^&#]*", "")
+    u = F.replace(u, F.lit(":443/"), F.lit("/"))
+    u = F.replace(u, F.lit("://www."), F.lit("://"))
+    u = F.replace(u, F.lit("/?"), F.lit("?"))
+    u = F.regexp_replace(u, r"/$", "")
+    return docs.select("doc_id", raw.alias("url_raw"), u.alias("url_canonical"))
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url_canonical, keeper_doc_id, n_copies): exact-URL dedup after
+    canonicalization — the keep-min-doc rule on the normalized URL
+    (dedup_exact's shape, with the hash swapped for the canonical
+    string). Docs collide exactly when host, path, and surviving
+    query agree (mod-80 classes in the synthesized mess)."""
+    urls = _doc_urls(_docs(spark, sf_dir))
+    return urls.groupBy("url_canonical").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+
+
+_URLS_SQL = """
+SELECT doc_id, url_raw,
+       regexp_replace(
+         replace(replace(replace(
+           regexp_replace(lower(url_raw), '[?&]utm_[a-z_]*=[^&#]*', '', 'g'),
+           ':443/', '/'), '://www.', '://'), '/?', '?'),
+         '/$', '') AS url_canonical
+FROM (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+         || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+         || '/p' || CAST(doc_id % 16 AS VARCHAR)
+         || (CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                  WHEN doc_id % 8 = 1 THEN '?page=2'
+                  WHEN doc_id % 8 = 5 THEN '?page=2&utm_source=feed'
+                  ELSE '' END) AS url_raw
+  FROM documents
+)
+"""
+
+DEDUP_URL_ORACLE = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT url_canonical, min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM urls GROUP BY 1
+"""
+
+
+def host_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_docs, n_urls, total_rank, frontier_order): the crawl-
+    frontier priority table — per host, doc and unique-canonical-URL
+    counts, plus the summed integer PageRank of the host's URL-dedup
+    KEEPER docs (quality mass accrues once per unique page, not per
+    duplicate fetch), ranked descending with host-asc tiebreak.
+
+    Composition: _doc_urls (zero-shuffle projection) → URL dedup
+    (one groupBy) → host rollup (one groupBy on ≤|hosts| keys) →
+    broadcast-sized join with pagerank_links → one |hosts|-row
+    window. At 100 TB the host rollup is the only corpus-sized
+    shuffle and its key space is the host set."""
+    docs = _docs(spark, sf_dir)
+    urls = _doc_urls(docs).withColumn(
+        "host", F.regexp_extract("url_canonical", r"://([^/?]+)", 1)
+    )
+    # persisted: feeds the host rollup AND the keeper join
+    urls = urls.persist()
+    host_stats = urls.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("url_canonical").cast("long").alias("n_urls"),
+    )
+    keepers = urls.groupBy("host", "url_canonical").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    ranks = pagerank_links(spark, sf_dir)
+    host_rank = (
+        keepers.join(ranks, "doc_id")
+        .groupBy("host")
+        .agg(F.sum("rank").cast("long").alias("total_rank"))
+    )
+    w = W.orderBy(F.desc("total_rank"), F.asc("host"))
+    return (
+        host_stats.join(host_rank, "host")
+        .withColumn("frontier_order", F.row_number().over(w).cast("int"))
+        .select("host", "n_docs", "n_urls", "total_rank", "frontier_order")
+    )
+
+
+HOST_FRONTIER_ORACLE = f"""
+WITH urls AS (
+  SELECT u.*, regexp_extract(url_canonical, '://([^/?]+)', 1) AS host
+  FROM ({_URLS_SQL}) u
+),
+host_stats AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_urls
+  FROM urls GROUP BY 1
+),
+keepers AS (
+  SELECT host, url_canonical, min(doc_id) AS doc_id
+  FROM urls GROUP BY 1, 2
+),
+ranks AS (SELECT * FROM ({PAGERANK_ORACLE})),
+host_rank AS (
+  SELECT k.host, CAST(sum(r.rank) AS BIGINT) AS total_rank
+  FROM keepers k JOIN ranks r USING (doc_id) GROUP BY 1
+)
+SELECT s.host, s.n_docs, s.n_urls, h.total_rank,
+       CAST(row_number() OVER (ORDER BY h.total_rank DESC, s.host ASC)
+            AS INT) AS frontier_order
+FROM host_stats s JOIN host_rank h USING (host)
+"""
+
+QUERIES.update(
+    {
+        "dedup_url_canonical": QuerySpec(
+            dedup_url_canonical, DEDUP_URL_ORACLE
+        ),
+        "host_frontier_rank": QuerySpec(
+            host_frontier_rank, HOST_FRONTIER_ORACLE
+        ),
+    }
+)

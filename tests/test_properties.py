@@ -662,3 +662,39 @@ def test_bpe_batched_trainer_matches_python_twin_on_wide_vocab(
     got = [tuple(pair.split(" ")) for _rk, pair, _m, _c in rows]
     assert got == twin
     assert len(got) > batch  # multiple real rounds ran
+
+
+def test_url_canonicalization_merges_mess_variants(spark, sf_dir):
+    """Every canonical group must (a) contain raw variants that are
+    NOT string-equal to the canonical (normalization does real work:
+    scheme case, www, :443, trailing slash, utm params), and (b) the
+    canonical form must be mess-free and a fixpoint of the pipeline's
+    rules; keeper is the min doc_id of the group."""
+    from finmapreduce_spark.queries.dedup import (
+        _doc_urls,
+        _docs,
+        dedup_url_canonical,
+    )
+
+    rows = _doc_urls(_docs(spark, sf_dir)).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r["url_canonical"], []).append(
+            (r["doc_id"], r["url_raw"])
+        )
+    assert any(len(g) > 1 for g in groups.values())  # dedup is non-trivial
+    messy = 0
+    for canon, members in groups.items():
+        assert canon.startswith("https://h")
+        assert "www." not in canon and ":443" not in canon
+        assert "utm_" not in canon and not canon.endswith("/")
+        messy += sum(1 for _d, raw in members if raw != canon)
+    assert messy > 0  # raw variants really differ from canonical
+    got = {
+        r["url_canonical"]: (r["keeper_doc_id"], r["n_copies"])
+        for r in dedup_url_canonical(spark, sf_dir).collect()
+    }
+    want = {
+        c: (min(d for d, _ in m), len(m)) for c, m in groups.items()
+    }
+    assert got == want
