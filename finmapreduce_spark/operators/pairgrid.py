@@ -103,3 +103,95 @@ def grid_self_pairs(
     if not dedupe:
         return paired
     return paired.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+
+
+def grid_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_cols: list[str],
+    left_id: str,
+    right_id: str,
+    left_payload: list[str] | None = None,
+    right_payload: list[str] | None = None,
+    block: int = DEFAULT_BLOCK,
+    scratch: list | None = None,
+) -> DataFrame:
+    """Rectangular twin of grid_self_pairs: ALL (left-row, right-row)
+    pairs sharing a bucket, tiled so one hot bucket key (a gram/band
+    present in H_l delta rows and H_r history rows) cannot funnel its
+    H_l×H_r pair volume through a single task.
+
+    Each side gets an in-bucket index and block id (one window sort
+    per side — rows, not pairs); each LEFT row replicates across the
+    RIGHT side's blocks for its bucket and vice versa, so every row
+    pair meets in exactly ONE (l_blk, r_blk) cell: the output
+    MULTISET equals the plain bucket equi-join's and the same oracle
+    certifies both. Per-task pair work ≤ block²; replication per row
+    is ceil(other_side_bucket/block) — the incremental-ingest
+    complement of the triangular tiler (delta probes a persisted
+    store; a boilerplate bucket hot on BOTH sides is exactly where
+    the plain probe join cliffs).
+
+    Output columns: ``{left_id}`` and ``{right_id}`` (names must
+    differ) + payload columns, each taken verbatim from its side.
+    Both indexed sides are persisted (each feeds its own replication
+    AND the opposite side's block-count aggregate); lifecycle is
+    caller-owned (clearCache) unless ``scratch`` collects them.
+    """
+    left_payload = left_payload or []
+    right_payload = right_payload or []
+    li = left.withColumn(
+        "__blk",
+        (
+            (
+                F.row_number().over(
+                    W.partitionBy(*bucket_cols).orderBy(left_id)
+                )
+                - 1
+            )
+            / block
+        ).cast("int"),
+    ).persist()
+    ri = right.withColumn(
+        "__blk",
+        (
+            (
+                F.row_number().over(
+                    W.partitionBy(*bucket_cols).orderBy(right_id)
+                )
+                - 1
+            )
+            / block
+        ).cast("int"),
+    ).persist()
+    if scratch is not None:
+        scratch.extend([li, ri])
+    nb_l = li.groupBy(*bucket_cols).agg(
+        (F.max("__blk") + 1).alias("__nbl")
+    )
+    nb_r = ri.groupBy(*bucket_cols).agg(
+        (F.max("__blk") + 1).alias("__nbr")
+    )
+    lrep = li.join(nb_r, bucket_cols).select(
+        *bucket_cols,
+        left_id,
+        *left_payload,
+        F.col("__blk").alias("__lblk"),
+        F.explode(F.sequence(F.lit(0), F.col("__nbr") - 1)).alias("__rblk"),
+    )
+    rrep = ri.join(nb_l, bucket_cols).select(
+        *bucket_cols,
+        right_id,
+        *right_payload,
+        F.explode(F.sequence(F.lit(0), F.col("__nbl") - 1)).alias("__lblk"),
+        F.col("__blk").alias("__rblk"),
+    )
+    cond = (F.col("l.__lblk") == F.col("r.__lblk")) & (
+        F.col("l.__rblk") == F.col("r.__rblk")
+    )
+    for c in bucket_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    out_cols = [F.col(f"l.{left_id}"), F.col(f"r.{right_id}")]
+    out_cols += [F.col(f"l.{c}") for c in left_payload]
+    out_cols += [F.col(f"r.{c}") for c in right_payload]
+    return lrep.alias("l").join(rrep.alias("r"), cond).select(*out_cols)

@@ -3273,14 +3273,33 @@ def incremental_substring_pairs(
     created.append(hits)
     inc_ids = hits.select("doc_id").distinct()
     hist_ids = hits.select(F.col("hist_id").alias("doc_id")).distinct()
-    gi = _l_grams(bi.join(F.broadcast(inc_ids), "doc_id"), min_len)
-    gh = _l_grams(bh.join(F.broadcast(hist_ids), "doc_id"), min_len).select(
+    # no forced broadcast hints: on a boilerplate-heavy ingest the
+    # hit-doc sets approach corpus size and a pinned hint would OOM
+    # the driver; AQE broadcasts them at runtime when they ARE small
+    # (the same round-10 advice applied to the batch candidate slice)
+    gi = _l_grams(bi.join(inc_ids, "doc_id"), min_len)
+    gh = _l_grams(bh.join(hist_ids, "doc_id"), min_len).select(
         F.col("doc_id").alias("hist_id"), "gram"
     )
-    return (
-        gi.join(gh, "gram")
-        .groupBy("doc_id", "hist_id")
-        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    # delta×history gram verify through the RECTANGULAR tiler: a
+    # boilerplate gram hot on both sides (H_i incoming × H_h history
+    # rows) would otherwise funnel H_i·H_h pair rows through one join
+    # key — the cross-join form of the self-join funnel the batch
+    # path guards with grid_self_pairs. Multiset-identical to the
+    # plain join, so the same oracle certifies it.
+    from finmapreduce_spark.operators.pairgrid import grid_cross_pairs
+
+    pairs = grid_cross_pairs(
+        gi,
+        gh,
+        ["gram"],
+        "doc_id",
+        "hist_id",
+        block=SUBSTR_GRID_BLOCK,
+        scratch=created,
+    )
+    return pairs.groupBy("doc_id", "hist_id").agg(
+        F.count("*").cast("long").alias("n_shared_grams")
     )
 
 

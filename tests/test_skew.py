@@ -313,3 +313,47 @@ def test_substring_batch_scratch_releases_persists(spark, sf_dir):
         # nothing pinned beyond what scratch handed back
         jsc = spark.sparkContext._jsc.sc()
         assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_grid_cross_pairs_multiset_equals_plain_join(spark):
+    """The rectangular tiler must produce EXACTLY the plain bucket
+    equi-join's row multiset across block boundaries on both sides
+    (sizes 1, B-1, B, B+1, 2B+3 crossed), including duplicate ids
+    within a bucket (positional payload rows)."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.operators.pairgrid import grid_cross_pairs
+
+    B = 4
+    lrows, rrows = [], []
+    sizes = [1, B - 1, B, B + 1, 2 * B + 3]
+    for b, (nl, nr) in enumerate(zip(sizes, reversed(sizes))):
+        for i in range(nl):
+            lrows.append((f"k{b}", 100 + i, i))
+        for j in range(nr):
+            rrows.append((f"k{b}", 200 + j, j * 10))
+    # a left-only and a right-only bucket must contribute nothing
+    lrows.append(("lonlyL", 1, 0))
+    rrows.append(("lonlyR", 2, 0))
+    # duplicate id rows in one bucket (pos payloads differ)
+    lrows += [("k0", 100, 7), ("k0", 100, 8)]
+    left = spark.createDataFrame(lrows, "key string, lid long, lpos long")
+    right = spark.createDataFrame(rrows, "key string, rid long, rpos long")
+
+    got = sorted(
+        (r["lid"], r["rid"], r["lpos"], r["rpos"])
+        for r in grid_cross_pairs(
+            left, right, ["key"], "lid", "rid",
+            left_payload=["lpos"], right_payload=["rpos"], block=B,
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    want = sorted(
+        (r["lid"], r["rid"], r["lpos"], r["rpos"])
+        for r in left.alias("l")
+        .join(right.alias("r"), F.col("l.key") == F.col("r.key"))
+        .select("l.lid", "r.rid", "l.lpos", "r.rpos")
+        .collect()
+    )
+    assert got == want
+    assert len(want) > B * B  # multiple cells really exercised
