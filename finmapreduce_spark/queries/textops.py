@@ -1502,3 +1502,116 @@ QUERIES.update(
         "data_drift_report": QuerySpec(data_drift_report, DRIFT_ORACLE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-automaton substring diversity (round-11 frontier item): the
+# compression-style quality signal — distinct substrings and longest
+# repeated substring over all ≤K-char windows, per document. Linear
+# per-doc suffix automaton (functions/suffix.py) as an Arrow-batched
+# mapInPandas stage (Python is inherent: no JVM/SQL linear
+# equivalent); the DuckDB oracle brute-forces the identical stats
+# from the explicit window multiset (exact but quadratic — the check,
+# not the scale path). The K cap (32) bounds the oracle's enumeration
+# AND matches how the signal is used (Gopher/RefinedWeb repetition
+# filters look at bounded n-gram windows, not unbounded LRS), while
+# the automaton itself is built uncapped in linear time.
+#
+# Ratio rounding happens JVM-SIDE (F.round == SQL ROUND half-up;
+# Python's bankers-rounding round() would diverge on exact ties), so
+# the Python stage returns integers only — the same all-integer
+# engine-parity trick as the perceptron/BPE/PageRank lanes.
+# ---------------------------------------------------------------------------
+
+SUBSTR_STATS_K = 32
+
+
+def text_substring_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, n_windows, n_distinct, diversity,
+    longest_repeat): per-doc substring-diversity stats over ≤K-char
+    windows. diversity = n_distinct / n_windows (NULL for empty
+    docs) — low values flag repetitive/boilerplate text; longest_repeat
+    is the capped longest repeated substring."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    k = SUBSTR_STATS_K
+
+    def gen(batches):
+        from finmapreduce_spark.functions.suffix import sam_substring_stats
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text if isinstance(text, str) else ""
+                nw, nd, lr = sam_substring_stats(t, k)
+                rows.append((doc_id, len(t), nw, nd, lr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_chars",
+                    "n_windows",
+                    "n_distinct",
+                    "longest_repeat",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        gen,
+        "doc_id long, n_chars long, n_windows long, n_distinct long, "
+        "longest_repeat long",
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_windows",
+        "n_distinct",
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(F.col("n_distinct") / F.col("n_windows"), 6),
+        ).alias("diversity"),
+        "longest_repeat",
+    )
+
+
+SUBSTR_DIVERSITY_ORACLE = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+subs AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), CAST(l AS INT)) AS s,
+         CAST(l AS BIGINT) AS l
+  FROM d,
+       LATERAL unnest(range(1, CAST(length(t) AS BIGINT) + 1)) AS a(i),
+       LATERAL unnest(range(1, {SUBSTR_STATS_K} + 1)) AS b(l)
+  WHERE i + l <= length(t) + 1
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_distinct
+  FROM subs GROUP BY 1
+),
+rep AS (
+  SELECT doc_id, CAST(max(l) AS BIGINT) AS longest_repeat
+  FROM (SELECT doc_id, s, l, count(*) AS c FROM subs GROUP BY 1, 2, 3)
+  WHERE c > 1 GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(length(d.t) AS BIGINT) AS n_chars,
+       coalesce(agg.n_windows, 0) AS n_windows,
+       coalesce(agg.n_distinct, 0) AS n_distinct,
+       CASE WHEN agg.n_windows > 0
+            THEN round(agg.n_distinct * 1.0 / agg.n_windows, 6)
+       END AS diversity,
+       coalesce(rep.longest_repeat, 0) AS longest_repeat
+FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN rep USING (doc_id)
+"""
+
+
+QUERIES.update(
+    {
+        "text_substring_diversity": QuerySpec(
+            text_substring_diversity, SUBSTR_DIVERSITY_ORACLE
+        ),
+    }
+)

@@ -698,3 +698,28 @@ def test_url_canonicalization_merges_mess_variants(spark, sf_dir):
         c: (min(d for d, _ in m), len(m)) for c, m in groups.items()
     }
     assert got == want
+
+
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=60),
+    st.sampled_from([1, 2, 5, 32]),
+)
+@settings(max_examples=150, deadline=None)
+def test_suffix_automaton_stats_match_bruteforce(s, k):
+    """The linear suffix-automaton statistics must equal the explicit
+    ≤k-window enumeration (the same brute force the DuckDB oracle
+    runs): window count, distinct substrings, capped longest repeat."""
+    from finmapreduce_spark.functions.suffix import sam_substring_stats
+
+    n = len(s)
+    subs: dict[str, int] = {}
+    for i in range(n):
+        for length in range(1, min(k, n - i) + 1):
+            t = s[i : i + length]
+            subs[t] = subs.get(t, 0) + 1
+    want = (
+        sum(min(k, n - i) for i in range(n)),
+        len(subs),
+        max((len(t) for t, c in subs.items() if c > 1), default=0),
+    )
+    assert sam_substring_stats(s, k) == want
