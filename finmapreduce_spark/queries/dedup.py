@@ -3505,3 +3505,150 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Span TRIMMING (round 11): the deliverable the span detector exists
+# for — Lee et al. 2021's "train on one copy of the substring":
+# for every unordered pair sharing a verbatim >= SUBSTR_L span, the
+# HIGHER-id doc loses its copy (the lower-id doc keeps it — the same
+# min-id-keeper convention as every dedup family here). Per doc the
+# removal set is the interval UNION of its doc_b-side spans: merge
+# overlapping/touching intervals with one running-max window (rows,
+# not pairs), take the complement segments, slice the text and
+# reassemble in order with zip_with + array_join — all JVM string
+# expressions over a ≤|merged-intervals| array per doc. Integers and
+# strings only, so the DuckDB oracle (same windows, string_agg
+# reassembly) is exact.
+# ---------------------------------------------------------------------------
+
+
+def substring_trim(
+    docs: DataFrame,
+    min_len: int = SUBSTR_L,
+    k: int = SUBSTR_K,
+    scratch: list | None = None,
+) -> DataFrame:
+    """(doc_id, n_chars, n_removed, n_cut_spans, text_trimmed):
+    every doc's text with its duplicated-span copies cut out
+    (doc_b side of exact_substring_spans), full corpus — docs with
+    no spans pass through unchanged."""
+    spans = exact_substring_spans(docs, min_len, k, scratch=scratch)
+    ivals = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_len")).alias("e"),  # [s, e)
+    )
+    w = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    isl = ivals.withColumn(
+        "g",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(
+                0
+            )
+        ).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("doc_id", "g").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
+    )
+    base = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    j = base.join(ivs, "doc_id", "left").withColumn(
+        "ivs",
+        F.coalesce("ivs", F.array().cast("array<struct<s:long,e:long>>")),
+    )
+    t = F.col("t")
+    cn = F.length(t).cast("long")
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform("ivs", lambda iv: iv["e"]),
+    )
+    ends = F.concat(
+        F.transform("ivs", lambda iv: iv["s"]), F.array(cn + 1)
+    )
+    pieces = F.zip_with(starts, ends, lambda st, en: t.substr(st, en - st))
+    return j.select(
+        "doc_id",
+        cn.alias("n_chars"),
+        F.aggregate(
+            "ivs",
+            F.lit(0).cast("long"),
+            lambda acc, iv: acc + (iv["e"] - iv["s"]),
+        ).alias("n_removed"),
+        F.size("ivs").cast("long").alias("n_cut_spans"),
+        F.array_join(pieces, "").alias("text_trimmed"),
+    )
+
+
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_trim(_docs(spark, sf_dir))
+
+
+SUBSTRING_TRIM_ORACLE = f"""
+WITH sp AS ({EXACT_SUBSTRING_SPANS_ORACLE}),
+iv AS (
+  SELECT doc_b AS doc_id, b_start AS s, b_start + span_len AS e FROM sp
+),
+ord AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM iv
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM ord
+),
+merged AS (
+  SELECT doc_id, g, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2
+),
+base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+pieces AS (
+  SELECT doc_id,
+         lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS ps,
+         s AS pe
+  FROM merged
+  UNION ALL
+  SELECT b.doc_id, coalesce(mx.e, 1), length(b.t) + 1
+  FROM base b LEFT JOIN (
+    SELECT doc_id, max(e) AS e FROM merged GROUP BY 1
+  ) mx ON mx.doc_id = b.doc_id
+),
+trimmed AS (
+  SELECT p.doc_id,
+         string_agg(substring(b.t, CAST(ps AS INT), CAST(pe - ps AS INT)),
+                    '' ORDER BY ps) AS text_trimmed
+  FROM pieces p JOIN base b USING (doc_id)
+  GROUP BY 1
+),
+removed AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed,
+         CAST(count(*) AS BIGINT) AS n_cut_spans
+  FROM merged GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(length(b.t) AS BIGINT) AS n_chars,
+       coalesce(r.n_removed, 0) AS n_removed,
+       coalesce(r.n_cut_spans, 0) AS n_cut_spans,
+       t.text_trimmed
+FROM base b
+JOIN trimmed t USING (doc_id)
+LEFT JOIN removed r USING (doc_id)
+"""
+
+QUERIES.update(
+    {
+        "dedup_substring_trim": QuerySpec(
+            dedup_substring_trim, SUBSTRING_TRIM_ORACLE
+        ),
+    }
+)

@@ -301,3 +301,72 @@ def test_spans_two_alignments_report_separately(spark):
     spark.catalog.clearCache()
     second = 1 + SUBSTR_L + len(gap)
     assert got == [(1, 21, SUBSTR_L), (second, 21, SUBSTR_L)]
+
+
+def test_substring_trim_removes_only_nonkeeper_copies(spark):
+    """Planted geometry: doc 1 and doc 2 share one >=L verbatim block,
+    docs 3/4/5 are unique. The trim must (a) leave the keeper (lower
+    id) byte-identical, (b) cut the FULL maximal shared span from the
+    higher-id doc so no shared L-gram survives there, (c) pass unique
+    docs through unchanged, and (d) report exact removed-char
+    accounting."""
+    from finmapreduce_spark.queries.dedup import SUBSTR_L, substring_trim
+
+    block = "B" * (SUBSTR_L + 25)  # one maximal span, longer than L
+    # flank boundaries DIFFER between the two docs (x+ vs _~), so the
+    # maximal shared span is exactly the block — a shared boundary
+    # char (e.g. a space on both sides) would legitimately extend it
+    rows = [
+        (1, "left flank one x" + block + "+right flank one"),
+        (2, "totally different lead_" + block + "~different tail"),
+        (3, "unique document three with nothing shared at all here"),
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_trim(docs).collect()}
+    spark.catalog.clearCache()
+    assert set(out) == {1, 2, 3, 4, 5}
+    # keeper untouched
+    assert out[1]["text_trimmed"] == rows[0][1]
+    assert out[1]["n_removed"] == 0 and out[1]["n_cut_spans"] == 0
+    # non-keeper: the whole maximal span is gone, flanks survive
+    t2 = out[2]["text_trimmed"]
+    assert block[:SUBSTR_L] not in t2
+    assert out[2]["n_removed"] == len(block)
+    assert out[2]["n_cut_spans"] == 1
+    assert t2 == "totally different lead_" + "~different tail"
+    # uniques / empties unchanged
+    assert out[3]["text_trimmed"] == rows[2][1]
+    assert out[4]["text_trimmed"] == "" and out[5]["text_trimmed"] == ""
+    for d in (3, 4, 5):
+        assert out[d]["n_removed"] == 0
+
+
+def test_substring_trim_merges_overlapping_spans(spark):
+    """Two distinct shared blocks that OVERLAP inside the victim doc
+    (each shared with a different keeper) must merge into one removal
+    interval — chars in the overlap are removed once, and the kept
+    segments reassemble in order."""
+    from finmapreduce_spark.queries.dedup import SUBSTR_L, substring_trim
+
+    a = "A" * SUBSTR_L
+    b = "B" * SUBSTR_L
+    overlap = a + b  # victim carries A-block immediately before B-block
+    # boundary chars are UNIQUE per doc — any shared flank char would
+    # legitimately extend the maximal span (the first planted-span
+    # test documents that behavior on purpose)
+    rows = [
+        (1, "keeperone(" + a + ")one"),
+        (2, "keepertwo[" + b + "]two"),
+        (3, "victim{" + overlap + "}end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_trim(docs).collect()}
+    spark.catalog.clearCache()
+    assert out[1]["text_trimmed"] == rows[0][1]
+    assert out[2]["text_trimmed"] == rows[1][1]
+    t3 = out[3]["text_trimmed"]
+    assert t3 == "victim{" + "}end"
+    assert out[3]["n_removed"] == len(overlap)
+    assert out[3]["n_cut_spans"] == 1  # touching intervals merged
