@@ -123,6 +123,16 @@ HEADLINE = [
     # round-10: winnowing exact-substring dedup (linear fingerprint
     # scan -> candidate doc slice -> exact gram verify)
     "dedup_exact_substring",
+    # round-11: per-doc suffix-automaton stats (Arrow mapInPandas CPU
+    # lane), joint one-vs-all perceptron epochs (map-literal margins
+    # x K classes), and the URL-host rollup ∘ PageRank composition.
+    # dedup_substring_trim is NOT here: under bench's count() action
+    # Catalyst provably prunes its row-preserving trim pipeline
+    # (SCALE.md round-11 measurement note) — the scale study carries
+    # its honest forced measurement instead.
+    "text_substring_diversity",
+    "classifier_langid_multiclass",
+    "host_frontier_rank",
 ]
 
 

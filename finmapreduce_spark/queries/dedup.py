@@ -195,11 +195,18 @@ FROM (SELECT doc_id, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL}))
 # candidates are verified with true shingle Jaccard.
 # ---------------------------------------------------------------------------
 
-def _lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_band_buckets(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     """The shared band-bucket table (doc_id, hashed shingles, band_id,
     key) behind BOTH pair builders — one definition, so a banding or
     shingle-hashing change cannot silently diverge the plain and grid
     variants out of their shared oracle.
+
+    ``shingled``: an already-built (and persisted) with_shingles frame
+    to reuse — the master keep-list builds the scan→split→shingle
+    pipeline ONCE and shares it across its LSH/SimHash/semantic lanes
+    instead of re-running it per lane (round-10 next-round candidate).
 
     Verify payload is 64-bit shingle hashes, not the shingle strings:
     the intersection COUNT is hash-invariant (collision odds within one
@@ -215,7 +222,11 @@ def _lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOMs; it is |docs|×2 rows of long-arrays, far smaller than the
     corpus. Lifecycle is caller-owned (clearCache), as catalog-wide.
     """
-    docs = with_shingles(_docs(spark, sf_dir))
+    docs = (
+        shingled
+        if shingled is not None
+        else with_shingles(_docs(spark, sf_dir))
+    )
     sig = docs.select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashed"),
@@ -294,10 +305,12 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_GRID_BLOCK = 64
 
 
-def dedup_lsh_pairs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_pairs_grid(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     from finmapreduce_spark.operators.pairgrid import grid_self_pairs
 
-    buckets = _lsh_band_buckets(spark, sf_dir)
+    buckets = _lsh_band_buckets(spark, sf_dir, shingled=shingled)
 
     cand = grid_self_pairs(
         buckets, ["band_id", "key"], "doc_id", ["shingles"], block=LSH_GRID_BLOCK
@@ -422,7 +435,13 @@ assert SIMHASH_HAMMING_MAX <= SIMHASH_PAIR_BANDS - 1, (
 assert SIMHASH_PAIR_BITS % SIMHASH_PAIR_BANDS == 0
 
 
-def _simhash_pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_pair_bands(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
+    # ``shingled``: an already-built AND PERSISTED with_shingles frame
+    # to reuse (master keep-list lane sharing). Persisted matters
+    # here: the NULL-text filter below then reads the cache instead
+    # of re-deriving the projection (see the pushdown note).
     # Features are the distinct 3-word SHINGLES, not words: on a
     # corpus drawn from a shared vocabulary, word-level majority votes
     # correlate across unrelated docs (measured 302 distinct sigs per
@@ -443,9 +462,13 @@ def _simhash_pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived column gets pushed through the projection with the
     # whole split+shingle expression inlined, evaluating the
     # pipeline twice per row (measured 3.6 s → 11.5 s at sf0.1).
+    sh = (
+        shingled.filter(F.col("text").isNotNull())
+        if shingled is not None
+        else with_shingles(_docs(spark, sf_dir).filter(F.col("text").isNotNull()))
+    )
     base = (
-        with_shingles(_docs(spark, sf_dir).filter(F.col("text").isNotNull()))
-        .withColumn("hashes", F.transform("shingles", lambda s: F.md5(s)))
+        sh.withColumn("hashes", F.transform("shingles", lambda s: F.md5(s)))
         .select("doc_id", "hashes")
         .withColumn("n", F.size("hashes"))
     )
@@ -528,7 +551,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_simhash_pairs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs_grid(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     """Hot-bucket-safe twin of ``dedup_simhash_pairs``: the (k, bv)
     band self-join goes through the shared grid tiler
     (operators/pairgrid.py) so a band value shared by a boilerplate
@@ -536,7 +561,7 @@ def dedup_simhash_pairs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, same oracle."""
     from finmapreduce_spark.operators.pairgrid import grid_self_pairs
 
-    bands = _simhash_pair_bands(spark, sf_dir)
+    bands = _simhash_pair_bands(spark, sf_dir, shingled=shingled)
     cand = grid_self_pairs(bands, ["k", "bv"], "doc_id", ["sim"]).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
@@ -1983,7 +2008,9 @@ HAVING count(*) >= {PASSAGE_MIN_RUN}
 SEMANTIC_COSINE_MIN = 0.99
 
 
-def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_verify(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     """Band-bucket candidates ∘ hashing-BoW cosine gate.
 
     Scale: candidate generation is the same banded equi-join as
@@ -1995,7 +2022,11 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     — candidates AND model output — relationally."""
     from finmapreduce_spark.functions.scoring import embed_text_udf
 
-    docs = with_shingles(_docs(spark, sf_dir))
+    docs = (
+        shingled
+        if shingled is not None
+        else with_shingles(_docs(spark, sf_dir))
+    )
     sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
     band0, band1 = _band_exprs()
 
@@ -2022,8 +2053,10 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     emb = (
-        _docs(spark, sf_dir)
-        .select(
+        # when a shared shingled frame is passed it still carries
+        # text, and reading it hits the caller's cache instead of a
+        # fourth corpus scan
+        docs.select(
             "doc_id", embed_text_udf("hashing-bow")(F.col("text")).alias("e")
         )
         .withColumn("nm", F.sqrt(_dot(F.col("e"), F.col("e"))))
@@ -3167,15 +3200,27 @@ def dedup_master_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
     )
+    # ONE scan→split→shingle pipeline shared by the LSH, SimHash and
+    # semantic lanes (round-10 candidate (a): each lane used to
+    # rebuild it — three extra corpus scans at 100 TB). Persisted so
+    # the lanes' downstream derivations all read the cache; lifecycle
+    # is caller-owned per the catalog-wide clearCache contract.
+    shingled = with_shingles(docs).persist()
     edges = (
         exact_edges.unionByName(
-            dedup_lsh_pairs_grid(spark, sf_dir).select("doc_a", "doc_b")
+            dedup_lsh_pairs_grid(spark, sf_dir, shingled=shingled).select(
+                "doc_a", "doc_b"
+            )
         )
         .unionByName(
-            dedup_simhash_pairs_grid(spark, sf_dir).select("doc_a", "doc_b")
+            dedup_simhash_pairs_grid(
+                spark, sf_dir, shingled=shingled
+            ).select("doc_a", "doc_b")
         )
         .unionByName(
-            dedup_semantic_verify(spark, sf_dir).select("doc_a", "doc_b")
+            dedup_semantic_verify(spark, sf_dir, shingled=shingled).select(
+                "doc_a", "doc_b"
+            )
         )
         .unionByName(exact_substring_pairs(docs).select("doc_a", "doc_b"))
         .distinct()
