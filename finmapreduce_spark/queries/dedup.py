@@ -3697,3 +3697,48 @@ QUERIES.update(
         ),
     }
 )
+
+
+def dedup_incremental_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url_canonical, hist_keeper, is_duplicate): ingest-time
+    URL dedup — the incoming batch (doc_id % INGEST_MOD == 0, the
+    catalog-wide ingest-split convention) canonicalizes its URLs and
+    probes the HISTORY keeper store (canonical URL → min historical
+    doc_id), the same persisted-store lifecycle as the band-signature
+    and winnow-fingerprint families: history amortizes across
+    ingests, the delta pays only its own canonicalization (a
+    zero-shuffle projection) plus one uniform-key probe join. A NULL
+    hist_keeper means the URL is new to the corpus."""
+    urls = _doc_urls(_docs(spark, sf_dir))
+    incoming = urls.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = urls.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    store = history.groupBy("url_canonical").agg(
+        F.min("doc_id").alias("hist_keeper")
+    )
+    return incoming.join(store, "url_canonical", "left").select(
+        "doc_id",
+        "url_canonical",
+        "hist_keeper",
+        F.col("hist_keeper").isNotNull().alias("is_duplicate"),
+    )
+
+
+DEDUP_INC_URL_ORACLE = f"""
+WITH urls AS ({_URLS_SQL}),
+store AS (
+  SELECT url_canonical, min(doc_id) AS hist_keeper
+  FROM urls WHERE doc_id % {INGEST_MOD} <> 0 GROUP BY 1
+)
+SELECT u.doc_id, u.url_canonical, s.hist_keeper,
+       s.hist_keeper IS NOT NULL AS is_duplicate
+FROM urls u LEFT JOIN store s USING (url_canonical)
+WHERE u.doc_id % {INGEST_MOD} = 0
+"""
+
+QUERIES.update(
+    {
+        "dedup_incremental_url": QuerySpec(
+            dedup_incremental_url, DEDUP_INC_URL_ORACLE
+        ),
+    }
+)
