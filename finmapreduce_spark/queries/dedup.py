@@ -3579,11 +3579,20 @@ def substring_trim(
     (doc_b side of exact_substring_spans), full corpus — docs with
     no spans pass through unchanged."""
     spans = exact_substring_spans(docs, min_len, k, scratch=scratch)
+    # DISTINCT before the merge window: a union is insensitive to
+    # duplicate intervals (the same [s, e) arrives once per partner
+    # doc — ~100 copies on a boilerplate corpus), and dropping them
+    # makes the window's (s, e) ordering a TOTAL order. That is
+    # correctness, not just economy: DuckDB's parallel window over
+    # fully-tied rows is nondeterministic (observed on the hot-gram
+    # corpus: the same doc flipping between 1 and 2 "islands" across
+    # runs of the oracle — duplicated removal accounting), and the
+    # driver's hash-compare needs both engines deterministic.
     ivals = spans.select(
         F.col("doc_b").alias("doc_id"),
         F.col("b_start").alias("s"),
         (F.col("b_start") + F.col("span_len")).alias("e"),  # [s, e)
-    )
+    ).distinct()
     w = W.partitionBy("doc_id").orderBy("s", "e")
     prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
     isl = ivals.withColumn(
@@ -3637,7 +3646,8 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTRING_TRIM_ORACLE = f"""
 WITH sp AS ({EXACT_SUBSTRING_SPANS_ORACLE}),
 iv AS (
-  SELECT doc_b AS doc_id, b_start AS s, b_start + span_len AS e FROM sp
+  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_len AS e
+  FROM sp
 ),
 ord AS (
   SELECT doc_id, s, e,
