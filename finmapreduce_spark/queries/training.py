@@ -2726,3 +2726,132 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffling + curriculum ordering (round 11): the two ORDERING
+# steps every pre-training data loader runs between curation and
+# batching. Both are pure rank assignments — deterministic,
+# integer/string-exact, one sort each — so the DuckDB oracles are
+# bit-exact.
+#
+# - Epoch shuffle: a seeded hash rank per (epoch, doc) — the standard
+#   "different global order every epoch, reproducible from the seed"
+#   contract (md5 over seed:epoch:doc; doc_id tiebreak for the
+#   astronomically-unlikely hash tie keeps row_number total). At
+#   100 TB this is one sort per epoch over (id, rank) pairs — never
+#   the payload; loaders join the rank table back by id.
+# - Curriculum: order stages by a quality signal (here: Gopher-style
+#   mean word length band — stage 0 = cleanest band first), shuffle
+#   WITHIN each stage with the same seeded hash (so intra-stage order
+#   is unbiased), and emit the global curriculum rank.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = "fmr-epoch-seed"
+SHUFFLE_EPOCHS = 3
+
+
+def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch, doc_id, shuffle_rank): the per-epoch deterministic
+    global shuffle order for SHUFFLE_EPOCHS epochs."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    epochs = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))
+        ).alias("epoch"),
+    )
+    key = F.md5(
+        F.concat_ws(":", F.lit(SHUFFLE_SEED), F.col("epoch"), F.col("doc_id"))
+    )
+    w = W.partitionBy("epoch").orderBy(key, F.col("doc_id"))
+    return epochs.select(
+        "epoch",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("shuffle_rank"),
+    )
+
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, CAST(t.e AS INT) AS epoch
+  FROM documents, LATERAL unnest(range(0, {SHUFFLE_EPOCHS})) AS t(e)
+)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY epoch
+         ORDER BY md5('{SHUFFLE_SEED}' || ':' || epoch || ':' || doc_id),
+                  doc_id
+       ) AS BIGINT) AS shuffle_rank
+FROM e
+"""
+
+
+def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, stage, curriculum_rank): two-stage curriculum — stage
+    0 is the Gopher-clean band (mean word length in [3, 10] and
+    length >= 5 words, the same bands text_gopher_rules gates on),
+    stage 1 the rest; within a stage the order is the seeded epoch-0
+    shuffle hash. One global sort over (stage, hash)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    words = F.split(F.trim("t"), r"\s+")
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        (F.length(F.replace(F.col("t"), F.lit(" "), F.lit(""))) / n_words),
+    ).otherwise(F.lit(0.0))
+    stage = F.when(
+        (n_words >= 5) & (mean_wl >= 3) & (mean_wl <= 10), 0
+    ).otherwise(1)
+    key = F.md5(
+        F.concat_ws(":", F.lit(SHUFFLE_SEED), F.lit(0), F.col("doc_id"))
+    )
+    staged = docs.select(
+        "doc_id", stage.cast("int").alias("stage"), key.alias("k")
+    )
+    w = W.orderBy("stage", "k", "doc_id")
+    return staged.select(
+        "doc_id",
+        "stage",
+        F.row_number().over(w).cast("long").alias("curriculum_rank"),
+    )
+
+
+CURRICULUM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(t), '\\s+')) AS n_words,
+         CASE WHEN len(string_split_regex(trim(t), '\\s+')) > 0
+              THEN length(replace(t, ' ', ''))
+                   * 1.0 / len(string_split_regex(trim(t), '\\s+'))
+              ELSE 0.0 END AS mean_wl
+  FROM base
+),
+staged AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_words >= 5 AND mean_wl >= 3 AND mean_wl <= 10
+              THEN 0 ELSE 1 END AS INT) AS stage,
+         md5('{SHUFFLE_SEED}' || ':0:' || doc_id) AS k
+  FROM feat
+)
+SELECT doc_id, stage,
+       CAST(row_number() OVER (ORDER BY stage, k, doc_id) AS BIGINT)
+         AS curriculum_rank
+FROM staged
+"""
+
+QUERIES.update(
+    {
+        "train_epoch_shuffle": QuerySpec(
+            train_epoch_shuffle, EPOCH_SHUFFLE_ORACLE
+        ),
+        "train_curriculum_order": QuerySpec(
+            train_curriculum_order, CURRICULUM_ORACLE
+        ),
+    }
+)
