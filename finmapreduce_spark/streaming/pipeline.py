@@ -902,3 +902,77 @@ def serve_incremental_ann(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_incremental_url_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous URL dedup with a LIVE canonical-URL keeper store —
+    the crawl-frontier member of the continuous-store family. Each
+    epoch: canonicalize the micro-batch's URLs (zero-shuffle string
+    projection — queries/dedup.py::_doc_urls), probe the store's
+    keeper table, append verdict rows (hist_keeper NULL means the URL
+    is new), and append ONE keeper row per newly-seen canonical URL
+    back — so a URL admitted in epoch N flags its re-crawl in epoch
+    N+1 (cross-epoch pin in tests). Unlike the content stores, the
+    store key IS the dedup identity, so intra-batch duplicates
+    collapse at append time (min doc per canonical) rather than
+    needing a separate self-dedup pass.
+
+    Replay/locking posture is the family standard: _prior_history
+    excludes this epoch's own crashed-attempt appends, appends run
+    under the append-marker/compaction-lock guard, and a replayed
+    epoch re-appends the same keeper rows (read side takes
+    min(keeper) per URL, so duplicates are harmless).
+
+    Scale: per-epoch cost is |delta| canonicalization + one
+    uniform-key probe join; the store holds one row per distinct
+    canonical URL ever admitted."""
+    from finmapreduce_spark.queries.dedup import _doc_urls
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _check_store_unlocked(store_dir)
+        spark = batch_df.sparkSession
+        urls = _doc_urls(batch_df).persist()
+        verdicts = None
+        try:
+            history = _prior_history(spark, store_dir, epoch_id)
+            keepers = history.groupBy("url_canonical").agg(
+                F.min("keeper").alias("hist_keeper")
+            )
+            verdicts = (
+                urls.join(keepers, "url_canonical", "left")
+                .select(
+                    "doc_id",
+                    "url_canonical",
+                    "hist_keeper",
+                    F.col("hist_keeper").isNotNull().alias("is_duplicate"),
+                )
+                .persist()
+            )
+            _epoch_json(verdicts, out_dir, epoch_id)
+            admitted = (
+                urls.join(
+                    verdicts.filter(F.col("is_duplicate")).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+                .groupBy("url_canonical")
+                .agg(F.min("doc_id").alias("keeper"))
+            )
+            _guarded_store_append(admitted, store_dir, epoch_id)
+        finally:
+            if verdicts is not None:
+                verdicts.unpersist()
+            urls.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -1298,3 +1298,80 @@ def test_compact_fp_store_preserves_probe_results(spark, tmp_path):
     assert stats["rows_after"] < stats["rows_before"]  # replays collapsed
     assert stats["files_after"] <= stats["files_before"]
     assert "epoch_id" not in spark.read.parquet(str(store)).columns
+
+
+def test_continuous_url_store_flags_recrawl_across_epochs(spark, tmp_path):
+    """Round-11: a canonical URL admitted in epoch 0 must flag its
+    re-crawl (a DIFFERENT doc whose messy raw URL normalizes to the
+    same canonical — doc ids congruent mod 80 in the synthesized
+    scheme) arriving in epoch 1, with hist_keeper pointing at the
+    admitted doc; fresh URLs admit and the store holds one keeper row
+    per canonical URL."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.dedup import _doc_urls
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_url_continuous,
+    )
+
+    store = tmp_path / "url_store"
+    seed = spark.createDataFrame([(5, "seed doc")], "doc_id long, text string")
+    (
+        _doc_urls(seed)
+        .groupBy("url_canonical")
+        .agg(F.min("doc_id").alias("keeper"))
+        .write.parquet(str(store))
+    )
+
+    landing = tmp_path / "url_landing"
+    landing.mkdir()
+    # doc 10 (epoch 0) and doc 90 (epoch 1): 90 ≡ 10 (mod 80) → same
+    # canonical URL from different raw mess; doc 11 is fresh
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 10, "text": "first crawl"}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 90, "text": "re-crawl"}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": "fresh"}) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "url_verdicts"
+    q = serve_incremental_url_continuous(
+        stream, str(store), str(out), str(tmp_path / "url_ckpt")
+    ).start()
+    q.awaitTermination()
+
+    rows = {r["doc_id"]: r for r in spark.read.json(str(out)).collect()}
+    assert set(rows) == {10, 90, 11}
+    assert rows[10]["is_duplicate"] is False  # new URL in epoch 0
+    assert rows[11]["is_duplicate"] is False  # fresh URL in epoch 1
+    assert rows[90]["is_duplicate"] is True  # re-crawl caught
+    assert rows[90]["hist_keeper"] == 10  # ...against the UPDATED store
+    # the twin batch operator agrees on the canonical identity
+    both = spark.createDataFrame(
+        [(10, "a"), (90, "b")], "doc_id long, text string"
+    )
+    canon = {
+        r["doc_id"]: r["url_canonical"] for r in _doc_urls(both).collect()
+    }
+    assert canon[10] == canon[90] == rows[90]["url_canonical"]
+    # store: seed + the two admitted canonical URLs, one keeper each
+    stored = {
+        (r["url_canonical"], r["keeper"])
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(str(store))
+        .select("url_canonical", "keeper")
+        .collect()
+    }
+    assert {k for _, k in stored} == {5, 10, 11}
