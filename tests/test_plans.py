@@ -964,3 +964,45 @@ def test_substring_dedup_winnow_side_shuffles_are_bounded(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-11 plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_url_canonical_is_projection_plus_one_agg(spark, sf_dir):
+    """URL canonicalization must stay a zero-shuffle string projection:
+    the whole plan is scan → project → ONE hash-aggregate exchange on
+    the canonical key (partial agg before it), no joins."""
+    plan = plan_of(QS["dedup_url_canonical"].spark(spark, sf_dir))
+    tree = plan[: plan.index("(1) Scan")]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_substring_diversity_single_scan_single_arrow_hop(spark, sf_dir):
+    """The suffix-automaton stage is one Arrow hop over one scan with
+    NO exchange before it — per-doc CPU work only; the final
+    projection (ratio rounding) adds nothing physical."""
+    plan = plan_of(QS["text_substring_diversity"].spark(spark, sf_dir))
+    tree = plan[: plan.index("(1) Scan")]
+    assert tree.count("MapInPandas") == 1
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    # column pruning: the scan reads only doc_id + text
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_epoch_shuffle_is_one_sort_per_partition_key(spark, sf_dir):
+    """The seeded epoch shuffle must be rank assignment over (id,
+    rank) pairs: one window exchange on epoch, a sort, no joins, and
+    a scan that reads ONLY doc_id."""
+    plan = plan_of(QS["train_epoch_shuffle"].spark(spark, sf_dir))
+    tree = plan[: plan.index("(1) Scan")]
+    assert "Join" not in tree
+    assert "Window" in tree
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema and "lang" not in read_schema
