@@ -299,11 +299,17 @@ def test_substring_batch_scratch_releases_persists(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    jsc = spark.sparkContext._jsc.sc()
-    # baseline AGAINST the shared session, not zero: earlier tests'
-    # legitimately-cached frames (catalog-wide clearCache contract)
-    # are still pinned when the whole suite runs in one session
-    before = jsc.getPersistentRDDs().size()
+    jsc = spark.sparkContext._jsc
+
+    def pinned_ids():
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
+    # baseline AGAINST the shared session by RDD id, not count: other
+    # tests' legitimately-cached frames are still pinned when the
+    # whole suite runs in one session, and the async ContextCleaner
+    # may release some of them mid-test — the cleaner only ever
+    # REMOVES ids, so "no NEW ids survive" is the stable invariant
+    before = pinned_ids()
     for op in (
         exact_substring_pairs,
         exact_substring_spans,
@@ -316,7 +322,7 @@ def test_substring_batch_scratch_releases_persists(spark, sf_dir):
             assert df.is_cached
             df.unpersist()
         # nothing NEW pinned beyond what scratch handed back
-        assert jsc.getPersistentRDDs().size() == before
+        assert pinned_ids() - before == set()
 
 
 def test_grid_cross_pairs_multiset_equals_plain_join(spark):
