@@ -70,21 +70,26 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_layout(toks)
 
 
-def _pack_layout(toks: DataFrame) -> DataFrame:
+def _pack_layout(toks: DataFrame, order_col: str = "doc_id") -> DataFrame:
     """The ONE definition of the packed-layout math (round-10 review:
     the ws and vocab-exact packers must not be able to diverge): toks
     is (doc_id, bucket, n_tokens); layout = per-bucket window
-    cumulative sum → seq_id/offset from the running total."""
+    cumulative sum → seq_id/offset from the running total.
+    ``order_col``: the in-bucket packing order (doc_id for the
+    hash-bucketed packers; curriculum_rank for the curriculum
+    packer, whose buckets are contiguous rank ranges)."""
     w = (
         W.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     packed = toks.withColumn(
         "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
     )
+    carry = [c for c in toks.columns if c not in ("doc_id", "bucket", "n_tokens")]
     return packed.select(
         "doc_id",
+        *carry,
         "bucket",
         "n_tokens",
         F.floor(F.col("cum_before") / SEQ_BUDGET).cast("long").alias("seq_id"),
@@ -94,17 +99,20 @@ def _pack_layout(toks: DataFrame) -> DataFrame:
     )
 
 
-def _pack_sql_tail(toks_rel: str) -> str:
+def _pack_sql_tail(
+    toks_rel: str, order_col: str = "doc_id", extra_cols: str = ""
+) -> str:
     """SQL twin of _pack_layout over a (doc_id, bucket, n_tokens)
-    relation — shared by both packing oracles."""
+    relation — shared by all packing oracles. ``extra_cols``: comma-
+    prefixed passthrough column list (e.g. ", stage, curriculum_rank")."""
     return f"""packed AS (
-  SELECT doc_id, bucket, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+  SELECT doc_id{extra_cols}, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY {order_col}
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
            AS cum_before
   FROM {toks_rel}
 )
-SELECT doc_id, bucket, n_tokens,
+SELECT doc_id{extra_cols}, bucket, n_tokens,
        CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
        CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
 FROM packed"""
@@ -2852,6 +2860,74 @@ QUERIES.update(
         ),
         "train_curriculum_order": QuerySpec(
             train_curriculum_order, CURRICULUM_ORACLE
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum-ordered packing (round 11 — the composition the two
+# pieces exist for): pack sequences in CURRICULUM order, so stage-0
+# (clean-band) documents fill the earliest training sequences. A
+# single global packing stream would be one all-corpus sort on one
+# task; instead buckets are CONTIGUOUS curriculum-rank ranges of
+# CURR_PACK_CHUNK docs (bucket = (rank-1) div CHUNK — deterministic,
+# corpus-size-independent, bucket count grows with N), so buckets
+# themselves are curriculum-ordered coarse segments, packing within a
+# bucket follows the exact rank order, and every bucket packs in
+# parallel. The seam cost is one partially-filled sequence per bucket
+# boundary — the same trade the hash-bucketed packers already make,
+# now aligned with the curriculum instead of cutting across it.
+# ---------------------------------------------------------------------------
+
+CURR_PACK_CHUNK = 128  # docs per contiguous curriculum bucket
+
+
+def pack_curriculum_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, stage, curriculum_rank, bucket, n_tokens, seq_id,
+    seq_offset): the packed training layout in curriculum order —
+    same shared layout math as the other packers (_pack_layout), with
+    the ordering key swapped for curriculum_rank and buckets made
+    contiguous rank ranges."""
+    cur = train_curriculum_order(spark, sf_dir)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    staged = cur.join(toks, "doc_id").select(
+        "doc_id",
+        "stage",
+        "curriculum_rank",
+        F.floor((F.col("curriculum_rank") - 1) / CURR_PACK_CHUNK)
+        .cast("long")
+        .alias("bucket"),
+        "n_tokens",
+    )
+    return _pack_layout(staged, order_col="curriculum_rank")
+
+
+PACK_CURRICULUM_ORACLE = f"""
+WITH cur AS ({CURRICULUM_ORACLE}),
+wtok AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+toks AS (
+  SELECT c.doc_id, c.stage, c.curriculum_rank,
+         CAST((c.curriculum_rank - 1) // {CURR_PACK_CHUNK} AS BIGINT)
+           AS bucket,
+         w.n_tokens
+  FROM cur c JOIN wtok w USING (doc_id)
+), {_pack_sql_tail('toks', order_col='curriculum_rank',
+                   extra_cols=', stage, curriculum_rank')}
+"""
+
+QUERIES.update(
+    {
+        "pack_curriculum_layout": QuerySpec(
+            pack_curriculum_layout, PACK_CURRICULUM_ORACLE
         ),
     }
 )
