@@ -1334,26 +1334,67 @@ def band_signature_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def incremental_verdicts(
-    incoming: DataFrame, history: DataFrame
+    incoming: DataFrame,
+    history: DataFrame,
+    tiled: bool = False,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Join incoming band keys against the history signature store,
     verify candidates with exact Jaccard, emit per-doc reject
-    verdicts. Both inputs carry the band_signature_table schema."""
-    cand = (
-        incoming.alias("i")
-        .join(
-            history.alias("h"),
-            (F.col("i.band_id") == F.col("h.band_id"))
-            & (F.col("i.key") == F.col("h.key")),
+    verdicts. Both inputs carry the band_signature_table schema.
+
+    ``tiled=True`` routes the probe through the rectangular pairgrid
+    tiler (grid_cross_pairs) — the guard for a band bucket hot on
+    BOTH the delta and the store (a boilerplate template arriving in
+    a boilerplate-heavy corpus). Default stays the plain probe: band
+    keys are hashed half-signatures and skew far less than verbatim
+    grams, so the tiler's replication constant is usually not worth
+    paying (round-11 note in SCALE.md); the option exists for
+    workloads that measure a two-sided hot bucket. Verdicts are
+    identical either way (twin-pinned on the hot-bucket corpus)."""
+    if tiled:
+        from finmapreduce_spark.operators.pairgrid import grid_cross_pairs
+
+        cand = (
+            grid_cross_pairs(
+                incoming.select("doc_id", "sh", "band_id", "key"),
+                history.select(
+                    F.col("doc_id").alias("hist_id"),
+                    F.col("sh").alias("sh_hist"),
+                    "band_id",
+                    "key",
+                ),
+                ["band_id", "key"],
+                "doc_id",
+                "hist_id",
+                left_payload=["sh"],
+                right_payload=["sh_hist"],
+                scratch=scratch,
+            )
+            .select(
+                "doc_id",
+                "hist_id",
+                F.col("sh").alias("sh_i"),
+                F.col("sh_hist").alias("sh_h"),
+            )
+            .dropDuplicates(["doc_id", "hist_id"])
         )
-        .select(
-            F.col("i.doc_id").alias("doc_id"),
-            F.col("h.doc_id").alias("hist_id"),
-            F.col("i.sh").alias("sh_i"),
-            F.col("h.sh").alias("sh_h"),
+    else:
+        cand = (
+            incoming.alias("i")
+            .join(
+                history.alias("h"),
+                (F.col("i.band_id") == F.col("h.band_id"))
+                & (F.col("i.key") == F.col("h.key")),
+            )
+            .select(
+                F.col("i.doc_id").alias("doc_id"),
+                F.col("h.doc_id").alias("hist_id"),
+                F.col("i.sh").alias("sh_i"),
+                F.col("h.sh").alias("sh_h"),
+            )
+            .dropDuplicates(["doc_id", "hist_id"])
         )
-        .dropDuplicates(["doc_id", "hist_id"])
-    )
     inter = F.size(F.array_intersect("sh_i", "sh_h"))
     jac = inter / (F.size("sh_i") + F.size("sh_h") - inter)
     verdicts = (

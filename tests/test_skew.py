@@ -367,3 +367,41 @@ def test_grid_cross_pairs_multiset_equals_plain_join(spark):
     )
     assert got == want
     assert len(want) > B * B  # multiple cells really exercised
+
+
+def test_incremental_verdicts_tiled_equals_plain_on_hot_corpus(
+    spark, sf_dir, tmp_path
+):
+    """The opt-in tiled band-store probe must produce EXACTLY the
+    plain probe's verdicts on the identical-clone hot corpus, where
+    the template bucket is hot on BOTH the incoming split and the
+    history store and the clone count spans many grid blocks."""
+    from tools.adversarial_corpus import build_hot_bucket_corpus
+
+    from finmapreduce_spark.queries.dedup import (
+        INGEST_MOD,
+        _docs,
+        band_signature_table,
+        incremental_verdicts,
+    )
+    from pyspark.sql import functions as F
+
+    hot_dir = build_hot_bucket_corpus(sf_dir, str(tmp_path / "hotb"), frac=0.4)
+    buckets = band_signature_table(_docs(spark, hot_dir)).persist()
+    incoming = buckets.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    history = buckets.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    plain = sorted(
+        map(tuple, incremental_verdicts(incoming, history).collect())
+    )
+    tiled = sorted(
+        map(
+            tuple,
+            incremental_verdicts(incoming, history, tiled=True).collect(),
+        )
+    )
+    spark.catalog.clearCache()
+    assert tiled == plain
+    # the clone family really exercises the two-sided hot bucket:
+    # every incoming clone rejects against the history clones
+    hot_rejects = [r for r in plain if r[0] >= 500000]
+    assert len(hot_rejects) > 0
