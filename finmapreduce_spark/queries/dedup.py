@@ -3793,3 +3793,65 @@ QUERIES.update(
         ),
     }
 )
+
+
+def dedup_substring_trim_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_docs_trimmed, chars_before, chars_removed,
+    removed_frac): the data card for the span trim — how much verbatim
+    duplication the Lee-2021 cut actually removes per language slice.
+    One aggregation over substring_trim's output joined back to the
+    doc dimension; all-integer except the final rounded fraction."""
+    trimmed = substring_trim(_docs(spark, sf_dir))
+    langs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("lang", F.lit("")).alias("lang")
+    )
+    return (
+        trimmed.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("int"))
+            .cast("long")
+            .alias("n_docs_trimmed"),
+            F.sum("n_chars").cast("long").alias("chars_before"),
+            F.sum("n_removed").cast("long").alias("chars_removed"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_docs_trimmed",
+            "chars_before",
+            "chars_removed",
+            F.when(
+                F.col("chars_before") > 0,
+                F.round(F.col("chars_removed") / F.col("chars_before"), 6),
+            ).alias("removed_frac"),
+        )
+    )
+
+
+SUBSTRING_TRIM_REPORT_ORACLE = f"""
+WITH trim_out AS ({SUBSTRING_TRIM_ORACLE}),
+langs AS (
+  SELECT doc_id, coalesce(lang, '') AS lang FROM documents
+)
+SELECT l.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN t.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_trimmed,
+       CAST(sum(t.n_chars) AS BIGINT) AS chars_before,
+       CAST(sum(t.n_removed) AS BIGINT) AS chars_removed,
+       CASE WHEN sum(t.n_chars) > 0
+            THEN round(sum(t.n_removed) * 1.0 / sum(t.n_chars), 6)
+       END AS removed_frac
+FROM trim_out t JOIN langs l USING (doc_id)
+GROUP BY 1
+"""
+
+QUERIES.update(
+    {
+        "dedup_substring_trim_report": QuerySpec(
+            dedup_substring_trim_report, SUBSTRING_TRIM_REPORT_ORACLE
+        ),
+    }
+)
