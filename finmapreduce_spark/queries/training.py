@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from finmapreduce_spark.operators.distrank import banded_rank, hex_band
 from finmapreduce_spark.queries import QuerySpec
 from finmapreduce_spark.queries.dedup import SHINGLE_K, with_shingles
 from finmapreduce_spark.session import read_table
@@ -2746,8 +2747,12 @@ QUERIES.update(
 # - Epoch shuffle: a seeded hash rank per (epoch, doc) — the standard
 #   "different global order every epoch, reproducible from the seed"
 #   contract (md5 over seed:epoch:doc; doc_id tiebreak for the
-#   astronomically-unlikely hash tie keeps row_number total). At
-#   100 TB this is one sort per epoch over (id, rank) pairs — never
+#   astronomically-unlikely hash tie keeps row_number total). The rank
+#   itself is DISTRIBUTED (round 12): a hex-prefix band of the md5 key
+#   splits each epoch into 256 order-monotone slices, ranks locally
+#   per slice, and adds broadcast prefix-count offsets
+#   (operators/distrank.py) — never a whole-epoch sort on one task.
+#   At 100 TB the per-task sort is N/n_bands (id, key) pairs — never
 #   the payload; loaders join the rank table back by id.
 # - Curriculum: order stages by a quality signal (here: Gopher-style
 #   mean word length band — stage 0 = cleanest band first), shuffle
@@ -2772,12 +2777,17 @@ def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(
         F.concat_ws(":", F.lit(SHUFFLE_SEED), F.col("epoch"), F.col("doc_id"))
     )
-    w = W.partitionBy("epoch").orderBy(key, F.col("doc_id"))
-    return epochs.select(
-        "epoch",
-        "doc_id",
-        F.row_number().over(w).cast("long").alias("shuffle_rank"),
+    keyed = epochs.select(
+        "epoch", "doc_id", key.alias("_k"), hex_band(key).alias("_band")
     )
+    ranked = banded_rank(
+        keyed,
+        band_cols=["_band"],
+        order_cols=["_k", "doc_id"],
+        partition_cols=["epoch"],
+        out_col="shuffle_rank",
+    )
+    return ranked.select("epoch", "doc_id", "shuffle_rank")
 
 
 EPOCH_SHUFFLE_ORACLE = f"""
@@ -2800,7 +2810,11 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 is the Gopher-clean band (mean word length in [3, 10] and
     length >= 5 words, the same bands text_gopher_rules gates on),
     stage 1 the rest; within a stage the order is the seeded epoch-0
-    shuffle hash. One global sort over (stage, hash)."""
+    shuffle hash. The global rank over (stage, hash) is a banded
+    distributed rank (operators/distrank.py): band = (stage,
+    hex-prefix of the hash), so no single task ever sorts the corpus.
+    Mean word length strips ALL whitespace (tabs/newlines included,
+    round-12 fix), matching the Gopher rule it cites."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
     )
@@ -2808,7 +2822,7 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(words)
     mean_wl = F.when(
         n_words > 0,
-        (F.length(F.replace(F.col("t"), F.lit(" "), F.lit(""))) / n_words),
+        (F.length(F.regexp_replace(F.col("t"), r"\s", "")) / n_words),
     ).otherwise(F.lit(0.0))
     stage = F.when(
         (n_words >= 5) & (mean_wl >= 3) & (mean_wl <= 10), 0
@@ -2817,14 +2831,18 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.lit(SHUFFLE_SEED), F.lit(0), F.col("doc_id"))
     )
     staged = docs.select(
-        "doc_id", stage.cast("int").alias("stage"), key.alias("k")
-    )
-    w = W.orderBy("stage", "k", "doc_id")
-    return staged.select(
         "doc_id",
-        "stage",
-        F.row_number().over(w).cast("long").alias("curriculum_rank"),
+        stage.cast("int").alias("stage"),
+        key.alias("k"),
+        hex_band(key).alias("_band"),
     )
+    ranked = banded_rank(
+        staged,
+        band_cols=["stage", "_band"],
+        order_cols=["k", "doc_id"],
+        out_col="curriculum_rank",
+    )
+    return ranked.select("doc_id", "stage", "curriculum_rank")
 
 
 CURRICULUM_ORACLE = f"""
@@ -2835,7 +2853,7 @@ feat AS (
   SELECT doc_id,
          len(string_split_regex(trim(t), '\\s+')) AS n_words,
          CASE WHEN len(string_split_regex(trim(t), '\\s+')) > 0
-              THEN length(replace(t, ' ', ''))
+              THEN length(regexp_replace(t, '\\s', '', 'g'))
                    * 1.0 / len(string_split_regex(trim(t), '\\s+'))
               ELSE 0.0 END AS mean_wl
   FROM base

@@ -996,13 +996,47 @@ def test_substring_diversity_single_scan_single_arrow_hop(spark, sf_dir):
     assert "lang" not in read_schema and "source" not in read_schema
 
 
-def test_epoch_shuffle_is_one_sort_per_partition_key(spark, sf_dir):
-    """The seeded epoch shuffle must be rank assignment over (id,
-    rank) pairs: one window exchange on epoch, a sort, no joins, and
-    a scan that reads ONLY doc_id."""
+def _rank_windows_are_banded(plan: str) -> None:
+    """Round-12 pin for the ordering ops: every row_number window must
+    be partitioned by the hex band (``_band``) — i.e. a DISTRIBUTED
+    rank whose per-task sort is N/n_bands rows — never an unbanded
+    window that funnels a whole epoch/corpus through one task. The
+    only non-banded window allowed is the K-row prefix-sum over the
+    band COUNTS (a sum window, not row_number). The band offsets must
+    come back via a broadcast join, never a sort-merge join."""
+    rn_specs = [
+        l for l in plan.splitlines()
+        if "row_number() windowspecdefinition(" in l
+    ]
+    assert rn_specs, "expected a row_number window in the plan"
+    for spec in rn_specs:
+        assert "_band#" in spec, spec
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_rank_is_distributed(spark, sf_dir):
+    """The seeded epoch shuffle must be a banded distributed rank over
+    (id, key) pairs: row_number partitioned by (epoch, _band),
+    broadcast offset join, and a scan that reads ONLY doc_id."""
     plan = plan_of(QS["train_epoch_shuffle"].spark(spark, sf_dir))
-    tree = plan[: plan.index("(1) Scan")]
-    assert "Join" not in tree
-    assert "Window" in tree
+    _rank_windows_are_banded(plan)
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_curriculum_rank_is_distributed(spark, sf_dir):
+    """train_curriculum_order's global (stage, hash) rank must be
+    banded — no unpartitioned row_number over the corpus."""
+    _rank_windows_are_banded(
+        plan_of(QS["train_curriculum_order"].spark(spark, sf_dir))
+    )
+
+
+def test_curriculum_packing_rank_is_distributed(spark, sf_dir):
+    """pack_curriculum_layout inherits the curriculum rank; its only
+    windows are the banded rank, the K-row offset prefix, and the
+    per-bucket packing cumsum — all partitioned or K-row."""
+    _rank_windows_are_banded(
+        plan_of(QS["pack_curriculum_layout"].spark(spark, sf_dir))
+    )
