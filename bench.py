@@ -212,19 +212,24 @@ def main():
     rows = {}
     shuffle = {}
     trials = {}
+    trial_rows = {}
+    rows_drifted = []
     total = 0.0
     for name in names:
         before = probe() if probe else None
         per_trial = []
+        per_trial_rows = []
         n = None
         for t in range(n_trials):
             t0 = time.time()
             df = qs[name].spark(spark, SF_DIR)
             n_t = df.count()
             per_trial.append(round(time.time() - t0, 3))
+            per_trial_rows.append(n_t)
             if n is None:
                 n = n_t
             elif n_t != n:
+                rows_drifted.append(name)
                 # nondeterministic cardinality is itself a regression
                 print(
                     f"bench: {name} rows drifted across trials "
@@ -254,6 +259,7 @@ def main():
         dt = round(sorted(per_trial)[len(per_trial) // 2], 3)  # median
         timings[name] = dt
         trials[name] = per_trial
+        trial_rows[name] = per_trial_rows
         rows[name] = n  # cardinality: catches silent result drift across rounds
         total += dt
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -268,7 +274,17 @@ def main():
     # triple the line length and the driver's capture truncates long
     # stdout — keep the contract line compact and park detail in a
     # sidecar next to this script.
-    detail = dict(out, rows=rows, shuffle=shuffle, trials=trials)
+    # trial_rows + rows_drifted make cross-trial nondeterminism (a
+    # regression in its own right) visible to JSON consumers, not
+    # just the stderr stream (round-12 advice)
+    detail = dict(
+        out,
+        rows=rows,
+        shuffle=shuffle,
+        trials=trials,
+        trial_rows=trial_rows,
+        rows_drifted=sorted(set(rows_drifted)),
+    )
     root = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(root, "BENCH_DETAILS.json")
     try:

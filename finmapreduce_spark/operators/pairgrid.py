@@ -140,6 +140,20 @@ def grid_cross_pairs(
     """
     left_payload = left_payload or []
     right_payload = right_payload or []
+    # Payload columns pass through VERBATIM (no _a/_b suffixing like
+    # grid_self_pairs) — so the combined output names must be unique,
+    # or the join output is ambiguous. Fail loudly at plan time.
+    out_names = (
+        [left_id, right_id] + list(left_payload) + list(right_payload)
+    )
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            "grid_cross_pairs output column collision: "
+            f"{sorted(dupes)} — pre-rename payload/id columns so the "
+            "combined (left_id, right_id, *left_payload, "
+            "*right_payload) names are unique"
+        )
     li = left.withColumn(
         "__blk",
         (

@@ -1270,7 +1270,11 @@ def dedup_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_jaccard_mismatches"),
-        (n_hits / n_true >= ML_LSH_RECALL_FLOOR).alias("recall_floor_met"),
+        # n_true = 0 (a pair-free corpus) must read as floor MET, not
+        # NULL from the 0/0 — the oracle emits constant TRUE.
+        F.when(n_true > 0, n_hits / n_true >= ML_LSH_RECALL_FLOOR)
+        .otherwise(F.lit(True))
+        .alias("recall_floor_met"),
     )
 
 
@@ -3759,18 +3763,29 @@ def dedup_incremental_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     and winnow-fingerprint families: history amortizes across
     ingests, the delta pays only its own canonicalization (a
     zero-shuffle projection) plus one uniform-key probe join. A NULL
-    hist_keeper means the URL is new to the corpus."""
+    hist_keeper means the URL is new to the corpus; is_duplicate
+    additionally flags INTRA-batch copies (every non-min doc of a
+    same-batch canonical group, round-12 fix) so a consumer filtering
+    on the verdict keeps exactly one doc per canonical URL."""
     urls = _doc_urls(_docs(spark, sf_dir))
     incoming = urls.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
     history = urls.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
     store = history.groupBy("url_canonical").agg(
         F.min("doc_id").alias("hist_keeper")
     )
-    return incoming.join(store, "url_canonical", "left").select(
-        "doc_id",
-        "url_canonical",
-        "hist_keeper",
-        F.col("hist_keeper").isNotNull().alias("is_duplicate"),
+    batch_keeper = F.min("doc_id").over(W.partitionBy("url_canonical"))
+    return (
+        incoming.withColumn("_bk", batch_keeper)
+        .join(store, "url_canonical", "left")
+        .select(
+            "doc_id",
+            "url_canonical",
+            "hist_keeper",
+            (
+                F.col("hist_keeper").isNotNull()
+                | (F.col("doc_id") != F.col("_bk"))
+            ).alias("is_duplicate"),
+        )
     )
 
 
@@ -3781,7 +3796,9 @@ store AS (
   FROM urls WHERE doc_id % {INGEST_MOD} <> 0 GROUP BY 1
 )
 SELECT u.doc_id, u.url_canonical, s.hist_keeper,
-       s.hist_keeper IS NOT NULL AS is_duplicate
+       (s.hist_keeper IS NOT NULL
+        OR u.doc_id <> min(u.doc_id) OVER (PARTITION BY u.url_canonical))
+         AS is_duplicate
 FROM urls u LEFT JOIN store s USING (url_canonical)
 WHERE u.doc_id % {INGEST_MOD} = 0
 """

@@ -917,10 +917,13 @@ def serve_incremental_url_continuous(
     keeper table, append verdict rows (hist_keeper NULL means the URL
     is new), and append ONE keeper row per newly-seen canonical URL
     back — so a URL admitted in epoch N flags its re-crawl in epoch
-    N+1 (cross-epoch pin in tests). Unlike the content stores, the
-    store key IS the dedup identity, so intra-batch duplicates
-    collapse at append time (min doc per canonical) rather than
-    needing a separate self-dedup pass.
+    N+1 (cross-epoch pin in tests). The store key IS the dedup
+    identity, so intra-batch duplicates collapse at append time (min
+    doc per canonical) — and since round 12 the VERDICT rows flag
+    them too (is_duplicate = seen-in-history OR non-min same-epoch
+    copy, matching the batch twin dedup_incremental_url), so a
+    consumer filtering on the verdict column keeps exactly one doc
+    per canonical URL per epoch.
 
     Replay/locking posture is the family standard: _prior_history
     excludes this epoch's own crashed-attempt appends, appends run
@@ -945,13 +948,22 @@ def serve_incremental_url_continuous(
             keepers = history.groupBy("url_canonical").agg(
                 F.min("keeper").alias("hist_keeper")
             )
+            from pyspark.sql import Window as W
+
+            batch_keeper = F.min("doc_id").over(
+                W.partitionBy("url_canonical")
+            )
             verdicts = (
-                urls.join(keepers, "url_canonical", "left")
+                urls.withColumn("_bk", batch_keeper)
+                .join(keepers, "url_canonical", "left")
                 .select(
                     "doc_id",
                     "url_canonical",
                     "hist_keeper",
-                    F.col("hist_keeper").isNotNull().alias("is_duplicate"),
+                    (
+                        F.col("hist_keeper").isNotNull()
+                        | (F.col("doc_id") != F.col("_bk"))
+                    ).alias("is_duplicate"),
                 )
                 .persist()
             )

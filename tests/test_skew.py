@@ -405,3 +405,30 @@ def test_incremental_verdicts_tiled_equals_plain_on_hot_corpus(
     # every incoming clone rejects against the history clones
     hot_rejects = [r for r in plain if r[0] >= 500000]
     assert len(hot_rejects) > 0
+
+
+def test_grid_cross_pairs_rejects_colliding_output_names(spark):
+    """Payload columns pass through verbatim (no _a/_b suffixing), so
+    a name shared across sides — or with an id — must fail loudly at
+    plan time instead of emitting ambiguous duplicate columns
+    (round-12 advice)."""
+    import pytest as _pytest
+
+    from finmapreduce_spark.operators.pairgrid import grid_cross_pairs
+
+    left = spark.createDataFrame(
+        [("k", 1, 5)], "key string, lid long, pos long"
+    )
+    right = spark.createDataFrame(
+        [("k", 2, 6)], "key string, rid long, pos long"
+    )
+    with _pytest.raises(ValueError, match="collision.*pos"):
+        grid_cross_pairs(
+            left,
+            right,
+            ["key"],
+            "lid",
+            "rid",
+            left_payload=["pos"],
+            right_payload=["pos"],
+        )

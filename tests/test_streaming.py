@@ -1330,13 +1330,17 @@ def test_continuous_url_store_flags_recrawl_across_epochs(spark, tmp_path):
     landing = tmp_path / "url_landing"
     landing.mkdir()
     # doc 10 (epoch 0) and doc 90 (epoch 1): 90 ≡ 10 (mod 80) → same
-    # canonical URL from different raw mess; doc 11 is fresh
+    # canonical URL from different raw mess; docs 11 and 91 are a
+    # fresh canonical URL arriving TWICE within epoch 1 (91 ≡ 11) —
+    # the non-min copy must be flagged even though history has no row
     (landing / "e0.json").write_text(
         _json.dumps({"doc_id": 10, "text": "first crawl"}) + "\n"
     )
     (landing / "e1.json").write_text(
         _json.dumps({"doc_id": 90, "text": "re-crawl"}) + "\n"
         + _json.dumps({"doc_id": 11, "text": "fresh"}) + "\n"
+        + _json.dumps({"doc_id": 91, "text": "fresh intra-batch copy"})
+        + "\n"
     )
     now = _time.time()
     _os.utime(landing / "e0.json", (now - 60, now - 60))
@@ -1353,11 +1357,15 @@ def test_continuous_url_store_flags_recrawl_across_epochs(spark, tmp_path):
     q.awaitTermination()
 
     rows = {r["doc_id"]: r for r in spark.read.json(str(out)).collect()}
-    assert set(rows) == {10, 90, 11}
+    assert set(rows) == {10, 90, 11, 91}
     assert rows[10]["is_duplicate"] is False  # new URL in epoch 0
     assert rows[11]["is_duplicate"] is False  # fresh URL in epoch 1
     assert rows[90]["is_duplicate"] is True  # re-crawl caught
     assert rows[90]["hist_keeper"] == 10  # ...against the UPDATED store
+    # intra-batch copy of a NEW canonical URL: flagged (round-12 fix),
+    # with hist_keeper honestly NULL — history never saw the URL
+    assert rows[91]["is_duplicate"] is True
+    assert rows[91]["hist_keeper"] is None
     # the twin batch operator agrees on the canonical identity
     both = spark.createDataFrame(
         [(10, "a"), (90, "b")], "doc_id long, text string"
