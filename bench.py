@@ -133,6 +133,12 @@ HEADLINE = [
     "text_substring_diversity",
     "classifier_langid_multiclass",
     "host_frontier_rank",
+    # round-12: the seq2seq-NLL pair scorer (BARTScore shape) through
+    # the Arrow pair-scorer harness, and the banded distributed rank
+    # that replaced the ordering ops' single-task windows
+    "u6_s2s_unigram_nll",
+    "train_epoch_shuffle",
+    "pack_curriculum_layout",
 ]
 
 

@@ -195,6 +195,136 @@ def _hf_batch_factory(tokenizer, hf_model):
     return hf_batch
 
 
+# ---------------------------------------------------------------------------
+# Pair scorers — candidate-given-reference sequence scoring (the
+# reference's BARTScore, scores/text_evaluation_metrics.py:191-283:
+# score = -mean token NLL of the candidate under a seq2seq model
+# conditioned on the reference). Same registry discipline as the
+# embedders: worker-local model handle, Arrow batches in, one double
+# per pair out; the hermetic arm is a REAL (if tiny) conditional LM —
+# an add-one-smoothed unigram model estimated from the reference side
+# of each pair — so the identical UDF plumbing is exactly
+# value-checkable against ANSI SQL.
+# ---------------------------------------------------------------------------
+
+_PAIR_SCORERS: dict[str, object] = {}
+
+# RE2/SQL-exact tokenization shared with _hashing_bow_batch: trim
+# SPACES only, split on the ASCII whitespace class.
+_TOK_SPLIT = r"[ \t\n\f\r]+"
+
+
+def _unigram_nll_batch(refs: pd.Series, cands: pd.Series) -> np.ndarray:
+    """Hermetic seq2seq-NLL structural twin: p(w | ref) is the add-one
+    smoothed unigram MLE of the reference's tokens over the PAIR's
+    combined vocabulary (so unseen candidate tokens stay finite), and
+    the score is the reference's sign convention, -mean(-log2 p) —
+    higher = candidate better predicted by the reference."""
+    import math
+    import re
+
+    out = np.empty(len(refs), dtype=np.float64)
+    for i, (r, c) in enumerate(zip(refs.fillna(""), cands.fillna(""))):
+        rt = re.split(_TOK_SPLIT, r.lower().strip(" "))
+        ct = re.split(_TOK_SPLIT, c.lower().strip(" "))
+        counts: dict[str, int] = {}
+        for w in rt:
+            counts[w] = counts.get(w, 0) + 1
+        denom = len(rt) + len(set(rt) | set(ct))
+        nll = sum(
+            -math.log2((counts.get(w, 0) + 1) / denom) for w in ct
+        ) / len(ct)
+        out[i] = -nll
+    return out
+
+
+def _s2s_batch_factory(tokenizer, s2s_model):
+    """Wrap a loaded conditional-generation model as a pair-scoring
+    batch callable: per-pair -mean-token-NLL of the candidate given
+    the reference (the BARTScore formula; per-pair gather over the
+    label mask, NOT the batch-mean loss the HF head returns)."""
+    import torch
+
+    s2s_model.eval()
+
+    def s2s_batch(refs: pd.Series, cands: pd.Series) -> np.ndarray:
+        with torch.no_grad():
+            enc = tokenizer(
+                refs.fillna("").tolist(),
+                return_tensors="pt",
+                padding=True,
+                truncation=True,
+                max_length=512,
+            )
+            lab = tokenizer(
+                cands.fillna("").tolist(),
+                return_tensors="pt",
+                padding=True,
+                truncation=True,
+                max_length=512,
+            )
+            labels = lab["input_ids"].masked_fill(
+                lab["attention_mask"] == 0, -100
+            )
+            logits = s2s_model(**enc, labels=labels).logits
+            logp = torch.log_softmax(logits.double(), dim=-1)
+            tok_lp = logp.gather(-1, labels.clamp(min=0).unsqueeze(-1))
+            mask = (labels != -100).double()
+            per_tok = tok_lp.squeeze(-1) * mask
+            nll = -per_tok.sum(-1) / mask.sum(-1).clamp(min=1)
+        return (-nll).numpy()
+
+    return s2s_batch
+
+
+def _load_pair_scorer(name: str):
+    scorer = _PAIR_SCORERS.get(name)
+    if scorer is None:
+        if name == "unigram-lm":
+            scorer = _unigram_nll_batch
+        elif name.startswith("s2s:"):
+            try:
+                import torch  # noqa: F401
+                from transformers import (
+                    AutoModelForSeq2SeqLM,
+                    AutoTokenizer,
+                )
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"pair scorer '{name}' needs torch+transformers (not "
+                    "in this environment); 'unigram-lm' is the hermetic "
+                    "default pair scorer"
+                ) from e
+            scorer = _s2s_batch_factory(
+                AutoTokenizer.from_pretrained(name[4:]),
+                AutoModelForSeq2SeqLM.from_pretrained(name[4:]),
+            )
+        else:
+            raise NotImplementedError(
+                f"unknown pair scorer '{name}'; use 'unigram-lm' "
+                "(hermetic default) or 's2s:<model>' (transformers "
+                "conditional-generation NLL, the BARTScore shape)"
+            )
+        _PAIR_SCORERS[name] = scorer
+    return scorer
+
+
+def s2s_score_udf(model_name: str = "unigram-lm"):
+    """pandas_udf: (reference, candidate) string columns -> double
+    score column (-mean token NLL; higher = better).
+
+    Arrow-batched; model loaded once per worker. Attach with
+    ``df.withColumn("s", s2s_score_udf()(F.col("ref"), F.col("cand")))``.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def score(refs: pd.Series, cands: pd.Series) -> pd.Series:
+        scorer = _load_pair_scorer(model_name)
+        return pd.Series(scorer(refs, cands))
+
+    return score
+
+
 def embed_text_udf(model_name: str = "hashing-bow"):
     """pandas_udf: string column -> array<double> embedding column.
 

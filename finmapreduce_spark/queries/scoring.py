@@ -225,3 +225,79 @@ QUERIES: dict[str, QuerySpec] = {
         u6_hashing_bow_cosine, U6_HASHING_BOW_ORACLE
     ),
 }
+
+
+def u6_s2s_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seq2seq-NLL scorer path (BARTScore shape, reference
+    scores/text_evaluation_metrics.py:191-283), value-checked
+    end-to-end through the REAL pair-scorer harness: candidate doc d
+    scored against reference doc d+1 by -mean token NLL inside the
+    Arrow pandas_udf (functions/scoring.py::s2s_score_udf — the exact
+    plumbing the gated ``s2s:<model>`` conditional-generation arm
+    rides; the hermetic model is the reference-side add-one-smoothed
+    unigram LM over the pair vocabulary, so DuckDB reconstructs the
+    identical score relationally). Higher = candidate better
+    predicted by the reference, the reference repo's -loss sign.
+
+    Scale: scoring is a narrow Arrow map over joined pairs; the pair
+    join is an equi-join on derived ids. Linear, shuffle only for the
+    join."""
+    from finmapreduce_spark.functions.scoring import s2s_score_udf
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    cand = docs.select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("c_text")
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("r_text")
+    )
+    pairs = cand.join(ref, "pair_id")
+    score = s2s_score_udf("unigram-lm")(F.col("r_text"), F.col("c_text"))
+    return pairs.select(
+        "pair_id", F.round(score, 6).alias("s2s_score")
+    )
+
+
+# The oracle rebuilds the smoothed unigram conditional LM in SQL:
+# counts from the REFERENCE side, vocabulary = distinct tokens of the
+# pair, p(w|ref) = (cnt_ref(w)+1)/(n_ref + V), score = -avg(-log2 p)
+# over CANDIDATE token positions (duplicates count).
+U6_S2S_NLL_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT c.doc_id AS pair_id, c.toks AS c_toks, r.toks AS r_toks
+  FROM docs c JOIN docs r ON r.doc_id = c.doc_id + 1
+),
+stats AS (
+  SELECT pair_id,
+         len(r_toks) + len(list_distinct(list_concat(r_toks, c_toks)))
+           AS denom
+  FROM pairs
+),
+rc AS (
+  SELECT pair_id, w, count(*) AS c
+  FROM (SELECT pair_id, unnest(r_toks) AS w FROM pairs)
+  GROUP BY 1, 2
+),
+ct AS (
+  SELECT pair_id, unnest(c_toks) AS w FROM pairs
+)
+SELECT ct.pair_id,
+       round(-avg(-log2((coalesce(rc.c, 0) + 1.0) / s.denom)), 6)
+         AS s2s_score
+FROM ct
+JOIN stats s ON s.pair_id = ct.pair_id
+LEFT JOIN rc ON rc.pair_id = ct.pair_id AND rc.w = ct.w
+GROUP BY ct.pair_id
+"""
+
+QUERIES["u6_s2s_unigram_nll"] = QuerySpec(
+    u6_s2s_unigram_nll, U6_S2S_NLL_ORACLE
+)

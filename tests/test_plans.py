@@ -1040,3 +1040,15 @@ def test_curriculum_packing_rank_is_distributed(spark, sf_dir):
     _rank_windows_are_banded(
         plan_of(QS["pack_curriculum_layout"].spark(spark, sf_dir))
     )
+
+
+def test_s2s_scorer_single_arrow_stage(spark, sf_dir):
+    """The pair-scorer UDF must run as an Arrow-vectorized stage
+    (ArrowEvalPython), never row-at-a-time BatchEvalPython, fed by the
+    pair equi-join — the identical harness the gated s2s:<model>
+    conditional-generation arm rides."""
+    df = QS["u6_s2s_unigram_nll"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -407,3 +407,44 @@ def test_live_openai_second_run_pays_zero_http_calls(spark, tmp_path):
         for r in run_mapreduce(qa, docs, cached)["answers"].collect()
     )
     assert second == first
+
+
+@realdeps
+@pytest.mark.skipif(
+    not (
+        _has("transformers")
+        and _has("torch")
+        and __import__("os").environ.get("FMR_REALDEPS_S2S_MODEL")
+    ),
+    reason="needs transformers+torch + FMR_REALDEPS_S2S_MODEL=<model> "
+    "(model download is opt-in; e.g. sshleifer/distilbart-cnn-12-6, "
+    "the reference's own fallback checkpoint)",
+)
+def test_real_s2s_nll_scorer_through_udf(spark):
+    """The gated BARTScore arm (reference
+    scores/text_evaluation_metrics.py:191-283): a candidate that
+    paraphrases the reference must out-score an unrelated candidate
+    under -mean-token-NLL, scores are finite negatives, and a second
+    pass reuses the worker-local model deterministically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.functions.scoring import s2s_score_udf
+
+    model = f"s2s:{os.environ['FMR_REALDEPS_S2S_MODEL']}"
+    ref = "quarterly revenue increased fifteen percent year over year"
+    df = spark.createDataFrame(
+        [
+            (1, ref, "revenue grew fifteen percent this quarter"),
+            (2, ref, "the cat sat on a warm windowsill all afternoon"),
+        ],
+        "pair_id long, ref string, cand string",
+    ).withColumn("s", s2s_score_udf(model)(F.col("ref"), F.col("cand")))
+    rows = {r["pair_id"]: r["s"] for r in df.collect()}
+    import math
+
+    assert all(math.isfinite(v) and v < 0 for v in rows.values())
+    assert rows[1] > rows[2]  # paraphrase better predicted than OOD
+    again = {r["pair_id"]: r["s"] for r in df.collect()}
+    assert again == rows

@@ -540,3 +540,51 @@ def test_ivf_interrupted_refresh_blocks_until_rerun(spark, tmp_path):
     assert {r["vec_id"] for r in read_ivf_vectors(spark, root).collect()} == (
         set(range(10)) | {11}
     )
+
+
+def test_s2s_udf_matches_local_reference_and_semantics(spark):
+    """The pair-scorer UDF (unigram-lm hermetic arm) must match the
+    local batch function exactly through the Arrow hop, and behave
+    like a conditional LM: a candidate repeating the reference's
+    tokens scores HIGHER (less surprisal) than an out-of-vocabulary
+    candidate against the same reference."""
+    import pandas as pd
+
+    from finmapreduce_spark.functions.scoring import (
+        _unigram_nll_batch,
+        s2s_score_udf,
+    )
+
+    refs = [
+        "revenue grew fifteen percent this year",
+        "revenue grew fifteen percent this year",
+        "",
+    ]
+    cands = [
+        "revenue grew fifteen percent",
+        "quarterly kumquat futures denominated elsewhere",
+        "anything",
+    ]
+    local = _unigram_nll_batch(pd.Series(refs), pd.Series(cands))
+    df = spark.createDataFrame(
+        list(zip(refs, cands)), "ref string, cand string"
+    ).withColumn("s", s2s_score_udf()(F.col("ref"), F.col("cand")))
+    got = [r["s"] for r in df.select("s").collect()]
+    assert np.allclose(got, local)
+    # in-vocabulary candidate beats OOV candidate under the same ref
+    assert got[0] > got[1]
+    # scores are -mean NLL: always negative for nonempty vocab
+    assert all(g < 0 for g in got)
+
+
+def test_s2s_gates_raise_informatively():
+    from finmapreduce_spark.functions.scoring import _load_pair_scorer
+
+    with pytest.raises(NotImplementedError, match="unigram-lm"):
+        _load_pair_scorer("nonsense-scorer")
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="torch"):
+            _load_pair_scorer("s2s:facebook/bart-large-cnn")
