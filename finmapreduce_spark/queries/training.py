@@ -1886,9 +1886,10 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
-# Vocab-scale BPE lane (round-10): the exact lane above certifies the
-# ≤256-merge JVM replace chain; THIS lane certifies the production
-# tokenizer path real vocabularies take — a vendored 512-merge table
+# Vocab-scale BPE lane (round-10; 4,096 merges since round 12): the
+# exact lane above certifies the ≤256-merge JVM replace chain; THIS
+# lane certifies the production tokenizer path real vocabularies
+# take — a vendored 4,096-merge table
 # (finmapreduce_spark/resources/vocab_bpe_merges.txt, deliberately
 # ABOVE the JVM chain's Catalyst envelope, regenerated byte-identically
 # by tools/make_vocab_bpe_fixture.py's pure-Python twin of the
@@ -1902,7 +1903,7 @@ QUERIES.update(
 # ZERO shuffle before the (absent) aggregation. At 100 TB this is a
 # single mapInArrow-style pass over the corpus scan.
 #
-# Oracle: the same 512 merges replayed in DuckDB as literal
+# Oracle: the same 4,096 merges replayed in DuckDB as literal
 # doubled-separator replace chains (see _bpe_tokens_col's equivalence
 # note), batched ~48 merges per CTE to stay far under DuckDB's
 # max_expression_depth. The oracle uses a FLAT whole-document char
@@ -1946,8 +1947,8 @@ def _docs_rs_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_vocab_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 at vocab scale: token-exact chunking of every document under
-    the 512-merge vendored tokenizer via the Arrow MergesBPE UDF —
-    the path real (tens-of-thousands-of-merges) vocabularies take."""
+    the 4,096-merge vendored tokenizer via the Arrow MergesBPE UDF
+    — the path real vocabularies take, at real vocabulary scale."""
     from finmapreduce_spark.functions.exact_tokens import explode_chunks_exact
     from finmapreduce_spark.functions.mini_bpe import MergesBPE
 
@@ -1979,7 +1980,7 @@ def _vocab_n_tokens_udf():
 
 def bpe_vocab_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 at vocab scale: per-document exact token counts + observed
-    compression under the vendored 512-merge tokenizer."""
+    compression under the vendored 4,096-merge tokenizer."""
     docs = _docs_rs_stripped(spark, sf_dir)
     n = _vocab_n_tokens_udf()(F.col("text"))
     chars = F.length("text")

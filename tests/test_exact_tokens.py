@@ -411,35 +411,64 @@ def test_jvm_bpe_rejects_non_causal_merge_list():
     _bpe_tokens_col(F.lit("abb"), [("b", "b"), ("a", "bb")])
 
 
-def test_spark_batched_trainer_reproduces_vocab_fixture(spark):
-    """The vendored 512-merge vocab fixture is trained by
-    tools/make_vocab_bpe_fixture.py's pure-Python twin of the
-    distributed batched trainer. This pins the REAL Spark trainer
-    (rounds of one pair-count shuffle + bounded candidate collect +
-    full-closure greedy batch) against that file over the same
-    embedded corpus — if either side's semantics drift (candidate
-    window, tie order, closure rule), the merge lists diverge."""
+def test_vocab_fixture_regenerates_byte_identically():
+    """The committed 4,096-merge vocab fixture is exactly what
+    tools/make_vocab_bpe_fixture.py's pure-Python trainer twin emits
+    over the embedded corpus (prose + deterministic morpheme
+    compounds) — regeneration is a no-op. Fast full-length guard; the
+    Spark-side semantics pin is the prefix test below plus the
+    tools/bpe_batch_study.py 4,079-merge Spark↔Python certification."""
     import os
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tools"))
-    from make_vocab_bpe_fixture import BATCH_M, CORPUS, N_ROUNDS
+    import make_vocab_bpe_fixture as mk
 
-    from finmapreduce_spark.queries.training import _bpe_train_batched
-
-    docs = spark.createDataFrame([(CORPUS,)], "text string")
-    rows, toks = _bpe_train_batched(
-        spark, sf_dir=None, rounds=N_ROUNDS, batch=BATCH_M, docs=docs,
-    )
-    toks.unpersist()
-    got = [tuple(r[1].split(" ")) for r in sorted(rows)]
-
-    from finmapreduce_spark.functions.mini_bpe import MergesBPE
+    regenerated = mk.train_batched(mk.FULL_CORPUS, mk.TRAIN_ROUNDS)[
+        : mk.N_MERGES
+    ]
 
     fixture_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "finmapreduce_spark", "resources", "vocab_bpe_merges.txt")
     fixture = list(MergesBPE.from_merges_file(fixture_path).ranks)
-    assert len(fixture) > 256  # beyond the JVM replace-chain envelope
-    assert got == fixture
+    assert len(fixture) == mk.N_MERGES == 4096
+    assert regenerated == fixture
+
+
+def test_spark_batched_trainer_reproduces_vocab_fixture_prefix(spark):
+    """The vendored vocab fixture is trained by the pure-Python twin
+    of the distributed batched trainer. This pins the REAL Spark
+    trainer (rounds of one pair-count shuffle + bounded candidate
+    collect + full-closure greedy batch) against a PREFIX of that
+    file over the same embedded corpus — round k depends only on
+    rounds < k, so a shorter run is exactly a prefix of a longer one,
+    and a bounded round count keeps the pin affordable while still
+    crossing the 256-merge JVM replace-chain envelope. If either
+    side's semantics drift (candidate window, tie order, closure
+    rule), the lists diverge at the first differing pick."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from make_vocab_bpe_fixture import BATCH_M, CAND_WINDOW, FULL_CORPUS
+
+    from finmapreduce_spark.queries.training import _bpe_train_batched
+
+    pin_rounds = 20  # 20 rounds x up-to-16 picks ≈ 320 merges
+    docs = spark.createDataFrame([(FULL_CORPUS,)], "text string")
+    rows, toks = _bpe_train_batched(
+        spark, sf_dir=None, rounds=pin_rounds, batch=BATCH_M, docs=docs,
+        cand_window=CAND_WINDOW,
+    )
+    toks.unpersist()
+    got = [tuple(r[1].split(" ")) for r in sorted(rows)]
+
+    fixture_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "finmapreduce_spark", "resources", "vocab_bpe_merges.txt")
+    fixture = list(MergesBPE.from_merges_file(fixture_path).ranks)
+    assert len(got) > 256  # beyond the JVM replace-chain envelope
+    assert got == fixture[: len(got)]

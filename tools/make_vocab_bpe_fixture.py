@@ -1,24 +1,33 @@
 """Regenerate finmapreduce_spark/resources/vocab_bpe_merges.txt — the
-vendored vocab-scale BPE merge table (500+ merges, deliberately ABOVE
-the ~256-merge JVM replace-chain envelope) that certifies the
-Arrow-batched MergesBPE production path end-to-end.
+vendored vocab-scale BPE merge table (4,096 merges since round 12 —
+REAL-vocabulary scale, matching the 4,079-merge Spark↔Python parity
+certification of tools/bpe_batch_study.py; previously 523) that
+certifies the Arrow-batched MergesBPE production path end-to-end.
 
 Trainer: a sequential pure-Python twin of the engine's BATCHED
 distributed trainer (queries/training.py::_bpe_train_batched) with
 EXACTLY its semantics — words are lowercase ``[a-z]+`` runs of length
 <= 16 weighted by occurrence count; each round counts adjacent token
-pairs, ranks by (count desc, "left right" asc), scans the top-64
-candidates, and greedily accepts up to M=8 pairs under FULL-CLOSURE
-disjointness ({left, right, merged} disjoint from every earlier
-pick's closure) so in-batch application commutes; accepted merges
-apply everywhere before the next round. tests/test_exact_tokens.py
-pins that the Spark trainer reproduces this file byte-identically
-over the same corpus, so regenerating must be a no-op unless this
-script changes.
+pairs, ranks by (count desc, "left right" asc), scans the top
+CAND_WINDOW candidates, and greedily accepts up to BATCH_M pairs
+under FULL-CLOSURE disjointness ({left, right, merged} disjoint from
+every earlier pick's closure) so in-batch application commutes;
+accepted merges apply everywhere before the next round; the emitted
+table is the first N_MERGES merges (a prefix of a trainer run is
+itself a valid trained table — the standard vocabulary-size cap).
+BATCH_M/CAND_WINDOW match the bpe_batch_study certification config
+(M=16, W=128). tests/test_exact_tokens.py pins (a) that this script
+regenerates the file byte-identically and (b) that the Spark trainer
+reproduces a prefix of it over the same corpus (the trainer's round k
+depends only on rounds < k, so any round-count run is a prefix of a
+longer one), so regenerating must be a no-op unless this script
+changes.
 
-The corpus is EMBEDDED (original text, fixed forever) so the fixture
-is deterministic across rounds and machines — never train the
-fixture on driver-generated testdata.
+The corpus is EMBEDDED (prose + a deterministically GENERATED
+morpheme-compound vocabulary — plain nested loops over fixed word
+lists, no RNG — sized so pair exhaustion sits above N_MERGES) so the
+fixture is deterministic across rounds and machines — never train
+the fixture on driver-generated testdata.
 
 Run: python tools/make_vocab_bpe_fixture.py
 """
@@ -29,9 +38,10 @@ import collections
 import os
 import re
 
-N_ROUNDS = 66  # 66 rounds x up-to-8 picks ≈ 510+ merges, >> the
-BATCH_M = 8    # ~256-merge JVM replace-chain envelope
-CAND_WINDOW = 64
+N_MERGES = 4096   # vocabulary-size cap (the emitted prefix)
+TRAIN_ROUNDS = 3000  # past exhaustion; the cap sets the table size
+BATCH_M = 16      # the bpe_batch_study certification config
+CAND_WINDOW = 128
 MAX_WORD_LEN = 16
 
 CORPUS = """
@@ -80,6 +90,61 @@ experiment cycle times and computational screening prioritized the
 most promising candidate formulations for clinical advancement.
 """
 
+# Deterministic vocabulary expansion (round 12): morpheme-compound
+# words generated by plain nested loops over fixed lists — no RNG,
+# embedded forever. The prose block alone exhausts at ~840 unique
+# merges; real vocabularies run to thousands, and the compounds give
+# the trainer enough DISTINCT boundary material (forward, reversed,
+# and suffixed combinations) that exhaustion sits above N_MERGES.
+PREFIXES = [
+    "fiscal", "audit", "credit", "debit", "margin", "equity", "asset",
+    "bond", "yield", "hedge", "tariff", "ledger", "broker", "market",
+    "capital", "dividend", "invoice", "payroll", "pension", "revenue",
+    "escrow", "futures", "option", "surplus", "deficit", "treasury",
+    "venture", "warrant", "billing", "clearing",
+]
+STEMS = [
+    "flow", "rate", "risk", "gain", "loss", "cost", "fund", "note",
+    "pool", "band", "curve", "index", "ratio", "share", "stake",
+    "trust", "value", "yield", "swap", "draft", "quota", "scale",
+    "spread", "tranche", "buffer",
+]
+SUFFIXES = [
+    "ing", "ed", "er", "ize", "al", "ic", "ous", "ary", "ment",
+    "tion", "ity", "ship",
+]
+EXTRA = [
+    "quantum", "syntax", "vector", "matrix", "kernel", "buffer",
+    "cipher", "packet", "socket", "thread", "branch", "commit",
+    "lambda", "object", "parser", "schema", "tensor", "tuple",
+    "vertex", "widget", "zephyr", "oxide", "prism", "quartz",
+    "fjord", "glyph", "nymph", "sphinx", "vortex", "waltz",
+    "jigsaw", "kayak", "llama", "mosaic", "nectar", "onyx",
+    "plasma", "quiver", "rhythm", "saffron", "tundra", "umber",
+    "velvet", "wicker", "xenon", "yonder", "zircon", "amber",
+    "bramble", "cobalt", "dapple", "ember", "fathom", "gossamer",
+    "harbor", "indigo", "jasper", "krypton", "lagoon", "meadow",
+]
+
+
+def _generated_vocab() -> str:
+    words = []
+    for i, p in enumerate(PREFIXES):
+        for j, s in enumerate(STEMS):
+            words.append(p + s)
+            words.append(p + s + SUFFIXES[(i + j) % len(SUFFIXES)])
+            words.append(s + p)  # reversed boundary material
+    for i, a in enumerate(EXTRA):
+        for j, b in enumerate(EXTRA):
+            if i != j and (i + j) % 4 == 0:
+                words.append(a + b)
+        for sfx in SUFFIXES:
+            words.append(a + sfx)
+    return " ".join(words)
+
+
+FULL_CORPUS = CORPUS + "\n" + _generated_vocab() + "\n"
+
 
 def train_batched(corpus: str, n_rounds: int) -> list[tuple[str, str]]:
     """Round-for-round twin of _bpe_train_batched: exactly n_rounds
@@ -108,7 +173,7 @@ def train_batched(corpus: str, n_rounds: int) -> list[tuple[str, str]]:
 
 
 def main() -> str:
-    merges = train_batched(CORPUS, N_ROUNDS)
+    merges = train_batched(FULL_CORPUS, TRAIN_ROUNDS)[:N_MERGES]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "finmapreduce_spark",
