@@ -2950,3 +2950,54 @@ QUERIES.update(
         ),
     }
 )
+
+
+def pack_curriculum_vocab_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 composition the curriculum lane exists for:
+    curriculum-ordered packing at EXACT token counts under the
+    vendored vocab tokenizer — stage-0 (clean-band) documents fill
+    the earliest training sequences AND sequence budgets count what
+    the dataloader's real tokenizer counts, not whitespace words.
+    All three ingredients are the shared definitions (banded
+    distributed curriculum rank, _vocab_n_tokens_udf, _pack_layout),
+    so none of the twins can diverge. Scale: the rank is banded
+    (operators/distrank.py), the token count is one Arrow pass, the
+    packing cumsum is per contiguous-rank bucket — no single-task
+    stage anywhere."""
+    cur = train_curriculum_order(spark, sf_dir)
+    toks = _docs_rs_stripped(spark, sf_dir).select(
+        "doc_id",
+        _vocab_n_tokens_udf()(F.col("text")).alias("n_tokens"),
+    )
+    staged = cur.join(toks, "doc_id").select(
+        "doc_id",
+        "stage",
+        "curriculum_rank",
+        F.floor((F.col("curriculum_rank") - 1) / CURR_PACK_CHUNK)
+        .cast("long")
+        .alias("bucket"),
+        "n_tokens",
+    )
+    return _pack_layout(staged, order_col="curriculum_rank")
+
+
+PACK_CURRICULUM_VOCAB_ORACLE = f"""
+WITH {_vocab_tokens_ctes()},
+cur AS ({CURRICULUM_ORACLE}),
+toks AS (
+  SELECT c.doc_id, c.stage, c.curriculum_rank,
+         CAST((c.curriculum_rank - 1) // {CURR_PACK_CHUNK} AS BIGINT)
+           AS bucket,
+         CAST(len(v.tk) AS BIGINT) AS n_tokens
+  FROM cur c JOIN vtok v ON v.doc_id = c.doc_id
+), {_pack_sql_tail('toks', order_col='curriculum_rank',
+                   extra_cols=', stage, curriculum_rank')}
+"""
+
+QUERIES.update(
+    {
+        "pack_curriculum_vocab_layout": QuerySpec(
+            pack_curriculum_vocab_layout, PACK_CURRICULUM_VOCAB_ORACLE
+        ),
+    }
+)

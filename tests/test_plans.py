@@ -1052,3 +1052,13 @@ def test_s2s_scorer_single_arrow_stage(spark, sf_dir):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curriculum_vocab_packing_banded_and_arrow(spark, sf_dir):
+    """pack_curriculum_vocab_layout composes the banded curriculum
+    rank with the Arrow token counter: rank windows banded, token UDF
+    vectorized, offsets broadcast."""
+    plan = plan_of(QS["pack_curriculum_vocab_layout"].spark(spark, sf_dir))
+    _rank_windows_are_banded(plan)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
