@@ -208,4 +208,19 @@ def grid_cross_pairs(
     out_cols = [F.col(f"l.{left_id}"), F.col(f"r.{right_id}")]
     out_cols += [F.col(f"l.{c}") for c in left_payload]
     out_cols += [F.col(f"r.{c}") for c in right_payload]
-    return lrep.alias("l").join(rrep.alias("r"), cond).select(*out_cols)
+    # The tiler's guarantee IS the shuffle on (bucket, cell): a
+    # broadcast hash join — Catalyst's pick whenever the delta side
+    # estimates small — performs the pair probes in the STREAM side's
+    # physical partitions, so a hot bucket whose store rows sit in a
+    # few scan/cache partitions funnels the full H_l×H_r volume
+    # through those tasks and the cell ids never reach a partitioner
+    # (measured: 44 s hot task vs the plain probe's 33 s on the
+    # two-sided clone corpus, SCALE.md round-12 study). Force the
+    # shuffled hash join: both sides exchange on the full cell key,
+    # per-task pair work is genuinely ≤ block² × cells/partition.
+    return (
+        lrep.alias("l")
+        .hint("shuffle_hash")
+        .join(rrep.alias("r"), cond)
+        .select(*out_cols)
+    )

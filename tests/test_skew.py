@@ -432,3 +432,29 @@ def test_grid_cross_pairs_rejects_colliding_output_names(spark):
             left_payload=["pos"],
             right_payload=["pos"],
         )
+
+
+def test_grid_cross_pairs_join_shuffles_on_cell(spark):
+    """The tiler's guarantee IS the shuffle on (bucket, l_blk, r_blk):
+    round 12's band-probe study measured that a broadcast hash join —
+    Catalyst's pick whenever the delta side estimates small — performs
+    the pair probes in the stream side's physical partitions and
+    funnels a two-sided hot bucket through the few tasks holding its
+    rows (44 s hot task, WORSE than the plain probe's 33 s). Pin the
+    shuffled-hash shape so a planner change cannot silently revert it."""
+    from finmapreduce_spark.operators.pairgrid import grid_cross_pairs
+
+    left = spark.createDataFrame(
+        [("k", i) for i in range(10)], "key string, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", i) for i in range(10)], "key string, rid long"
+    )
+    plan = (
+        grid_cross_pairs(left, right, ["key"], "lid", "rid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
