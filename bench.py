@@ -139,6 +139,10 @@ HEADLINE = [
     "u6_s2s_unigram_nll",
     "train_epoch_shuffle",
     "pack_curriculum_layout",
+    # round-12 (cont.): DSIR hashed-n-gram importance selection — one
+    # (doc,bucket) count shuffle, two broadcast bucket dictionaries,
+    # TakeOrderedAndProject top-N
+    "dsir_importance_select",
 ]
 
 

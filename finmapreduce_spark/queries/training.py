@@ -3001,3 +3001,239 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Reference has no data-selection surface (its
+# corpus is hand-picked filings, finqa_dataset.py); this is the
+# north-star extension: given a TARGET slice (here lang='en', the
+# stand-in for "high-quality in-domain text") and a RAW pool
+# (everything else), score each pool document by the log importance
+# weight of its hashed bag-of-n-grams under smoothed target vs raw
+# unigram bucket models, and keep the top-N most target-like docs.
+#
+#   features : word unigrams + bigrams, hashed to K=4096 buckets via
+#              3 hex digits of md5(gram) — the paper's hashed n-gram
+#              generative model, with the same md5-digit arithmetic
+#              every split/sampler in this repo uses
+#   models   : p̂_b = (t_b+1)/(T+K), q̂_b = (r_b+1)/(R+K)  (add-one)
+#   weight   : log w(x) = Σ_b c_b(x)·(log2(t_b+1) − log2(r_b+1))
+#                        + |x|·(log2(R+K) − log2(T+K))
+#   resample : top-N by round(log w, 6) desc, doc_id tiebreak — the
+#              deterministic twin of the paper's Gumbel resampling
+#              (same estimator, reproducible under task retries)
+#
+# Scale: gram explode is narrow; per-(doc,bucket) counts are ONE
+# shuffle with map-side combine; both bucket dictionaries aggregate
+# to ≤K rows and BROADCAST by construction (K is a constant, never
+# corpus-sized); totals ride as broadcast 1-row aggregates; top-N
+# compiles to TakeOrderedAndProject (per-partition top-N + N-row
+# driver merge, never a global sort). No corpus-sized shuffle after
+# the count — the selection pass over 100 TB is one aggregation.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_BUDGET = 100
+DSIR_TARGET_LANG = "en"
+
+_HEX = "0123456789abcdef"
+
+
+def _gram_bucket(col):
+    """First 3 hex chars of md5(gram) as an int in [0, 4096)."""
+    h = F.md5(col)
+    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return (digit(1) * 16 + digit(2)) * 16 + digit(3)
+
+
+_GRAM_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(g), 3, 1)) - 1"
+)
+
+
+def _dsir_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, hashed-gram-bucket) counts with the doc's lang."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    w = F.col("__w")
+    grams = docs.withColumn("__w", _words(F.col("text"))).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                w,
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(w, i),
+                            F.element_at(w, i + F.lit(1)),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id", "lang", _gram_bucket(F.col("g")).alias("b")
+    ).groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+
+
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _dsir_doc_buckets(spark, sf_dir).persist()
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    tb = db.filter(is_t).groupBy("b").agg(F.sum("c").alias("t"))
+    rb = db.filter(~is_t).groupBy("b").agg(F.sum("c").alias("r"))
+    tot = (
+        db.groupBy()
+        .agg(
+            F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_tot"),
+            F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_tot"),
+        )
+    )
+    k = F.lit(DSIR_BUCKETS)
+    term = F.col("c") * (
+        F.log2(F.coalesce(F.col("t"), F.lit(0)) + 1)
+        - F.log2(F.coalesce(F.col("r"), F.lit(0)) + 1)
+    )
+    scored = (
+        db.filter(~is_t)
+        .join(F.broadcast(tb), "b", "left")
+        .join(F.broadcast(rb), "b", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(term).alias("s"), F.sum("c").alias("n_grams"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "logw",
+            F.round(
+                F.col("s")
+                + F.col("n_grams")
+                * (F.log2(F.col("r_tot") + k) - F.log2(F.col("t_tot") + k)),
+                6,
+            ),
+        )
+        .orderBy(F.desc("logw"), "doc_id")
+        .limit(DSIR_BUDGET)
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "logw",
+        F.row_number()
+        .over(W.orderBy(F.desc("logw"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+_DSIR_CTES = f"""
+w AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(ws,
+           list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i + 1]))) AS g
+  FROM w
+), db AS (
+  SELECT doc_id, lang, {_GRAM_BUCKET_SQL} AS b, count(*) AS c
+  FROM g GROUP BY 1, 2, 3
+), tb AS (
+  SELECT b, CAST(sum(c) AS BIGINT) AS t FROM db
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+), rb AS (
+  SELECT b, CAST(sum(c) AS BIGINT) AS r FROM db
+  WHERE lang <> '{DSIR_TARGET_LANG}' GROUP BY 1
+), tot AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c END), 0)
+         AS BIGINT) AS t_tot,
+    CAST(coalesce(sum(CASE WHEN lang <> '{DSIR_TARGET_LANG}' THEN c END), 0)
+         AS BIGINT) AS r_tot
+  FROM db
+)"""
+
+DSIR_SELECT_ORACLE = f"""
+WITH {_DSIR_CTES},
+scored AS (
+  SELECT d.doc_id, d.lang, CAST(sum(d.c) AS BIGINT) AS n_grams,
+         round(sum(d.c * (log2(coalesce(t.t, 0) + 1)
+                          - log2(coalesce(r.r, 0) + 1)))
+               + sum(d.c) * (log2(r_tot + {DSIR_BUCKETS})
+                             - log2(t_tot + {DSIR_BUCKETS})), 6) AS logw
+  FROM db d LEFT JOIN tb t USING (b) LEFT JOIN rb r USING (b), tot
+  WHERE d.lang <> '{DSIR_TARGET_LANG}'
+  GROUP BY d.doc_id, d.lang, t_tot, r_tot
+), top AS (
+  SELECT * FROM scored ORDER BY logw DESC, doc_id LIMIT {DSIR_BUDGET}
+)
+SELECT doc_id, lang, n_grams, logw,
+       CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS BIGINT) AS rank
+FROM top
+"""
+
+
+def dsir_target_raw_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(p̂‖q̂) between the smoothed target and raw hashed-n-gram
+    bucket models — the one-row diagnostic DSIR users read before
+    trusting the weights (≈0 bits means the target is
+    indistinguishable from the pool and selection is noise). Runs
+    over the FULL K-bucket domain (spark.range(K)), so smoothing mass
+    in buckets neither slice touches is counted identically to the
+    oracle's range(K)."""
+    db = _dsir_doc_buckets(spark, sf_dir)
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    tb = db.filter(is_t).groupBy("b").agg(F.sum("c").alias("t"))
+    rb = db.filter(~is_t).groupBy("b").agg(F.sum("c").alias("r"))
+    tot = db.groupBy().agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_tot"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_tot"),
+    )
+    k = F.lit(DSIR_BUCKETS)
+    dom = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    p = (F.coalesce(F.col("t"), F.lit(0)) + 1) / (F.col("t_tot") + k)
+    q = (F.coalesce(F.col("r"), F.lit(0)) + 1) / (F.col("r_tot") + k)
+    return (
+        dom.join(F.broadcast(tb), "b", "left")
+        .join(F.broadcast(rb), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
+            F.count("*").alias("n_buckets"),
+            F.max("t_tot").alias("target_grams"),
+            F.max("r_tot").alias("raw_grams"),
+        )
+    )
+
+
+DSIR_KL_ORACLE = f"""
+WITH {_DSIR_CTES},
+dom AS (SELECT CAST(unnest(range({DSIR_BUCKETS})) AS INT) AS b),
+pq AS (
+  SELECT (coalesce(t.t, 0) + 1.0) / (tot.t_tot + {DSIR_BUCKETS}) AS p,
+         (coalesce(r.r, 0) + 1.0) / (tot.r_tot + {DSIR_BUCKETS}) AS q,
+         tot.t_tot, tot.r_tot
+  FROM dom LEFT JOIN tb t USING (b) LEFT JOIN rb r USING (b), tot
+)
+SELECT round(sum(p * log2(p / q)), 6) AS kl_bits,
+       count(*) AS n_buckets,
+       CAST(max(t_tot) AS BIGINT) AS target_grams,
+       CAST(max(r_tot) AS BIGINT) AS raw_grams
+FROM pq
+"""
+
+QUERIES.update(
+    {
+        "dsir_importance_select": QuerySpec(
+            dsir_importance_select, DSIR_SELECT_ORACLE
+        ),
+        "dsir_target_raw_kl": QuerySpec(dsir_target_raw_kl, DSIR_KL_ORACLE),
+    }
+)

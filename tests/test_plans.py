@@ -1062,3 +1062,17 @@ def test_curriculum_vocab_packing_banded_and_arrow(spark, sf_dir):
     _rank_windows_are_banded(plan)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_select_plan_shape(spark, sf_dir):
+    """DSIR's selection pass must stay one aggregation deep at scale:
+    both bucket dictionaries (≤K rows by construction) BROADCAST into
+    the pool scoring, the top-N compiles to TakeOrderedAndProject
+    (per-partition heap, never a global sort), and the whole weight
+    computation is JVM column algebra — no Python evaluation node."""
+    df = QS["dsir_importance_select"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
