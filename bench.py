@@ -143,6 +143,9 @@ HEADLINE = [
     # (doc,bucket) count shuffle, two broadcast bucket dictionaries,
     # TakeOrderedAndProject top-N
     "dsir_importance_select",
+    # round-12 (cont.): uncapped SAM LCS containment over the LSH
+    # pair set (Arrow mapInPandas over banded candidates)
+    "dedup_lcs_containment",
 ]
 
 

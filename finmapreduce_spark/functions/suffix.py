@@ -24,23 +24,11 @@ scale path, the quadratic window enumeration is the CHECK.
 from __future__ import annotations
 
 
-def sam_substring_stats(s: str, k: int) -> tuple[int, int, int]:
-    """→ (n_windows, n_distinct, longest_repeat), all over substrings
-    of length ≤ ``k``:
-
-    - n_windows: total (position, length≤k) windows = Σ_{l=1..min(k,L)}
-      (L−l+1) — closed form, no enumeration;
-    - n_distinct: distinct substrings of length ≤ k;
-    - longest_repeat: max l ≤ k such that some length-l substring
-      occurs ≥ 2 times (0 if none; a repeat of length l implies
-      repeats of every shorter length, so this is the capped LRS).
-    """
-    n = len(s)
-    m = min(k, n)
-    n_windows = m * (n + 1) - m * (m + 1) // 2
-    if n == 0:
-        return 0, 0, 0
-    # --- suffix automaton construction (linear) ---
+def _sam_build(s: str):
+    """Linear suffix-automaton construction (Blumer 1985 / the
+    cp-algorithms textbook form) → (len, link, next, is_clone) lists.
+    Shared by the per-doc substring statistics and the cross-doc LCS
+    streamer."""
     sa_len = [0]
     sa_link = [-1]
     sa_next: list[dict[str, int]] = [{}]
@@ -74,6 +62,52 @@ def sam_substring_stats(s: str, k: int) -> tuple[int, int, int]:
                 sa_link[q] = clone
                 sa_link[cur] = clone
         last = cur
+    return sa_len, sa_link, sa_next, is_clone
+
+
+def sam_lcs(a: str, b: str) -> int:
+    """Longest common substring LENGTH of two strings in
+    O(|a| + |b|): build the suffix automaton of ``a`` and stream
+    ``b`` through it (the classic cp-algorithms two-string LCS walk —
+    on a transition miss, follow suffix links until a state accepts
+    the character, clamping the current match length to that state's
+    len). Exact, uncapped — the scale path the quadratic
+    substring-enumeration oracle checks."""
+    if not a or not b:
+        return 0
+    sa_len, sa_link, sa_next, _ = _sam_build(a)
+    v, cur, best = 0, 0, 0
+    for ch in b:
+        while v and ch not in sa_next[v]:
+            v = sa_link[v]
+            cur = sa_len[v]
+        if ch in sa_next[v]:
+            v = sa_next[v][ch]
+            cur += 1
+            if cur > best:
+                best = cur
+        else:
+            v, cur = 0, 0
+    return best
+
+
+def sam_substring_stats(s: str, k: int) -> tuple[int, int, int]:
+    """→ (n_windows, n_distinct, longest_repeat), all over substrings
+    of length ≤ ``k``:
+
+    - n_windows: total (position, length≤k) windows = Σ_{l=1..min(k,L)}
+      (L−l+1) — closed form, no enumeration;
+    - n_distinct: distinct substrings of length ≤ k;
+    - longest_repeat: max l ≤ k such that some length-l substring
+      occurs ≥ 2 times (0 if none; a repeat of length l implies
+      repeats of every shorter length, so this is the capped LRS).
+    """
+    n = len(s)
+    m = min(k, n)
+    n_windows = m * (n + 1) - m * (m + 1) // 2
+    if n == 0:
+        return 0, 0, 0
+    sa_len, sa_link, sa_next, is_clone = _sam_build(s)
     # --- capped distinct count ---
     n_distinct = 0
     for v in range(1, len(sa_len)):

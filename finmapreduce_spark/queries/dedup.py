@@ -3872,3 +3872,127 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc longest-common-substring containment — the suffix-
+# automaton frontier joining the dedup family (the per-doc SAM
+# diversity signal is textops.py::text_substring_diversity; this is
+# its PAIR form). For every LSH-verified near-dup candidate, compute
+# the EXACT, UNCAPPED longest common substring of the two normalized
+# texts and the containment ratio lcs / min(len) — the signal that
+# separates "same boilerplate plus different bodies" (high Jaccard,
+# low containment) from "one document embeds the other" (containment
+# → 1), which decides trim-vs-drop in a curation pass.
+#
+# Spark path: SAM of one string streamed over the other
+# (functions/suffix.py::sam_lcs, O(|a|+|b|) per pair) as an
+# Arrow-batched mapInPandas stage over the verified pair table —
+# pair volume is the LSH candidate volume, already banded/bounded.
+#
+# Oracle: the non-enumerating strategy the capped window couldn't
+# use — BINARY SEARCH on the answer as a DuckDB recursive CTE.
+# "LCS ≥ ℓ" is monotone in ℓ and checkable in O(n) per probe
+# (list_intersect of the two length-ℓ gram lists), so ⌈log₂ n⌉
+# recursion steps pin the exact length with O(n log n) work per pair
+# — never the O(n²·L) full substring enumeration. Exactness of the
+# monotone-predicate search is what makes the uncapped statistic
+# oracle-checkable at all.
+# ---------------------------------------------------------------------------
+
+LCS_CONTAIN_THRESHOLD = 0.5
+
+
+def dedup_lcs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    pairs = dedup_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    tx = _docs(spark, sf_dir).select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("t")
+    )
+    pt = (
+        pairs.join(tx.select(F.col("doc_id").alias("doc_a"),
+                             F.col("t").alias("ta")), "doc_a")
+        .join(tx.select(F.col("doc_id").alias("doc_b"),
+                        F.col("t").alias("tb")), "doc_b")
+    )
+
+    def gen(batches):
+        from finmapreduce_spark.functions.suffix import sam_lcs
+
+        for pdf in batches:
+            rows = []
+            for a, b, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["ta"], pdf["tb"]
+            ):
+                sa = ta if isinstance(ta, str) else ""
+                sb = tb if isinstance(tb, str) else ""
+                rows.append((a, b, sam_lcs(sa, sb), len(sa), len(sb)))
+            yield pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "lcs_len", "len_a", "len_b"]
+            )
+
+    out = pt.mapInPandas(
+        gen, "doc_a long, doc_b long, lcs_len long, len_a long, len_b long"
+    )
+    containment = F.round(
+        F.col("lcs_len") / F.greatest(F.least("len_a", "len_b"), F.lit(1)), 6
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "lcs_len",
+        "len_a",
+        "len_b",
+        containment.alias("containment"),
+        (containment >= LCS_CONTAIN_THRESHOLD).alias("contained"),
+    )
+
+
+LCS_CONTAINMENT_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DEDUP_LSH_ORACLE}),
+tx AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+pt AS (
+  SELECT p.doc_a, p.doc_b, a.t AS ta, b.t AS tb
+  FROM pairs p
+  JOIN tx a ON a.doc_id = p.doc_a
+  JOIN tx b ON b.doc_id = p.doc_b
+), bs AS (
+  SELECT doc_a, doc_b, ta, tb, 0 AS lo,
+         least(length(ta), length(tb)) AS hi
+  FROM pt
+  UNION ALL
+  SELECT doc_a, doc_b, ta, tb,
+         CASE WHEN dup THEN mid ELSE lo END AS lo,
+         CASE WHEN dup THEN hi ELSE mid - 1 END AS hi
+  FROM (
+    SELECT doc_a, doc_b, ta, tb, lo, hi, mid,
+           len(list_intersect(
+             list_transform(range(1, length(ta) - mid + 2),
+                            i -> substr(ta, CAST(i AS INT), CAST(mid AS INT))),
+             list_transform(range(1, length(tb) - mid + 2),
+                            j -> substr(tb, CAST(j AS INT), CAST(mid AS INT)))
+           )) > 0 AS dup
+    FROM (SELECT *, (lo + hi + 1) // 2 AS mid FROM bs WHERE lo < hi)
+  )
+), lcs AS (
+  SELECT doc_a, doc_b, CAST(max(lo) AS BIGINT) AS lcs_len
+  FROM bs GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, l.lcs_len,
+       CAST(length(p.ta) AS BIGINT) AS len_a,
+       CAST(length(p.tb) AS BIGINT) AS len_b,
+       round(l.lcs_len / greatest(least(length(p.ta), length(p.tb)), 1), 6)
+         AS containment,
+       round(l.lcs_len / greatest(least(length(p.ta), length(p.tb)), 1), 6)
+         >= {LCS_CONTAIN_THRESHOLD} AS contained
+FROM lcs l JOIN pt p USING (doc_a, doc_b)
+"""
+
+QUERIES.update(
+    {
+        "dedup_lcs_containment": QuerySpec(
+            dedup_lcs_containment, LCS_CONTAINMENT_ORACLE
+        ),
+    }
+)

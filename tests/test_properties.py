@@ -723,3 +723,26 @@ def test_suffix_automaton_stats_match_bruteforce(s, k):
         max((len(t) for t, c in subs.items() if c > 1), default=0),
     )
     assert sam_substring_stats(s, k) == want
+
+
+@given(
+    st.text(alphabet="abc ", min_size=0, max_size=50),
+    st.text(alphabet="abc ", min_size=0, max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_sam_lcs_matches_bruteforce(a, b):
+    """The SAM-streamed longest common substring must equal the
+    explicit O(n²·L) position-pair extension — uncapped, the exact
+    statistic the binary-search recursive-CTE oracle pins on the
+    catalog corpus."""
+    from finmapreduce_spark.functions.suffix import sam_lcs
+
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    assert sam_lcs(a, b) == best
+    assert sam_lcs(b, a) == best  # symmetric even though the SAM isn't
