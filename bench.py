@@ -146,6 +146,7 @@ HEADLINE = [
     # round-12 (cont.): uncapped SAM LCS containment over the LSH
     # pair set (Arrow mapInPandas over banded candidates)
     "dedup_lcs_containment",
+    "text_longest_repeat_uncapped",
 ]
 
 

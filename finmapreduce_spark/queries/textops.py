@@ -1615,3 +1615,91 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Uncapped longest repeated substring — the capped window above
+# (SUBSTR_STATS_K=32) matches how repetition FILTERS use the signal;
+# this is the uncapped statistic itself (the round-11 open candidate:
+# "needs a non-enumerating oracle strategy"). The automaton already
+# computes it linearly for any cap, so the Spark side is
+# sam_substring_stats(t, len(t)); the oracle is the same monotone
+# binary search the LCS containment oracle proved out: "some length-ℓ
+# substring repeats" is monotone in ℓ and O(n)-checkable (the
+# length-ℓ gram list is longer than its list_distinct), so a
+# recursive CTE pins the exact length in ⌈log₂ n⌉ probes — O(n log n)
+# per doc, never the O(n²·L) full-window enumeration the capped
+# oracle uses (which is exactly why the cap existed).
+# ---------------------------------------------------------------------------
+
+
+def text_longest_repeat_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        from finmapreduce_spark.functions.suffix import sam_substring_stats
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text if isinstance(text, str) else ""
+                # cap = len(t): no length-≥-len(t) substring can repeat,
+                # so this IS the uncapped longest repeat
+                _, _, lr = sam_substring_stats(t, len(t)) if t else (0, 0, 0)
+                rows.append((doc_id, len(t), lr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chars", "longest_repeat"]
+            )
+
+    out = docs.mapInPandas(
+        gen, "doc_id long, n_chars long, longest_repeat long"
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "longest_repeat",
+        F.round(
+            F.col("longest_repeat")
+            / F.greatest(F.col("n_chars"), F.lit(1)),
+            6,
+        ).alias("repeat_frac"),
+    )
+
+
+LONGEST_REPEAT_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), bs AS (
+  SELECT doc_id, t, 0 AS lo, greatest(length(t) - 1, 0) AS hi FROM d
+  UNION ALL
+  SELECT doc_id, t,
+         CASE WHEN dup THEN mid ELSE lo END AS lo,
+         CASE WHEN dup THEN hi ELSE mid - 1 END AS hi
+  FROM (
+    SELECT doc_id, t, lo, hi, mid,
+           len(list_transform(range(1, length(t) - mid + 2),
+                              i -> substr(t, CAST(i AS INT), CAST(mid AS INT))))
+           > len(list_distinct(
+               list_transform(range(1, length(t) - mid + 2),
+                              i -> substr(t, CAST(i AS INT), CAST(mid AS INT)))))
+             AS dup
+    FROM (SELECT *, (lo + hi + 1) // 2 AS mid FROM bs WHERE lo < hi)
+  )
+)
+SELECT d.doc_id,
+       CAST(length(d.t) AS BIGINT) AS n_chars,
+       CAST(x.lr AS BIGINT) AS longest_repeat,
+       round(x.lr / greatest(length(d.t), 1), 6) AS repeat_frac
+FROM (SELECT doc_id, max(lo) AS lr FROM bs GROUP BY 1) x
+JOIN d USING (doc_id)
+"""
+
+QUERIES.update(
+    {
+        "text_longest_repeat_uncapped": QuerySpec(
+            text_longest_repeat_uncapped, LONGEST_REPEAT_ORACLE
+        ),
+    }
+)
