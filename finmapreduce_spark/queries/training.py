@@ -3054,9 +3054,15 @@ _GRAM_BUCKET_SQL = (
 )
 
 
-def _dsir_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(doc, hashed-gram-bucket) counts with the doc's lang."""
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+def _dsir_doc_buckets(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Per-(doc, hashed-gram-bucket) counts with the doc's lang.
+    ``docs`` overrides the table read (the streaming twin passes the
+    micro-batch) — same columns (doc_id, lang, text) required."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    docs = docs.filter(F.col("text").isNotNull())
     w = F.col("__w")
     grams = docs.withColumn("__w", _words(F.col("text"))).select(
         "doc_id",
@@ -3083,26 +3089,19 @@ def _dsir_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
 
 
-def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    db = _dsir_doc_buckets(spark, sf_dir).persist()
-    is_t = F.col("lang") == DSIR_TARGET_LANG
-    tb = db.filter(is_t).groupBy("b").agg(F.sum("c").alias("t"))
-    rb = db.filter(~is_t).groupBy("b").agg(F.sum("c").alias("r"))
-    tot = (
-        db.groupBy()
-        .agg(
-            F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_tot"),
-            F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_tot"),
-        )
-    )
+def _dsir_score(pool: DataFrame, tb: DataFrame, rb: DataFrame,
+                tot: DataFrame) -> DataFrame:
+    """Shared DSIR weight algebra: score (doc_id, lang, b, c) pool
+    rows against bucket dictionaries tb=(b,t) / rb=(b,r) and the
+    1-row totals tot=(t_tot, r_tot) → (doc_id, lang, n_grams, logw).
+    Both dictionaries are ≤K rows by construction and broadcast."""
     k = F.lit(DSIR_BUCKETS)
     term = F.col("c") * (
         F.log2(F.coalesce(F.col("t"), F.lit(0)) + 1)
         - F.log2(F.coalesce(F.col("r"), F.lit(0)) + 1)
     )
-    scored = (
-        db.filter(~is_t)
-        .join(F.broadcast(tb), "b", "left")
+    return (
+        pool.join(F.broadcast(tb), "b", "left")
         .join(F.broadcast(rb), "b", "left")
         .groupBy("doc_id", "lang")
         .agg(F.sum(term).alias("s"), F.sum("c").alias("n_grams"))
@@ -3116,6 +3115,24 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
+        .select("doc_id", "lang", "n_grams", "logw")
+    )
+
+
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _dsir_doc_buckets(spark, sf_dir).persist()
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    tb = db.filter(is_t).groupBy("b").agg(F.sum("c").alias("t"))
+    rb = db.filter(~is_t).groupBy("b").agg(F.sum("c").alias("r"))
+    tot = (
+        db.groupBy()
+        .agg(
+            F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_tot"),
+            F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_tot"),
+        )
+    )
+    scored = (
+        _dsir_score(db.filter(~is_t), tb, rb, tot)
         .orderBy(F.desc("logw"), "doc_id")
         .limit(DSIR_BUDGET)
     )
@@ -3235,5 +3252,104 @@ QUERIES.update(
             dsir_importance_select, DSIR_SELECT_ORACLE
         ),
         "dsir_target_raw_kl": QuerySpec(dsir_target_raw_kl, DSIR_KL_ORACLE),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental DSIR — the ingest-time form. The bucket models are
+# pure ADDITIVE counters, so they persist and amortize exactly like
+# the band-signature / winnow-fingerprint / URL-keeper stores: the
+# incoming batch (doc_id % INGEST_MOD == 0, the catalog-wide ingest
+# split) is scored against dictionaries built from HISTORY ONLY, and
+# the keep decision is the thresholded importance weight (log w ≥ 0:
+# the doc is literally more likely under the target model than the
+# raw model) rather than batch-global top-N — the per-row-independent
+# decision a streaming filter needs. Per-ingest cost: |delta| gram
+# counting + two ≤K-row broadcast probes; the history dictionaries
+# update by appending the batch's own bucket counts (the continuous
+# twin in streaming/pipeline.py::serve_dsir_filter_continuous).
+# ---------------------------------------------------------------------------
+
+DSIR_KEEP_LOGW = 0.0
+
+
+def dsir_incremental_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries.dedup import INGEST_MOD
+
+    db = _dsir_doc_buckets(spark, sf_dir).persist()
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    hist = db.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    inc = db.filter(
+        (F.pmod("doc_id", F.lit(INGEST_MOD)) == 0) & ~is_t
+    )
+    tb = hist.filter(is_t).groupBy("b").agg(F.sum("c").alias("t"))
+    rb = hist.filter(~is_t).groupBy("b").agg(F.sum("c").alias("r"))
+    tot = hist.groupBy().agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_tot"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_tot"),
+    )
+    return _dsir_score(inc, tb, rb, tot).select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "logw",
+        (F.col("logw") >= DSIR_KEEP_LOGW).alias("keep"),
+    )
+
+
+def _dsir_inc_oracle() -> str:
+    from finmapreduce_spark.queries.dedup import INGEST_MOD
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(ws,
+           list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i + 1]))) AS g
+  FROM w
+), db AS (
+  SELECT doc_id, lang, {_GRAM_BUCKET_SQL} AS b, count(*) AS c
+  FROM g GROUP BY 1, 2, 3
+), hist AS (
+  SELECT * FROM db WHERE doc_id % {INGEST_MOD} <> 0
+), tb AS (
+  SELECT b, CAST(sum(c) AS BIGINT) AS t FROM hist
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+), rb AS (
+  SELECT b, CAST(sum(c) AS BIGINT) AS r FROM hist
+  WHERE lang <> '{DSIR_TARGET_LANG}' GROUP BY 1
+), tot AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c END), 0)
+         AS BIGINT) AS t_tot,
+    CAST(coalesce(sum(CASE WHEN lang <> '{DSIR_TARGET_LANG}' THEN c END), 0)
+         AS BIGINT) AS r_tot
+  FROM hist
+)
+SELECT d.doc_id, d.lang, CAST(sum(d.c) AS BIGINT) AS n_grams,
+       round(sum(d.c * (log2(coalesce(t.t, 0) + 1)
+                        - log2(coalesce(r.r, 0) + 1)))
+             + sum(d.c) * (log2(r_tot + {DSIR_BUCKETS})
+                           - log2(t_tot + {DSIR_BUCKETS})), 6) AS logw,
+       round(sum(d.c * (log2(coalesce(t.t, 0) + 1)
+                        - log2(coalesce(r.r, 0) + 1)))
+             + sum(d.c) * (log2(r_tot + {DSIR_BUCKETS})
+                           - log2(t_tot + {DSIR_BUCKETS})), 6)
+         >= {DSIR_KEEP_LOGW} AS keep
+FROM db d LEFT JOIN tb t USING (b) LEFT JOIN rb r USING (b), tot
+WHERE d.lang <> '{DSIR_TARGET_LANG}' AND d.doc_id % {INGEST_MOD} = 0
+GROUP BY d.doc_id, d.lang, t_tot, r_tot
+"""
+
+
+QUERIES.update(
+    {
+        "dsir_incremental_score": QuerySpec(
+            dsir_incremental_score, _dsir_inc_oracle()
+        ),
     }
 )

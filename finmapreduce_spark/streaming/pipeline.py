@@ -988,3 +988,85 @@ def serve_incremental_url_continuous(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_dsir_filter_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous DSIR ingest filter with a LIVE bucket-count store —
+    the data-selection member of the continuous-store family (batch
+    twin: queries/training.py::dsir_incremental_score). Each epoch:
+    hash the micro-batch's unigram+bigram counts into the K-bucket
+    feature space, score the batch's RAW-language docs against the
+    store's PRIOR target/raw dictionaries (keep = log importance
+    weight ≥ DSIR_KEEP_LOGW: more likely under the target model than
+    the raw model), emit verdict rows, then append the batch's own
+    bucket increments — target-language docs grow the target counts,
+    raw docs grow the raw counts — so every epoch sharpens the models
+    the NEXT epoch is scored by. On an empty store both smoothed
+    models are uniform and every weight is exactly 0 (kept at the
+    default ≥0 threshold): no evidence, no rejection.
+
+    Store rows: (b, t_add, r_add) increments — the read side SUMS per
+    bucket, so replayed-epoch duplicate appends are excluded by the
+    family's _prior_history epoch filter, compaction can pre-sum, and
+    the live dictionaries stay ≤K rows after any compaction.
+
+    Scale: per-epoch cost is |delta| gram hashing + two ≤K-row
+    broadcast probes; the store grows by ≤K rows per epoch and
+    compacts to ≤K total."""
+    from finmapreduce_spark.queries.training import (
+        DSIR_KEEP_LOGW,
+        DSIR_TARGET_LANG,
+        _dsir_doc_buckets,
+        _dsir_score,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _check_store_unlocked(store_dir)
+        spark = batch_df.sparkSession
+        db = _dsir_doc_buckets(spark, None, docs=batch_df).persist()
+        is_t = F.col("lang") == DSIR_TARGET_LANG
+        try:
+            import os
+
+            if os.path.exists(store_dir):
+                hist = _prior_history(spark, store_dir, epoch_id)
+                tb = hist.groupBy("b").agg(F.sum("t_add").alias("t"))
+                rb = hist.groupBy("b").agg(F.sum("r_add").alias("r"))
+                tot = hist.groupBy().agg(
+                    F.coalesce(F.sum("t_add"), F.lit(0)).alias("t_tot"),
+                    F.coalesce(F.sum("r_add"), F.lit(0)).alias("r_tot"),
+                )
+            else:
+                tb = spark.createDataFrame([], "b int, t long")
+                rb = spark.createDataFrame([], "b int, r long")
+                tot = spark.createDataFrame(
+                    [(0, 0)], "t_tot long, r_tot long"
+                )
+            verdicts = _dsir_score(db.filter(~is_t), tb, rb, tot).select(
+                "doc_id",
+                "lang",
+                "n_grams",
+                "logw",
+                (F.col("logw") >= DSIR_KEEP_LOGW).alias("keep"),
+            )
+            _epoch_json(verdicts, out_dir, epoch_id)
+            increments = db.groupBy("b").agg(
+                F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_add"),
+                F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_add"),
+            )
+            _guarded_store_append(increments, store_dir, epoch_id)
+        finally:
+            db.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

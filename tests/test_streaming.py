@@ -1383,3 +1383,88 @@ def test_continuous_url_store_flags_recrawl_across_epochs(spark, tmp_path):
         .collect()
     }
     assert {k for _, k in stored} == {5, 10, 11}
+
+
+def test_continuous_dsir_filter_sharpens_across_epochs(spark, tmp_path):
+    """Round-12: the DSIR ingest filter's bucket store must make
+    epoch-1 verdicts depend on epoch-0 evidence: on the empty store
+    every raw doc scores exactly 0.0 (uniform models, kept at the ≥0
+    threshold); after epoch 0 appends a target doc and a raw doc, an
+    epoch-1 raw doc that copies the TARGET text outscores one that
+    copies the RAW text — and the epoch-1 verdicts equal a manual
+    batch replay (_dsir_score against epoch-0 counts) exactly."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.training import (
+        DSIR_TARGET_LANG,
+        _dsir_doc_buckets,
+        _dsir_score,
+    )
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_dsir_filter_continuous,
+    )
+
+    t_text = "alpha beta gamma delta epsilon zeta"
+    r_text = "uno dos tres cuatro cinco seis"
+    landing = tmp_path / "dsir_landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 1, "lang": "en", "text": t_text}) + "\n"
+        + _json.dumps({"doc_id": 2, "lang": "de", "text": r_text}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 10, "lang": "fr", "text": t_text}) + "\n"
+        + _json.dumps({"doc_id": 11, "lang": "fr", "text": r_text}) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    store = tmp_path / "dsir_store"
+    out = tmp_path / "dsir_verdicts"
+    q = serve_dsir_filter_continuous(
+        stream, str(store), str(out), str(tmp_path / "dsir_ckpt")
+    ).start()
+    q.awaitTermination()
+
+    rows = {r["doc_id"]: r for r in spark.read.json(str(out)).collect()}
+    assert set(rows) == {2, 10, 11}
+    # epoch 0, empty store: uniform models, weight exactly 0, kept
+    assert rows[2]["logw"] == 0.0 and rows[2]["keep"] is True
+    # epoch 1: target-looking text outscores raw-looking text
+    assert rows[10]["logw"] > 0.0 and rows[10]["keep"] is True
+    assert rows[11]["logw"] < 0.0 and rows[11]["keep"] is False
+    # exact batch-replay equality for the epoch-1 verdicts
+    e0 = spark.createDataFrame(
+        [(1, "en", t_text), (2, "de", r_text)],
+        "doc_id long, lang string, text string",
+    )
+    e1 = spark.createDataFrame(
+        [(10, "fr", t_text), (11, "fr", r_text)],
+        "doc_id long, lang string, text string",
+    )
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    hdb = _dsir_doc_buckets(spark, None, docs=e0)
+    tb = hdb.filter(is_t).groupBy("b").agg(F.sum("c").alias("t"))
+    rb = hdb.filter(~is_t).groupBy("b").agg(F.sum("c").alias("r"))
+    tot = hdb.groupBy().agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_tot"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_tot"),
+    )
+    want = {
+        r["doc_id"]: r["logw"]
+        for r in _dsir_score(
+            _dsir_doc_buckets(spark, None, docs=e1), tb, rb, tot
+        ).collect()
+    }
+    assert rows[10]["logw"] == want[10]
+    assert rows[11]["logw"] == want[11]
+    spark.catalog.clearCache()
