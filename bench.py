@@ -147,6 +147,10 @@ HEADLINE = [
     # pair set (Arrow mapInPandas over banded candidates)
     "dedup_lcs_containment",
     "text_longest_repeat_uncapped",
+    # round-12 (cont.): mergeable sketches — constant-size groupBy
+    # state, map-side combine IS the sketch merge
+    "sketch_countmin_grams",
+    "sketch_hll_distinct",
 ]
 
 

@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         scoring,
         similarity,
+        sketches,
         temporal,
         textops,
         tpch_shapes,
@@ -89,6 +90,7 @@ def all_queries() -> dict[str, QuerySpec]:
         temporal,
         scoring,
         training,
+        sketches,
     )
     out: dict[str, QuerySpec] = {}
     for mod in mods:

@@ -1,0 +1,238 @@
+"""Mergeable frequency/cardinality sketches over the corpus gram
+stream — the 100 TB answer to "how often / how many distinct" when
+exact tables don't fit. Reference scope: the reference has no sketch
+surface (its corpora are thousands of documents — exact counting is
+free there); these are north-star extensions sized for the scale this
+engine targets, built DETERMINISTICALLY (md5-digit hashing, the same
+arithmetic every sampler/split in this repo uses) so a DuckDB oracle
+can replay the sketch bit-for-bit — unlike approx_count_distinct,
+whose HLL++ internals are not cross-engine reproducible.
+
+Why sketches are THE scale shape: both are one narrow explode + one
+bounded groupBy whose output is CONSTANT-sized (d×w counters / m
+registers) regardless of corpus size, and both are mergeable — the
+map-side partial aggregation IS the sketch merge, so a 1000-executor
+aggregation moves only O(d·w) longs per partition, never the gram
+stream. Estimates:
+
+- Count-min (Cormode & Muthukrishnan 2005): est(x) = min_j
+  CMS[j][h_j(x)] ≥ true(x), overestimate-only — certified per top-K
+  token in the report (the `overestimates` column is provably all
+  TRUE; the oracle recomputes it).
+- HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier 2007): m=256
+  registers, register = max ρ (1-based first-one position of the
+  48-bit tail), E = α_m·m²/Σ2^(−M_j) with the small-range
+  linear-counting correction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finmapreduce_spark.queries import QuerySpec
+from finmapreduce_spark.session import read_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+CMS_DEPTH = 4
+CMS_WIDTH = 4096  # 3 hex digits
+CMS_TOP_K = 20
+HLL_M = 256  # 2 hex digits → bucket; next 12 hex digits → 48-bit tail
+_HEX = "0123456789abcdef"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _hex3(h, start):
+    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return (digit(start) * 16 + digit(start + 1)) * 16 + digit(start + 2)
+
+
+def _hex3_sql(expr: str, start: int) -> str:
+    d = (
+        lambda i: f"(strpos('0123456789abcdef', substring({expr}, {i}, 1)) - 1)"
+    )  # noqa: E731
+    return f"(({d(start)} * 16 + {d(start + 1)}) * 16 + {d(start + 2)})"
+
+
+def sketch_countmin_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus tokens with their count-min estimates: the sketch
+    is d={d} rows × w={w} counters built in ONE bounded groupBy (row
+    hash = 3 md5 hex digits of 'j:token'); the report joins each
+    top-K token's d probe cells against the broadcast sketch and
+    takes the min. `overestimates` (est ≥ true) is the CMS guarantee
+    — all TRUE by theorem, recomputed independently by the oracle."""
+    tok = _docs(spark, sf_dir).select(
+        F.explode(_words(F.col("text"))).alias("w")
+    ).persist()
+    rows = F.explode(
+        F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    ).alias("j")
+    cells = tok.select("w", rows).select(
+        "j",
+        _hex3(F.md5(F.concat_ws(":", F.col("j"), F.col("w"))), 1).alias("b"),
+    )
+    sketch = cells.groupBy("j", "b").agg(F.count("*").alias("c"))
+    true = tok.groupBy("w").agg(F.count("*").alias("true_count"))
+    top = true.orderBy(F.desc("true_count"), "w").limit(CMS_TOP_K)
+    probes = top.select("w", "true_count", rows).select(
+        "w",
+        "true_count",
+        "j",
+        _hex3(F.md5(F.concat_ws(":", F.col("j"), F.col("w"))), 1).alias("b"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("w", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("token"),
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("true_count")).alias(
+                "overestimates"
+            ),
+            F.round(
+                (F.col("cms_estimate") - F.col("true_count"))
+                / F.col("true_count"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+sketch_countmin_grams.__doc__ = sketch_countmin_grams.__doc__.format(
+    d=CMS_DEPTH, w=CMS_WIDTH
+)
+
+_CMS_CELL_SQL = _hex3_sql("md5(j || ':' || w)", 1)
+
+CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+), rows_ AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+cells AS (
+  SELECT j, {_CMS_CELL_SQL} AS b FROM tok, rows_
+), sketch AS (
+  SELECT j, b, count(*) AS c FROM cells GROUP BY 1, 2
+), true_ AS (
+  SELECT w, count(*) AS true_count FROM tok GROUP BY 1
+), top AS (
+  SELECT w, true_count FROM true_
+  ORDER BY true_count DESC, w LIMIT {CMS_TOP_K}
+), probes AS (
+  SELECT t.w, t.true_count, r.j, {_hex3_sql("md5(r.j || ':' || t.w)", 1)} AS b
+  FROM top t, rows_ r
+)
+SELECT p.w AS token, p.true_count,
+       min(s.c) AS cms_estimate,
+       min(s.c) >= p.true_count AS overestimates,
+       round((min(s.c) - p.true_count) * 1.0 / p.true_count, 6) AS rel_err
+FROM probes p JOIN sketch s ON s.j = p.j AND s.b = p.b
+GROUP BY p.w, p.true_count
+"""
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-token estimate vs truth:
+    bucket = first 2 md5 hex digits (m={m}), ρ = 1-based first-one
+    position of the next 48 bits (49 − length(bin(tail)), 49 for a
+    zero tail), registers = max ρ per bucket (ONE bounded groupBy —
+    the register table is the whole state and merges by max, which is
+    exactly what map-side partial aggregation does), estimate =
+    α_m·m²/Σ2^(−M_j) with the small-range linear-counting correction.
+    Cross-engine exact because the 'randomness' is md5."""
+    m = HLL_M
+    tok = _docs(spark, sf_dir).select(
+        F.explode(_words(F.col("text"))).alias("w")
+    )
+    h = F.md5(F.col("w"))
+    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    bucket = digit(1) * 16 + digit(2)
+    tail = F.conv(F.substring(h, 3, 12), 16, 10).cast("decimal(20,0)").cast(
+        "long"
+    )
+    rho = F.when(tail == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(tail))
+    )
+    regs = (
+        tok.select(bucket.alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("reg"))
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = regs.groupBy().agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("denom"),
+        F.count("*").alias("nonzero"),
+    )
+    # buckets never touched contribute 2^0 = 1 to the denominator
+    est_raw = F.lit(alpha * m * m) / (
+        F.col("denom") + (F.lit(m) - F.col("nonzero"))
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(est_raw)
+    true = tok.agg(F.countDistinct("w").alias("true_distinct"))
+    return (
+        agg.crossJoin(F.broadcast(true))
+        .select(
+            F.lit(m).cast("long").alias("n_registers"),
+            F.round(est, 6).alias("hll_estimate"),
+            "true_distinct",
+            F.round((est - F.col("true_distinct")) / F.col("true_distinct"), 6)
+            .alias("rel_err"),
+        )
+    )
+
+
+sketch_hll_distinct.__doc__ = sketch_hll_distinct.__doc__.format(m=HLL_M)
+
+HLL_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+), hashed AS (
+  SELECT (strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1 AS b,
+         list_reduce(list_transform(range(3, 15), i -> CAST(strpos('0123456789abcdef', substring(md5(w), CAST(i AS INT), 1)) - 1 AS BIGINT)), (a, d) -> a * 16 + d) AS tail
+  FROM tok
+), regs AS (
+  SELECT b, max(CASE WHEN tail = 0 THEN 49
+                     ELSE 49 - length(bin(tail)) END) AS reg
+  FROM hashed GROUP BY 1
+), agg AS (
+  SELECT sum(power(2.0, -reg)) AS denom, count(*) AS nonzero FROM regs
+), est AS (
+  SELECT CASE
+           WHEN {0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M}
+                / (denom + ({HLL_M} - nonzero)) <= {2.5 * HLL_M}
+                AND ({HLL_M} - nonzero) > 0
+           THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - nonzero))
+           ELSE {0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M}
+                / (denom + ({HLL_M} - nonzero))
+         END AS e
+  FROM agg
+)
+SELECT CAST({HLL_M} AS BIGINT) AS n_registers,
+       round(e, 6) AS hll_estimate,
+       t.true_distinct,
+       round((e - t.true_distinct) / t.true_distinct, 6) AS rel_err
+FROM est, (SELECT count(DISTINCT w) AS true_distinct FROM tok) t
+"""
+
+QUERIES.update(
+    {
+        "sketch_countmin_grams": QuerySpec(sketch_countmin_grams, CMS_ORACLE),
+        "sketch_hll_distinct": QuerySpec(sketch_hll_distinct, HLL_ORACLE),
+    }
+)

@@ -1076,3 +1076,17 @@ def test_dsir_select_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_sketch_plans_stay_bounded_and_jvm(spark, sf_dir):
+    """Sketch state must be CONSTANT-sized groupBy output (the merge
+    is map-side partial aggregation): no Python nodes, no sort-merge
+    join anywhere, and the CMS top-K compiles to
+    TakeOrderedAndProject."""
+    cms = plan_of(QS["sketch_countmin_grams"].spark(spark, sf_dir))
+    hll = plan_of(QS["sketch_hll_distinct"].spark(spark, sf_dir))
+    for plan in (cms, hll):
+        assert "EvalPython" not in plan
+        assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in cms
+    assert "HashAggregate" in hll
