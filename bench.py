@@ -151,6 +151,7 @@ HEADLINE = [
     # state, map-side combine IS the sketch merge
     "sketch_countmin_grams",
     "sketch_hll_distinct",
+    "train_shard_balance",
 ]
 
 

@@ -3353,3 +3353,129 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Balanced training-shard assignment — the last dataloader-lane step:
+# write the corpus into S shards whose TOKEN totals balance, so no
+# worker starves at epoch end. Deterministic LPT-flavored round-robin:
+# rank docs by (n_tokens DESC, md5(doc_id), doc_id) and assign shard =
+# (rank − 1) mod S — sorting by size first means each round of S
+# consecutive ranks places one near-equal-size doc per shard (the
+# classic longest-processing-time heuristic in its streaming form).
+#
+# Scale: the rank is the banded distributed rank (operators/
+# distrank.py) with a TWO-LEVEL band (exact token count, then a hex
+# prefix of the doc-id hash) — monotone under the sort order, and the
+# secondary hash band splits a mode-length pile (at web scale the
+# modal document length holds percents of the corpus) across 256
+# sub-bands, so no window task sorts more than |mode|/256 rows.
+# ---------------------------------------------------------------------------
+
+SHARD_COUNT = 8
+
+
+def _shard_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_words(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id",
+        "n_tokens",
+        (-F.col("n_tokens")).alias("_nb"),
+        key.alias("_k"),
+        hex_band(key).alias("_hband"),
+    )
+    ranked = banded_rank(
+        keyed,
+        band_cols=["_nb", "_hband"],
+        order_cols=["_nb", "_k", "doc_id"],
+        out_col="lpt_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "lpt_rank",
+        F.pmod(F.col("lpt_rank") - 1, F.lit(SHARD_COUNT))
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+def train_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shard_ranked(spark, sf_dir)
+
+
+def train_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard doc/token totals + balance ratio vs the ideal
+    (corpus_tokens / S) — the number a dataloader reads before
+    trusting the layout. The 1-row corpus total broadcasts."""
+    assigned = _shard_ranked(spark, sf_dir)
+    tot = assigned.agg(
+        (F.sum("n_tokens") / F.lit(SHARD_COUNT)).alias("ideal")
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            F.round(F.col("shard_tokens") / F.col("ideal"), 6).alias(
+                "balance"
+            ),
+        )
+    )
+
+
+_SHARD_CTE = f"""
+ranked AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER (
+           ORDER BY -n_tokens, md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS lpt_rank
+  FROM (SELECT doc_id,
+               CAST(len(string_split_regex(trim(lower(coalesce(text, ''))),
+                                         '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents)
+), assigned AS (
+  SELECT doc_id, n_tokens, lpt_rank,
+         CAST((lpt_rank - 1) % {SHARD_COUNT} AS BIGINT) AS shard
+  FROM ranked
+)"""
+
+SHARD_ASSIGN_ORACLE = f"""
+WITH {_SHARD_CTE}
+SELECT doc_id, n_tokens, lpt_rank, shard FROM assigned
+"""
+
+SHARD_BALANCE_ORACLE = f"""
+WITH {_SHARD_CTE},
+tot AS (SELECT sum(n_tokens) * 1.0 / {SHARD_COUNT} AS ideal FROM assigned)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       round(sum(n_tokens) / ideal, 6) AS balance
+FROM assigned, tot
+GROUP BY shard, ideal
+"""
+
+QUERIES.update(
+    {
+        "train_shard_assignment": QuerySpec(
+            train_shard_assignment, SHARD_ASSIGN_ORACLE
+        ),
+        "train_shard_balance": QuerySpec(
+            train_shard_balance, SHARD_BALANCE_ORACLE
+        ),
+    }
+)
