@@ -3996,3 +3996,92 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage guard — the eval-integrity composition: near-dup pairs
+# (the LSH-verified set) that CROSS a train/val/test split boundary
+# are leakage (a test doc whose near-duplicate sits in train inflates
+# eval), and hash-random splits like textops.py::split_train_val
+# guarantee some: the split is independent of content, so a near-dup
+# cluster of size c crosses with probability 1 − Σ p_s^c. This report
+# joins the two certified primitives — the banded pair generator and
+# the md5-bucket split — so a curation pass can re-split by CLUSTER
+# (dedup_cluster_canonical's keeper) instead of by doc.
+#
+# Scale: pair volume is the LSH candidate volume (banded, bounded);
+# the split column is a zero-shuffle projection; the two id joins are
+# uniform-key. Nothing new shuffles.
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries.textops import _hash_bucket_expr
+
+    pairs = dedup_lsh_pairs(spark, sf_dir)
+    bucket = _hash_bucket_expr(F.col("doc_id")) % 100
+    splits = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("crosses_split"),
+            (
+                (F.col("split_a") == "train") & (F.col("split_b") != "train")
+                | (F.col("split_b") == "train") & (F.col("split_a") != "train")
+            ).alias("train_eval_leak"),
+        )
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from finmapreduce_spark.queries.textops import SPLIT_SQL_BUCKET
+
+    return f"""
+WITH pairs AS ({DEDUP_LSH_ORACLE}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN ({SPLIT_SQL_BUCKET}) % 100 < 80 THEN 'train'
+              WHEN ({SPLIT_SQL_BUCKET}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       a.split AS split_a, b.split AS split_b,
+       a.split <> b.split AS crosses_split,
+       ((a.split = 'train' AND b.split <> 'train')
+        OR (b.split = 'train' AND a.split <> 'train')) AS train_eval_leak
+FROM pairs p
+JOIN splits a ON a.doc_id = p.doc_a
+JOIN splits b ON b.doc_id = p.doc_b
+"""
+
+
+QUERIES.update(
+    {
+        "split_leakage_report": QuerySpec(
+            split_leakage_report, _split_leakage_oracle()
+        ),
+    }
+)

@@ -3479,3 +3479,75 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+# each doc draws an exponential race key −ln(u)/w (u uniform,
+# w = the doc's weight — here its token count, standing in for any
+# quality score); the N smallest keys are EXACTLY a weight-
+# proportional sample without replacement. The "randomness" is the
+# repo-standard md5 16-bit bucket mapped to (0,1), so the sample is
+# deterministic, recompute-stable under task retries, and replayable
+# by the oracle — the property rand() cannot give (same argument as
+# sample_domain_mix). Selection is top-N on the ROUNDED key with a
+# doc_id tiebreak (cross-engine order stability); the plan is
+# TakeOrderedAndProject — per-partition heaps, an N-row driver merge,
+# no global sort. A one-pass, shuffle-free weighted subsample at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+WSAMPLE_N = 100
+
+
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries.textops import _hash_bucket_expr
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_words(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    u = (_hash_bucket_expr(F.col("doc_id")) + 1) / F.lit(65537.0)
+    w = F.greatest(F.col("n_tokens"), F.lit(1))
+    keyed = docs.withColumn("es_key", F.round(-F.log(u) / w, 6))
+    top = keyed.orderBy("es_key", "doc_id").limit(WSAMPLE_N)
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        "es_key",
+        F.row_number()
+        .over(W.orderBy("es_key", "doc_id"))
+        .cast("long")
+        .alias("sample_rank"),
+    )
+
+
+def _wsample_oracle() -> str:
+    from finmapreduce_spark.queries.textops import SPLIT_SQL_BUCKET
+
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(coalesce(text, ''))),
+                                     '\\s+')) AS BIGINT) AS n_tokens,
+         round(-ln((({SPLIT_SQL_BUCKET}) + 1) / 65537.0)
+               / greatest(len(string_split_regex(trim(lower(
+                     coalesce(text, ''))), '\\s+')), 1), 6) AS es_key
+  FROM documents
+), top AS (
+  SELECT * FROM keyed ORDER BY es_key, doc_id LIMIT {WSAMPLE_N}
+)
+SELECT doc_id, n_tokens, es_key,
+       CAST(row_number() OVER (ORDER BY es_key, doc_id) AS BIGINT)
+         AS sample_rank
+FROM top
+"""
+
+
+QUERIES.update(
+    {
+        "sample_weighted_es": QuerySpec(sample_weighted_es, _wsample_oracle()),
+    }
+)
