@@ -141,19 +141,12 @@ GROUP BY p.w, p.true_count
 """
 
 
-def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic HyperLogLog distinct-token estimate vs truth:
-    bucket = first 2 md5 hex digits (m={m}), ρ = 1-based first-one
-    position of the next 48 bits (49 − length(bin(tail)), 49 for a
-    zero tail), registers = max ρ per bucket (ONE bounded groupBy —
-    the register table is the whole state and merges by max, which is
-    exactly what map-side partial aggregation does), estimate =
-    α_m·m²/Σ2^(−M_j) with the small-range linear-counting correction.
-    Cross-engine exact because the 'randomness' is md5."""
-    m = HLL_M
-    tok = _docs(spark, sf_dir).select(
-        F.explode(_words(F.col("text"))).alias("w")
-    )
+def _batch_hll_registers(docs: DataFrame) -> DataFrame:
+    """(b, reg) register table for a documents frame — the whole HLL
+    state, ≤m rows. Shared by the batch query and the continuous
+    store twin (which merges epochs' register tables by max — the
+    sketch homomorphism)."""
+    tok = docs.select(F.explode(_words(F.col("text"))).alias("w"))
     h = F.md5(F.col("w"))
     digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
     bucket = digit(1) * 16 + digit(2)
@@ -163,17 +156,23 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(tail == 0, F.lit(49)).otherwise(
         F.lit(49) - F.length(F.bin(tail))
     )
-    regs = (
+    return (
         tok.select(bucket.alias("b"), rho.alias("rho"))
         .groupBy("b")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def _hll_estimate_from_regs(regs: DataFrame) -> DataFrame:
+    """1-row (n_registers, hll_estimate) from a register table —
+    α_m·m²/Σ2^(−M_j) with the small-range linear-counting
+    correction; untouched buckets contribute 2⁰ = 1."""
+    m = HLL_M
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = regs.groupBy().agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("denom"),
         F.count("*").alias("nonzero"),
     )
-    # buckets never touched contribute 2^0 = 1 to the denominator
     est_raw = F.lit(alpha * m * m) / (
         F.col("denom") + (F.lit(m) - F.col("nonzero"))
     )
@@ -182,16 +181,36 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (est_raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(est_raw)
-    true = tok.agg(F.countDistinct("w").alias("true_distinct"))
-    return (
-        agg.crossJoin(F.broadcast(true))
-        .select(
-            F.lit(m).cast("long").alias("n_registers"),
-            F.round(est, 6).alias("hll_estimate"),
-            "true_distinct",
-            F.round((est - F.col("true_distinct")) / F.col("true_distinct"), 6)
-            .alias("rel_err"),
-        )
+    return agg.select(
+        F.lit(m).cast("long").alias("n_registers"),
+        F.round(est, 6).alias("hll_estimate"),
+    )
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-token estimate vs truth:
+    bucket = first 2 md5 hex digits (m={m}), ρ = 1-based first-one
+    position of the next 48 bits (49 − length(bin(tail)), 49 for a
+    zero tail), registers = max ρ per bucket (ONE bounded groupBy —
+    the register table is the whole state and merges by max, which is
+    exactly what map-side partial aggregation does), estimate =
+    α_m·m²/Σ2^(−M_j) with the small-range linear-counting correction.
+    Cross-engine exact because the 'randomness' is md5."""
+    docs = _docs(spark, sf_dir)
+    regs = _batch_hll_registers(docs)
+    true = docs.select(
+        F.explode(_words(F.col("text"))).alias("w")
+    ).agg(F.countDistinct("w").alias("true_distinct"))
+    est = _hll_estimate_from_regs(regs)
+    return est.crossJoin(F.broadcast(true)).select(
+        "n_registers",
+        "hll_estimate",
+        "true_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            6,
+        ).alias("rel_err"),
     )
 
 
@@ -226,7 +245,7 @@ WITH tok AS (
 SELECT CAST({HLL_M} AS BIGINT) AS n_registers,
        round(e, 6) AS hll_estimate,
        t.true_distinct,
-       round((e - t.true_distinct) / t.true_distinct, 6) AS rel_err
+       round((round(e, 6) - t.true_distinct) / t.true_distinct, 6) AS rel_err
 FROM est, (SELECT count(DISTINCT w) AS true_distinct FROM tok) t
 """
 

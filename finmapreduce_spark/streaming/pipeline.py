@@ -1070,3 +1070,70 @@ def serve_dsir_filter_continuous(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_hll_distinct_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous corpus-distinct-token estimation with a LIVE
+    HyperLogLog register store — the sketch member of the
+    continuous-store family, and the demonstration of WHY sketches
+    are the streaming cardinality tool: the entire mutable state is
+    m=256 (bucket, register) rows that merge by MAX, so a replayed
+    epoch's duplicate appends are harmless even WITHOUT the epoch
+    filter (max is idempotent), compaction is a trivial max-groupBy,
+    and the store never grows past m rows compacted. Each epoch:
+    hash the micro-batch's tokens (the deterministic md5 construction
+    of queries/sketches.py::sketch_hll_distinct — bit-identical to
+    the batch twin), emit one row with the post-batch estimate over
+    EVERYTHING seen so far, append the batch's registers.
+
+    Per-epoch cost: |delta| tokenization + one 256-row groupBy.
+    The batch twin run over the union of all epochs produces the
+    SAME estimate (pinned in tests) — merge-then-estimate equals
+    estimate-of-union, the sketch homomorphism."""
+    from finmapreduce_spark.queries.sketches import (
+        HLL_M,
+        _batch_hll_registers,
+        _hll_estimate_from_regs,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _check_store_unlocked(store_dir)
+        spark = batch_df.sparkSession
+        regs = _batch_hll_registers(batch_df).persist()
+        try:
+            import os
+
+            if os.path.exists(store_dir):
+                prior = _prior_history(spark, store_dir, epoch_id).select(
+                    "b", "reg"
+                )
+                merged = (
+                    regs.select("b", "reg")
+                    .unionByName(prior)
+                    .groupBy("b")
+                    .agg(F.max("reg").alias("reg"))
+                )
+            else:
+                merged = regs
+            est = _hll_estimate_from_regs(merged).select(
+                F.lit(int(epoch_id)).cast("long").alias("epoch"),
+                F.col("hll_estimate"),
+                F.col("n_registers"),
+            )
+            _epoch_json(est, out_dir, epoch_id)
+            _guarded_store_append(regs.select("b", "reg"), store_dir, epoch_id)
+        finally:
+            regs.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -1468,3 +1468,68 @@ def test_continuous_dsir_filter_sharpens_across_epochs(spark, tmp_path):
     assert rows[10]["logw"] == want[10]
     assert rows[11]["logw"] == want[11]
     spark.catalog.clearCache()
+
+
+def test_continuous_hll_matches_batch_union(spark, tmp_path):
+    """Round-12: the live HLL register store must make epoch-1's
+    estimate EQUAL the batch twin's estimate over the union of both
+    epochs — merge-then-estimate equals estimate-of-union (the sketch
+    homomorphism), exactly, because the construction is md5-
+    deterministic. Also: registers merge by max, so the store is
+    replay-idempotent by construction."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from finmapreduce_spark.queries.sketches import (
+        _batch_hll_registers,
+        _hll_estimate_from_regs,
+    )
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_hll_distinct_continuous,
+    )
+
+    landing = tmp_path / "hll_landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "alpha beta gamma delta"}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 2, "text": "gamma delta epsilon zeta eta"})
+        + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "hll_out"
+    q = serve_hll_distinct_continuous(
+        stream,
+        str(tmp_path / "hll_store"),
+        str(out),
+        str(tmp_path / "hll_ckpt"),
+    ).start()
+    q.awaitTermination()
+
+    rows = {r["epoch"]: r for r in spark.read.json(str(out)).collect()}
+    assert set(rows) == {0, 1}
+    union = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    want = _hll_estimate_from_regs(_batch_hll_registers(union)).collect()[0]
+    assert rows[1]["hll_estimate"] == want["hll_estimate"]
+    # epoch-0 estimate covers only epoch 0
+    e0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    want0 = _hll_estimate_from_regs(_batch_hll_registers(e0)).collect()[0]
+    assert rows[0]["hll_estimate"] == want0["hll_estimate"]
+    spark.catalog.clearCache()
