@@ -458,3 +458,41 @@ def test_grid_cross_pairs_join_shuffles_on_cell(spark):
     )
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_banded_rank_equals_plain_row_number(spark):
+    """The banded distributed rank must equal the single-window
+    row_number for every partition group — including groups whose
+    rows all land in ONE band and bands that are empty for some
+    groups (the offset prefix-sum must not leak across groups)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.operators.distrank import banded_rank, hex_band
+
+    rows = [(g, i) for g in range(3) for i in range(g * 7 + 5)]
+    df = spark.createDataFrame(rows, "grp int, item long")
+    key = F.md5(F.concat_ws(":", F.col("grp"), F.col("item")))
+    keyed = df.select(
+        "grp", "item", key.alias("_k"), hex_band(key).alias("_band")
+    )
+    got = {
+        (r["grp"], r["item"]): r["rank"]
+        for r in banded_rank(
+            keyed,
+            band_cols=["_band"],
+            order_cols=["_k", "item"],
+            partition_cols=["grp"],
+        ).collect()
+    }
+    want = {
+        (r["grp"], r["item"]): r["rank"]
+        for r in keyed.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("grp").orderBy("_k", "item")
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) == sum(g * 7 + 5 for g in range(3))
