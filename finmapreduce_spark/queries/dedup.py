@@ -3889,6 +3889,14 @@ QUERIES.update(
 # (functions/suffix.py::sam_lcs, O(|a|+|b|) per pair) as an
 # Arrow-batched mapInPandas stage over the verified pair table —
 # pair volume is the LSH candidate volume, already banded/bounded.
+# Hub-doc note for 100 TB: a doc in many pairs rebuilds its SAM once
+# per pair; if profiles show hub automata dominating, add
+# .repartition("doc_a").sortWithinPandasPartitions before the Arrow
+# stage and a last-SAM cache in the generator (runs of equal doc_a
+# then share one automaton) — one extra pair-row exchange buys
+# per-hub amortization. Not default: pairs are near-dup-verified, so
+# hub degree is bounded by cluster size, and the 10× study is
+# wall-flat without it.
 #
 # Oracle: the non-enumerating strategy the capped window couldn't
 # use — BINARY SEARCH on the answer as a DuckDB recursive CTE.
