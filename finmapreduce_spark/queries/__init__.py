@@ -100,7 +100,13 @@ def all_queries() -> dict[str, QuerySpec]:
         out.update(mod.QUERIES)
 
     hist = witnessed_rounds()
-    failed = [n for n in out if hist.get(n, {}).get("verdict") == "fail"]
+    # Priority head: open fails, then WEAK witnesses — a rows_only
+    # verdict predates the query's exact oracle (the ml.MinHashLSH
+    # cross-certification upgrade), so it must re-verify before any
+    # hash-green credit merely refreshes.
+    failed = [n for n in out if hist.get(n, {}).get("verdict") == "fail"] + [
+        n for n in out if hist.get(n, {}).get("verdict") == "rows_only"
+    ]
     placed = set(failed)
     fresh_by_fam = [
         [n for n in mod.QUERIES if n not in placed and n not in hist]
