@@ -386,6 +386,7 @@ def _compact_store(
     target_files: int,
     rewrite,
     probe_key: str,
+    keep_epoch: bool = False,
 ) -> dict:
     """Shared compaction skeleton for every epoch-append store
     (signature / gram / fingerprint — round-10 review: three verbatim
@@ -412,8 +413,12 @@ def _compact_store(
         # a fresh checkpoint whose epoch ids restart at 0).
         df = spark.read.option("mergeSchema", "true").parquet(store_dir)
         rows_before = df.count()
+        # keep_epoch: SUM-merged stores dedup replayed appends on
+        # (epoch, key) INSIDE their rewrite before aggregating — they
+        # need the stamp; idempotent (min/max/dedup) stores don't.
+        src = df if keep_epoch else df.drop("epoch_id")
         compacted = (
-            rewrite(df.drop("epoch_id"))
+            rewrite(src)
             .repartition(target_files, F.col(probe_key))
             .sortWithinPartitions(probe_key)
         )
@@ -509,6 +514,53 @@ def compact_fp_store(
         target_files,
         rewrite=lambda d: d.dropDuplicates(["doc_id", "fp"]),
         probe_key="fp",
+    )
+
+
+def compact_dsir_store(
+    spark,
+    store_dir: str,
+    target_files: int = 2,
+) -> dict:
+    """Periodic offline compaction for the DSIR bucket-increment store
+    (streaming/pipeline.py::serve_dsir_filter_continuous) — the only
+    SUM-merged member of the store family, so its rewrite must dedup
+    replayed appends on (epoch, bucket) BEFORE pre-summing: increments
+    are deterministic recomputations, so one row per (epoch, b) is
+    exact, and summing without the dedup would double-count a
+    crashed-then-replayed epoch (the same hazard the live read guards
+    with _prior_history(dedupe_key=['b'])). Output: ≤K rows, one
+    pre-summed (b, t_add, r_add) per bucket, SEALED."""
+
+    def rewrite(df):
+        if "epoch_id" in df.columns:
+            df = df.dropDuplicates(["epoch_id", "b"]).drop("epoch_id")
+        return df.groupBy("b").agg(
+            F.sum("t_add").alias("t_add"),
+            F.sum("r_add").alias("r_add"),
+        )
+
+    return _compact_store(
+        spark, store_dir, target_files, rewrite, "b", keep_epoch=True
+    )
+
+
+def compact_hll_store(
+    spark,
+    store_dir: str,
+    target_files: int = 1,
+) -> dict:
+    """Periodic offline compaction for the HLL register store
+    (streaming/pipeline.py::serve_hll_distinct_continuous): registers
+    merge by MAX, which is idempotent — replayed appends are harmless
+    — so the rewrite is a bare max-groupBy and the compacted store is
+    ≤m rows forever."""
+    return _compact_store(
+        spark,
+        store_dir,
+        target_files,
+        rewrite=lambda d: d.groupBy("b").agg(F.max("reg").alias("reg")),
+        probe_key="b",
     )
 
 

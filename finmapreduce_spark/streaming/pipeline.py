@@ -664,16 +664,34 @@ def _guarded_store_append(df: DataFrame, store_dir: str, epoch_id: int) -> None:
         stamp_store_epoch(df, epoch_id).write.mode("append").parquet(store_dir)
 
 
-def _prior_history(spark: SparkSession, store_dir: str, epoch_id: int) -> DataFrame:
+def _prior_history(
+    spark: SparkSession,
+    store_dir: str,
+    epoch_id: int,
+    dedupe_key: list[str] | None = None,
+) -> DataFrame:
     """Store rows visible to this epoch's probe: everything except this
     epoch's own (crashed-attempt) appends. Unstamped rows (seeds,
-    compacted rewrites) read as SEALED via mergeSchema + coalesce."""
+    compacted rewrites) read as SEALED via mergeSchema + coalesce.
+
+    ``dedupe_key`` drops per-epoch duplicate appends on
+    (epoch, *dedupe_key) BEFORE the epoch stamp is discarded — required
+    by SUM-merged stores (the DSIR increment store): min/max stores are
+    replay-idempotent for free, but a crashed-then-replayed epoch's
+    re-appended increment rows would DOUBLE-COUNT under sum. The rows
+    are deterministic recomputations, so keeping one per
+    (epoch, key) restores exactness."""
     raw = spark.read.option("mergeSchema", "true").parquet(store_dir)
     if "epoch_id" in raw.columns:
-        raw = raw.filter(
-            F.coalesce(F.col("epoch_id"), F.lit(SEALED_EPOCH))
-            != F.lit(int(epoch_id))
-        ).drop("epoch_id")
+        stamped = raw.withColumn(
+            "__e", F.coalesce(F.col("epoch_id"), F.lit(SEALED_EPOCH))
+        )
+        stamped = stamped.filter(F.col("__e") != F.lit(int(epoch_id)))
+        if dedupe_key:
+            stamped = stamped.dropDuplicates(["__e", *dedupe_key])
+        raw = stamped.drop("epoch_id", "__e")
+    elif dedupe_key:
+        raw = raw.dropDuplicates(list(dedupe_key))
     return raw
 
 
@@ -1036,7 +1054,11 @@ def serve_dsir_filter_continuous(
             import os
 
             if os.path.exists(store_dir):
-                hist = _prior_history(spark, store_dir, epoch_id)
+                # sum store: dedup (epoch, b) so a replayed epoch's
+                # re-appended increments cannot double-count
+                hist = _prior_history(
+                    spark, store_dir, epoch_id, dedupe_key=["b"]
+                )
                 tb = hist.groupBy("b").agg(F.sum("t_add").alias("t"))
                 rb = hist.groupBy("b").agg(F.sum("r_add").alias("r"))
                 tot = hist.groupBy().agg(

@@ -1533,3 +1533,78 @@ def test_continuous_hll_matches_batch_union(spark, tmp_path):
     want0 = _hll_estimate_from_regs(_batch_hll_registers(e0)).collect()[0]
     assert rows[0]["hll_estimate"] == want0["hll_estimate"]
     spark.catalog.clearCache()
+
+
+def test_dsir_store_replay_and_compaction_are_exact(spark, tmp_path):
+    """Round-12: the DSIR increment store is the family's only
+    SUM-merged store, so replay-idempotence is NOT free: a
+    crashed-then-replayed epoch re-appends identical increment rows,
+    and summing them raw would double-count. Pin all three guards:
+    (a) the live read dedups (epoch, b), so manually double-appending
+    an epoch's rows changes NOTHING about the scores a later epoch
+    computes; (b) compact_dsir_store pre-sums with the same dedup and
+    preserves the aggregated dictionaries exactly; (c) the HLL store
+    compactor preserves its estimate (max is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.sketches import (
+        _batch_hll_registers,
+        _hll_estimate_from_regs,
+    )
+    from finmapreduce_spark.queries.training import _dsir_doc_buckets
+    from finmapreduce_spark.sources.sinks import (
+        compact_dsir_store,
+        compact_hll_store,
+    )
+    from finmapreduce_spark.streaming.pipeline import (
+        _prior_history,
+        stamp_store_epoch,
+    )
+
+    store = str(tmp_path / "dsir_store")
+    e0 = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma"), (2, "de", "uno dos tres")],
+        "doc_id long, lang string, text string",
+    )
+    db = _dsir_doc_buckets(spark, None, docs=e0)
+    is_t = F.col("lang") == "en"
+    inc = db.groupBy("b").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_add"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_add"),
+    )
+    stamp_store_epoch(inc, 0).write.mode("append").parquet(store)
+
+    def dicts(epoch):
+        hist = _prior_history(spark, store, epoch, dedupe_key=["b"])
+        return sorted(
+            (r["b"], r["t"], r["r"])
+            for r in hist.groupBy("b")
+            .agg(F.sum("t_add").alias("t"), F.sum("r_add").alias("r"))
+            .collect()
+        )
+
+    want = dicts(epoch=5)
+    # (a) simulate the crashed-epoch replay: identical rows, same stamp
+    stamp_store_epoch(inc, 0).write.mode("append").parquet(store)
+    assert dicts(epoch=5) == want
+    # (b) compaction pre-sums with the same dedup
+    stats = compact_dsir_store(spark, store)
+    assert stats["rows_after"] <= stats["rows_before"]
+    assert dicts(epoch=5) == want
+
+    # (c) HLL store: max-merge, compaction preserves the estimate
+    hstore = str(tmp_path / "hll_store")
+    regs = _batch_hll_registers(e0)
+    stamp_store_epoch(regs, 0).write.mode("append").parquet(hstore)
+    stamp_store_epoch(regs, 0).write.mode("append").parquet(hstore)
+    before = _hll_estimate_from_regs(
+        _prior_history(spark, hstore, 5)
+        .groupBy("b")
+        .agg(F.max("reg").alias("reg"))
+    ).collect()[0]["hll_estimate"]
+    compact_hll_store(spark, hstore)
+    after = _hll_estimate_from_regs(
+        spark.read.parquet(hstore)
+    ).collect()[0]["hll_estimate"]
+    assert after == before
+    spark.catalog.clearCache()
