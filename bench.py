@@ -152,6 +152,7 @@ HEADLINE = [
     "sketch_countmin_grams",
     "sketch_hll_distinct",
     "train_shard_balance",
+    "sketch_bloom_contamination",
 ]
 
 

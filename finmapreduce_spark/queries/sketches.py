@@ -255,3 +255,145 @@ QUERIES.update(
         "sketch_hll_distinct": QuerySpec(sketch_hll_distinct, HLL_ORACLE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter contamination pre-screen — the third sketch: at 100 TB
+# the exact eval-overlap join (training.py::contamination_ngram_overlap
+# — broadcast of EVERY distinct benchmark shingle) is replaced in
+# practice by a Bloom filter over the benchmark set: m bits, k md5
+# positions per shingle, no false NEGATIVES by construction (the
+# theorem column certifies it per doc: bloom hits ≥ true hits), false
+# positives at the theoretical (1 − e^{−kn/m})^k rate visible as the
+# gap between the two counts. The bit table is ≤m rows and broadcasts;
+# the corpus side stays a narrow explode + broadcast probe — the
+# filter costs O(m) memory where the exact set costs O(|bench|).
+# Deterministic md5 positions → DuckDB replays the filter bit-for-bit.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 16384  # bits
+BLOOM_K = 3  # hashes per element
+
+
+def _bloom_positions(col, j):
+    h = F.md5(F.concat_ws(":", F.lit(j), col))
+    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    hex4 = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+    return hex4 % BLOOM_M
+
+
+def _bloom_pos_sql(expr: str, j: str) -> str:
+    e = f"md5({j} || ':' || {expr})"
+    d = (
+        lambda i: f"(strpos('0123456789abcdef', substring({e}, {i}, 1)) - 1)"
+    )  # noqa: E731
+    return (
+        f"((({d(1)} * 16 + {d(2)}) * 16 + {d(3)}) * 16 + {d(4)})"
+        f" % {BLOOM_M}"
+    )
+
+
+def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries.dedup import with_shingles
+    from finmapreduce_spark.queries.training import BENCH_MOD
+
+    sh = with_shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).persist()
+    ks = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j")
+    bench = sh.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0).select(
+        "s"
+    ).distinct()
+    bits = (
+        bench.select("s", ks)
+        .select(_bloom_positions(F.col("s"), F.col("j")).alias("bit"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    train = sh.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) != 0)
+    probed = (
+        train.select("doc_id", "s", ks)
+        .select(
+            "doc_id",
+            "s",
+            _bloom_positions(F.col("s"), F.col("j")).alias("bit"),
+        )
+        .join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "s")
+        .agg(
+            (F.sum(F.coalesce("set_", F.lit(0))) == BLOOM_K).alias(
+                "bloom_hit"
+            )
+        )
+    )
+    truth = train.join(
+        F.broadcast(bench.withColumn("true_", F.lit(1))), "s", "left"
+    ).select("doc_id", "s", F.coalesce("true_", F.lit(0)).alias("true_"))
+    report = (
+        probed.join(truth, ["doc_id", "s"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum("true_").alias("n_true_hits"),
+        )
+    )
+    return report.filter(F.col("n_bloom_hits") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        "n_true_hits",
+        (F.col("n_bloom_hits") >= F.col("n_true_hits")).alias(
+            "no_false_negatives"
+        ),
+    )
+
+
+def _bloom_oracle() -> str:
+    from finmapreduce_spark.queries.training import _SHINGLE_SQL, BENCH_MOD
+
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+ks AS (SELECT unnest(range({BLOOM_K})) AS j),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+bits AS (
+  SELECT DISTINCT {_bloom_pos_sql('b.s', 'k.j')} AS bit
+  FROM bench b, ks k
+),
+train AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+probed_pos AS (
+  SELECT t.doc_id, t.s, {_bloom_pos_sql('t.s', 'k.j')} AS bit
+  FROM train t, ks k
+),
+probed AS (
+  SELECT p.doc_id, p.s, count(bt.bit) = {BLOOM_K} AS bloom_hit
+  FROM probed_pos p LEFT JOIN bits bt ON bt.bit = p.bit
+  GROUP BY p.doc_id, p.s
+),
+truth AS (
+  SELECT t.doc_id, t.s,
+         CASE WHEN b.s IS NULL THEN 0 ELSE 1 END AS true_
+  FROM train t LEFT JOIN bench b ON b.s = t.s
+),
+report AS (
+  SELECT p.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
+         CAST(sum(t.true_) AS BIGINT) AS n_true_hits
+  FROM probed p JOIN truth t ON t.doc_id = p.doc_id AND t.s = p.s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_shingles, n_bloom_hits, n_true_hits,
+       n_bloom_hits >= n_true_hits AS no_false_negatives
+FROM report WHERE n_bloom_hits > 0
+"""
+
+
+QUERIES.update(
+    {
+        "sketch_bloom_contamination": QuerySpec(
+            sketch_bloom_contamination, _bloom_oracle()
+        ),
+    }
+)
