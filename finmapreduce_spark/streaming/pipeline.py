@@ -1159,3 +1159,105 @@ def serve_hll_distinct_continuous(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_cms_watchlist_continuous(
+    incoming_docs: DataFrame,
+    watchlist: list[str],
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous heavy-hitter monitoring with a LIVE count-min store:
+    each epoch appends the micro-batch's (j, b, c_add) cell increments
+    and emits the CMS estimate of every watchlist token over
+    EVERYTHING seen so far — the streaming use of a frequency sketch
+    (alerting on sentinel tokens: a PII marker, a poisoning phrase, a
+    template explosion) at O(d·w) state regardless of stream length.
+
+    CMS cells merge by SUM, so this store shares the DSIR increment
+    store's replay posture, NOT the HLL store's free idempotence: the
+    read dedups (epoch, j, b) via _prior_history(dedupe_key=...) so a
+    crashed-then-replayed epoch's re-appended increments cannot
+    double-count (cell counts are deterministic recomputations).
+    Estimates keep the CMS guarantee over the deduped totals:
+    est ≥ true, exactly the batch construction of
+    queries/sketches.py::sketch_countmin_grams."""
+    from finmapreduce_spark.queries.sketches import (
+        CMS_DEPTH,
+        _hex3,
+        _words,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _check_store_unlocked(store_dir)
+        spark = batch_df.sparkSession
+        ks = F.explode(
+            F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+        ).alias("j")
+        cells = (
+            batch_df.select(F.explode(_words(F.col("text"))).alias("w"))
+            .select("w", ks)
+            .select(
+                "j",
+                _hex3(
+                    F.md5(F.concat_ws(":", F.col("j"), F.col("w"))), 1
+                ).alias("b"),
+            )
+            .groupBy("j", "b")
+            .agg(F.count("*").alias("c_add"))
+            .persist()
+        )
+        try:
+            import os
+
+            merged = cells.select("j", "b", "c_add")
+            if os.path.exists(store_dir):
+                merged = merged.unionByName(
+                    _prior_history(
+                        spark, store_dir, epoch_id, dedupe_key=["j", "b"]
+                    ).select("j", "b", "c_add")
+                )
+            sketch = merged.groupBy("j", "b").agg(
+                F.sum("c_add").alias("c")
+            )
+            probes = spark.createDataFrame(
+                [(w,) for w in watchlist], "w string"
+            ).select(
+                "w",
+                F.explode(
+                    F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+                ).alias("j"),
+            ).select(
+                "w",
+                "j",
+                _hex3(
+                    F.md5(F.concat_ws(":", F.col("j"), F.col("w"))), 1
+                ).alias("b"),
+            )
+            est = (
+                probes.join(sketch, ["j", "b"], "left")
+                .groupBy("w")
+                .agg(
+                    F.min(F.coalesce("c", F.lit(0))).alias("cms_estimate")
+                )
+                .select(
+                    F.lit(int(epoch_id)).cast("long").alias("epoch"),
+                    F.col("w").alias("token"),
+                    "cms_estimate",
+                )
+            )
+            _epoch_json(est, out_dir, epoch_id)
+            _guarded_store_append(
+                cells.select("j", "b", "c_add"), store_dir, epoch_id
+            )
+        finally:
+            cells.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

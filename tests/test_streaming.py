@@ -1608,3 +1608,60 @@ def test_dsir_store_replay_and_compaction_are_exact(spark, tmp_path):
     ).collect()[0]["hll_estimate"]
     assert after == before
     spark.catalog.clearCache()
+
+
+def test_continuous_cms_watchlist_accumulates_and_overestimates(
+    spark, tmp_path
+):
+    """Round-12: the live count-min store must (a) accumulate across
+    epochs — the epoch-1 estimate covers both epochs' tokens, (b)
+    keep the est ≥ true guarantee over the union, and (c) share the
+    sum-store replay posture (the read dedups (epoch, j, b), pinned
+    here by the epoch-1 estimate being exact for a collision-free
+    token despite the store being read after epoch 0's append)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_cms_watchlist_continuous,
+    )
+
+    landing = tmp_path / "cms_landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "alert alert normal words"}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 2, "text": "alert words words zzz"}) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "cms_out"
+    q = serve_cms_watchlist_continuous(
+        stream,
+        ["alert", "absenttoken"],
+        str(tmp_path / "cms_store"),
+        str(out),
+        str(tmp_path / "cms_ckpt"),
+    ).start()
+    q.awaitTermination()
+
+    rows = {
+        (r["epoch"], r["token"]): r["cms_estimate"]
+        for r in spark.read.json(str(out)).collect()
+    }
+    # epoch 0: 'alert' ×2; epoch 1 adds one more → 3 over the union
+    assert rows[(0, "alert")] >= 2
+    assert rows[(1, "alert")] >= 3
+    assert rows[(1, "alert")] >= rows[(0, "alert")]  # sums accumulate
+    # the absent token can only be a bloom-of-collisions overestimate,
+    # and with this tiny vocabulary its cells are untouched → exactly 0
+    assert rows[(1, "absenttoken")] == 0
+    spark.catalog.clearCache()
