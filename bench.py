@@ -153,6 +153,7 @@ HEADLINE = [
     "sketch_hll_distinct",
     "train_shard_balance",
     "sketch_bloom_contamination",
+    "sketch_hll_users_daily",
 ]
 
 

@@ -397,3 +397,121 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED HyperLogLog — the sketch pattern production actually runs:
+# distinct-user counts per time window over an event stream too big
+# to count exactly. One register table keyed by (window, bucket) —
+# m rows per group, still constant per group regardless of event
+# volume, still max-mergeable (so partial aggregation and late-data
+# re-aggregation both just work). The per-group estimate applies the
+# same α_m·m²/Σ2^(−M_j) + linear-counting correction formula
+# group-wise; truth (exact countDistinct) rides along per group for
+# the rel_err audit.
+# ---------------------------------------------------------------------------
+
+
+def sketch_hll_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = HLL_M
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.col("user_id"),
+    )
+    h = F.md5(F.col("user_id").cast("string"))
+    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    bucket = digit(1) * 16 + digit(2)
+    tail = F.conv(F.substring(h, 3, 12), 16, 10).cast("decimal(20,0)").cast(
+        "long"
+    )
+    rho = F.when(tail == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(tail))
+    )
+    regs = (
+        ev.select("day", bucket.alias("b"), rho.alias("rho"))
+        .groupBy("day", "b")
+        .agg(F.max("rho").alias("reg"))
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = regs.groupBy("day").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("denom"),
+        F.count("*").alias("nonzero"),
+    )
+    est_raw = F.lit(alpha * m * m) / (
+        F.col("denom") + (F.lit(m) - F.col("nonzero"))
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(est_raw)
+    true = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("true_users")
+    )
+    return (
+        agg.join(true, "day")
+        .select(
+            "day",
+            F.round(est, 6).alias("hll_users"),
+            "true_users",
+            F.round(
+                (F.round(est, 6) - F.col("true_users")) / F.col("true_users"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+_HLL_USERS_ALPHA_MM = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M
+
+HLL_USERS_ORACLE = f"""
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+), hashed AS (
+  SELECT day,
+         (strpos('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef',
+                  substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1 AS b,
+         list_reduce(list_transform(range(3, 15),
+             i -> CAST(strpos('0123456789abcdef',
+                  substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1))
+                  - 1 AS BIGINT)),
+             (a, d) -> a * 16 + d) AS tail
+  FROM ev
+), regs AS (
+  SELECT day, b,
+         max(CASE WHEN tail = 0 THEN 49 ELSE 49 - length(bin(tail)) END)
+           AS reg
+  FROM hashed GROUP BY 1, 2
+), agg AS (
+  SELECT day, sum(power(2.0, -reg)) AS denom, count(*) AS nonzero
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT day,
+         CASE
+           WHEN {_HLL_USERS_ALPHA_MM} / (denom + ({HLL_M} - nonzero))
+                <= {2.5 * HLL_M} AND ({HLL_M} - nonzero) > 0
+           THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - nonzero))
+           ELSE {_HLL_USERS_ALPHA_MM} / (denom + ({HLL_M} - nonzero))
+         END AS e
+  FROM agg
+), true_ AS (
+  SELECT day, count(DISTINCT user_id) AS true_users FROM ev GROUP BY 1
+)
+SELECT e.day,
+       round(e.e, 6) AS hll_users,
+       t.true_users,
+       round((round(e.e, 6) - t.true_users) / t.true_users, 6) AS rel_err
+FROM est e JOIN true_ t USING (day)
+"""
+
+QUERIES.update(
+    {
+        "sketch_hll_users_daily": QuerySpec(
+            sketch_hll_users_daily, HLL_USERS_ORACLE
+        ),
+    }
+)
