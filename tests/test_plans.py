@@ -1090,3 +1090,20 @@ def test_sketch_plans_stay_bounded_and_jvm(spark, sf_dir):
         assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in cms
     assert "HashAggregate" in hll
+
+
+def test_shard_assignment_rank_is_distributed(spark, sf_dir):
+    """The LPT shard rank must be the two-level banded rank: every
+    row_number window partitioned by (token-count band, hash
+    sub-band) so a modal document length cannot funnel one task;
+    offsets come back via broadcast join."""
+    plan = plan_of(QS["train_shard_assignment"].spark(spark, sf_dir))
+    rn_specs = [
+        l for l in plan.splitlines()
+        if "row_number() windowspecdefinition(" in l
+    ]
+    assert rn_specs, "expected a row_number window in the plan"
+    for spec in rn_specs:
+        assert "_nb#" in spec and "_hband#" in spec, spec
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
