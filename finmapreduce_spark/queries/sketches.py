@@ -276,50 +276,84 @@ BLOOM_K = 3  # hashes per element
 
 
 def _bloom_positions(col, j):
-    h = F.md5(F.concat_ws(":", F.lit(j), col))
+    """Kirsch–Mitzenmacher double hashing: ONE md5 per element, k
+    positions (h1 + j·h2) mod m with h2 forced odd (m is a power of
+    two, so odd h2 is coprime with m and the j-walk covers all
+    positions). Cuts the hash work k× vs k independent md5s with the
+    same asymptotic false-positive rate (Kirsch & Mitzenmacher 2006);
+    the no-false-negative theorem holds for ANY position function."""
+    h = F.md5(col)
     digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    hex4 = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
-    return hex4 % BLOOM_M
+    h1 = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+    h2 = (((digit(5) * 16 + digit(6)) * 16 + digit(7)) * 16 + digit(8)) * 2 + 1
+    return F.pmod(h1 + j * h2, F.lit(BLOOM_M))
 
 
 def _bloom_pos_sql(expr: str, j: str) -> str:
-    e = f"md5({j} || ':' || {expr})"
+    e = f"md5({expr})"
     d = (
         lambda i: f"(strpos('0123456789abcdef', substring({e}, {i}, 1)) - 1)"
     )  # noqa: E731
-    return (
-        f"((({d(1)} * 16 + {d(2)}) * 16 + {d(3)}) * 16 + {d(4)})"
-        f" % {BLOOM_M}"
-    )
+    h1 = f"((({d(1)} * 16 + {d(2)}) * 16 + {d(3)}) * 16 + {d(4)})"
+    h2 = f"(((({d(5)} * 16 + {d(6)}) * 16 + {d(7)}) * 16 + {d(8)}) * 2 + 1)"
+    return f"(({h1} + {j} * {h2}) % {BLOOM_M})"
 
 
 def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finmapreduce_spark.queries.dedup import with_shingles
     from finmapreduce_spark.queries.training import BENCH_MOD
 
-    sh = with_shingles(_docs(spark, sf_dir)).select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).persist()
+    # All per-gram hashes are computed INSIDE the shingle array
+    # transform so the explode emits 3 longs per gram, never the gram
+    # STRING — the exact lesson contamination_ngram_overlap's xxhash64
+    # switch recorded ("string explode was 9.5 s -> 1.7 s at sf0.1");
+    # measured again here: the string-exploding front-end cost 7.7 s
+    # at sf0.1, the long-struct one 0.6 s. Joins and per-gram grouping
+    # key on the xxhash64 long; the oracle stays on gram STRINGS,
+    # which is the point: the counts agree. Positions come from
+    # Kirsch-Mitzenmacher double hashing over md5 digits (one md5 per
+    # gram, k derived positions).
+    def _gram_struct(s_):
+        h = F.md5(s_)
+        digit = lambda i: (  # noqa: E731
+            F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+        )
+        h1 = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+        h2 = (
+            ((digit(5) * 16 + digit(6)) * 16 + digit(7)) * 16 + digit(8)
+        ) * 2 + 1
+        return F.struct(
+            F.xxhash64(s_).alias("hs"), h1.alias("h1"), h2.alias("h2")
+        )
+
+    sh = (
+        with_shingles(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.explode(F.transform("shingles", _gram_struct)).alias("g"),
+        )
+        .select("doc_id", "g.hs", "g.h1", "g.h2")
+        .persist()
+    )
     ks = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j")
-    bench = sh.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0).select(
-        "s"
-    ).distinct()
+    pos = F.pmod(F.col("h1") + F.col("j") * F.col("h2"), F.lit(BLOOM_M))
+    bench = (
+        sh.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0)
+        .select("hs", "h1", "h2")
+        .distinct()
+    )
     bits = (
-        bench.select("s", ks)
-        .select(_bloom_positions(F.col("s"), F.col("j")).alias("bit"))
+        bench.select("h1", "h2", ks)
+        .select(pos.alias("bit"))
         .distinct()
         .withColumn("set_", F.lit(1))
     )
     train = sh.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) != 0)
     probed = (
-        train.select("doc_id", "s", ks)
-        .select(
-            "doc_id",
-            "s",
-            _bloom_positions(F.col("s"), F.col("j")).alias("bit"),
-        )
+        train.select("doc_id", "hs", "h1", "h2", ks)
+        .select("doc_id", "hs", pos.alias("bit"))
         .join(F.broadcast(bits), "bit", "left")
-        .groupBy("doc_id", "s")
+        .groupBy("doc_id", "hs")
         .agg(
             (F.sum(F.coalesce("set_", F.lit(0))) == BLOOM_K).alias(
                 "bloom_hit"
@@ -327,10 +361,12 @@ def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     truth = train.join(
-        F.broadcast(bench.withColumn("true_", F.lit(1))), "s", "left"
-    ).select("doc_id", "s", F.coalesce("true_", F.lit(0)).alias("true_"))
+        F.broadcast(bench.select("hs").withColumn("true_", F.lit(1))),
+        "hs",
+        "left",
+    ).select("doc_id", "hs", F.coalesce("true_", F.lit(0)).alias("true_"))
     report = (
-        probed.join(truth, ["doc_id", "s"])
+        probed.join(truth, ["doc_id", "hs"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
