@@ -69,17 +69,35 @@ def sketch_countmin_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K token's d probe cells against the broadcast sketch and
     takes the min. `overestimates` (est ≥ true) is the CMS guarantee
     — all TRUE by theorem, recomputed independently by the oracle."""
-    tok = _docs(spark, sf_dir).select(
-        F.explode(_words(F.col("text"))).alias("w")
-    ).persist()
+    # Sketch-build side explodes (j, b) INT structs computed inside
+    # the word-array transform — never word strings (the bloom
+    # pre-screen's measured string-explode lesson); the truth side
+    # keeps the string explode because the report's token column
+    # needs the names.
+    def _cells(w):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _hex3(
+                        F.md5(F.concat_ws(":", F.lit(j), w)), 1
+                    ).alias("b"),
+                )
+                for j in range(CMS_DEPTH)
+            ]
+        )
+
+    docs = _docs(spark, sf_dir)
+    cells = docs.select(
+        F.explode(
+            F.flatten(F.transform(_words(F.col("text")), _cells))
+        ).alias("c")
+    ).select("c.j", "c.b")
+    sketch = cells.groupBy("j", "b").agg(F.count("*").alias("c"))
+    tok = docs.select(F.explode(_words(F.col("text"))).alias("w"))
     rows = F.explode(
         F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
     ).alias("j")
-    cells = tok.select("w", rows).select(
-        "j",
-        _hex3(F.md5(F.concat_ws(":", F.col("j"), F.col("w"))), 1).alias("b"),
-    )
-    sketch = cells.groupBy("j", "b").agg(F.count("*").alias("c"))
     true = tok.groupBy("w").agg(F.count("*").alias("true_count"))
     top = true.orderBy(F.desc("true_count"), "w").limit(CMS_TOP_K)
     probes = top.select("w", "true_count", rows).select(
