@@ -2047,10 +2047,14 @@ WITH {_vocab_tokens_ctes()},
 sized AS (SELECT doc_id, tk, len(tk) AS n FROM vtok)
 SELECT doc_id,
        CAST(i AS INT) AS chunk_index,
-       array_to_string(
+       -- coalesce: an EMPTY doc yields tk = [] and DuckDB's
+       -- array_to_string(list_slice([], ...)) is NULL where the Arrow
+       -- encoder emits the empty chunk '' — caught by the round-12
+       -- full-catalog poisoned sweep (the only divergence in 204)
+       coalesce(array_to_string(
          list_slice(tk, i * {_VOCAB_STEP} + 1,
                     i * {_VOCAB_STEP} + {VOCAB_CHUNK_SIZE}),
-         '') AS chunk_text
+         ''), '') AS chunk_text
 FROM sized,
      unnest(range(0, CASE WHEN n <= {VOCAB_CHUNK_SIZE} THEN 1
                           ELSE CAST(ceil((n - {VOCAB_CHUNK_SIZE})
