@@ -3915,8 +3915,12 @@ def dedup_lcs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     pairs = dedup_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # coalesce(text,'') on BOTH twins: null-text docs yield no LSH
+    # pairs today, but if the pair source changes the len_a/len_b
+    # columns must not diverge (NULL length vs 0).
     tx = _docs(spark, sf_dir).select(
-        "doc_id", F.trim(F.lower(F.col("text"))).alias("t")
+        "doc_id",
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
     )
     pt = (
         pairs.join(tx.select(F.col("doc_id").alias("doc_a"),
@@ -3959,7 +3963,7 @@ def dedup_lcs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LCS_CONTAINMENT_ORACLE = f"""
 WITH RECURSIVE pairs AS ({DEDUP_LSH_ORACLE}),
-tx AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+tx AS (SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents),
 pt AS (
   SELECT p.doc_a, p.doc_b, a.t AS ta, b.t AS tb
   FROM pairs p

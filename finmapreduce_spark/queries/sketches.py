@@ -328,7 +328,13 @@ def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured again here: the string-exploding front-end cost 7.7 s
     # at sf0.1, the long-struct one 0.6 s. Joins and per-gram grouping
     # key on the xxhash64 long; the oracle stays on gram STRINGS,
-    # which is the point: the counts agree. Positions come from
+    # which is the point: the counts agree — PROBABILISTICALLY, not by
+    # construction: a 64-bit xxhash collision between two distinct
+    # shingles of one doc would merge their rows and shift
+    # n_shingles/n_true_hits off the string-keyed oracle (and could in
+    # principle flip no_false_negatives). P(collision) over the corpus
+    # gram volume is ~n²/2⁶⁵ — accepted repo-wide for 64-bit key
+    # equivalences. Positions come from
     # Kirsch-Mitzenmacher double hashing over md5 digits (one md5 per
     # gram, k derived positions).
     def _gram_struct(s_):

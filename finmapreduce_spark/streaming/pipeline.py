@@ -680,7 +680,9 @@ def _prior_history(
     replay-idempotent for free, but a crashed-then-replayed epoch's
     re-appended increment rows would DOUBLE-COUNT under sum. The rows
     are deterministic recomputations, so keeping one per
-    (epoch, key) restores exactness."""
+    (epoch, key) restores exactness. Sealed rows are exempt from the
+    dedupe: only stamped appends can be crash-replayed, and a sealed
+    multi-row-per-key seed is legitimate mass in a sum store."""
     raw = spark.read.option("mergeSchema", "true").parquet(store_dir)
     if "epoch_id" in raw.columns:
         stamped = raw.withColumn(
@@ -688,10 +690,19 @@ def _prior_history(
         )
         stamped = stamped.filter(F.col("__e") != F.lit(int(epoch_id)))
         if dedupe_key:
-            stamped = stamped.dropDuplicates(["__e", *dedupe_key])
+            # Replay-dedupe applies only to STAMPED epochs (the crashed
+            # re-append hazard). Sealed rows (seeds, compacted rewrites)
+            # pass through untouched: in a SUM-merged store a multi-row
+            # seed per key is legitimate mass, and collapsing it to one
+            # pseudo-epoch row would silently undercount.
+            sealed = stamped.filter(F.col("__e") == F.lit(SEALED_EPOCH))
+            live = stamped.filter(
+                F.col("__e") != F.lit(SEALED_EPOCH)
+            ).dropDuplicates(["__e", *dedupe_key])
+            stamped = live.unionByName(sealed)
         raw = stamped.drop("epoch_id", "__e")
-    elif dedupe_key:
-        raw = raw.dropDuplicates(list(dedupe_key))
+    # No epoch_id column at all ⇒ every row is sealed (seed/compaction
+    # output, never a crashed re-append) ⇒ no replay hazard, no dedupe.
     return raw
 
 
@@ -1223,15 +1234,21 @@ def serve_cms_watchlist_continuous(
             sketch = merged.groupBy("j", "b").agg(
                 F.sum("c_add").alias("c")
             )
+            # Probe the NORMALIZED form (same trim+lower as _words on
+            # the corpus side) so a mixed-case or padded watchlist
+            # entry still hits its cells; report under the caller's
+            # original spelling.
             probes = spark.createDataFrame(
-                [(w,) for w in watchlist], "w string"
+                [(w, w.strip().lower()) for w in watchlist],
+                "orig string, w string",
             ).select(
+                "orig",
                 "w",
                 F.explode(
                     F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
                 ).alias("j"),
             ).select(
-                "w",
+                "orig",
                 "j",
                 _hex3(
                     F.md5(F.concat_ws(":", F.col("j"), F.col("w"))), 1
@@ -1239,13 +1256,13 @@ def serve_cms_watchlist_continuous(
             )
             est = (
                 probes.join(sketch, ["j", "b"], "left")
-                .groupBy("w")
+                .groupBy("orig")
                 .agg(
                     F.min(F.coalesce("c", F.lit(0))).alias("cms_estimate")
                 )
                 .select(
                     F.lit(int(epoch_id)).cast("long").alias("epoch"),
-                    F.col("w").alias("token"),
+                    F.col("orig").alias("token"),
                     "cms_estimate",
                 )
             )

@@ -1610,6 +1610,41 @@ def test_dsir_store_replay_and_compaction_are_exact(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_prior_history_sealed_rows_exempt_from_sum_dedupe(spark, tmp_path):
+    """r13 advice fix: the (epoch, key) replay-dedupe must apply only
+    to STAMPED appends. Sealed rows (unstamped seeds / compacted
+    rewrites) cannot be crash-replays, and in a SUM-merged store a
+    multi-row-per-key seed is legitimate mass — collapsing it to one
+    pseudo-epoch row would silently undercount."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.streaming.pipeline import (
+        _prior_history,
+        stamp_store_epoch,
+    )
+
+    store = str(tmp_path / "seeded_sum_store")
+    # unstamped seed: TWO rows for key b=7 (legitimate mass: 10 + 5)
+    spark.createDataFrame(
+        [(7, 10), (7, 5), (9, 2)], "b long, c_add long"
+    ).write.mode("append").parquet(store)
+    # one stamped epoch, then its crashed replay (identical rows)
+    inc = spark.createDataFrame([(7, 1), (9, 1)], "b long, c_add long")
+    stamp_store_epoch(inc, 0).write.mode("append").parquet(store)
+    stamp_store_epoch(inc, 0).write.mode("append").parquet(store)
+
+    totals = {
+        r["b"]: r["c"]
+        for r in _prior_history(spark, store, 5, dedupe_key=["b"])
+        .groupBy("b")
+        .agg(F.sum("c_add").alias("c"))
+        .collect()
+    }
+    # sealed 10+5 both kept; stamped replay deduped to one
+    assert totals == {7: 16, 9: 3}
+    spark.catalog.clearCache()
+
+
 def test_continuous_cms_watchlist_accumulates_and_overestimates(
     spark, tmp_path
 ):
@@ -1646,7 +1681,7 @@ def test_continuous_cms_watchlist_accumulates_and_overestimates(
     out = tmp_path / "cms_out"
     q = serve_cms_watchlist_continuous(
         stream,
-        ["alert", "absenttoken"],
+        ["alert", "absenttoken", " Alert "],
         str(tmp_path / "cms_store"),
         str(out),
         str(tmp_path / "cms_ckpt"),
@@ -1664,4 +1699,8 @@ def test_continuous_cms_watchlist_accumulates_and_overestimates(
     # the absent token can only be a bloom-of-collisions overestimate,
     # and with this tiny vocabulary its cells are untouched → exactly 0
     assert rows[(1, "absenttoken")] == 0
+    # r13 advice fix: a mixed-case / padded watchlist entry probes the
+    # normalized cells (same trim+lower as the corpus tokenizer) and
+    # reports under the caller's original spelling
+    assert rows[(1, " Alert ")] == rows[(1, "alert")]
     spark.catalog.clearCache()
