@@ -154,6 +154,13 @@ HEADLINE = [
     "train_shard_balance",
     "sketch_bloom_contamination",
     "sketch_hll_users_daily",
+    # round-13: dedup × multimodal — dHash over REAL decoded pixels,
+    # Manku-banded pair join through the grid tiler
+    "dedup_image_phash_pairs",
+    # round-13 (cont.): the fourth sketch — deterministic adaptive
+    # hash-level quantile sampler (mergeable per-row retention
+    # predicate; only corpus-sized agg is the ≤49-row level groupBy)
+    "sketch_quantile_doclen",
 ]
 
 

@@ -445,3 +445,66 @@ def resize_images(
             )
 
     return imgs.mapInPandas(mapper, schema=RESIZE_SCHEMA)
+
+
+DHASH_W = DHASH_H = 8  # 64-bit difference hash
+DHASH_BANDS = 4  # 4 × 16-bit bands → Hamming ≤ 3 recall 1.0 (pigeonhole)
+DHASH_SCHEMA = "asset_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def dhash_images(assets: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the binary image
+    payloads — the signature stage of image near-dup dedup (the
+    multimodal analog of the simhash text signature; reference parity:
+    the reference has no image lane, this extends the dedup family per
+    the training-data-pipeline brief).
+
+    REAL decode (stdlib PPM/BMP codec) → integer grayscale
+    (r+g+b)//3 → nearest-neighbor resize to DHASH_H × (DHASH_W+1)
+    (same (i*src)//out index math as resize_images, so the SQL oracle
+    can reconstruct every sampled gray value from the synth formula)
+    → bit(y,x) = gray(y,x) > gray(y,x+1), 64 bits MSB-first.
+
+    The hash is emitted as FOUR 16-bit band integers (b0 = bits 0–15)
+    rather than one BIGINT: the bands are exactly the Manku-style LSH
+    blocking keys the pair join needs, and keeping them ≤ 16 bits
+    sidesteps 64-bit sign arithmetic in both engines. One Arrow
+    mapInPandas pass, one decode per image; at 100 TB swap the codec
+    for PIL/turbojpeg — the stage contract (binary in, 4 longs out)
+    is unchanged.
+    """
+    import numpy as np
+
+    imgs = assets.filter(F.col("kind") == "image").select(
+        "asset_id", "payload"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                arr = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                gray = arr.sum(axis=2) // 3
+                ys = (np.arange(DHASH_H) * h) // DHASH_H
+                xs = (np.arange(DHASH_W + 1) * w) // (DHASH_W + 1)
+                g = gray[ys][:, xs]
+                bits = (g[:, :DHASH_W] > g[:, 1:]).reshape(-1)
+                bands = []
+                for k in range(DHASH_BANDS):
+                    v = 0
+                    for j in range(16):
+                        v = (v << 1) | int(bits[16 * k + j])
+                    bands.append(v)
+                rows.append((int(aid), *bands))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return imgs.mapInPandas(mapper, schema=DHASH_SCHEMA)

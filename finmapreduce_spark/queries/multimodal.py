@@ -405,3 +405,137 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup dedup (r13): dedup × multimodal composed. dHash the
+# decoded pixels (operators/multimodal.py::dhash_images) → Manku-style
+# banded candidate pairs (4 × 16-bit bands; Hamming ≤ 3 ⇒ pigeonhole
+# guarantees one untouched band ⇒ recall 1.0, same theorem as
+# dedup_simhash_pairs) → xor+popcount verify. The band self-join rides
+# the grid tiler by default (operators/pairgrid.py), so a boilerplate
+# image cluster sharing a band value cannot funnel its pair product
+# through one task — the lesson the hot-bucket study pinned.
+#
+# Oracle: the synth pixel formula (byte k = (31*d + 7*k) % 256) makes
+# the grayscale at every nearest-neighbor sample position an exact
+# integer expression, so DuckDB rebuilds the 64-bit hash bit-for-bit,
+# runs the same band join, and verifies with bit_count(xor(...)).
+# ---------------------------------------------------------------------------
+
+PHASH_HAMMING_MAX = 3
+
+
+def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.operators.multimodal import (
+        DHASH_BANDS,
+        dhash_images,
+    )
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    assert PHASH_HAMMING_MAX <= DHASH_BANDS - 1  # pigeonhole recall 1.0
+    sig = dhash_images(_assets(spark, sf_dir))
+    bands = sig.select(
+        "asset_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"b{k}").alias("bv")
+                    )
+                    for k in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select(
+        "asset_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.col("bd.k").alias("k"),
+        F.col("bd.bv").alias("bv"),
+    )
+    cand = grid_self_pairs(
+        bands, ["k", "bv"], "asset_id", ["b0", "b1", "b2", "b3"]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b")))
+        for k in range(DHASH_BANDS)
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select(
+            F.col("asset_id_a").alias("asset_a"),
+            F.col("asset_id_b").alias("asset_b"),
+            "hamming",
+        )
+    )
+
+
+# gray(t) for t in 0..71 indexing the 8×9 resized grid (y=t//9,
+# x=t%9): source pixel (sy, sx) = ((y*h)//8, (x*w)//9), byte index
+# k0 = (sy*w + sx)*3, gray = mean of the three channel bytes.
+_DH_W = "(doc_id % 16 + 4)"
+_DH_H = "(doc_id % 12 + 4)"
+_DH_K0 = f"((((t//9)*{_DH_H})//8*{_DH_W} + ((t%9)*{_DH_W})//9)*3)"
+_DH_GRAY = (
+    f"(((31*doc_id + 7*{_DH_K0}) % 256)"
+    f" + ((31*doc_id + 7*{_DH_K0} + 7) % 256)"
+    f" + ((31*doc_id + 7*{_DH_K0} + 14) % 256)) // 3"
+)
+
+
+def _dh_band_sql(k: int) -> str:
+    # band k = bits 16k..16k+15 MSB-first; bit i (y=i//8, x=i%8)
+    # compares gr[y*9+x+1] > gr[y*9+x+2] (DuckDB lists are 1-based)
+    terms = []
+    for j in range(16):
+        i = 16 * k + j
+        y, x = divmod(i, 8)
+        terms.append(
+            f"(CASE WHEN gr[{y * 9 + x + 1}] > gr[{y * 9 + x + 2}]"
+            f" THEN {1 << (15 - j)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_DH_XOR_SUM = " + ".join(
+    f"bit_count(xor(ab{k}, bb{k}))" for k in range(4)
+)
+
+IMAGE_PHASH_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, list_transform(range(0, 72), t -> {_DH_GRAY}) AS gr
+  FROM documents WHERE doc_id % 3 = 0
+), sig AS (
+  SELECT doc_id,
+         CAST({_dh_band_sql(0)} AS BIGINT) AS b0,
+         CAST({_dh_band_sql(1)} AS BIGINT) AS b1,
+         CAST({_dh_band_sql(2)} AS BIGINT) AS b2,
+         CAST({_dh_band_sql(3)} AS BIGINT) AS b3
+  FROM g
+), bands AS (
+  SELECT doc_id, b0, b1, b2, b3, k,
+         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM sig CROSS JOIN (SELECT unnest(range({4})) AS k)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+         a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
+         b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT asset_a, asset_b, CAST({_DH_XOR_SUM} AS BIGINT) AS hamming
+FROM cand WHERE {_DH_XOR_SUM} <= {PHASH_HAMMING_MAX}
+"""
+
+QUERIES["dedup_image_phash_pairs"] = QuerySpec(
+    dedup_image_phash_pairs, IMAGE_PHASH_ORACLE
+)

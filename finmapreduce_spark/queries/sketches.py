@@ -575,3 +575,223 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantile sketch (r13) — the fourth sketch. CMS answers
+# "how often", HLL "how many distinct", Bloom "have we seen it"; this
+# answers "what's the p99" (length/score distributions at 100 TB).
+# percentile_approx is not cross-engine-reproducible — the exact gap
+# the md5-deterministic CMS/HLL filled — so the sketch here is an
+# ADAPTIVE HASH-LEVEL SAMPLER (Wegman's adaptive sampling, the
+# deterministic cousin of a KLL compactor tree): row level ℓ = number
+# of leading zero bits of a 48-bit md5 tail of the row KEY
+# (P(ℓ ≥ L) = 2^−L exactly), retained set = {rows : ℓ ≥ L} for the
+# smallest L whose retained count fits the capacity. Retention is a
+# PURE PER-ROW PREDICATE given L, so the sketch is mergeable by
+# construction: union of per-part samples refiltered at the combined
+# L IS the sample of the union (pinned in test_properties), and the
+# only corpus-sized aggregation is the ≤49-row level-count groupBy —
+# map-side combine is the merge. Every retained row has inclusion
+# probability 2^−L, so the retained sample is uniform and the
+# q-quantile estimate is simply the sample value at position
+# ceil(q·n_s) — no weights. Deterministic md5 → DuckDB replays the
+# level assignment, the adaptive threshold, the retained set, and the
+# selection bit-for-bit.
+#
+# Truth rides along without a global sort: the exact quantile comes
+# from a cumulative count over the DISTINCT value domain (doc lengths
+# — domain-sized, ~10³ rows, the monthly-histogram shape), and
+# rank_err certifies the sketch against it per percentile.
+# ---------------------------------------------------------------------------
+
+QSK_CAP = 256  # sample capacity; ~1/sqrt(CAP) ≈ 6% rank error
+QSK_PCTS = [0.5, 0.9, 0.95, 0.99]
+
+
+def _qsk_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, val, lvl): per-doc token count + deterministic hash
+    level (leading-zero bits of the 48-bit md5 tail of 'q:'+doc_id).
+    Shared by the batch query and the continuous store twin."""
+    h = F.md5(F.concat(F.lit("q:"), F.col("doc_id")))
+    tail = (
+        F.conv(F.substring(h, 1, 12), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    lvl = F.when(tail == 0, F.lit(48)).otherwise(
+        F.lit(48) - F.length(F.bin(tail))
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("val"),
+        lvl.cast("long").alias("lvl"),
+    )
+
+
+def _qsk_threshold(lvl_counts: DataFrame) -> DataFrame:
+    """1-row (L): smallest level whose ≥-cumulative count fits the
+    capacity. The window runs over ≤49 level rows, never the data."""
+    from pyspark.sql import Window as W
+
+    wcum = (
+        W.orderBy(F.desc("lvl"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        lvl_counts.select(
+            "lvl", F.sum("c").over(wcum).alias("cge")
+        )
+        .agg(
+            F.min(
+                F.when(F.col("cge") <= QSK_CAP, F.col("lvl"))
+            ).alias("L")
+        )
+    )
+
+
+def _qsk_select(sample: DataFrame, pcts: DataFrame) -> DataFrame:
+    """(percentile, sketch_value, n_retained) from a retained sample
+    (≤CAP rows — the unpartitioned window is capacity-bounded, the
+    same K-row exemption as the band-offset prefix sums)."""
+    from pyspark.sql import Window as W
+
+    s = sample.select(
+        "val",
+        F.row_number().over(W.orderBy("val", "doc_id")).alias("rn"),
+        F.count("*")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n_s"),
+    )
+    return s.join(
+        F.broadcast(pcts),
+        F.col("rn") == F.ceil(F.col("percentile") * F.col("n_s")),
+    ).select(
+        "percentile",
+        F.col("val").alias("sketch_value"),
+        F.col("n_s").cast("long").alias("n_retained"),
+    )
+
+
+def sketch_quantile_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = _qsk_base(_docs(spark, sf_dir)).persist()
+    thresh = _qsk_threshold(
+        base.groupBy("lvl").agg(F.count("*").alias("c"))
+    )
+    sample = base.join(
+        F.broadcast(thresh), F.col("lvl") >= F.col("L")
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in QSK_PCTS], "percentile double"
+    )
+    sel = _qsk_select(sample.select("doc_id", "val"), pcts)
+
+    n_total = base.agg(F.count("*").alias("n_total"))
+    wv = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
+    vc = (
+        base.groupBy("val")
+        .agg(F.count("*").alias("c"))
+        .select("val", F.sum("c").over(wv).alias("cum"))
+    )
+    tv = (
+        vc.crossJoin(F.broadcast(n_total))
+        .join(
+            F.broadcast(pcts),
+            F.col("cum") >= F.ceil(F.col("percentile") * F.col("n_total")),
+        )
+        .groupBy("percentile")
+        .agg(F.min("val").alias("true_value"))
+    )
+    level = thresh.select(F.col("L").cast("long").alias("level"))
+    return (
+        vc.withColumnRenamed("val", "sketch_value")
+        .withColumnRenamed("cum", "true_rank")
+        .join(F.broadcast(sel), "sketch_value")
+        .join(F.broadcast(tv), "percentile")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(level))
+        .select(
+            "percentile",
+            "sketch_value",
+            "true_value",
+            "n_retained",
+            "level",
+            F.round(
+                F.abs(
+                    F.col("true_rank")
+                    - F.col("percentile") * F.col("n_total")
+                )
+                / F.col("n_total"),
+                6,
+            ).alias("rank_err"),
+        )
+    )
+
+
+_QSK_TAIL_SQL = (
+    "list_reduce(list_transform(range(1, 13), i -> "
+    "CAST(strpos('0123456789abcdef', substring("
+    "md5('q:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 "
+    "AS BIGINT)), (a, d) -> a * 16 + d)"
+)
+
+QSK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS val,
+         CAST(CASE WHEN tail = 0 THEN 48
+                   ELSE 48 - length(bin(tail)) END AS BIGINT) AS lvl
+  FROM (SELECT doc_id, text, {_QSK_TAIL_SQL} AS tail
+        FROM documents WHERE text IS NOT NULL)
+), lv AS (
+  SELECT lvl, sum(c) OVER (ORDER BY lvl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
+  FROM (SELECT lvl, count(*) AS c FROM base GROUP BY 1)
+), thr AS (
+  SELECT min(CASE WHEN cge <= {QSK_CAP} THEN lvl END) AS L FROM lv
+), samp AS (
+  SELECT b.doc_id, b.val FROM base b, thr WHERE b.lvl >= thr.L
+), s AS (
+  SELECT val, row_number() OVER (ORDER BY val, doc_id) AS rn,
+         count(*) OVER () AS n_s
+  FROM samp
+), pct AS (
+  SELECT CAST(unnest([{", ".join(str(p) for p in QSK_PCTS)}]) AS DOUBLE)
+    AS percentile
+), sel AS (
+  SELECT percentile, val AS sketch_value,
+         CAST(n_s AS BIGINT) AS n_retained
+  FROM s JOIN pct ON rn = CAST(ceil(percentile * n_s) AS BIGINT)
+), n AS (SELECT count(*) AS n_total FROM base),
+vc AS (
+  SELECT val, sum(c) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT val, count(*) AS c FROM base GROUP BY 1)
+), tv AS (
+  SELECT percentile, min(val) AS true_value
+  FROM vc, n, pct WHERE cum >= ceil(percentile * n_total)
+  GROUP BY 1
+)
+SELECT sel.percentile, sel.sketch_value, tv.true_value,
+       sel.n_retained, CAST(thr.L AS BIGINT) AS level,
+       round(abs(vc.cum - sel.percentile * n.n_total) / n.n_total, 6)
+         AS rank_err
+FROM sel
+JOIN tv USING (percentile)
+JOIN vc ON vc.val = sel.sketch_value, n, thr
+"""
+
+QUERIES.update(
+    {
+        "sketch_quantile_doclen": QuerySpec(
+            sketch_quantile_doclen, QSK_ORACLE
+        ),
+    }
+)

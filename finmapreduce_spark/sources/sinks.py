@@ -564,6 +564,62 @@ def compact_hll_store(
     )
 
 
+def compact_quantile_store(
+    spark,
+    store_dir: str,
+    target_files: int = 1,
+) -> dict:
+    """Periodic offline compaction for the quantile-sampler store pair
+    (streaming/pipeline.py::serve_quantile_sketch_continuous):
+
+    - ``levels/`` is SUM-merged — the DSIR posture: dedup replayed
+      appends on (epoch, lvl), then pre-sum to ≤49 sealed rows;
+    - ``sample/`` is a row SET — dedup on doc_id, then drop rows
+      below the CURRENT adaptive threshold L (recomputed from the
+      compacted level totals): L is non-decreasing in the data, so
+      pruned rows can never be needed by a later refilter.
+
+    Returns the merged stats dicts (levels_/sample_ prefixed)."""
+    import os
+
+    from finmapreduce_spark.queries.sketches import _qsk_threshold
+
+    def rewrite_levels(df):
+        if "epoch_id" in df.columns:
+            df = df.dropDuplicates(["epoch_id", "lvl"]).drop("epoch_id")
+        return df.groupBy("lvl").agg(F.sum("c_add").alias("c_add"))
+
+    lstats = _compact_store(
+        spark,
+        os.path.join(store_dir, "levels"),
+        target_files,
+        rewrite_levels,
+        "lvl",
+        keep_epoch=True,
+    )
+    totals = spark.read.parquet(os.path.join(store_dir, "levels")).select(
+        "lvl", F.col("c_add").alias("c")
+    )
+    thr_l = _qsk_threshold(totals).collect()[0]["L"]
+
+    def rewrite_sample(df):
+        return df.dropDuplicates(["doc_id"]).filter(
+            F.col("lvl") >= F.lit(int(thr_l))
+        )
+
+    sstats = _compact_store(
+        spark,
+        os.path.join(store_dir, "sample"),
+        target_files,
+        rewrite_sample,
+        "doc_id",
+    )
+    return {
+        **{f"levels_{k}": v for k, v in lstats.items()},
+        **{f"sample_{k}": v for k, v in sstats.items()},
+    }
+
+
 def save_corpus_orc(df, path: str) -> None:
     """ORC corpus layout, partitioned by lang — the format-breadth
     twin of the parquet layouts above for estates standardized on ORC

@@ -1278,3 +1278,116 @@ def serve_cms_watchlist_continuous(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_quantile_sketch_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous doc-length quantile estimation with a LIVE adaptive
+    hash-level sampler store (queries/sketches.py::
+    sketch_quantile_doclen's streaming twin). Two store components
+    under ``store_dir``:
+
+    - ``levels/`` — per-level row counts, SUM-merged (the CMS/DSIR
+      replay posture: _prior_history dedups (epoch, lvl) so a
+      crashed-then-replayed epoch cannot double-count),
+    - ``sample/`` — retained (doc_id, val, lvl) rows, append-only.
+
+    Each epoch: level the micro-batch (deterministic md5 — identical
+    to the batch twin), merge level counts with history, recompute
+    the adaptive threshold L over the TOTALS, refilter
+    (prior sample ∪ batch) at L, emit the epoch's percentile
+    estimates over everything seen so far, then append the batch's
+    level increments and its lvl ≥ L rows. L is non-decreasing in
+    the data, so rows admitted at an earlier (smaller) L are a
+    superset of what any later refilter needs — the refiltered union
+    IS the batch twin's sample over the union (pinned in
+    test_streaming), and a compactor may irreversibly drop sample
+    rows below the current L.
+
+    Per-epoch cost: |delta| leveling + a ≤49-row count merge + a
+    capacity-bounded selection window — never the history."""
+    from finmapreduce_spark.queries.sketches import (
+        QSK_PCTS,
+        _qsk_base,
+        _qsk_select,
+        _qsk_threshold,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+
+        # the two component stores live under one parent; the append
+        # markers are store-dir siblings, so the parent must exist
+        os.makedirs(store_dir, exist_ok=True)
+        levels_dir = os.path.join(store_dir, "levels")
+        sample_dir = os.path.join(store_dir, "sample")
+        _check_store_unlocked(levels_dir)
+        _check_store_unlocked(sample_dir)
+        spark = batch_df.sparkSession
+        base = _qsk_base(batch_df).persist()
+        try:
+            lvlc_inc = base.groupBy("lvl").agg(
+                F.count("*").alias("c_add")
+            )
+            merged_counts = lvlc_inc
+            if os.path.exists(levels_dir):
+                merged_counts = merged_counts.unionByName(
+                    _prior_history(
+                        spark, levels_dir, epoch_id, dedupe_key=["lvl"]
+                    ).select("lvl", "c_add")
+                )
+            thr = _qsk_threshold(
+                merged_counts.groupBy("lvl").agg(
+                    F.sum("c_add").alias("c")
+                )
+            )
+            pool = base.select("doc_id", "val", "lvl")
+            if os.path.exists(sample_dir):
+                pool = pool.unionByName(
+                    _prior_history(spark, sample_dir, epoch_id).select(
+                        "doc_id", "val", "lvl"
+                    )
+                )
+            retained = pool.join(
+                F.broadcast(thr), F.col("lvl") >= F.col("L")
+            ).persist()
+            pcts = spark.createDataFrame(
+                [(p,) for p in QSK_PCTS], "percentile double"
+            )
+            est = _qsk_select(
+                retained.select("doc_id", "val"), pcts
+            ).crossJoin(
+                F.broadcast(thr.select(F.col("L").cast("long").alias("level")))
+            ).select(
+                F.lit(int(epoch_id)).cast("long").alias("epoch"),
+                "percentile",
+                "sketch_value",
+                "n_retained",
+                "level",
+            )
+            _epoch_json(est, out_dir, epoch_id)
+            _guarded_store_append(
+                lvlc_inc.select("lvl", "c_add"), levels_dir, epoch_id
+            )
+            _guarded_store_append(
+                base.join(
+                    F.broadcast(thr), F.col("lvl") >= F.col("L")
+                ).select("doc_id", "val", "lvl"),
+                sample_dir,
+                epoch_id,
+            )
+            retained.unpersist()
+        finally:
+            base.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

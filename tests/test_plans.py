@@ -1085,11 +1085,36 @@ def test_sketch_plans_stay_bounded_and_jvm(spark, sf_dir):
     TakeOrderedAndProject."""
     cms = plan_of(QS["sketch_countmin_grams"].spark(spark, sf_dir))
     hll = plan_of(QS["sketch_hll_distinct"].spark(spark, sf_dir))
-    for plan in (cms, hll):
+    qsk = plan_of(QS["sketch_quantile_doclen"].spark(spark, sf_dir))
+    for plan in (cms, hll, qsk):
         assert "EvalPython" not in plan
         assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in cms
     assert "HashAggregate" in hll
+    # quantile sampler: every join is broadcast (threshold scalar,
+    # percentile literals, truth table) and the corpus-sized aggs are
+    # hash aggregations with map-side partials
+    assert "BroadcastHashJoin" in qsk or "BroadcastNestedLoopJoin" in qsk
+    assert "HashAggregate" in qsk
+
+
+def test_host_frontier_rank_is_distributed(spark, sf_dir):
+    """r13: the crawl-frontier priority rank runs over the HOST set —
+    10⁷–10⁸ rows on a web corpus — so its row_number must be banded
+    like every other data-shaped rank: partitioned by the log-scale
+    value band (desc_long_band on total_rank), offsets broadcast.
+    (Not the shared helper: upstream the doc-level keepers⨝pagerank
+    join may legitimately sort-merge, so only the rank's own windows
+    and offset join are pinned here.)"""
+    plan = plan_of(QS["host_frontier_rank"].spark(spark, sf_dir))
+    rn_specs = [
+        l for l in plan.splitlines()
+        if "row_number() windowspecdefinition(" in l
+    ]
+    assert rn_specs, "expected a row_number window in the plan"
+    for spec in rn_specs:
+        assert "_band#" in spec, spec
+    assert "BroadcastHashJoin" in plan
 
 
 def test_shard_assignment_rank_is_distributed(spark, sf_dir):

@@ -746,3 +746,66 @@ def test_sam_lcs_matches_bruteforce(a, b):
             best = max(best, k)
     assert sam_lcs(a, b) == best
     assert sam_lcs(b, a) == best  # symmetric even though the SAM isn't
+
+
+def test_quantile_sketch_merge_is_map_side_combine(spark, sf_dir):
+    """r13: the adaptive hash-level quantile sampler must be
+    MERGEABLE — sketch(A ∪ B) computed from the union must equal the
+    merge of the two halves' sketches (union the retained samples,
+    sum the level counts, recompute L over the sum, refilter) — the
+    property that makes map-side partial aggregation the sketch
+    merge at 100 TB. Retention is a per-row predicate given L, so
+    the refiltered union is EXACTLY the union's sample."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.sketches import (
+        _docs,
+        _qsk_base,
+        _qsk_select,
+        _qsk_threshold,
+        QSK_PCTS,
+    )
+
+    docs = _docs(spark, sf_dir)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    pcts = spark.createDataFrame(
+        [(p,) for p in QSK_PCTS], "percentile double"
+    )
+
+    def sketch_state(d):
+        """A part's sketch state: (retained sample at ITS local L,
+        full level-count table) — what an executor would emit."""
+        base = _qsk_base(d).persist()
+        lvlc = base.groupBy("lvl").agg(F.count("*").alias("c"))
+        thr = _qsk_threshold(lvlc)
+        samp = base.join(F.broadcast(thr), F.col("lvl") >= F.col("L"))
+        return samp.select("doc_id", "val", "lvl"), lvlc
+
+    sa, ca = sketch_state(half_a)
+    sb, cb = sketch_state(half_b)
+    # merge: sum level counts, recompute L, refilter the sample union
+    merged_counts = (
+        ca.unionByName(cb).groupBy("lvl").agg(F.sum("c").alias("c"))
+    )
+    merged_thr = _qsk_threshold(merged_counts)
+    merged_sample = (
+        sa.unionByName(sb)
+        .join(F.broadcast(merged_thr), F.col("lvl") >= F.col("L"))
+        .select("doc_id", "val")
+    )
+    got = sorted(
+        map(tuple, _qsk_select(merged_sample, pcts).collect())
+    )
+
+    # direct sketch of the union
+    base = _qsk_base(docs).persist()
+    thr = _qsk_threshold(base.groupBy("lvl").agg(F.count("*").alias("c")))
+    samp = base.join(F.broadcast(thr), F.col("lvl") >= F.col("L")).select(
+        "doc_id", "val"
+    )
+    want = sorted(map(tuple, _qsk_select(samp, pcts).collect()))
+
+    assert got == want
+    assert len(want) == len(QSK_PCTS)
+    spark.catalog.clearCache()

@@ -496,3 +496,151 @@ def test_banded_rank_equals_plain_row_number(spark):
     }
     assert got == want
     assert len(want) == sum(g * 7 + 5 for g in range(3))
+
+
+def test_desc_long_band_monotone_and_rank_exact(spark):
+    """r13: the log-scale value band for DESCENDING long ranks.
+    (a) Band order must coarsen the descending key order — for any
+    two values, a strictly smaller band value implies a strictly
+    larger key (monotone across binade boundaries, powers of two,
+    zero, and values sharing a 9-bit prefix). (b) banded_rank over
+    the band must reproduce the plain desc-window row_number,
+    including tie classes (equal keys, host-asc tiebreak) that
+    necessarily share a band."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.operators.distrank import (
+        banded_rank,
+        desc_long_band,
+    )
+
+    vals = sorted(
+        {
+            0, 1, 2, 3, 511, 512, 513, 1023, 1024, 1025,
+            (1 << 40) - 1, 1 << 40, (1 << 40) + 1, (1 << 62) - 1,
+            7, 7, 70, 700, 1 << 20, (1 << 20) + 1,
+        }
+    )
+    # tie class: five rows share value 7 with distinct tiebreaks
+    rows = [(v, f"h{i:03d}") for i, v in enumerate(vals)] + [
+        (7, f"tie{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "val long, host string").withColumn(
+        "_band", desc_long_band(F.col("val"))
+    )
+    collected = df.select("val", "_band").distinct().collect()
+    # (a) monotone: sort by band asc → val non-increasing
+    by_band = sorted(collected, key=lambda r: (r["_band"], -r["val"]))
+    vs = [r["val"] for r in by_band]
+    assert vs == sorted(vs, reverse=True)
+    # distinct binades get distinct bands (adaptivity, no collapse)
+    assert len({r["_band"] for r in collected}) > len(vals) // 2
+    # (b) exact rank vs the single-window reference
+    got = {
+        (r["val"], r["host"]): r["rank"]
+        for r in banded_rank(
+            df,
+            band_cols=["_band"],
+            order_cols=[F.col("val").desc(), F.col("host").asc()],
+        ).collect()
+    }
+    want = {
+        (r["val"], r["host"]): r["rank"]
+        for r in df.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("val"), F.asc("host")))
+            .cast("long"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_image_phash_grid_on_hot_clone_corpus(spark, sf_dir, tmp_path):
+    """r13: image near-dup dedup on a clone-bombed corpus. Appended
+    docs share one residue mod 2304 (= lcm of the synth dims/phase
+    cycles), so their PPM payloads are byte-identical → identical
+    dHash → every band bucket holds all 150 clones and the pair
+    product (11k+ pairs, spanning >2 grid blocks of 64) must tile,
+    not funnel. The expected pair set is recomputed INDEPENDENTLY
+    from the synth formula with numpy — full value check of hash,
+    banding, dedupe-across-bands, and Hamming verify."""
+    import duckdb
+    import numpy as np
+
+    from finmapreduce_spark.queries.multimodal import (
+        PHASH_HAMMING_MAX,
+        dedup_image_phash_pairs,
+    )
+
+    out = str(tmp_path / "hotimg")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    n_clones = 150
+    clone_ids = [600000 + 2304 * i for i in range(n_clones)]
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/documents.parquet'
+          UNION ALL
+          SELECT uid AS doc_id, 'clone page' AS text, 'en' AS lang,
+                 'hot' AS source, 10 AS n_chars
+          FROM unnest({clone_ids}) AS t(uid)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+
+    got = sorted(
+        (r["asset_a"], r["asset_b"], r["hamming"])
+        for r in dedup_image_phash_pairs(spark, out).collect()
+    )
+
+    # independent reference: synth formula → gray → dHash → bands
+    def dhash(d):
+        w, h = d % 16 + 4, d % 12 + 4
+        buf = (31 * d + 7 * np.arange(w * h * 3)) % 256
+        gray = buf.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+        g = gray[(np.arange(8) * h) // 8][:, (np.arange(9) * w) // 9]
+        return (g[:, :8] > g[:, 1:]).reshape(-1)
+
+    ids = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{out}/documents.parquet' "
+            "WHERE doc_id % 3 = 0"
+        ).fetchall()
+    )
+    hs = {d: dhash(d) for d in ids}
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for d in ids:
+        bits = hs[d]
+        for k in range(4):
+            v = 0
+            for j in range(16):
+                v = (v << 1) | int(bits[16 * k + j])
+            buckets[(k, v)].append(d)
+    want = set()
+    for ds in buckets.values():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                p = (min(a, b), max(a, b))
+                ham = int((hs[p[0]] != hs[p[1]]).sum())
+                if ham <= PHASH_HAMMING_MAX:
+                    want.add((p[0], p[1], ham))
+    assert got == sorted(want)
+    # the clone cluster really is hot: all clone pairs present at 0
+    n_clone_pairs = sum(
+        1 for a, b, h in got if a >= 600000 and b >= 600000 and h == 0
+    )
+    assert n_clone_pairs == n_clones * (n_clones - 1) // 2
+    spark.catalog.clearCache()

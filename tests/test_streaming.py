@@ -1704,3 +1704,104 @@ def test_continuous_cms_watchlist_accumulates_and_overestimates(
     # reports under the caller's original spelling
     assert rows[(1, " Alert ")] == rows[(1, "alert")]
     spark.catalog.clearCache()
+
+
+def test_continuous_quantile_sketch_matches_batch_twin(spark, tmp_path):
+    """r13: the live quantile-sampler store must be the batch twin's
+    equal — after N epochs the emitted percentile estimates equal
+    sketch_quantile_doclen's selection run over the UNION of all
+    epochs' docs (L is non-decreasing, so rows admitted early are a
+    superset of any later refilter's needs), and the compactor must
+    preserve the estimates while pruning below the current L."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.sketches import (
+        QSK_PCTS,
+        _qsk_base,
+        _qsk_select,
+        _qsk_threshold,
+    )
+    from finmapreduce_spark.sources.sinks import compact_quantile_store
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_quantile_sketch_continuous,
+    )
+
+    landing = tmp_path / "qsk_landing"
+    landing.mkdir()
+    docs0 = [(i, "w " * (i % 37 + 1)) for i in range(0, 400)]
+    docs1 = [(i, "w " * (i % 53 + 1)) for i in range(400, 900)]
+    for name, docs in [("e0.json", docs0), ("e1.json", docs1)]:
+        (landing / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": d, "text": t.strip()})
+                for d, t in docs
+            )
+            + "\n"
+        )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    store = tmp_path / "qsk_store"
+    out = tmp_path / "qsk_out"
+    q = serve_quantile_sketch_continuous(
+        stream, str(store), str(out), str(tmp_path / "qsk_ckpt")
+    ).start()
+    q.awaitTermination()
+
+    got = {
+        (r["epoch"], r["percentile"]): (
+            r["sketch_value"],
+            r["n_retained"],
+            r["level"],
+        )
+        for r in spark.read.json(str(out)).collect()
+    }
+    assert len(got) == 2 * len(QSK_PCTS)
+
+    # batch twin over the union of both epochs
+    union = spark.createDataFrame(
+        [(d, t.strip()) for d, t in docs0 + docs1],
+        "doc_id long, text string",
+    )
+    base = _qsk_base(union).persist()
+    thr = _qsk_threshold(
+        base.groupBy("lvl").agg(F.count("*").alias("c"))
+    )
+    samp = base.join(F.broadcast(thr), F.col("lvl") >= F.col("L"))
+    pcts = spark.createDataFrame(
+        [(p,) for p in QSK_PCTS], "percentile double"
+    )
+    want = {
+        r["percentile"]: (r["sketch_value"], r["n_retained"])
+        for r in _qsk_select(samp.select("doc_id", "val"), pcts).collect()
+    }
+    for p in QSK_PCTS:
+        sv, nr, _lvl = got[(1, p)]
+        assert (sv, nr) == want[p]
+
+    # compaction preserves the final estimates and prunes below L
+    stats = compact_quantile_store(spark, str(store))
+    assert stats["sample_rows_after"] <= stats["sample_rows_before"]
+    totals = spark.read.parquet(str(store / "levels")).select(
+        "lvl", F.col("c_add").alias("c")
+    )
+    l_now = _qsk_threshold(totals).collect()[0]["L"]
+    sample_rows = spark.read.parquet(str(store / "sample"))
+    assert sample_rows.filter(F.col("lvl") < l_now).count() == 0
+    got2 = {
+        r["percentile"]: (r["sketch_value"], r["n_retained"])
+        for r in _qsk_select(
+            sample_rows.select("doc_id", "val"), pcts
+        ).collect()
+    }
+    assert got2 == want
+    spark.catalog.clearCache()
