@@ -50,6 +50,36 @@ def hex_band(key: Column, n_chars: int = RANK_HEX_CHARS) -> Column:
     return F.substring(key, 1, n_chars)
 
 
+def desc_long_band(key: Column, prefix_bits: int = 9) -> Column:
+    """Order-monotone band for ranking a NON-NEGATIVE long key in
+    DESCENDING order, with no sampling pass and no distribution
+    knowledge: a log-scale (binade) band.
+
+    ``bin(r)`` is the minimal binary string of ``r`` — its LENGTH is
+    the bit-length and, at equal length, its lexicographic order is
+    the numeric order. The band packs (bit_length, top ``prefix_bits``
+    bits) into one integer and NEGATES it, so ascending band order is
+    descending key order: up to 64 × 2^prefix_bits bands, adaptively
+    fine wherever the values actually live (a fixed-width complement
+    prefix would collapse every realistic value into one band, since
+    real keys are tiny relative to the complement base).
+
+    Caveat (inherent to any value band): rows with EQUAL key values
+    necessarily share a band, so a massive tie class (10⁷ hosts of
+    rank 1) sorts in one task — of narrow (key, tiebreak) rows only.
+    A hash sub-band cannot fix this without breaking monotonicity,
+    because the within-tie order (the caller's tiebreak columns) is
+    not hash-order. If a tie class dominates at target scale, rank
+    the tie classes themselves (groupBy key → banded class offsets)
+    and hex-band the tiebreak INSIDE each class.
+    """
+    b = F.bin(key.cast("long"))
+    prefix = F.conv(F.substring(b, 1, prefix_bits), 2, 10).cast("long")
+    return -(
+        F.length(b).cast("long") * F.lit(1 << prefix_bits) + prefix
+    )
+
+
 def banded_rank(
     df: DataFrame,
     band_cols: Sequence[str],

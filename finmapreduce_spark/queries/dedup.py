@@ -3530,9 +3530,15 @@ def host_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: _doc_urls (zero-shuffle projection) → URL dedup
     (one groupBy) → host rollup (one groupBy on ≤|hosts| keys) →
-    broadcast-sized join with pagerank_links → one |hosts|-row
-    window. At 100 TB the host rollup is the only corpus-sized
-    shuffle and its key space is the host set."""
+    broadcast-sized join with pagerank_links → the frontier rank.
+    At 100 TB the host rollup is the only corpus-sized shuffle and
+    its key space is the host set — but that host set is 10⁷–10⁸
+    rows on a web corpus, so the rank itself must be distributed
+    too (r13, closing the last data-shaped unpartitioned
+    row_number): banded_rank over a log-scale value band
+    (operators/distrank.py::desc_long_band — order-monotone on
+    desc(total_rank) with no sampling pass), per-band local
+    row_number, broadcast prefix-count offsets."""
     docs = _docs(spark, sf_dir)
     urls = _doc_urls(docs).withColumn(
         "host", F.regexp_extract("url_canonical", r"://([^/?]+)", 1)
@@ -3552,11 +3558,25 @@ def host_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.sum("rank").cast("long").alias("total_rank"))
     )
-    w = W.orderBy(F.desc("total_rank"), F.asc("host"))
-    return (
-        host_stats.join(host_rank, "host")
-        .withColumn("frontier_order", F.row_number().over(w).cast("int"))
-        .select("host", "n_docs", "n_urls", "total_rank", "frontier_order")
+    from finmapreduce_spark.operators.distrank import (
+        banded_rank,
+        desc_long_band,
+    )
+
+    joined = host_stats.join(host_rank, "host").withColumn(
+        "_band", desc_long_band(F.col("total_rank"))
+    )
+    return banded_rank(
+        joined,
+        band_cols=["_band"],
+        order_cols=[F.col("total_rank").desc(), F.col("host").asc()],
+        out_col="frontier_order",
+    ).select(
+        "host",
+        "n_docs",
+        "n_urls",
+        "total_rank",
+        F.col("frontier_order").cast("int").alias("frontier_order"),
     )
 
 
