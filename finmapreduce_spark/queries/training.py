@@ -2810,7 +2810,9 @@ FROM e
 """
 
 
-def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_curriculum_order(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, stage, curriculum_rank): two-stage curriculum — stage
     0 is the Gopher-clean band (mean word length in [3, 10] and
     length >= 5 words, the same bands text_gopher_rules gates on),
@@ -2819,8 +2821,10 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed rank (operators/distrank.py): band = (stage,
     hex-prefix of the hash), so no single task ever sorts the corpus.
     Mean word length strips ALL whitespace (tabs/newlines included,
-    round-12 fix), matching the Gopher rule it cites."""
-    docs = _docs(spark, sf_dir).select(
+    round-12 fix), matching the Gopher rule it cites. ``docs``
+    overrides the corpus (r13: the curation capstone ranks only the
+    SELECTED survivors — ranks must be contiguous over the subset)."""
+    docs = (docs if docs is not None else _docs(spark, sf_dir)).select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
     )
     words = F.split(F.trim("t"), r"\s+")
@@ -3379,8 +3383,10 @@ QUERIES.update(
 SHARD_COUNT = 8
 
 
-def _shard_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
+def _shard_ranked(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    docs = (docs if docs is not None else _docs(spark, sf_dir)).select(
         "doc_id",
         F.size(_words(F.coalesce(F.col("text"), F.lit(""))))
         .cast("long")
@@ -3553,5 +3559,264 @@ FROM top
 QUERIES.update(
     {
         "sample_weighted_es": QuerySpec(sample_weighted_es, _wsample_oracle()),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone (r13): ONE end-to-end DAG entry composing the
+# production curation pipeline the individual lanes exist for —
+#
+#   cleaning funnel (HTML extract ∘ Gopher gate ∘ exact-fp dedup)
+#   ∘ master keep-list (all five dedup signals → CC → min-id keeper)
+#   ∘ DSIR importance selection (keep all target-lang survivors +
+#     top-N pool docs by hashed-n-gram importance)
+#   ∘ curriculum-ordered packing over the SELECTED set (ranks
+#     recomputed contiguous on the survivors — banded)
+#   ∘ LPT shard assignment (two-level banded rank)
+#
+# Each stage is certified alone elsewhere; this entry pins the
+# COMPOSITION — the plan shape a production run executes (the same
+# argument as dedup_master_keep_list). Output: per (shard, stage)
+# doc/token/sequence totals with the funnel counts as certification
+# scalars, so a divergence ANYWHERE in the chain flips a value.
+#
+# Scale: every stage keeps its certified shape — the funnel is one
+# projection + groupBy, the keep-list's generators are banded/grid,
+# DSIR is one bucket shuffle + TakeOrdered, the curriculum and LPT
+# ranks are banded, the packing cumsum is per contiguous-rank bucket,
+# and the final report is one (shard, stage) groupBy.
+# ---------------------------------------------------------------------------
+
+
+def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries.dedup import dedup_master_keep_list
+    from finmapreduce_spark.queries.textops import cleaning_stage
+
+    docs = _docs(spark, sf_dir)
+    staged = cleaning_stage(docs)
+    clean_kept = staged.filter(F.col("keep")).persist()
+    clean_unique = (
+        clean_kept.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    keeplist = dedup_master_keep_list(spark, sf_dir).select("doc_id")
+    survivors = clean_unique.join(keeplist, "doc_id").persist()
+
+    db = _dsir_doc_buckets(spark, sf_dir).persist()
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    tb = db.filter(is_t).groupBy("b").agg(F.sum("c").alias("t"))
+    rb = db.filter(~is_t).groupBy("b").agg(F.sum("c").alias("r"))
+    tot = db.groupBy().agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_tot"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(0)).alias("r_tot"),
+    )
+    pool = db.join(survivors, "doc_id")
+    sel_nt = (
+        _dsir_score(pool.filter(~is_t), tb, rb, tot)
+        .orderBy(F.desc("logw"), "doc_id")
+        .limit(DSIR_BUDGET)
+        .select("doc_id")
+    )
+    surv_t = pool.filter(is_t).select("doc_id").distinct()
+    selected = surv_t.unionByName(sel_nt).persist()
+
+    sel_docs = docs.join(selected, "doc_id").persist()
+    cur = train_curriculum_order(spark, sf_dir, docs=sel_docs)
+    toks = sel_docs.select(
+        "doc_id",
+        F.size(_words(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    layout = _pack_layout(
+        cur.join(toks, "doc_id").select(
+            "doc_id",
+            "stage",
+            "curriculum_rank",
+            F.floor((F.col("curriculum_rank") - 1) / CURR_PACK_CHUNK)
+            .cast("long")
+            .alias("bucket"),
+            "n_tokens",
+        ),
+        order_col="curriculum_rank",
+    )
+    sharded = _shard_ranked(spark, sf_dir, docs=sel_docs).select(
+        "doc_id", "shard"
+    )
+
+    funnel = (
+        docs.agg(F.count("*").alias("n_raw"))
+        .crossJoin(
+            F.broadcast(clean_kept.agg(F.count("*").alias("n_clean_kept")))
+        )
+        .crossJoin(
+            F.broadcast(
+                clean_unique.agg(F.count("*").alias("n_clean_unique"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(survivors.agg(F.count("*").alias("n_dedup_kept")))
+        )
+        .crossJoin(
+            F.broadcast(selected.agg(F.count("*").alias("n_selected")))
+        )
+    )
+    return (
+        layout.join(sharded, "doc_id")
+        .groupBy("shard", "stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("cell_tokens"),
+            F.countDistinct(
+                F.col("bucket") * F.lit(1_000_000) + F.col("seq_id")
+            ).alias("n_seqs"),
+        )
+        .crossJoin(F.broadcast(funnel))
+        .select(
+            "shard",
+            "stage",
+            "n_docs",
+            "cell_tokens",
+            "n_seqs",
+            "n_raw",
+            "n_clean_kept",
+            "n_clean_unique",
+            "n_dedup_kept",
+            "n_selected",
+        )
+    )
+
+
+def _curation_oracle() -> str:
+    from finmapreduce_spark.queries.dedup import DEDUP_MASTER_KEEP_ORACLE
+    from finmapreduce_spark.queries.textops import (
+        _EXTRACT_SQL,
+        _GOPHER_KEEP_SQL,
+        _GOPHER_M_SQL,
+        _PAGE_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE
+page AS (SELECT doc_id, {_PAGE_SQL} AS html FROM documents),
+stagedc AS (SELECT doc_id, {_EXTRACT_SQL} AS extracted FROM page),
+cleaned AS (
+  SELECT doc_id, md5(extracted) AS fp,{_GOPHER_M_SQL}
+  FROM (SELECT doc_id, extracted,
+               string_split_regex(trim(extracted), '\\s+') AS ws
+        FROM stagedc)
+),
+ckeep AS (SELECT doc_id, fp FROM cleaned WHERE {_GOPHER_KEEP_SQL}),
+cuniq AS (SELECT min(doc_id) AS doc_id FROM ckeep GROUP BY fp),
+keepl AS ({DEDUP_MASTER_KEEP_ORACLE}),
+surv AS (SELECT u.doc_id FROM cuniq u JOIN keepl k USING (doc_id)),
+{_DSIR_CTES},
+pool AS (SELECT d.* FROM db d JOIN surv USING (doc_id)),
+scored AS (
+  SELECT d.doc_id,
+         round(sum(d.c * (log2(coalesce(t.t, 0) + 1)
+                          - log2(coalesce(r.r, 0) + 1)))
+               + sum(d.c) * (log2(r_tot + {DSIR_BUCKETS})
+                             - log2(t_tot + {DSIR_BUCKETS})), 6) AS logw
+  FROM pool d LEFT JOIN tb t USING (b) LEFT JOIN rb r USING (b), tot
+  WHERE d.lang <> '{DSIR_TARGET_LANG}'
+  GROUP BY d.doc_id, t_tot, r_tot
+),
+selnt AS (
+  SELECT doc_id FROM scored ORDER BY logw DESC, doc_id LIMIT {DSIR_BUDGET}
+),
+selected AS (
+  SELECT DISTINCT doc_id FROM pool WHERE lang = '{DSIR_TARGET_LANG}'
+  UNION ALL
+  SELECT doc_id FROM selnt
+),
+seldocs AS (SELECT d.* FROM documents d JOIN selected USING (doc_id)),
+feat AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+           AS n_words,
+         CASE WHEN len(string_split_regex(trim(coalesce(text, '')),
+                                          '\\s+')) > 0
+              THEN length(regexp_replace(coalesce(text, ''),
+                                         '\\s', '', 'g'))
+                   * 1.0
+                   / len(string_split_regex(trim(coalesce(text, '')),
+                                            '\\s+'))
+              ELSE 0.0 END AS mean_wl
+  FROM seldocs
+),
+cur AS (
+  SELECT doc_id, stage,
+         CAST(row_number() OVER (ORDER BY stage, k, doc_id) AS BIGINT)
+           AS curriculum_rank
+  FROM (SELECT doc_id,
+               CAST(CASE WHEN n_words >= 5 AND mean_wl >= 3
+                              AND mean_wl <= 10
+                    THEN 0 ELSE 1 END AS INT) AS stage,
+               md5('{SHUFFLE_SEED}' || ':0:' || doc_id) AS k
+        FROM feat)
+),
+ctoks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(coalesce(text, ''))),
+                                     '\\s+')) AS BIGINT) AS n_tokens
+  FROM seldocs
+),
+ptoks AS (
+  SELECT c.doc_id, c.stage, c.curriculum_rank,
+         CAST((c.curriculum_rank - 1) // {CURR_PACK_CHUNK} AS BIGINT)
+           AS bucket,
+         t.n_tokens
+  FROM cur c JOIN ctoks t USING (doc_id)
+),
+packedc AS (
+  SELECT doc_id, stage, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY curriculum_rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS cum_before
+  FROM ptoks
+),
+clayout AS (
+  SELECT doc_id, stage, bucket, n_tokens,
+         CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+  FROM packedc
+),
+lpt AS (
+  SELECT doc_id,
+         CAST((row_number() OVER (
+             ORDER BY -n_tokens, md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1) % {SHARD_COUNT} AS BIGINT) AS shard
+  FROM ctoks
+),
+funnel AS (
+  SELECT (SELECT count(*) FROM documents) AS n_raw,
+         (SELECT count(*) FROM ckeep) AS n_clean_kept,
+         (SELECT count(*) FROM cuniq) AS n_clean_unique,
+         (SELECT count(*) FROM surv) AS n_dedup_kept,
+         (SELECT count(*) FROM selected) AS n_selected
+)
+SELECT l.shard, p.stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS cell_tokens,
+       CAST(count(DISTINCT p.bucket * 1000000 + p.seq_id) AS BIGINT)
+         AS n_seqs,
+       CAST(f.n_raw AS BIGINT) AS n_raw,
+       CAST(f.n_clean_kept AS BIGINT) AS n_clean_kept,
+       CAST(f.n_clean_unique AS BIGINT) AS n_clean_unique,
+       CAST(f.n_dedup_kept AS BIGINT) AS n_dedup_kept,
+       CAST(f.n_selected AS BIGINT) AS n_selected
+FROM clayout p JOIN lpt l USING (doc_id), funnel f
+GROUP BY l.shard, p.stage, f.n_raw, f.n_clean_kept, f.n_clean_unique,
+         f.n_dedup_kept, f.n_selected
+"""
+
+
+QUERIES.update(
+    {
+        "curation_e2e_report": QuerySpec(
+            curation_e2e_report, _curation_oracle()
+        ),
     }
 )
