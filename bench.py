@@ -161,6 +161,9 @@ HEADLINE = [
     # hash-level quantile sampler (mergeable per-row retention
     # predicate; only corpus-sized agg is the ≤49-row level groupBy)
     "sketch_quantile_doclen",
+    # round-13 (cont.): integer-weighted MinHash (idf-banded shingle
+    # replication — boilerplate-resistant weighted Jaccard)
+    "dedup_weighted_minhash_pairs",
 ]
 
 

@@ -4117,3 +4117,181 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf-WEIGHTED MinHash (r13 frontier): boilerplate-resistant
+# near-dup signatures. Plain MinHash treats every shingle equally, so
+# a site-wide navigation/license block (low-idf shingles) can carry
+# two unrelated pages over the similarity bar. The weighted variant
+# signs the WEIGHTED element universe instead: each shingle s is
+# replicated into w(s) distinct elements (s,1)..(s,w(s)) with w(s) a
+# small integer idf band (df ≤ 1 → 4, ≤ 3 → 3, ≤ 8 → 2, else 1 —
+# integer thresholds, no float log, so the twins cannot misround),
+# and plain MinHash over the replicated universe IS an unbiased
+# sketch of the weighted Jaccard
+#   J_w(A,B) = Σ_{s∈A∩B} w(s) / Σ_{s∈A∪B} w(s)
+# — the replication construction of integer-weighted MinHash
+# (Haveliwala et al.; the SPREAD-style drop-in signature upgrade).
+# Rare (informative) shingles get up to 4× the vote; ubiquitous
+# boilerplate gets 1×.
+#
+# Scale shape vs the unweighted lane: idf weighting fundamentally
+# needs document frequencies, so this lane pays (a) one groupBy on
+# the shingle string (uniform content keys, map-side combined) and
+# (b) one signature groupBy on doc_id over ≤4× the shingle volume —
+# both bounded shuffles, no new pair-side cost: the band self-join
+# rides the same grid tiler, and the verify is one array_intersect
+# of replicated 64-bit hashes per candidate pair (|A∩B| of the
+# replicated sets EQUALS Σ min w over shared shingles exactly,
+# because w is a global per-shingle weight).
+# ---------------------------------------------------------------------------
+
+WMH_THRESHOLD = JACCARD_THRESHOLD  # same bar as the unweighted lane
+
+
+def dedup_weighted_minhash_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    # The shingled projection is PERSISTED before the explode:
+    # Catalyst collapses the scan→split→shingle expression into the
+    # Generate's child, and the generator path re-evaluates it per
+    # EMITTED row (measured 9.6 s vs 4.0 s at sf0.1 — the same
+    # expression-rematerialization class as the hoisted-md5 lesson).
+    # The cache also feeds ex's THREE consumers (df table, weight
+    # join, per-doc weight sums via the sig agg) once. NULL-text docs
+    # are excluded on the BASE column (the simhash pushdown lesson);
+    # shingles IS NULL iff text IS NULL, so the oracle's
+    # shingles-IS-NOT-NULL filter is the same set.
+    sh = (
+        with_shingles(_docs(spark, sf_dir).filter(F.col("text").isNotNull()))
+        .select("doc_id", "shingles")
+        .persist()
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    wtab = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "s",
+            F.when(F.col("df") <= 1, 4)
+            .when(F.col("df") <= 3, 3)
+            .when(F.col("df") <= 8, 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("w"),
+        )
+    )
+    reps = ex.join(wtab, "s").select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(1), F.col("w"))).alias("r"),
+    )
+    mins = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(i), F.col("s"), F.col("r")))
+        ).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    sig = reps.groupBy("doc_id").agg(
+        *mins,
+        F.collect_list(
+            F.xxhash64(F.concat_ws(":", F.col("s"), F.col("r")))
+        ).alias("rh"),
+    )
+    band0, band1 = _band_exprs()
+    buckets = (
+        sig.select(
+            "doc_id",
+            "rh",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                    F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "rh", "b.band_id", "b.key")
+        .persist()
+    )
+    cand = grid_self_pairs(
+        buckets, ["band_id", "key"], "doc_id", ["rh"], block=LSH_GRID_BLOCK
+    ).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "rh_a",
+        "rh_b",
+    )
+    inter = F.size(F.array_intersect("rh_a", "rh_b"))
+    wj = inter / (F.size("rh_a") + F.size("rh_b") - inter)
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter_w"),
+            F.size("rh_a").cast("long").alias("w_a"),
+            F.size("rh_b").cast("long").alias("w_b"),
+            F.round(wj, 6).alias("wjaccard"),
+        )
+        .filter(F.col("wjaccard") >= WMH_THRESHOLD)
+    )
+
+
+_WMH_MINS_SQL = ", ".join(
+    f"min(md5({i} || ':' || s || ':' || r)) AS mh_{i}"
+    for i in range(N_HASHES)
+)
+
+DEDUP_WMH_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(shingles) AS s
+  FROM ({_SHINGLES_SQL}) WHERE shingles IS NOT NULL
+), wtab AS (
+  SELECT s, CASE WHEN count(*) <= 1 THEN 4 WHEN count(*) <= 3 THEN 3
+                 WHEN count(*) <= 8 THEN 2 ELSE 1 END AS w
+  FROM ex GROUP BY s
+), reps AS (
+  SELECT doc_id, s, CAST(t.r AS BIGINT) AS r
+  FROM ex JOIN wtab USING (s),
+       LATERAL unnest(range(1, w + 1)) AS t(r)
+), sig AS (
+  SELECT doc_id, {_WMH_MINS_SQL} FROM reps GROUP BY doc_id
+), buckets AS (
+  SELECT doc_id, 0 AS band_id, {_BAND0} AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, {_BAND1} AS key FROM sig
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id
+), dw AS (
+  SELECT e.doc_id, CAST(sum(w.w) AS BIGINT) AS wd
+  FROM ex e JOIN wtab w USING (s) GROUP BY 1
+), iw AS (
+  SELECT c.doc_a, c.doc_b, CAST(sum(w.w) AS BIGINT) AS inter_w
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.s = a.s
+  JOIN wtab w ON w.s = a.s
+  GROUP BY 1, 2
+), verified AS (
+  SELECT i.doc_a, i.doc_b, i.inter_w, da.wd AS w_a, db.wd AS w_b,
+         round(i.inter_w * 1.0 / (da.wd + db.wd - i.inter_w), 6)
+           AS wjaccard
+  FROM iw i
+  JOIN dw da ON da.doc_id = i.doc_a
+  JOIN dw db ON db.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, inter_w, w_a, w_b, wjaccard
+FROM verified WHERE wjaccard >= {WMH_THRESHOLD}
+"""
+
+QUERIES.update(
+    {
+        "dedup_weighted_minhash_pairs": QuerySpec(
+            dedup_weighted_minhash_pairs, DEDUP_WMH_ORACLE
+        ),
+    }
+)

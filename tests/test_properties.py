@@ -809,3 +809,61 @@ def test_quantile_sketch_merge_is_map_side_combine(spark, sf_dir):
     assert got == want
     assert len(want) == len(QSK_PCTS)
     spark.catalog.clearCache()
+
+
+def test_weighted_minhash_demotes_boilerplate_pairs(spark, tmp_path):
+    """r13: the POINT of idf-weighted signatures. On a corpus where
+    many docs share a large site-wide boilerplate block, plain
+    Jaccard scores boilerplate-only pairs nearly as high as a true
+    near-dup pair; the weighted score (rare shingles get 4× the
+    vote, ubiquitous ones 1×) must open a margin: every
+    boilerplate-only pair scores BELOW a bar that the true
+    content-duplicate pair stays above — while plain Jaccard cannot
+    separate them at any threshold that keeps the true pair."""
+    import os
+
+    import pandas as pd
+
+    from finmapreduce_spark.queries.dedup import (
+        dedup_lsh_pairs,
+        dedup_weighted_minhash_pairs,
+    )
+
+    boiler = " ".join(f"nav{i} menu{i} legal{i}" for i in range(30))
+    body = " ".join(
+        f"substantive content token{i} research finding{i}"
+        for i in range(25)
+    )
+    rows = [
+        (d, boiler + f" filler{d} unique body words number {d} alpha beta")
+        for d in range(10)
+    ]
+    rows += [(200, body + " version one extra"),
+             (201, body + " version two extra")]
+    pdf = pd.DataFrame(
+        [(d, t, "en", "synth", len(t)) for d, t in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    corpus = str(tmp_path / "boiler")
+    os.makedirs(corpus)
+    pdf.to_parquet(os.path.join(corpus, "documents.parquet"))
+
+    plain = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_lsh_pairs(spark, corpus).collect()
+    }
+    wmh = {
+        (r["doc_a"], r["doc_b"]): r["wjaccard"]
+        for r in dedup_weighted_minhash_pairs(spark, corpus).collect()
+    }
+    true_pair = (200, 201)
+    boiler_plain = [v for k, v in plain.items() if k != true_pair]
+    boiler_wmh = [v for k, v in wmh.items() if k != true_pair]
+    assert boiler_plain and boiler_wmh
+    # plain cannot separate: boilerplate pairs score within 0.1 of
+    # the true pair
+    assert max(boiler_plain) > plain[true_pair] - 0.1
+    # weighted opens a real margin: every boilerplate pair below 0.75,
+    # true pair above 0.9
+    assert max(boiler_wmh) < 0.75 < 0.9 < wmh[true_pair]
+    spark.catalog.clearCache()
