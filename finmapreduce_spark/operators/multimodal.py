@@ -508,3 +508,53 @@ def dhash_images(assets: DataFrame) -> DataFrame:
             )
 
     return imgs.mapInPandas(mapper, schema=DHASH_SCHEMA)
+
+
+AFP_BITS = 64  # 1-D difference hash over the |amplitude| envelope
+AFP_SCHEMA = "asset_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def afp_audio(assets: DataFrame) -> DataFrame:
+    """Acoustic fingerprint over the binary WAV payloads — the audio
+    member of the multimodal dedup family (dhash_images' 1-D twin).
+
+    REAL decode (stdlib RIFF/WAV codec) → |amplitude| envelope →
+    nearest-neighbor resample to AFP_BITS+1 points (same (i*n)//out
+    index math as the image resize, oracle-reconstructible) →
+    bit(i) = env(i) > env(i+1), 64 bits MSB-first, emitted as FOUR
+    16-bit Manku band integers. A re-encode or level-preserving copy
+    of the same source keeps the envelope SHAPE, which is what the
+    difference bits capture; absolute gain shifts cancel in the
+    comparisons. One Arrow mapInPandas pass, one decode per asset;
+    swap the codec for ffmpeg at production, stage contract
+    unchanged."""
+    import numpy as np
+
+    auds = assets.filter(F.col("kind") == "audio").select(
+        "asset_id", "payload"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, pcm = decode_audio(bytes(payload))
+                s = np.array(pcm_to_samples(pcm), dtype=np.int64)
+                env = np.abs(s)
+                idx = (np.arange(AFP_BITS + 1) * len(s)) // (AFP_BITS + 1)
+                e = env[idx]
+                bits = (e[:AFP_BITS] > e[1:])
+                bands = []
+                for k in range(4):
+                    v = 0
+                    for j in range(16):
+                        v = (v << 1) | int(bits[16 * k + j])
+                    bands.append(v)
+                rows.append((int(aid), *bands))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return auds.mapInPandas(mapper, schema=AFP_SCHEMA)

@@ -539,3 +539,117 @@ FROM cand WHERE {_DH_XOR_SUM} <= {PHASH_HAMMING_MAX}
 QUERIES["dedup_image_phash_pairs"] = QuerySpec(
     dedup_image_phash_pairs, IMAGE_PHASH_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup dedup (r13): dhash_images' 1-D twin over the WAV
+# lane — |amplitude|-envelope difference bits, 4×16-bit Manku bands
+# through the grid tiler, popcount verify. The synthetic envelopes
+# are phase-aligned sawtooths (sample k = ((17d+11k) mod 4096)−2048),
+# so many assets legitimately share fingerprints — the hot buckets
+# (87 > the 64-row grid block at sf0.01) are exactly what the tiler
+# exists for, and the oracle rebuilds every envelope point from the
+# formula.
+# ---------------------------------------------------------------------------
+
+AFP_HAMMING_MAX = 3
+
+
+def dedup_audio_fingerprint_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from finmapreduce_spark.operators.multimodal import afp_audio
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    sig = afp_audio(_assets(spark, sf_dir))
+    bands = sig.select(
+        "asset_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"b{k}").alias("bv")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select(
+        "asset_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.col("bd.k").alias("k"),
+        F.col("bd.bv").alias("bv"),
+    )
+    cand = grid_self_pairs(
+        bands, ["k", "bv"], "asset_id", ["b0", "b1", "b2", "b3"]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b")))
+        for k in range(4)
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
+        .select(
+            F.col("asset_id_a").alias("asset_a"),
+            F.col("asset_id_b").alias("asset_b"),
+            "hamming",
+        )
+    )
+
+
+# env(t) = abs(((17*d + 11*((t*n)//65)) % 4096) - 2048), n = d%256+64
+_AFP_N = "(doc_id % 256 + 64)"
+_AFP_ENV = (
+    f"abs(((17*doc_id + 11*((t*{_AFP_N})//65)) % 4096) - 2048)"
+)
+
+
+def _afp_band_sql(k: int) -> str:
+    terms = []
+    for j in range(16):
+        i = 16 * k + j
+        terms.append(
+            f"(CASE WHEN gr[{i + 1}] > gr[{i + 2}]"
+            f" THEN {1 << (15 - j)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+AUDIO_AFP_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, list_transform(range(0, 65), t -> {_AFP_ENV}) AS gr
+  FROM documents WHERE doc_id % 3 = 1
+), sig AS (
+  SELECT doc_id,
+         CAST({_afp_band_sql(0)} AS BIGINT) AS b0,
+         CAST({_afp_band_sql(1)} AS BIGINT) AS b1,
+         CAST({_afp_band_sql(2)} AS BIGINT) AS b2,
+         CAST({_afp_band_sql(3)} AS BIGINT) AS b3
+  FROM g
+), bands AS (
+  SELECT doc_id, b0, b1, b2, b3, k,
+         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS k)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+         a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
+         b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT asset_a, asset_b, CAST({_DH_XOR_SUM} AS BIGINT) AS hamming
+FROM cand WHERE {_DH_XOR_SUM} <= {AFP_HAMMING_MAX}
+"""
+
+QUERIES["dedup_audio_fingerprint_pairs"] = QuerySpec(
+    dedup_audio_fingerprint_pairs, AUDIO_AFP_ORACLE
+)

@@ -2212,8 +2212,13 @@ CLS_EPOCHS = 3
 _HEXPOS = "strpos('0123456789abcdef', substring(h, {p}, 1)) - 1"
 
 
-def _cls_features(spark: SparkSession, sf_dir: str):
+def _cls_features(
+    spark: SparkSession, sf_dir: str, labeled: DataFrame | None = None
+):
     """(doc_id, y, idx, wgt) signed hashed-BoW features + bias rows.
+    ``labeled`` overrides the default lang=='en' labeling with any
+    (doc_id, y, text) frame (r13: the contrastive quality classifier
+    labels from the engine's own funnel/dedup signals).
 
     Tokenization and md5 bucket/sign bit-match the SQL oracle (the
     u6_hashing_bow_cosine correspondence: trim = spaces only, split
@@ -2227,10 +2232,14 @@ def _cls_features(spark: SparkSession, sf_dir: str):
     # scheduling on the small persisted feature table). At 100 TB
     # the corpus is thousands of row groups and the scan fans out by
     # itself; the ingest-side fix is the bucketed corpus sink.
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
-        "text",
+    docs = (
+        labeled
+        if labeled is not None
+        else _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+            "text",
+        )
     )
     toks = docs.select(
         "doc_id",
@@ -2331,9 +2340,17 @@ def classifier_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _cls_oracle(tail: str | None = None) -> str:
+def _cls_oracle(
+    tail: str | None = None,
+    labeled_sql: str | None = None,
+    prelude: str = "",
+    recursive: bool = False,
+) -> str:
     """Unrolled-epoch CTE chain; ``tail`` overrides the final SELECT
-    (default: per-doc margins)."""
+    (default: per-doc margins). ``labeled_sql`` overrides the labeled
+    CTE body (any (doc_id, y, text) SELECT); ``prelude`` injects CTEs
+    BEFORE it (with trailing comma); ``recursive`` switches the WITH
+    keyword when the prelude contains a recursive walk."""
     dim = CLS_DIM
     epochs = []
     prev_w = "w1"
@@ -2368,10 +2385,14 @@ SELECT doc_id, CAST(y AS INT) AS label, CAST(m AS BIGINT) AS margin,
        CAST(m_avg AS BIGINT) AS margin_avg,
        CAST(CASE WHEN m_avg > 0 THEN 1 ELSE 0 END AS INT) AS pred
 FROM final"""
+    if labeled_sql is None:
+        labeled_sql = (
+            "SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END"
+            " AS y, text FROM documents"
+        )
     return f"""
-WITH labeled AS (
-  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, text
-  FROM documents
+WITH {"RECURSIVE " if recursive else ""}{prelude}labeled AS (
+  {labeled_sql}
 ), hx AS (
   SELECT doc_id, y, md5(w) AS h FROM (
     SELECT doc_id, y,
@@ -3817,6 +3838,126 @@ QUERIES.update(
     {
         "curation_e2e_report": QuerySpec(
             curation_e2e_report, _curation_oracle()
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Negative-signal quality classifier (r13 frontier): contrastive
+# training on the ENGINE'S OWN curation signals — no human labels.
+# Positives are the docs the funnel would ship (Gopher keep AND not a
+# near-dup cluster loser); negatives are what it rejects (Gopher
+# fails ∪ non-canonical near-dups — the boilerplate/duplication
+# class). The averaged perceptron then learns a hashed-BoW scorer
+# that generalizes those rules to unseen docs — the fasttext-style
+# bootstrap every production quality pipeline runs (CCNet/Gopher
+# labels → linear scorer → corpus-wide inference at a fraction of
+# the rule battery's cost). Reuses the ENTIRE certified trainer
+# (_cls_features/_cls_train — integer arithmetic, bit-identical
+# oracle) with only the label CTE swapped; Spark-side labels come
+# from the same cleaning_stage / dedup_cluster_canonical operators
+# the funnel runs, so the twins cannot diverge on labeling.
+#
+# Honest accuracy note (the langid convention): the synthetic corpus
+# draws every doc from one shared vocabulary, so hashed-BoW barely
+# separates the funnel classes here (train acc 0.55 vs 0.52
+# majority at sf0.01). What the catalog certifies is the LABELING
+# COMPOSITION + the distributed training arithmetic; on a real crawl
+# the Gopher-fail/duplication classes have strongly distinct token
+# distributions (boilerplate, spam patterns) and this exact recipe
+# is the standard production bootstrap.
+# ---------------------------------------------------------------------------
+
+
+def classifier_quality_contrastive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from finmapreduce_spark.queries.dedup import dedup_cluster_canonical
+    from finmapreduce_spark.queries.textops import cleaning_stage
+
+    docs = _docs(spark, sf_dir)
+    keepf = cleaning_stage(docs).select("doc_id", "keep")
+    losers = (
+        dedup_cluster_canonical(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id", F.lit(True).alias("is_loser"))
+    )
+    labeled = (
+        docs.join(keepf, "doc_id")
+        .join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("keep") & F.col("is_loser").isNull(), 1)
+            .otherwise(-1)
+            .alias("y"),
+            "text",
+        )
+    )
+    feat = _cls_features(spark, sf_dir, labeled=labeled).persist()
+    weights, acc, margins = _cls_train(feat)
+    return (
+        margins(weights, "m")
+        .join(margins(acc, "m_avg"), ["doc_id", "y"])
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("label"),
+            F.col("m").alias("margin"),
+            F.col("m_avg").alias("margin_avg"),
+            (F.col("m_avg") > 0).cast("int").alias("pred"),
+        )
+    )
+
+
+def _quality_cls_oracle() -> str:
+    from finmapreduce_spark.queries.dedup import DEDUP_LSH_ORACLE
+    from finmapreduce_spark.queries.textops import (
+        _EXTRACT_SQL,
+        _GOPHER_KEEP_SQL,
+        _GOPHER_M_SQL,
+        _PAGE_SQL,
+    )
+
+    prelude = f"""page AS (
+  SELECT doc_id, {_PAGE_SQL} AS html FROM documents
+), stagedq AS (
+  SELECT doc_id, {_EXTRACT_SQL} AS extracted FROM page
+), gq AS (
+  SELECT doc_id,{_GOPHER_M_SQL}
+  FROM (SELECT doc_id, extracted,
+               string_split_regex(trim(extracted), '\\s+') AS ws
+        FROM stagedq)
+), ckq AS (
+  SELECT doc_id, {_GOPHER_KEEP_SQL} AS keep FROM gq
+), cpairs AS ({DEDUP_LSH_ORACLE}),
+cedges AS (
+  SELECT doc_a, doc_b FROM cpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM cpairs
+),
+cwalk(doc_id, label) AS (
+  SELECT doc_a, doc_a FROM cedges
+  UNION
+  SELECT e.doc_b, w.label FROM cwalk w JOIN cedges e ON e.doc_a = w.doc_id
+),
+closers AS (
+  SELECT doc_id FROM cwalk GROUP BY doc_id HAVING doc_id <> min(label)
+), """
+    labeled_sql = """SELECT d.doc_id,
+       CASE WHEN k.keep AND l.doc_id IS NULL THEN 1 ELSE -1 END AS y,
+       d.text
+  FROM documents d
+  JOIN ckq k USING (doc_id)
+  LEFT JOIN closers l USING (doc_id)"""
+    return _cls_oracle(
+        labeled_sql=labeled_sql, prelude=prelude, recursive=True
+    )
+
+
+QUERIES.update(
+    {
+        "classifier_quality_contrastive": QuerySpec(
+            classifier_quality_contrastive, _quality_cls_oracle()
         ),
     }
 )
