@@ -3961,3 +3961,250 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain mixture reweighting (r13 frontier — Xie et al.
+# 2023, deterministically miniaturized): the third member of the
+# mixture lane. sample_domain_mix fixes quotas, sample_temperature_mix
+# computes them from corpus counts; DoReMi LEARNS them from model
+# loss: domains whose data the current proxy mixture predicts WORSE
+# than a reference model (positive excess loss) get their weight
+# multiplied up, so the final mixture spends its budget where
+# learning headroom remains.
+#
+# Deterministic miniature: "models" are Laplace-smoothed unigram LMs
+# over the DSIR hashed bucket space (K=4096 — domain count tables are
+# |D|×K, never vocabulary-sized; the exact trade DSIR makes).
+# Reference = global-corpus LM; round-r proxy = the w^(r)-weighted
+# MIXTURE of per-domain LMs; excess_d = max(0, H_d(proxy) −
+# H_d(ref)) (per-token cross-entropy on domain d's own empirical
+# distribution); update w ← w·2^(η·excess), normalize. T = 2 rounds,
+# UNROLLED — every step is joins/groupBys over the |D|×K grid, no
+# driver loop, so the DuckDB oracle mirrors CTE-for-CTE. Excess is
+# rounded to 6 dp BEFORE the pow and weights to 9 dp after each
+# normalize, so both engines feed identical doubles into every
+# round (the float-order discipline the trigram-LM oracle
+# established).
+#
+# Scale: token→bucket counts are one map-side-combined groupBy; all
+# downstream tables are ≤|D|×K rows. At 100 TB |D| is tens of
+# domains and K stays fixed — the whole reweighting costs less than
+# one corpus scan beyond the count table.
+#
+# Honest signal note (the langid convention): the synthetic sources
+# draw from ONE shared vocabulary, so every domain's excess is ≈0 and
+# the learned weights stay near-uniform here (spread 1.002 at
+# sf0.01). The catalog certifies the REWEIGHTING ARITHMETIC — count
+# tables, mixture construction, cross-entropies, multiplicative
+# updates — which is domain-distribution-independent; on a real
+# multi-domain corpus the excess spread is what drives the weights.
+# ---------------------------------------------------------------------------
+
+DRM_K = 4096
+DRM_ETA = 1.0
+
+
+def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    h = F.md5(F.col("g"))
+    digit = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(h, i, 1)
+    ) - 1
+    b = ((digit(1) * 16 + digit(2)) * 16 + digit(3)).cast("int")
+    cb = (
+        docs.select("source", F.explode(_words(F.col("text"))).alias("g"))
+        .select("source", b.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    nd = cb.groupBy("source").agg(F.sum("c").alias("n_d"))
+    gb = cb.groupBy("b").agg(F.sum("c").alias("cg"))
+    ntot = cb.agg(F.sum("c").alias("n"))
+    buckets = spark.range(DRM_K).select(F.col("id").cast("int").alias("b"))
+    k = F.lit(DRM_K)
+
+    grid = nd.crossJoin(buckets)
+    pd_ = grid.join(cb, ["source", "b"], "left").select(
+        "source",
+        "b",
+        (
+            (F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("n_d") + k)
+        ).alias("p_d"),
+    ).persist()
+    pref = (
+        buckets.join(gb, "b", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "b",
+            (
+                (F.coalesce(F.col("cg"), F.lit(0)) + 1) / (F.col("n") + k)
+            ).alias("p_ref"),
+        )
+    )
+    ed = cb.join(nd, "source").select(
+        "source", "b", (F.col("c") / F.col("n_d")).alias("e")
+    ).persist()
+
+    def xent(model, pcol, out):
+        return (
+            ed.join(model, "b")
+            .groupBy("source")
+            .agg((-F.sum(F.col("e") * F.log2(F.col(pcol)))).alias(out))
+        )
+
+    lref = xent(pref, "p_ref", "l_ref")
+
+    ndom = nd.agg(F.count("*").alias("ndom"))
+    prox0 = (
+        pd_.groupBy("b")
+        .agg(F.sum("p_d").alias("s"))
+        .crossJoin(F.broadcast(ndom))
+        .select("b", (F.col("s") / F.col("ndom")).alias("p0"))
+    )
+    ex1 = (
+        xent(prox0, "p0", "l0")
+        .join(lref, "source")
+        .select(
+            "source",
+            F.greatest(
+                F.round(F.col("l0") - F.col("l_ref"), 6), F.lit(0.0)
+            ).alias("ex1"),
+        )
+    )
+    w1raw = ex1.select(
+        "source", "ex1", F.pow(F.lit(2.0), F.lit(DRM_ETA) * F.col("ex1")).alias("r")
+    )
+    w1 = (
+        w1raw.crossJoin(
+            F.broadcast(w1raw.agg(F.sum("r").alias("z")))
+        )
+        .select(
+            "source", "ex1", F.round(F.col("r") / F.col("z"), 9).alias("w1")
+        )
+        .persist()
+    )
+    prox1 = (
+        pd_.join(w1.select("source", "w1"), "source")
+        .groupBy("b")
+        .agg(F.sum(F.col("w1") * F.col("p_d")).alias("p1"))
+    )
+    ex2 = (
+        xent(prox1, "p1", "l1")
+        .join(lref, "source")
+        .select(
+            "source",
+            F.greatest(
+                F.round(F.col("l1") - F.col("l_ref"), 6), F.lit(0.0)
+            ).alias("ex2"),
+        )
+    )
+    w2raw = w1.join(ex2, "source").select(
+        "source",
+        "ex1",
+        "ex2",
+        (
+            F.col("w1") * F.pow(F.lit(2.0), F.lit(DRM_ETA) * F.col("ex2"))
+        ).alias("r2"),
+    )
+    return (
+        w2raw.crossJoin(F.broadcast(w2raw.agg(F.sum("r2").alias("z2"))))
+        .join(nd, "source")
+        .select(
+            "source",
+            F.col("n_d").alias("n_tokens"),
+            F.round("ex1", 6).alias("excess_r1"),
+            F.round("ex2", 6).alias("excess_r2"),
+            F.round(F.col("r2") / F.col("z2"), 6).alias("weight"),
+        )
+    )
+
+
+_DRM_B_SQL = (
+    "((strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring(md5(g), 3, 1)) - 1"
+)
+
+DOREMI_ORACLE = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS g
+  FROM documents WHERE text IS NOT NULL
+), cb AS (
+  SELECT source, CAST({_DRM_B_SQL} AS INT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+), nd AS (SELECT source, sum(c) AS n_d FROM cb GROUP BY 1),
+gb AS (SELECT b, sum(c) AS cg FROM cb GROUP BY 1),
+ntot AS (SELECT sum(c) AS n FROM cb),
+buckets AS (SELECT CAST(unnest(range({DRM_K})) AS INT) AS b),
+grid AS (SELECT nd.source, nd.n_d, bk.b FROM nd CROSS JOIN buckets bk),
+pd_ AS (
+  SELECT g.source, g.b,
+         (coalesce(cb.c, 0) + 1) * 1.0 / (g.n_d + {DRM_K}) AS p_d
+  FROM grid g LEFT JOIN cb ON cb.source = g.source AND cb.b = g.b
+),
+pref AS (
+  SELECT bk.b, (coalesce(gb.cg, 0) + 1) * 1.0 / (ntot.n + {DRM_K}) AS p_ref
+  FROM buckets bk LEFT JOIN gb USING (b), ntot
+),
+ed AS (
+  SELECT cb.source, cb.b, cb.c * 1.0 / nd.n_d AS e
+  FROM cb JOIN nd USING (source)
+),
+lref AS (
+  SELECT e.source, -sum(e.e * log2(p.p_ref)) AS l_ref
+  FROM ed e JOIN pref p USING (b) GROUP BY 1
+),
+ndom AS (SELECT count(*) AS ndom FROM nd),
+prox0 AS (
+  SELECT b, sum(p_d) / ndom.ndom AS p0
+  FROM pd_, ndom GROUP BY b, ndom.ndom
+),
+ex1 AS (
+  SELECT l0.source,
+         greatest(round(l0.l0 - lr.l_ref, 6), 0.0) AS ex1
+  FROM (SELECT e.source, -sum(e.e * log2(p.p0)) AS l0
+        FROM ed e JOIN prox0 p USING (b) GROUP BY 1) l0
+  JOIN lref lr USING (source)
+),
+w1raw AS (
+  SELECT source, ex1, power(2.0, {DRM_ETA} * ex1) AS r FROM ex1
+),
+w1 AS (
+  SELECT source, ex1, round(r / z, 9) AS w1
+  FROM w1raw, (SELECT sum(r) AS z FROM w1raw)
+),
+prox1 AS (
+  SELECT p.b, sum(w.w1 * p.p_d) AS p1
+  FROM pd_ p JOIN w1 w USING (source) GROUP BY 1
+),
+ex2 AS (
+  SELECT l1.source,
+         greatest(round(l1.l1 - lr.l_ref, 6), 0.0) AS ex2
+  FROM (SELECT e.source, -sum(e.e * log2(p.p1)) AS l1
+        FROM ed e JOIN prox1 p USING (b) GROUP BY 1) l1
+  JOIN lref lr USING (source)
+),
+w2raw AS (
+  SELECT w1.source, w1.ex1, ex2.ex2,
+         w1.w1 * power(2.0, {DRM_ETA} * ex2.ex2) AS r2
+  FROM w1 JOIN ex2 USING (source)
+)
+SELECT w.source, CAST(nd.n_d AS BIGINT) AS n_tokens,
+       round(w.ex1, 6) AS excess_r1,
+       round(w.ex2, 6) AS excess_r2,
+       round(w.r2 / z.z2, 6) AS weight
+FROM w2raw w, (SELECT sum(r2) AS z2 FROM w2raw) z
+JOIN nd ON nd.source = w.source
+"""
+
+QUERIES.update(
+    {
+        "mixture_doremi_weights": QuerySpec(
+            mixture_doremi_weights, DOREMI_ORACLE
+        ),
+    }
+)

@@ -1391,3 +1391,131 @@ def serve_quantile_sketch_continuous(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def serve_incremental_phash_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous IMAGE ingest dedup with a live perceptual-hash
+    store — the multimodal member of the continuous-store family
+    (queries/multimodal.py::dedup_image_phash_pairs is the batch
+    form). Each epoch: synthesize/decode the micro-batch's image
+    assets, dHash the REAL pixels, probe the band store (4×16-bit
+    Manku bands → Hamming ≤ 3 verify, recall 1.0 by pigeonhole),
+    emit duplicate verdicts (matched history asset + hamming),
+    append the ADMITTED images' band rows — so an image admitted in
+    epoch N rejects its re-upload/re-encode in epoch N+1.
+
+    Same replay posture as serve_incremental_dedup_continuous: the
+    probe excludes this epoch's own crashed-attempt appends (keyed on
+    epoch_id, not asset_id) and dedups store rows. The batch is
+    probed against the STORE only; intra-batch duplicates both admit
+    (self-dedup the delta with dedup_image_phash_pairs first).
+
+    Scale: per-epoch cost is |delta| decodes + a band equi-join
+    against the store; the store grows by 4 rows per admitted image
+    and compacts like the signature stores."""
+    from finmapreduce_spark.operators.multimodal import (
+        dhash_images,
+        fake_assets_from_documents,
+    )
+    from finmapreduce_spark.queries.multimodal import PHASH_HAMMING_MAX
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _check_store_unlocked(store_dir)
+        spark = batch_df.sparkSession
+        sig = dhash_images(
+            fake_assets_from_documents(batch_df)
+        ).persist()
+        try:
+            bands = sig.select(
+                "asset_id",
+                "b0",
+                "b1",
+                "b2",
+                "b3",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(k).alias("k"),
+                                F.col(f"b{k}").alias("bv"),
+                            )
+                            for k in range(4)
+                        ]
+                    )
+                ).alias("bd"),
+            ).select(
+                "asset_id", "b0", "b1", "b2", "b3",
+                F.col("bd.k").alias("k"), F.col("bd.bv").alias("bv"),
+            )
+            import os
+
+            ham = sum(
+                F.bit_count(
+                    F.col(f"b{k}").bitwiseXOR(F.col(f"hist_b{k}"))
+                )
+                for k in range(4)
+            ).cast("long")
+            if os.path.exists(store_dir):
+                hist = _prior_history(spark, store_dir, epoch_id)
+                hist = hist.dropDuplicates(["asset_id", "k", "bv"]).select(
+                    F.col("asset_id").alias("hist_asset"),
+                    "k",
+                    "bv",
+                    *[F.col(f"b{k}").alias(f"hist_b{k}") for k in range(4)],
+                )
+                matches = (
+                    bands.join(hist, ["k", "bv"])
+                    .withColumn("hamming", ham)
+                    .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+                    .groupBy("asset_id")
+                    .agg(
+                        F.min(
+                            F.struct("hamming", "hist_asset")
+                        ).alias("m")
+                    )
+                    .select(
+                        "asset_id",
+                        F.col("m.hist_asset").alias("hist_asset"),
+                        F.col("m.hamming").alias("hamming"),
+                    )
+                )
+            else:
+                matches = (
+                    sig.select("asset_id").limit(0)
+                    .select(
+                        "asset_id",
+                        F.lit(None).cast("long").alias("hist_asset"),
+                        F.lit(None).cast("long").alias("hamming"),
+                    )
+                )
+            verdicts = sig.select("asset_id").join(
+                matches, "asset_id", "left"
+            ).select(
+                F.col("asset_id"),
+                F.col("hist_asset").isNotNull().alias("is_duplicate"),
+                "hist_asset",
+                "hamming",
+            ).persist()
+            _epoch_json(verdicts, out_dir, epoch_id)
+            admitted = bands.join(
+                verdicts.filter(F.col("is_duplicate")).select("asset_id"),
+                "asset_id",
+                "left_anti",
+            )
+            _guarded_store_append(admitted, store_dir, epoch_id)
+            verdicts.unpersist()
+        finally:
+            sig.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -1805,3 +1805,68 @@ def test_continuous_quantile_sketch_matches_batch_twin(spark, tmp_path):
     }
     assert got2 == want
     spark.catalog.clearCache()
+
+
+def test_continuous_phash_store_rejects_reuploaded_image(spark, tmp_path):
+    """r13: the live image-phash store. Epoch 0 admits image assets;
+    epoch 1 contains a BYTE-IDENTICAL re-upload (doc_id ≡ epoch-0
+    doc mod 2304 ⇒ identical synth pixels ⇒ identical dHash) which
+    must be rejected with hist_asset pointing at the epoch-0 admit
+    and hamming 0, while a fresh image admits. Epoch-0 verdicts are
+    all non-duplicate (empty store)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from finmapreduce_spark.streaming.pipeline import (
+        serve_incremental_phash_continuous,
+    )
+
+    landing = tmp_path / "ph_landing"
+    landing.mkdir()
+    # doc_ids ≡ 0 mod 3 are images; 600000 and 602304 are clones
+    e0 = [{"doc_id": 600000, "text": "a"}, {"doc_id": 9, "text": "b"}]
+    e1 = [{"doc_id": 602304, "text": "c"}, {"doc_id": 12, "text": "d"}]
+    (landing / "e0.json").write_text(
+        "\n".join(_json.dumps(r) for r in e0) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        "\n".join(_json.dumps(r) for r in e1) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = tmp_path / "ph_out"
+    q = serve_incremental_phash_continuous(
+        stream,
+        str(tmp_path / "ph_store"),
+        str(out),
+        str(tmp_path / "ph_ckpt"),
+    ).start()
+    q.awaitTermination()
+
+    rows = {
+        (r["epoch_id"], r["asset_id"]): (
+            r["is_duplicate"],
+            r["hist_asset"],
+            r["hamming"],
+        )
+        for r in spark.read.json(str(out)).collect()
+    }
+    # epoch 0: both images admitted (store empty)
+    assert rows[(0, 600000)] == (False, None, None)
+    assert rows[(0, 9)] == (False, None, None)
+    # epoch 1: the clone is rejected against the epoch-0 admit
+    assert rows[(1, 602304)] == (True, 600000, 0)
+    # the fresh image admits (no near-dup in a 2-image store)
+    assert rows[(1, 12)][0] is False
+    # store holds band rows only for ADMITTED assets
+    store = spark.read.parquet(str(tmp_path / "ph_store"))
+    admitted = {r["asset_id"] for r in store.select("asset_id").collect()}
+    assert admitted == {600000, 9, 12}
+    spark.catalog.clearCache()
