@@ -653,3 +653,93 @@ FROM cand WHERE {_DH_XOR_SUM} <= {AFP_HAMMING_MAX}
 QUERIES["dedup_audio_fingerprint_pairs"] = QuerySpec(
     dedup_audio_fingerprint_pairs, AUDIO_AFP_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup dedup (r13): completes the modality triple (image
+# dHash / audio envelope fingerprint / video FRAME-SET overlap).
+# multimodal_dup_frames finds individual shared frames; this is its
+# PAIR form — the shot-level containment signal between two videos:
+# distinct sampled frames really decoded (O(1) Y4M seek), keyed by
+# content digest, video pairs sharing ≥1 frame scored by
+# shared / min(|frames|) (the containment convention of the LCS
+# lane). The frame-key self-join rides grid_cross-style tiling in
+# its dedupe=False COUNTING mode: each row pair meets in exactly one
+# cell, so the per-pair groupBy count equals the plain join's — and
+# a frame shared by a re-encode cluster cannot funnel its pair
+# product through one task.
+# ---------------------------------------------------------------------------
+
+VIDEO_OVERLAP_DUP = 0.4
+
+
+def dedup_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    frames = (
+        frame_sample(_assets(spark, sf_dir), FRAME_EVERY_MS)
+        .select("asset_id", "frame_key")
+        .distinct()
+        .persist()
+    )
+    counts = frames.groupBy("asset_id").agg(
+        F.count("*").cast("long").alias("nf")
+    )
+    shared = (
+        grid_self_pairs(
+            frames, ["frame_key"], "asset_id", [], dedupe=False
+        )
+        .groupBy("asset_id_a", "asset_id_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    ov = F.col("shared") / F.least(F.col("na"), F.col("nb"))
+    return (
+        shared.join(
+            counts.select(
+                F.col("asset_id").alias("asset_id_a"),
+                F.col("nf").alias("na"),
+            ),
+            "asset_id_a",
+        )
+        .join(
+            counts.select(
+                F.col("asset_id").alias("asset_id_b"),
+                F.col("nf").alias("nb"),
+            ),
+            "asset_id_b",
+        )
+        .select(
+            F.col("asset_id_a").alias("asset_a"),
+            F.col("asset_id_b").alias("asset_b"),
+            "shared",
+            F.col("na").alias("n_frames_a"),
+            F.col("nb").alias("n_frames_b"),
+            F.round(ov, 6).alias("overlap"),
+            (F.round(ov, 6) >= VIDEO_OVERLAP_DUP).alias("is_dup"),
+        )
+    )
+
+
+VIDEO_PAIRS_ORACLE = f"""
+WITH fr AS (SELECT DISTINCT asset_id, frame_key FROM ({_FRAME_KEY_SQL})),
+counts AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS nf FROM fr GROUP BY 1),
+pairs AS (
+  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM fr a JOIN fr b
+    ON a.frame_key = b.frame_key AND a.asset_id < b.asset_id
+  GROUP BY 1, 2
+)
+SELECT p.asset_a, p.asset_b, p.shared,
+       ca.nf AS n_frames_a, cb.nf AS n_frames_b,
+       round(p.shared * 1.0 / least(ca.nf, cb.nf), 6) AS overlap,
+       round(p.shared * 1.0 / least(ca.nf, cb.nf), 6)
+         >= {VIDEO_OVERLAP_DUP} AS is_dup
+FROM pairs p
+JOIN counts ca ON ca.asset_id = p.asset_a
+JOIN counts cb ON cb.asset_id = p.asset_b
+"""
+
+QUERIES["dedup_video_frame_pairs"] = QuerySpec(
+    dedup_video_frame_pairs, VIDEO_PAIRS_ORACLE
+)
