@@ -795,3 +795,177 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Grouped quantile sketch (r13 — the per-group form, mirroring
+# sketch_hll_users_daily's role for HLL): per-LANGUAGE doc-length
+# quantiles with an independent adaptive threshold per group. The
+# sampler composes group-wise for free — levels are per-row, the
+# threshold is a per-group aggregate, retention stays a per-row
+# predicate — so one query serves every group and map-side combine
+# still IS the merge within each group. Capacity is 64 here (vs the
+# global sketch's 256) so the adaptive level genuinely engages on
+# the local fixture's per-lang volumes.
+# ---------------------------------------------------------------------------
+
+QSK_GROUP_CAP = 64
+
+
+def sketch_quantile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = (
+        _qsk_base(_docs(spark, sf_dir))
+        .join(
+            _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+        )
+        .persist()
+    )
+    lvlc = base.groupBy("lang", "lvl").agg(F.count("*").alias("c"))
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    thr = (
+        lvlc.select("lang", "lvl", F.sum("c").over(wcum).alias("cge"))
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("cge") <= QSK_GROUP_CAP, F.col("lvl"))
+            ).alias("L")
+        )
+    )
+    sample = base.join(F.broadcast(thr), "lang").filter(
+        F.col("lvl") >= F.col("L")
+    )
+    wrn = W.partitionBy("lang").orderBy("val", "doc_id")
+    wall = W.partitionBy("lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    s = sample.select(
+        "lang",
+        "val",
+        "L",
+        F.row_number().over(wrn).alias("rn"),
+        F.count("*").over(wall).alias("n_s"),
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in QSK_PCTS], "percentile double"
+    )
+    sel = s.join(
+        F.broadcast(pcts),
+        F.col("rn") == F.ceil(F.col("percentile") * F.col("n_s")),
+    ).select(
+        "lang",
+        "percentile",
+        F.col("val").alias("sketch_value"),
+        F.col("n_s").cast("long").alias("n_retained"),
+        F.col("L").cast("long").alias("level"),
+    )
+    # exact per-group truth via the value-domain cumulative count
+    n_tot = base.groupBy("lang").agg(F.count("*").alias("n_total"))
+    wv = (
+        W.partitionBy("lang")
+        .orderBy("val")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    vc = (
+        base.groupBy("lang", "val")
+        .agg(F.count("*").alias("c"))
+        .select("lang", "val", F.sum("c").over(wv).alias("cum"))
+    )
+    tv = (
+        vc.join(F.broadcast(n_tot), "lang")
+        .join(
+            F.broadcast(pcts),
+            F.col("cum") >= F.ceil(F.col("percentile") * F.col("n_total")),
+        )
+        .groupBy("lang", "percentile")
+        .agg(F.min("val").alias("true_value"))
+    )
+    return (
+        vc.withColumnRenamed("val", "sketch_value")
+        .withColumnRenamed("cum", "true_rank")
+        .join(F.broadcast(sel), ["lang", "sketch_value"])
+        .join(F.broadcast(tv), ["lang", "percentile"])
+        .join(F.broadcast(n_tot), "lang")
+        .select(
+            "lang",
+            "percentile",
+            "sketch_value",
+            "true_value",
+            "n_retained",
+            "level",
+            F.round(
+                F.abs(
+                    F.col("true_rank")
+                    - F.col("percentile") * F.col("n_total")
+                )
+                / F.col("n_total"),
+                6,
+            ).alias("rank_err"),
+        )
+    )
+
+
+QSK_LANG_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS val,
+         CAST(CASE WHEN tail = 0 THEN 48
+                   ELSE 48 - length(bin(tail)) END AS BIGINT) AS lvl
+  FROM (SELECT doc_id, lang, text, {_QSK_TAIL_SQL} AS tail
+        FROM documents WHERE text IS NOT NULL)
+), lv AS (
+  SELECT lang, lvl, sum(c) OVER (PARTITION BY lang ORDER BY lvl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
+  FROM (SELECT lang, lvl, count(*) AS c FROM base GROUP BY 1, 2)
+), thr AS (
+  SELECT lang, min(CASE WHEN cge <= {QSK_GROUP_CAP} THEN lvl END) AS L
+  FROM lv GROUP BY 1
+), samp AS (
+  SELECT b.lang, b.doc_id, b.val, t.L
+  FROM base b JOIN thr t USING (lang) WHERE b.lvl >= t.L
+), s AS (
+  SELECT lang, val, L,
+         row_number() OVER (PARTITION BY lang ORDER BY val, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_s
+  FROM samp
+), pct AS (
+  SELECT CAST(unnest([{", ".join(str(p) for p in QSK_PCTS)}]) AS DOUBLE)
+    AS percentile
+), sel AS (
+  SELECT lang, percentile, val AS sketch_value,
+         CAST(n_s AS BIGINT) AS n_retained, CAST(L AS BIGINT) AS level
+  FROM s JOIN pct ON rn = CAST(ceil(percentile * n_s) AS BIGINT)
+), n AS (SELECT lang, count(*) AS n_total FROM base GROUP BY 1),
+vc AS (
+  SELECT lang, val, sum(c) OVER (PARTITION BY lang ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT lang, val, count(*) AS c FROM base GROUP BY 1, 2)
+), tv AS (
+  SELECT vc.lang, percentile, min(val) AS true_value
+  FROM vc JOIN n USING (lang), pct
+  WHERE cum >= ceil(percentile * n_total)
+  GROUP BY 1, 2
+)
+SELECT sel.lang, sel.percentile, sel.sketch_value, tv.true_value,
+       sel.n_retained, sel.level,
+       round(abs(vc.cum - sel.percentile * n.n_total) / n.n_total, 6)
+         AS rank_err
+FROM sel
+JOIN tv ON tv.lang = sel.lang AND tv.percentile = sel.percentile
+JOIN vc ON vc.lang = sel.lang AND vc.val = sel.sketch_value
+JOIN n ON n.lang = sel.lang
+"""
+
+QUERIES.update(
+    {
+        "sketch_quantile_by_lang": QuerySpec(
+            sketch_quantile_by_lang, QSK_LANG_ORACLE
+        ),
+    }
+)
