@@ -1132,3 +1132,28 @@ def test_shard_assignment_rank_is_distributed(spark, sf_dir):
         assert "_nb#" in spec and "_hband#" in spec, spec
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_minhash_plan_shape(spark, sf_dir):
+    """r13: the weighted-MinHash lane must stay JVM-side (no Python
+    nodes — signatures, replication, and verify are all column
+    algebra) and its shingle explode must read from the persisted
+    projection (an InMemoryTableScan feeding the Generate), never
+    re-derive the shingle expression per emitted row — the 22 s → 4 s
+    rematerialization fix (SCALE.md round-13)."""
+    plan = plan_of(QS["dedup_weighted_minhash_pairs"].spark(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_multimodal_dedup_plans_are_arrow_and_tiled(spark, sf_dir):
+    """r13: the image/audio perceptual-hash lanes decode through ONE
+    Arrow stage (MapInPandas — never row-at-a-time BatchEvalPython)
+    and pair through the grid tiler's window/join machinery, with the
+    Hamming verify as JVM xor+popcount (no second Python node)."""
+    for name in ("dedup_image_phash_pairs", "dedup_audio_fingerprint_pairs"):
+        plan = plan_of(QS[name].spark(spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        spark.catalog.clearCache()
