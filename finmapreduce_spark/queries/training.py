@@ -4208,3 +4208,105 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage eval decontamination (r13): the production composition
+# the Bloom pre-screen exists for. Stage 1 probes every training
+# shingle against the O(m)-bit benchmark Bloom filter (broadcast bit
+# set, Kirsch–Mitzenmacher positions — sketch_bloom_contamination's
+# construction) and keeps only docs with ≥1 full-k hit; stage 2 runs
+# the EXACT broadcast-set overlap, but only over the screened docs.
+#
+# The oracle is the SINGLE-STAGE exact computation
+# (CONTAMINATION_ORACLE, verbatim): by the no-false-negative theorem
+# (certified per-doc in sketch_bloom_contamination) every truly
+# contaminated doc passes the screen, so the two-stage output is
+# IDENTICAL to the single-stage one — the catalog entry certifies the
+# composition loses nothing, which is exactly the license to deploy
+# the cheap screen at 100 TB (the exact set costs O(|bench shingles|)
+# broadcast memory; the filter costs O(m) bits, and stage 2's
+# expensive join touches only the screened sliver).
+#
+# Honest local measurement: at sf0.1 the two-stage runs 10.8 s vs the
+# single-stage 1.9 s — the synthetic benchmark set is tiny, so its
+# exact broadcast is free and stage 1 is pure added work (k probe
+# rows per shingle). The composition pays off exactly when the bench
+# shingle set outgrows the broadcast budget, which is the 100 TB
+# regime this entry certifies the semantics for — not a local win,
+# and deliberately NOT in bench's headline set.
+# ---------------------------------------------------------------------------
+
+
+def contamination_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries.sketches import (
+        BLOOM_K,
+        _bloom_positions,
+    )
+
+    # persist before exploding — the generator-rematerialization
+    # lesson (SCALE.md round-13)
+    sh = (
+        with_shingles(_docs(spark, sf_dir))
+        .filter(F.col("shingles").isNotNull())
+        .select("doc_id", "shingles")
+        .persist()
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    is_bench = F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0
+    bench_g = ex.filter(is_bench).select("g").distinct().persist()
+    ks = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j")
+    bits = (
+        bench_g.select("g", ks)
+        .select(_bloom_positions(F.col("g"), F.col("j")).alias("bit"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    train_g = ex.filter(~is_bench)
+    screened = (
+        train_g.select("doc_id", "g", ks)
+        .select(
+            "doc_id", "g", _bloom_positions(F.col("g"), F.col("j")).alias("bit")
+        )
+        .join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "g")
+        .agg(
+            (F.sum(F.coalesce("set_", F.lit(0))) == BLOOM_K).alias("hit")
+        )
+        .filter(F.col("hit"))
+        .select("doc_id")
+        .distinct()
+    )
+    tsh = train_g.join(screened, "doc_id").select(
+        "doc_id", F.xxhash64("g").alias("s")
+    )
+    bset = bench_g.select(F.xxhash64("g").alias("s")).distinct().withColumn(
+        "hit2", F.lit(1)
+    )
+    rep = (
+        tsh.join(F.broadcast(bset), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("hit2", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return rep.filter(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+QUERIES.update(
+    {
+        # oracle = the SINGLE-STAGE exact query: certifies the Bloom
+        # screen composition is lossless (no-false-negative theorem)
+        "contamination_two_stage": QuerySpec(
+            contamination_two_stage, CONTAMINATION_ORACLE
+        ),
+    }
+)
