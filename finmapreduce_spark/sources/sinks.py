@@ -564,6 +564,26 @@ def compact_hll_store(
     )
 
 
+def compact_phash_store(
+    spark,
+    store_dir: str,
+    target_files: int = 2,
+) -> dict:
+    """Periodic offline compaction for the image perceptual-hash band
+    store (streaming/pipeline.py::serve_incremental_phash_continuous)
+    — same posture as the text signature store: rows are a SET keyed
+    by (asset_id, k, bv), so replayed appends dedupe away and the
+    rewrite sorts by the probe key (bv) for footer-stat skipping on
+    the band equi-join."""
+    return _compact_store(
+        spark,
+        store_dir,
+        target_files,
+        rewrite=lambda d: d.dropDuplicates(["asset_id", "k", "bv"]),
+        probe_key="bv",
+    )
+
+
 def compact_quantile_store(
     spark,
     store_dir: str,

@@ -1869,4 +1869,16 @@ def test_continuous_phash_store_rejects_reuploaded_image(spark, tmp_path):
     store = spark.read.parquet(str(tmp_path / "ph_store"))
     admitted = {r["asset_id"] for r in store.select("asset_id").collect()}
     assert admitted == {600000, 9, 12}
+    # compaction dedupes/sorts without changing the admitted set
+    from finmapreduce_spark.sources.sinks import compact_phash_store
+
+    stats = compact_phash_store(spark, str(tmp_path / "ph_store"))
+    assert stats["rows_after"] <= stats["rows_before"]
+    after = {
+        r["asset_id"]
+        for r in spark.read.parquet(str(tmp_path / "ph_store"))
+        .select("asset_id")
+        .collect()
+    }
+    assert after == admitted
     spark.catalog.clearCache()
