@@ -3610,7 +3610,13 @@ QUERIES.update(
 # ---------------------------------------------------------------------------
 
 
-def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_pipeline_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Run the curation pipeline once and return its stage frames —
+    the shared engine behind curation_e2e_report (the certification
+    aggregate) and the `python -m finmapreduce_spark.curate` CLI
+    (which WRITES the artifacts a training job consumes). Keys:
+    clean_kept, clean_unique, survivors, selected, layout, sharded,
+    funnel (1-row counts)."""
     from finmapreduce_spark.queries.dedup import dedup_master_keep_list
     from finmapreduce_spark.queries.textops import cleaning_stage
 
@@ -3684,6 +3690,20 @@ def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(selected.agg(F.count("*").alias("n_selected")))
         )
     )
+    return {
+        "clean_kept": clean_kept,
+        "clean_unique": clean_unique,
+        "survivors": survivors,
+        "selected": selected,
+        "layout": layout,
+        "sharded": sharded,
+        "funnel": funnel,
+    }
+
+
+def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = curation_pipeline_frames(spark, sf_dir)
+    layout, sharded, funnel = fr["layout"], fr["sharded"], fr["funnel"]
     return (
         layout.join(sharded, "doc_id")
         .groupBy("shard", "stage")

@@ -454,3 +454,41 @@ def test_count_tokens_overlapping_globs_dedupe_grand_total(spark, tmp_path):
     assert out["total"] == {"files": 2, "tokens": 5}
     # 3 tokens -> bucket 2-3; 2 tokens -> bucket 2-3: one entry, 2 files
     assert sum(out["histogram"].values()) == 2
+
+
+def test_curate_cli(spark, tmp_path, capsys):
+    """The curation batch entry point writes the four artifacts a
+    training job consumes, with counts consistent between the funnel
+    summary and the written tables (and with each other: layout and
+    shards cover exactly the selected docs)."""
+    import json as _json
+    import os as _os
+
+    from finmapreduce_spark.curate import main
+
+    out = str(tmp_path / "curated")
+    summary = main(
+        ["--sf_dir", "/root/testdata/sf0.001", "--out", out], spark=spark
+    )
+    printed = _json.loads(capsys.readouterr().out)
+    assert printed["funnel"] == summary["funnel"]
+    for name in (
+        "keep_list.parquet",
+        "selected.parquet",
+        "layout.parquet",
+        "shards.parquet",
+    ):
+        assert _os.path.exists(_os.path.join(out, name)), name
+    sel = spark.read.parquet(_os.path.join(out, "selected.parquet"))
+    lay = spark.read.parquet(_os.path.join(out, "layout.parquet"))
+    shd = spark.read.parquet(_os.path.join(out, "shards.parquet"))
+    keep = spark.read.parquet(_os.path.join(out, "keep_list.parquet"))
+    n_sel = sel.count()
+    assert summary["funnel"]["n_selected"] == n_sel
+    assert summary["funnel"]["n_dedup_kept"] == keep.count()
+    assert lay.count() == n_sel and shd.count() == n_sel
+    assert {r["doc_id"] for r in lay.select("doc_id").collect()} == {
+        r["doc_id"] for r in sel.collect()
+    }
+    assert sum(c["n_docs"] for c in summary["cells"]) == n_sel
+    spark.catalog.clearCache()
