@@ -39,8 +39,13 @@ from pyspark.sql import functions as F
 
 # Hex-prefix width for md5 band keys: 2 chars → 256 bands. Local
 # sizing; at cluster scale widen to 4 (65,536 bands) so a 10⁹-row
-# epoch sorts ~15k rows per task.
-RANK_HEX_CHARS = 2
+# epoch sorts ~15k rows per task. FMR_RANK_HEX_CHARS overrides at
+# deploy time — the rank VALUE is band-width-independent (pinned in
+# test_skew), only the per-task sort volume changes, so widening is
+# always safe.
+import os as _os
+
+RANK_HEX_CHARS = int(_os.environ.get("FMR_RANK_HEX_CHARS", "2"))
 
 
 def hex_band(key: Column, n_chars: int = RANK_HEX_CHARS) -> Column:

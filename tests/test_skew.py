@@ -644,3 +644,29 @@ def test_image_phash_grid_on_hot_clone_corpus(spark, sf_dir, tmp_path):
     )
     assert n_clone_pairs == n_clones * (n_clones - 1) // 2
     spark.catalog.clearCache()
+
+
+def test_rank_band_width_is_tunable_and_value_invariant(spark):
+    """r13: FMR_RANK_HEX_CHARS widens the band space at deploy time;
+    the RANK must be identical at every width (the band is a pure
+    coarsening — only per-task sort volume changes)."""
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.operators.distrank import banded_rank, hex_band
+
+    df = spark.range(500).select(F.col("id").alias("item"))
+    key = F.md5(F.col("item").cast("string"))
+    results = []
+    for width in (1, 2, 4):
+        keyed = df.select(
+            "item", key.alias("_k"), hex_band(key, width).alias("_band")
+        )
+        got = {
+            r["item"]: r["rank"]
+            for r in banded_rank(
+                keyed, band_cols=["_band"], order_cols=["_k", "item"]
+            ).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    assert sorted(results[0].values()) == list(range(1, 501))
