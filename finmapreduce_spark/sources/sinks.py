@@ -517,6 +517,26 @@ def compact_fp_store(
     )
 
 
+def _dedupe_stamped_sum_rows(df, key_cols):
+    """Replay-dedupe for SUM-store compaction rewrites: one row per
+    (epoch, key) among STAMPED rows (a crashed-then-replayed epoch
+    re-appends identical increments), while SEALED rows (epoch_id
+    NULL — seeds, prior compaction output) pass through UNTOUCHED.
+    The naive dropDuplicates(["epoch_id", *key]) treats NULL epochs
+    as equal and would collapse a legitimate multi-row-per-key seed
+    into one row, silently undercounting — the r13 advice fix applied
+    to _prior_history, mirrored here for the offline rewrite path."""
+    if "epoch_id" not in df.columns:
+        return df
+    sealed = df.filter(F.col("epoch_id").isNull()).drop("epoch_id")
+    live = (
+        df.filter(F.col("epoch_id").isNotNull())
+        .dropDuplicates(["epoch_id", *key_cols])
+        .drop("epoch_id")
+    )
+    return live.unionByName(sealed)
+
+
 def compact_dsir_store(
     spark,
     store_dir: str,
@@ -533,8 +553,7 @@ def compact_dsir_store(
     pre-summed (b, t_add, r_add) per bucket, SEALED."""
 
     def rewrite(df):
-        if "epoch_id" in df.columns:
-            df = df.dropDuplicates(["epoch_id", "b"]).drop("epoch_id")
+        df = _dedupe_stamped_sum_rows(df, ["b"])
         return df.groupBy("b").agg(
             F.sum("t_add").alias("t_add"),
             F.sum("r_add").alias("r_add"),
@@ -605,8 +624,7 @@ def compact_quantile_store(
     from finmapreduce_spark.queries.sketches import _qsk_threshold
 
     def rewrite_levels(df):
-        if "epoch_id" in df.columns:
-            df = df.dropDuplicates(["epoch_id", "lvl"]).drop("epoch_id")
+        df = _dedupe_stamped_sum_rows(df, ["lvl"])
         return df.groupBy("lvl").agg(F.sum("c_add").alias("c_add"))
 
     lstats = _compact_store(

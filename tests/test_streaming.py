@@ -1633,15 +1633,36 @@ def test_prior_history_sealed_rows_exempt_from_sum_dedupe(spark, tmp_path):
     stamp_store_epoch(inc, 0).write.mode("append").parquet(store)
     stamp_store_epoch(inc, 0).write.mode("append").parquet(store)
 
-    totals = {
-        r["b"]: r["c"]
-        for r in _prior_history(spark, store, 5, dedupe_key=["b"])
-        .groupBy("b")
-        .agg(F.sum("c_add").alias("c"))
-        .collect()
-    }
+    def totals():
+        return {
+            r["b"]: r["c"]
+            for r in _prior_history(spark, store, 5, dedupe_key=["b"])
+            .groupBy("b")
+            .agg(F.sum("c_add").alias("c"))
+            .collect()
+        }
+
     # sealed 10+5 both kept; stamped replay deduped to one
-    assert totals == {7: 16, 9: 3}
+    assert totals() == {7: 16, 9: 3}
+    # the OFFLINE rewrite shares the posture: compacting a store whose
+    # sealed seed has multiple rows per key must preserve the sums
+    # (the naive dropDuplicates(['epoch_id', key]) would collapse the
+    # NULL-epoch seed rows — r13 self-audit fix in sinks.py)
+    from finmapreduce_spark.sources.sinks import _compact_store
+    from finmapreduce_spark.sources.sinks import _dedupe_stamped_sum_rows
+
+    stats = _compact_store(
+        spark,
+        store,
+        1,
+        rewrite=lambda d: _dedupe_stamped_sum_rows(d, ["b"])
+        .groupBy("b")
+        .agg(F.sum("c_add").alias("c_add")),
+        probe_key="b",
+        keep_epoch=True,
+    )
+    assert stats["rows_after"] <= stats["rows_before"]
+    assert totals() == {7: 16, 9: 3}
     spark.catalog.clearCache()
 
 
