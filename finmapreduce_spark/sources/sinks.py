@@ -564,6 +564,26 @@ def compact_dsir_store(
     )
 
 
+def compact_cms_store(
+    spark,
+    store_dir: str,
+    target_files: int = 1,
+) -> dict:
+    """Periodic offline compaction for the count-min cell store
+    (streaming/pipeline.py::serve_cms_watchlist_continuous): cells
+    merge by SUM, so the rewrite dedupes replayed stamped appends on
+    (epoch, j, b) — sealed rows pass through untouched
+    (_dedupe_stamped_sum_rows) — then pre-sums to ≤d×w sealed rows."""
+
+    def rewrite(df):
+        df = _dedupe_stamped_sum_rows(df, ["j", "b"])
+        return df.groupBy("j", "b").agg(F.sum("c_add").alias("c_add"))
+
+    return _compact_store(
+        spark, store_dir, target_files, rewrite, "b", keep_epoch=True
+    )
+
+
 def compact_hll_store(
     spark,
     store_dir: str,

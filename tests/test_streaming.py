@@ -1724,6 +1724,27 @@ def test_continuous_cms_watchlist_accumulates_and_overestimates(
     # normalized cells (same trim+lower as the corpus tokenizer) and
     # reports under the caller's original spelling
     assert rows[(1, " Alert ")] == rows[(1, "alert")]
+    # compaction pre-sums the cell store without changing any probe:
+    # re-derive the 'alert' estimate from the compacted cells
+    from finmapreduce_spark.queries.sketches import CMS_DEPTH, _hex3
+    from finmapreduce_spark.sources.sinks import compact_cms_store
+
+    stats = compact_cms_store(spark, str(tmp_path / "cms_store"))
+    assert stats["rows_after"] <= stats["rows_before"]
+    cells = spark.read.parquet(str(tmp_path / "cms_store"))
+    probe = spark.createDataFrame(
+        [("alert", j) for j in range(CMS_DEPTH)], "w string, j int"
+    ).select(
+        "w", "j",
+        _hex3(F.md5(F.concat_ws(":", F.col("j"), F.col("w"))), 1).alias("b"),
+    )
+    est = (
+        probe.join(cells, ["j", "b"], "left")
+        .groupBy("w")
+        .agg(F.min(F.coalesce("c_add", F.lit(0))).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est == rows[(1, "alert")]
     spark.catalog.clearCache()
 
 
