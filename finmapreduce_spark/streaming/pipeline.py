@@ -295,7 +295,9 @@ def serve_incremental_substring_continuous(
             # the extra dedup was a redundant whole-store shuffle per
             # epoch; the band twin needs its row-level dedup because
             # its history rows feed a fan-out join, ours do not)
-            history = _prior_history(spark, store_dir, epoch_id)
+            history = _history_or_empty(
+                spark, store_dir, epoch_id, inc_fps
+            )
             totals = inc_fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
             hits = (
                 inc_fps.join(history.select("fp").distinct(), "fp")
@@ -384,7 +386,7 @@ def serve_incremental_passages_continuous(
             # rejections. Keyed on epoch_id, not doc_id, so a doc
             # resubmitted in a later epoch still matches its own
             # prior-epoch grams (verbatim dup → rejected).
-            history = _prior_history(spark, store_dir, epoch_id)
+            history = _history_or_empty(spark, store_dir, epoch_id, grams)
             spans = incremental_passage_spans(grams, history).persist()
             _epoch_json(spans, out_dir, epoch_id)
             iv = spans.select(
@@ -664,6 +666,26 @@ def _guarded_store_append(df: DataFrame, store_dir: str, epoch_id: int) -> None:
         stamp_store_epoch(df, epoch_id).write.mode("append").parquet(store_dir)
 
 
+def _history_or_empty(
+    spark: SparkSession,
+    store_dir: str,
+    epoch_id: int,
+    like: DataFrame,
+    dedupe_key: list[str] | None = None,
+) -> DataFrame:
+    """Cold-start-safe store read: a store directory that does not
+    exist yet reads as an EMPTY history with ``like``'s schema (the
+    first epoch of a fresh ingest admits everything) instead of an
+    AnalysisException — the gap the ingest CLI exposed. ``like`` must
+    be a frame with the store's append schema (every caller appends
+    rows shaped like its probe input)."""
+    import os
+
+    if not os.path.exists(store_dir):
+        return like.limit(0)
+    return _prior_history(spark, store_dir, epoch_id, dedupe_key=dedupe_key)
+
+
 def _prior_history(
     spark: SparkSession,
     store_dir: str,
@@ -751,9 +773,9 @@ def serve_incremental_dedup_continuous(
             # keyed on epoch_id (replay-specific), NOT doc_id: a doc
             # legitimately resubmitted in a LATER epoch must still
             # match its prior-epoch rows and be rejected.
-            history = _prior_history(spark, store_dir, epoch_id).dropDuplicates(
-                ["doc_id", "band_id", "key"]
-            )
+            history = _history_or_empty(
+                spark, store_dir, epoch_id, incoming
+            ).dropDuplicates(["doc_id", "band_id", "key"])
             verdicts = incremental_verdicts(incoming, history).persist()
             _epoch_json(verdicts, out_dir, epoch_id)
             admitted = incoming.join(
@@ -809,9 +831,9 @@ def serve_incremental_semantic_continuous(
         incoming = semantic_signature_table(batch_df).persist()
         verdicts = None
         try:
-            history = _prior_history(spark, store_dir, epoch_id).dropDuplicates(
-                ["doc_id", "band_id", "key"]
-            )
+            history = _history_or_empty(
+                spark, store_dir, epoch_id, incoming
+            ).dropDuplicates(["doc_id", "band_id", "key"])
             verdicts = incremental_semantic_verdicts(incoming, history).persist()
             _epoch_json(verdicts, out_dir, epoch_id)
             admitted = incoming.join(
@@ -973,7 +995,14 @@ def serve_incremental_url_continuous(
         urls = _doc_urls(batch_df).persist()
         verdicts = None
         try:
-            history = _prior_history(spark, store_dir, epoch_id)
+            history = _history_or_empty(
+                spark,
+                store_dir,
+                epoch_id,
+                urls.select(
+                    "url_canonical", F.col("doc_id").alias("keeper")
+                ),
+            )
             keepers = history.groupBy("url_canonical").agg(
                 F.min("keeper").alias("hist_keeper")
             )

@@ -492,3 +492,49 @@ def test_curate_cli(spark, tmp_path, capsys):
     }
     assert sum(c["n_docs"] for c in summary["cells"]) == n_sel
     spark.catalog.clearCache()
+
+
+def test_ingest_cli_drives_continuous_dedup(spark, tmp_path, capsys):
+    """The ingest CLI processes a two-file backlog through the live
+    dedup store with availableNow semantics: two epochs emitted, the
+    epoch-1 near-dup of an epoch-0 admit rejected, store populated."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from finmapreduce_spark.ingest import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(58)) + " novel1 novel2"
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 1, "text": base}) + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 2, "text": near}) + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    summary = main(
+        [
+            "--mode", "dedup",
+            "--landing", str(landing),
+            "--store", str(tmp_path / "store"),
+            "--out", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--max_files_per_trigger", "1",
+        ],
+        spark=spark,
+    )
+    assert summary["epochs"] >= 1 and summary["rows_emitted"] >= 1
+    printed = _json.loads(capsys.readouterr().out)
+    assert printed == summary
+    # epoch 1's near-dup verdict names the epoch-0 admit
+    verdicts = spark.read.json(str(tmp_path / "out")).collect()
+    dup = [r for r in verdicts if r["doc_id"] == 2]
+    assert dup and dup[0]["verdict"] == "reject_near_dup"
+    assert dup[0]["max_jaccard"] > 0.9
+    assert _os.path.exists(str(tmp_path / "store"))
+    spark.catalog.clearCache()
