@@ -4295,3 +4295,123 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware split assignment (r13): the REMEDY for what
+# split_leakage_report detects. Hash-splitting doc_ids leaks whenever
+# near-dup pairs straddle splits; re-keying the split hash on the
+# near-dup CLUSTER label (connected components over the LSH pairs;
+# singletons are their own cluster) puts every near-dup family
+# wholly inside one split — zero leakage BY CONSTRUCTION, and the
+# query certifies it: n_cross_split_pairs is computed from the same
+# pair set and must be 0 (a value the oracle recomputes exactly).
+# Same 80/10/10 bucket thresholds as the doc-level splitter, so the
+# split sizes stay comparable.
+# ---------------------------------------------------------------------------
+
+
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries.textops import _hash_bucket_expr
+
+    pairs = dedup_lsh_pairs_grid(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    lab = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    bucket = _hash_bucket_expr(F.col("cluster")) % 100
+    assigned = lab.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).persist()
+    cross = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .agg(
+            F.coalesce(
+                F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)
+            ).alias("n_cross_split_pairs")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(cross))
+        .select("split", "n_docs", "n_clusters", "n_cross_split_pairs")
+    )
+
+
+def _split_by_cluster_oracle() -> str:
+    from finmapreduce_spark.queries.textops import SPLIT_SQL_BUCKET
+
+    cluster_bucket = SPLIT_SQL_BUCKET.replace("doc_id", "cluster")
+    return f"""
+WITH RECURSIVE pairs AS ({DEDUP_LSH_ORACLE}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_b, w.label FROM walk w JOIN edges e ON e.doc_a = w.doc_id
+),
+labels AS (SELECT doc_id, min(label) AS cluster FROM walk GROUP BY 1),
+lab AS (
+  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+),
+assigned AS (
+  SELECT doc_id, cluster,
+         CASE WHEN ({cluster_bucket}) % 100 < 80 THEN 'train'
+              WHEN ({cluster_bucket}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM lab
+),
+cross_ AS (
+  SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS n_cross_split_pairs
+  FROM pairs p
+  JOIN assigned a ON a.doc_id = p.doc_a
+  JOIN assigned b ON b.doc_id = p.doc_b
+)
+SELECT assigned.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       cross_.n_cross_split_pairs
+FROM assigned, cross_
+GROUP BY assigned.split, cross_.n_cross_split_pairs
+"""
+
+
+QUERIES.update(
+    {
+        "split_by_cluster": QuerySpec(
+            split_by_cluster, _split_by_cluster_oracle()
+        ),
+    }
+)
