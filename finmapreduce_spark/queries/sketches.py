@@ -969,3 +969,101 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Length-outlier flags from the quantile sketch (r13): the cleaning
+# step the sketch exists for — at 100 TB "drop documents beyond the
+# p99 length" cannot afford an exact global quantile, so the cutoff
+# comes from the DETERMINISTIC sampler (recompute-stable across jobs
+# and engines, unlike percentile_approx) and is applied as a per-row
+# broadcast predicate. Output: the flagged docs with the cutoff and
+# the exact percentile-rank of each (truth rides along via the
+# value-domain cumulative count, so the report certifies how far
+# beyond the SKETCH cutoff each flagged doc truly sits).
+# ---------------------------------------------------------------------------
+
+QSK_OUTLIER_PCT = 0.99
+
+
+def quality_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = _qsk_base(_docs(spark, sf_dir)).persist()
+    thresh = _qsk_threshold(
+        base.groupBy("lvl").agg(F.count("*").alias("c"))
+    )
+    sample = base.join(F.broadcast(thresh), F.col("lvl") >= F.col("L"))
+    pcts = spark.createDataFrame(
+        [(QSK_OUTLIER_PCT,)], "percentile double"
+    )
+    cutoff = _qsk_select(sample.select("doc_id", "val"), pcts).select(
+        F.col("sketch_value").alias("cutoff")
+    )
+    n_tot = base.agg(F.count("*").alias("n_total"))
+    wv = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
+    vc = (
+        base.groupBy("val")
+        .agg(F.count("*").alias("c"))
+        .select("val", F.sum("c").over(wv).alias("cum"))
+    )
+    return (
+        base.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("val") > F.col("cutoff"))
+        .join(vc, "val")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            F.col("val").alias("n_tokens"),
+            "cutoff",
+            F.round(F.col("cum") / F.col("n_total"), 6).alias(
+                "true_pct_rank"
+            ),
+        )
+    )
+
+
+QSK_OUTLIER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS val,
+         CAST(CASE WHEN tail = 0 THEN 48
+                   ELSE 48 - length(bin(tail)) END AS BIGINT) AS lvl
+  FROM (SELECT doc_id, text, {_QSK_TAIL_SQL} AS tail
+        FROM documents WHERE text IS NOT NULL)
+), lv AS (
+  SELECT lvl, sum(c) OVER (ORDER BY lvl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
+  FROM (SELECT lvl, count(*) AS c FROM base GROUP BY 1)
+), thr AS (
+  SELECT min(CASE WHEN cge <= {QSK_CAP} THEN lvl END) AS L FROM lv
+), samp AS (
+  SELECT b.doc_id, b.val FROM base b, thr WHERE b.lvl >= thr.L
+), s AS (
+  SELECT val, row_number() OVER (ORDER BY val, doc_id) AS rn,
+         count(*) OVER () AS n_s
+  FROM samp
+), cutoff AS (
+  SELECT val AS cutoff FROM s
+  WHERE rn = CAST(ceil({QSK_OUTLIER_PCT} * n_s) AS BIGINT)
+), n AS (SELECT count(*) AS n_total FROM base),
+vc AS (
+  SELECT val, sum(c) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT val, count(*) AS c FROM base GROUP BY 1)
+)
+SELECT b.doc_id, b.val AS n_tokens, c.cutoff,
+       round(vc.cum * 1.0 / n.n_total, 6) AS true_pct_rank
+FROM base b, cutoff c, n
+JOIN vc ON vc.val = b.val
+WHERE b.val > c.cutoff
+"""
+
+QUERIES.update(
+    {
+        "quality_length_outliers": QuerySpec(
+            quality_length_outliers, QSK_OUTLIER_ORACLE
+        ),
+    }
+)
