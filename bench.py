@@ -18,6 +18,7 @@ BENCH_DETAILS sidecar under "trials".
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -195,6 +196,18 @@ def _shuffle_probe(spark):
     return snapshot
 
 
+def _calibration_probe(spark):
+    """Fixed-work probe (range-sum over 2^28 longs, pure JVM, no
+    shuffle): its wall time moves with host contention exactly like
+    the query walls do, so total/probe is a machine-speed-normalized
+    number comparable across rounds on a noisy host. Round-13 verdict
+    measured 105.9 s vs 288.1 s for the SAME tree in different host
+    sessions — raw wall alone is not a cross-round signal here."""
+    t0 = time.time()
+    spark.range(2 ** 28).selectExpr("sum(id)").collect()
+    return round(time.time() - t0, 3)
+
+
 def main():
     # UI on for shuffle accounting (per-query read/write bytes — a
     # shuffle regression is as real as a wall-time one and survives
@@ -239,19 +252,27 @@ def main():
     ]
     probe = _shuffle_probe(spark)
     n_trials = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
+    calib_start = _calibration_probe(spark)
     timings = {}
     rows = {}
     shuffle = {}
     trials = {}
     trial_rows = {}
+    trial_load = {}
     rows_drifted = []
     total = 0.0
     for name in names:
         before = probe() if probe else None
         per_trial = []
         per_trial_rows = []
+        per_trial_la = []
         n = None
         for t in range(n_trials):
+            per_trial_la.append(
+                round(os.getloadavg()[0], 2)
+                if hasattr(os, "getloadavg")
+                else None
+            )
             t0 = time.time()
             df = qs[name].spark(spark, SF_DIR)
             n_t = df.count()
@@ -272,6 +293,14 @@ def main():
             # returned plan) so later queries/trials aren't measured
             # under the accumulated memory pressure of earlier ones
             spark.catalog.clearCache()
+            # localCheckpoint blocks (BPE merge rounds, connected
+            # components) are NOT covered by clearCache — they free
+            # only after Python drops the py4j refs and ContextCleaner
+            # runs. Collect the Python side so that can happen between
+            # trials instead of compounding (the r13 driver saw
+            # classifier trials grow 5.1→15.2→21.2 s within a session).
+            df = None
+            gc.collect()
             if t == 0 and probe is not None:
                 # shuffle volume is plan-determined — one measurement
                 after1 = probe()
@@ -291,8 +320,10 @@ def main():
         timings[name] = dt
         trials[name] = per_trial
         trial_rows[name] = per_trial_rows
+        trial_load[name] = per_trial_la
         rows[name] = n  # cardinality: catches silent result drift across rounds
         total += dt
+    calib_end = _calibration_probe(spark)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_total_wall",
@@ -308,13 +339,25 @@ def main():
     # trial_rows + rows_drifted make cross-trial nondeterminism (a
     # regression in its own right) visible to JSON consumers, not
     # just the stderr stream (round-12 advice)
+    calib_mean = round((calib_start + calib_end) / 2, 3)
     detail = dict(
         out,
         rows=rows,
         shuffle=shuffle,
         trials=trials,
         trial_rows=trial_rows,
+        trial_load=trial_load,
         rows_drifted=sorted(set(rows_drifted)),
+        # Host-noise instrumentation (r13 verdict Next-round #4):
+        # calibration_sec is the fixed-work probe's wall at run start/
+        # end; normalized_total (= total / mean probe) is the
+        # machine-speed-adjusted headline, the number to trend across
+        # rounds on this host. Shuffle volumes stay the PRIMARY
+        # cross-round gate (tools/bench_trend.py).
+        calibration_sec={"start": calib_start, "end": calib_end},
+        normalized_total=(
+            round(total / calib_mean, 2) if calib_mean > 0 else None
+        ),
     )
     root = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(root, "BENCH_DETAILS.json")
@@ -339,6 +382,15 @@ def main():
         archive = os.path.join(
             root, f"BENCH_DETAILS_r{max(rounds) + 1:02d}.json"
         )
+        # never clobber an existing round archive (the r13 judge's
+        # re-run overwrote the driver's untracked sidecar — VERDICT
+        # r13 disclosure): later same-round runs get a .rerunN name.
+        k = 1
+        while os.path.exists(archive):
+            archive = os.path.join(
+                root, f"BENCH_DETAILS_r{max(rounds) + 1:02d}.rerun{k}.json"
+            )
+            k += 1
         try:
             with open(archive, "w") as f:
                 json.dump(detail, f, indent=1, sort_keys=True)
