@@ -605,8 +605,13 @@ QUERIES.update(
 # rank_err certifies the sketch against it per percentile.
 # ---------------------------------------------------------------------------
 
-QSK_CAP = 256  # sample capacity; ~1/sqrt(CAP) ≈ 6% rank error
-QSK_PCTS = [0.5, 0.9, 0.95, 0.99]
+from finmapreduce_spark.queries._qsk_shared import (  # noqa: E402
+    _QSK_TAIL_SQL,
+    QSK_CAP,
+    QSK_OUTLIER_PCT,
+    QSK_PCTS,
+    qsk_cutoff_sql_ctes,
+)
 
 
 def _qsk_base(docs: DataFrame) -> DataFrame:
@@ -733,13 +738,6 @@ def sketch_quantile_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_QSK_TAIL_SQL = (
-    "list_reduce(list_transform(range(1, 13), i -> "
-    "CAST(strpos('0123456789abcdef', substring("
-    "md5('q:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 "
-    "AS BIGINT)), (a, d) -> a * 16 + d)"
-)
 
 QSK_ORACLE = f"""
 WITH base AS (
@@ -983,23 +981,34 @@ QUERIES.update(
 # beyond the SKETCH cutoff each flagged doc truly sits).
 # ---------------------------------------------------------------------------
 
-QSK_OUTLIER_PCT = 0.99
+def qsk_length_cutoff(
+    spark: SparkSession,
+    docs: DataFrame | None = None,
+    base: DataFrame | None = None,
+    pct: float = QSK_OUTLIER_PCT,
+) -> DataFrame:
+    """1-row (cutoff): the deterministic-sketch length percentile —
+    the reusable trim threshold. Shared by quality_length_outliers
+    (which reports the flagged docs with truth ranks) and the curation
+    capstone (which applies it as a funnel stage). Pass ``base`` to
+    reuse an already-persisted _qsk_base frame."""
+    if base is None:
+        base = _qsk_base(docs)
+    thresh = _qsk_threshold(
+        base.groupBy("lvl").agg(F.count("*").alias("c"))
+    )
+    sample = base.join(F.broadcast(thresh), F.col("lvl") >= F.col("L"))
+    pcts = spark.createDataFrame([(pct,)], "percentile double")
+    return _qsk_select(sample.select("doc_id", "val"), pcts).select(
+        F.col("sketch_value").alias("cutoff")
+    )
 
 
 def quality_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     base = _qsk_base(_docs(spark, sf_dir)).persist()
-    thresh = _qsk_threshold(
-        base.groupBy("lvl").agg(F.count("*").alias("c"))
-    )
-    sample = base.join(F.broadcast(thresh), F.col("lvl") >= F.col("L"))
-    pcts = spark.createDataFrame(
-        [(QSK_OUTLIER_PCT,)], "percentile double"
-    )
-    cutoff = _qsk_select(sample.select("doc_id", "val"), pcts).select(
-        F.col("sketch_value").alias("cutoff")
-    )
+    cutoff = qsk_length_cutoff(spark, base=base)
     n_tot = base.agg(F.count("*").alias("n_total"))
     wv = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
     vc = (
@@ -1024,30 +1033,7 @@ def quality_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QSK_OUTLIER_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id,
-         CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
-              AS BIGINT) AS val,
-         CAST(CASE WHEN tail = 0 THEN 48
-                   ELSE 48 - length(bin(tail)) END AS BIGINT) AS lvl
-  FROM (SELECT doc_id, text, {_QSK_TAIL_SQL} AS tail
-        FROM documents WHERE text IS NOT NULL)
-), lv AS (
-  SELECT lvl, sum(c) OVER (ORDER BY lvl DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
-  FROM (SELECT lvl, count(*) AS c FROM base GROUP BY 1)
-), thr AS (
-  SELECT min(CASE WHEN cge <= {QSK_CAP} THEN lvl END) AS L FROM lv
-), samp AS (
-  SELECT b.doc_id, b.val FROM base b, thr WHERE b.lvl >= thr.L
-), s AS (
-  SELECT val, row_number() OVER (ORDER BY val, doc_id) AS rn,
-         count(*) OVER () AS n_s
-  FROM samp
-), cutoff AS (
-  SELECT val AS cutoff FROM s
-  WHERE rn = CAST(ceil({QSK_OUTLIER_PCT} * n_s) AS BIGINT)
-), n AS (SELECT count(*) AS n_total FROM base),
+WITH {qsk_cutoff_sql_ctes()}, n AS (SELECT count(*) AS n_total FROM base),
 vc AS (
   SELECT val, sum(c) OVER (ORDER BY val
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

@@ -3620,6 +3620,11 @@ def curation_pipeline_frames(spark: SparkSession, sf_dir: str) -> dict:
     from finmapreduce_spark.queries.dedup import dedup_master_keep_list
     from finmapreduce_spark.queries.textops import cleaning_stage
 
+    from finmapreduce_spark.queries.sketches import (
+        _qsk_base,
+        qsk_length_cutoff,
+    )
+
     docs = _docs(spark, sf_dir)
     staged = cleaning_stage(docs)
     clean_kept = staged.filter(F.col("keep")).persist()
@@ -3628,8 +3633,25 @@ def curation_pipeline_frames(spark: SparkSession, sf_dir: str) -> dict:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # p99 length-outlier trim (r13 → r14): the deterministic quantile
+    # sketch's stated purpose, applied between the cleaning funnel and
+    # the keep-list. The cutoff is ONE broadcast scalar from the
+    # capacity-bounded sampler (recompute-stable across jobs/engines —
+    # percentile_approx is not); the trim itself is a per-row
+    # predicate, so this stage adds a left join to the narrow length
+    # projection and nothing corpus-shaped. Docs with NULL text carry
+    # no length row and pass untrimmed (left-join semantics in both
+    # engines).
+    lens = _qsk_base(docs).select("doc_id", "val")
+    cutoff = qsk_length_cutoff(spark, docs)
+    trimmed = (
+        clean_unique.join(lens, "doc_id", "left")
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("val").isNull() | (F.col("val") <= F.col("cutoff")))
+        .select("doc_id")
+    )
     keeplist = dedup_master_keep_list(spark, sf_dir).select("doc_id")
-    survivors = clean_unique.join(keeplist, "doc_id").persist()
+    survivors = trimmed.join(keeplist, "doc_id").persist()
 
     db = _dsir_doc_buckets(spark, sf_dir).persist()
     is_t = F.col("lang") == DSIR_TARGET_LANG
@@ -3684,6 +3706,9 @@ def curation_pipeline_frames(spark: SparkSession, sf_dir: str) -> dict:
             )
         )
         .crossJoin(
+            F.broadcast(trimmed.agg(F.count("*").alias("n_len_kept")))
+        )
+        .crossJoin(
             F.broadcast(survivors.agg(F.count("*").alias("n_dedup_kept")))
         )
         .crossJoin(
@@ -3724,6 +3749,7 @@ def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_raw",
             "n_clean_kept",
             "n_clean_unique",
+            "n_len_kept",
             "n_dedup_kept",
             "n_selected",
         )
@@ -3732,6 +3758,10 @@ def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curation_oracle() -> str:
     from finmapreduce_spark.queries.dedup import DEDUP_MASTER_KEEP_ORACLE
+    # _qsk_shared, not sketches: sketches.py itself imports this
+    # module at init (the Bloom oracle's shingle SQL), so importing
+    # back into sketches here would be a cycle.
+    from finmapreduce_spark.queries._qsk_shared import qsk_cutoff_sql_ctes
     from finmapreduce_spark.queries.textops import (
         _EXTRACT_SQL,
         _GOPHER_KEEP_SQL,
@@ -3751,8 +3781,15 @@ cleaned AS (
 ),
 ckeep AS (SELECT doc_id, fp FROM cleaned WHERE {_GOPHER_KEEP_SQL}),
 cuniq AS (SELECT min(doc_id) AS doc_id FROM ckeep GROUP BY fp),
+{qsk_cutoff_sql_ctes("q")},
+trimmed AS (
+  SELECT u.doc_id FROM cuniq u
+  LEFT JOIN qbase b USING (doc_id)
+  CROSS JOIN qcutoff c
+  WHERE b.val IS NULL OR b.val <= c.cutoff
+),
 keepl AS ({DEDUP_MASTER_KEEP_ORACLE}),
-surv AS (SELECT u.doc_id FROM cuniq u JOIN keepl k USING (doc_id)),
+surv AS (SELECT u.doc_id FROM trimmed u JOIN keepl k USING (doc_id)),
 {_DSIR_CTES},
 pool AS (SELECT d.* FROM db d JOIN surv USING (doc_id)),
 scored AS (
@@ -3835,6 +3872,7 @@ funnel AS (
   SELECT (SELECT count(*) FROM documents) AS n_raw,
          (SELECT count(*) FROM ckeep) AS n_clean_kept,
          (SELECT count(*) FROM cuniq) AS n_clean_unique,
+         (SELECT count(*) FROM trimmed) AS n_len_kept,
          (SELECT count(*) FROM surv) AS n_dedup_kept,
          (SELECT count(*) FROM selected) AS n_selected
 )
@@ -3846,11 +3884,12 @@ SELECT l.shard, p.stage,
        CAST(f.n_raw AS BIGINT) AS n_raw,
        CAST(f.n_clean_kept AS BIGINT) AS n_clean_kept,
        CAST(f.n_clean_unique AS BIGINT) AS n_clean_unique,
+       CAST(f.n_len_kept AS BIGINT) AS n_len_kept,
        CAST(f.n_dedup_kept AS BIGINT) AS n_dedup_kept,
        CAST(f.n_selected AS BIGINT) AS n_selected
 FROM clayout p JOIN lpt l USING (doc_id), funnel f
 GROUP BY l.shard, p.stage, f.n_raw, f.n_clean_kept, f.n_clean_unique,
-         f.n_dedup_kept, f.n_selected
+         f.n_len_kept, f.n_dedup_kept, f.n_selected
 """
 
 
