@@ -4064,20 +4064,35 @@ DRM_K = 4096
 DRM_ETA = 1.0
 
 
-def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+def _doremi_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(source, b, c): hashed-bucket unigram counts per domain — the
+    only corpus-sized pass of the DoReMi lane, and the additive state
+    the continuous store twin accumulates (counts merge by SUM across
+    epochs, the DSIR-store shape)."""
     h = F.md5(F.col("g"))
     digit = lambda i: F.instr(  # noqa: E731
         F.lit("0123456789abcdef"), F.substring(h, i, 1)
     ) - 1
     b = ((digit(1) * 16 + digit(2)) * 16 + digit(3)).cast("int")
-    cb = (
+    return (
         docs.select("source", F.explode(_words(F.col("text"))).alias("g"))
         .select("source", b.alias("b"))
         .groupBy("source", "b")
         .agg(F.count("*").cast("long").alias("c"))
-        .persist()
     )
+
+
+def doremi_weights_from_counts(
+    spark: SparkSession, cb: DataFrame, persist: bool = True
+) -> DataFrame:
+    """Two unrolled multiplicative-weights rounds over
+    Laplace-smoothed hashed-bucket LMs, from a (source, b, c) count
+    table. Everything here is |D|×K-sized — corpus-size-independent —
+    so the batch query and the continuous store's serve side share it
+    verbatim (the twins cannot diverge). ``persist=False`` for
+    streaming epochs, where per-call caching would leak across
+    micro-batches."""
+    _p = (lambda df: df.persist()) if persist else (lambda df: df)
     nd = cb.groupBy("source").agg(F.sum("c").alias("n_d"))
     gb = cb.groupBy("b").agg(F.sum("c").alias("cg"))
     ntot = cb.agg(F.sum("c").alias("n"))
@@ -4085,13 +4100,15 @@ def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.lit(DRM_K)
 
     grid = nd.crossJoin(buckets)
-    pd_ = grid.join(cb, ["source", "b"], "left").select(
-        "source",
-        "b",
-        (
-            (F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("n_d") + k)
-        ).alias("p_d"),
-    ).persist()
+    pd_ = _p(
+        grid.join(cb, ["source", "b"], "left").select(
+            "source",
+            "b",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("n_d") + k)
+            ).alias("p_d"),
+        )
+    )
     pref = (
         buckets.join(gb, "b", "left")
         .crossJoin(F.broadcast(ntot))
@@ -4102,9 +4119,11 @@ def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_ref"),
         )
     )
-    ed = cb.join(nd, "source").select(
-        "source", "b", (F.col("c") / F.col("n_d")).alias("e")
-    ).persist()
+    ed = _p(
+        cb.join(nd, "source").select(
+            "source", "b", (F.col("c") / F.col("n_d")).alias("e")
+        )
+    )
 
     def xent(model, pcol, out):
         return (
@@ -4135,14 +4154,13 @@ def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1raw = ex1.select(
         "source", "ex1", F.pow(F.lit(2.0), F.lit(DRM_ETA) * F.col("ex1")).alias("r")
     )
-    w1 = (
+    w1 = _p(
         w1raw.crossJoin(
             F.broadcast(w1raw.agg(F.sum("r").alias("z")))
         )
         .select(
             "source", "ex1", F.round(F.col("r") / F.col("z"), 9).alias("w1")
         )
-        .persist()
     )
     prox1 = (
         pd_.join(w1.select("source", "w1"), "source")
@@ -4178,6 +4196,12 @@ def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r2") / F.col("z2"), 6).alias("weight"),
         )
     )
+
+
+def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    cb = _doremi_bucket_counts(docs).persist()
+    return doremi_weights_from_counts(spark, cb)
 
 
 _DRM_B_SQL = (

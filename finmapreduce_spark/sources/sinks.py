@@ -564,6 +564,28 @@ def compact_dsir_store(
     )
 
 
+def compact_doremi_store(
+    spark,
+    store_dir: str,
+    target_files: int = 2,
+) -> dict:
+    """Periodic offline compaction for the DoReMi domain-bucket count
+    store (streaming/pipeline.py::serve_doremi_weights_continuous) —
+    SUM-merged like the DSIR store, so the rewrite dedups replayed
+    stamped appends on (epoch, source, b) before pre-summing to
+    ≤|D|×K sealed rows."""
+
+    def rewrite(df):
+        df = _dedupe_stamped_sum_rows(df, ["source", "b"])
+        return df.groupBy("source", "b").agg(
+            F.sum("c_add").alias("c_add")
+        )
+
+    return _compact_store(
+        spark, store_dir, target_files, rewrite, "b", keep_epoch=True
+    )
+
+
 def compact_cms_store(
     spark,
     store_dir: str,

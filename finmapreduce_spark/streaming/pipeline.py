@@ -1309,6 +1309,87 @@ def serve_cms_watchlist_continuous(
     )
 
 
+def serve_doremi_weights_continuous(
+    incoming_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous DoReMi mixture-weight maintenance with a LIVE
+    domain-bucket count store — the mixture member of the
+    continuous-store family (batch twin: queries/training.py::
+    mixture_doremi_weights). Store rows: (source, b, c_add)
+    increments, SUM-merged — exactly the DSIR-store posture, so the
+    live read dedups (epoch, source, b) against crashed-then-replayed
+    epochs and compaction pre-sums to ≤|D|×K rows.
+
+    Each epoch: hash the micro-batch's unigrams into the K-bucket
+    space (_doremi_bucket_counts — bit-identical to the batch twin),
+    merge with the store's prior counts, run the two multiplicative-
+    weights rounds over the MERGED counts (doremi_weights_from_counts
+    — the shared |D|×K-sized math, so merge-then-solve equals
+    solve-over-union, pinned in test_streaming), emit the post-batch
+    weights for every domain seen so far, append the batch's
+    increments.
+
+    Per-epoch cost: |delta| gram hashing + |D|×K-sized algebra —
+    never the history corpus."""
+    from finmapreduce_spark.queries.training import (
+        _doremi_bucket_counts,
+        doremi_weights_from_counts,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _check_store_unlocked(store_dir)
+        spark = batch_df.sparkSession
+        inc = _doremi_bucket_counts(
+            batch_df.filter(F.col("text").isNotNull())
+        ).persist()
+        try:
+            hist = _history_or_empty(
+                spark,
+                store_dir,
+                epoch_id,
+                like=inc.select(
+                    "source", "b", F.col("c").alias("c_add")
+                ),
+                dedupe_key=["source", "b"],
+            )
+            merged = (
+                inc.unionByName(
+                    hist.select("source", "b", F.col("c_add").alias("c"))
+                )
+                .groupBy("source", "b")
+                .agg(F.sum("c").alias("c"))
+            )
+            weights = doremi_weights_from_counts(
+                spark, merged, persist=False
+            ).select(
+                F.lit(int(epoch_id)).cast("long").alias("epoch"),
+                "source",
+                "n_tokens",
+                "excess_r1",
+                "excess_r2",
+                "weight",
+            )
+            _epoch_json(weights, out_dir, epoch_id)
+            _guarded_store_append(
+                inc.select("source", "b", F.col("c").alias("c_add")),
+                store_dir,
+                epoch_id,
+            )
+        finally:
+            inc.unpersist()
+
+    return (
+        incoming_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def serve_quantile_sketch_continuous(
     incoming_docs: DataFrame,
     store_dir: str,

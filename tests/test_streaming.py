@@ -1924,3 +1924,123 @@ def test_continuous_phash_store_rejects_reuploaded_image(spark, tmp_path):
     }
     assert after == admitted
     spark.catalog.clearCache()
+
+
+def test_continuous_doremi_weights_match_batch_twin(spark, tmp_path):
+    """The mixture lane's continuous twin (r13 verdict next-round #7):
+    epochs append (source, b, c_add) increments; the final epoch's
+    emitted weights must equal the batch catalog query
+    mixture_doremi_weights run over the union corpus — merge-then-
+    solve equals solve-over-union because the multiplicative-weights
+    algebra runs on the SUMMED count table either way. Also pins the
+    compactor: pre-summing the store changes nothing about the
+    weights recomputed from it."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.queries.training import (
+        doremi_weights_from_counts,
+        mixture_doremi_weights,
+    )
+    from finmapreduce_spark.sources.sinks import compact_doremi_store
+    from finmapreduce_spark.streaming.pipeline import (
+        _prior_history,
+        serve_doremi_weights_continuous,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha", "en", "web"),
+        (2, "beta beta delta", "en", "web"),
+        (3, "gamma delta epsilon", "de", "books"),
+        (4, None, "en", "web"),  # NULL text must be ignored, not crash
+        (5, "zeta eta theta alpha", "fr", "news"),
+        (6, "alpha alpha alpha beta", "en", "books"),
+    ]
+    schema = "doc_id long, text string, lang string, source string"
+    landing = tmp_path / "drm_landing"
+    landing.mkdir()
+    half = 3
+    now = _time.time()
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        p = landing / f"e{i}.json"
+        p.write_text(
+            "\n".join(
+                _json.dumps(
+                    dict(zip(("doc_id", "text", "lang", "source"), r))
+                )
+                for r in chunk
+            )
+            + "\n"
+        )
+        _os.utime(p, (now - 60 * (2 - i), now - 60 * (2 - i)))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    store = tmp_path / "drm_store"
+    out = tmp_path / "drm_out"
+    q = serve_doremi_weights_continuous(
+        stream, str(store), str(out), str(tmp_path / "drm_ckpt")
+    ).start()
+    q.awaitTermination()
+
+    got = spark.read.json(str(out)).collect()
+    by_epoch = {}
+    for r in got:
+        by_epoch.setdefault(r["epoch"], {})[r["source"]] = r
+    assert set(by_epoch) == {0, 1}
+    # epoch 0 saw only web+books; epoch 1 sees all three domains
+    assert set(by_epoch[0]) == {"web", "books"}
+    assert set(by_epoch[1]) == {"web", "books", "news"}
+
+    # batch twin: the actual catalog query over the union corpus
+    docs_dir = tmp_path / "drm_tables"
+    docs_dir.mkdir()
+    spark.createDataFrame(rows, schema).withColumn(
+        "n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long")
+    ).coalesce(1).write.parquet(str(docs_dir / "documents.parquet"))
+    want = {
+        r["source"]: r
+        for r in mixture_doremi_weights(spark, str(docs_dir)).collect()
+    }
+    assert set(want) == set(by_epoch[1])
+    for src, w in want.items():
+        g = by_epoch[1][src]
+        assert g["n_tokens"] == w["n_tokens"], src
+        assert g["excess_r1"] == w["excess_r1"], src
+        assert g["excess_r2"] == w["excess_r2"], src
+        assert g["weight"] == w["weight"], src
+    spark.catalog.clearCache()
+
+    # compactor: pre-summed store reproduces the same weights
+    pre = (
+        _prior_history(spark, str(store), 99, dedupe_key=["source", "b"])
+        .groupBy("source", "b")
+        .agg(F.sum("c_add").alias("c"))
+    )
+    w_pre = {
+        r["source"]: r["weight"]
+        for r in doremi_weights_from_counts(spark, pre, persist=False)
+        .select("source", "weight")
+        .collect()
+    }
+    res = compact_doremi_store(spark, str(store))
+    assert res["rows_after"] <= res["rows_before"]
+    post = (
+        _prior_history(spark, str(store), 99, dedupe_key=["source", "b"])
+        .groupBy("source", "b")
+        .agg(F.sum("c_add").alias("c"))
+    )
+    w_post = {
+        r["source"]: r["weight"]
+        for r in doremi_weights_from_counts(spark, post, persist=False)
+        .select("source", "weight")
+        .collect()
+    }
+    assert w_pre == w_post
+    assert {s: r["weight"] for s, r in by_epoch[1].items()} == w_post
+    spark.catalog.clearCache()
