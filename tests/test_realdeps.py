@@ -448,3 +448,148 @@ def test_real_s2s_nll_scorer_through_udf(spark):
     assert rows[1] > rows[2]  # paraphrase better predicted than OOD
     again = {r["pair_id"]: r["s"] for r in df.collect()}
     assert again == rows
+
+
+# ---------------------------------------------------------------------------
+# Vendored real-weights lane (sft:): these EXECUTE in the hermetic
+# image — no optional dep, the safetensors format needs none — so the
+# real-dependency cert records at least one weights-from-disk forward
+# pass actually run (r13 verdict next-round #3).
+# ---------------------------------------------------------------------------
+
+
+@realdeps
+def test_safetensors_parser_matches_independent_reader():
+    """load_safetensors vs an INDEPENDENT in-test reader (struct+json
+    only) over the vendored archive: identical tensor names, shapes,
+    dtypes, and bytes."""
+    import json
+    import struct
+
+    import numpy as np
+
+    from finmapreduce_spark.functions.scoring import (
+        _resolve_sft_path,
+        load_safetensors,
+    )
+
+    path = _resolve_sft_path("mini-mlp")
+    got = load_safetensors(path)
+
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        buf = f.read()
+    assert set(header) == set(got) == {
+        "mlp.w1",
+        "mlp.b1",
+        "mlp.w2",
+        "mlp.b2",
+    }
+    for name, spec in header.items():
+        assert spec["dtype"] == "F32"
+        lo, hi = spec["data_offsets"]
+        want = np.frombuffer(buf[lo:hi], dtype="<f4").reshape(spec["shape"])
+        assert got[name].shape == tuple(spec["shape"])
+        assert np.array_equal(got[name], want)
+
+
+@realdeps
+def test_safetensors_roundtrip_through_writer():
+    """The fixture writer and the engine reader are format twins:
+    write arbitrary tensors, read them back byte-exact."""
+    import os
+    import sys
+    import tempfile
+
+    import numpy as np
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from make_mini_mlp_fixture import save_safetensors
+
+    from finmapreduce_spark.functions.scoring import load_safetensors
+
+    rng = np.random.default_rng(7)
+    tensors = {
+        "a": rng.standard_normal((3, 5)),
+        "b": rng.standard_normal(4),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.safetensors")
+        save_safetensors(tensors, p)
+        back = load_safetensors(p)
+    for k, v in tensors.items():
+        assert np.array_equal(back[k], v.astype("<f4"))
+
+
+@realdeps
+def test_sft_mlp_matches_composed_numpy_golden():
+    """The sft: forward pass equals independently composed matmuls
+    over independently parsed weights — an exact float64 golden."""
+    import json
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from finmapreduce_spark.functions.scoring import (
+        _hashing_bow_batch,
+        _load_model,
+        _resolve_sft_path,
+    )
+
+    texts = pd.Series(
+        ["total revenue increased", "operating expenses", "", None]
+    )
+    got = _load_model("sft:mini-mlp")(texts)
+
+    path = _resolve_sft_path("mini-mlp")
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        buf = f.read()
+
+    def t(name):
+        lo, hi = header[name]["data_offsets"]
+        return (
+            np.frombuffer(buf[lo:hi], dtype="<f4")
+            .reshape(header[name]["shape"])
+            .astype(np.float64)
+        )
+
+    x = _hashing_bow_batch(texts)
+    y = np.tanh(x @ t("mlp.w1") + t("mlp.b1")) @ t("mlp.w2") + t("mlp.b2")
+    n = np.linalg.norm(y, axis=1, keepdims=True)
+    want = y / np.where(n == 0, 1.0, n)
+    assert np.array_equal(got, want)
+    # unit norms (the zero-feature rows normalize against 1.0 but the
+    # bias terms make the raw output nonzero, so every row is unit)
+    assert np.allclose(np.linalg.norm(got, axis=1), 1.0)
+
+
+@realdeps
+def test_sft_mlp_through_udf(spark):
+    """End-to-end through the Arrow pandas_udf on executors: real
+    weights ship to workers, embeddings come back deterministic and
+    content-sensitive."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from finmapreduce_spark.functions.scoring import embed_text_udf
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        "id long, text string",
+    )
+    rows = (
+        df.withColumn("emb", embed_text_udf("sft:mini-mlp")(F.col("text")))
+        .orderBy("id")
+        .collect()
+    )
+    e1, e2, e3 = (np.array(r["emb"]) for r in rows)
+    assert np.array_equal(e1, e2)
+    assert not np.array_equal(e1, e3)
+    assert len(e1) == 64
