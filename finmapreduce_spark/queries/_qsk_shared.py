@@ -16,6 +16,7 @@ partitionings (percentile_approx is none of those).
 """
 
 QSK_CAP = 256  # sample capacity; ~1/sqrt(CAP) ≈ 6% rank error
+QSK_GROUP_CAP = 64  # per-group sample capacity (grouped variants)
 QSK_PCTS = [0.5, 0.9, 0.95, 0.99]
 QSK_OUTLIER_PCT = 0.99
 
@@ -27,6 +28,28 @@ _QSK_TAIL_SQL = (
     "md5('q:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 "
     "AS BIGINT)), (a, d) -> a * 16 + d)"
 )
+
+
+def qsk_lvl_col():
+    """Spark Column: the deterministic hash level of ``doc_id``
+    (leading-zero bits of the 48-bit md5 tail of 'q:'+doc_id) — the
+    Spark twin of _QSK_TAIL_SQL's level arithmetic, importable by any
+    query that levels a per-doc value for the adaptive sampler
+    (sketches._qsk_base uses it for doc length; the CCNet bucketer
+    levels per-doc cross-entropy)."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(F.lit("q:"), F.col("doc_id")))
+    tail = (
+        F.conv(F.substring(h, 1, 12), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    return (
+        F.when(tail == 0, F.lit(48))
+        .otherwise(F.lit(48) - F.length(F.bin(tail)))
+        .cast("long")
+    )
 
 
 def qsk_cutoff_sql_ctes(prefix: str = "") -> str:

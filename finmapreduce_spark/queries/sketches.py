@@ -616,21 +616,15 @@ from finmapreduce_spark.queries._qsk_shared import (  # noqa: E402
 
 def _qsk_base(docs: DataFrame) -> DataFrame:
     """(doc_id, val, lvl): per-doc token count + deterministic hash
-    level (leading-zero bits of the 48-bit md5 tail of 'q:'+doc_id).
+    level (leading-zero bits of the 48-bit md5 tail of 'q:'+doc_id —
+    _qsk_shared.qsk_lvl_col, shared with the CCNet bucketer).
     Shared by the batch query and the continuous store twin."""
-    h = F.md5(F.concat(F.lit("q:"), F.col("doc_id")))
-    tail = (
-        F.conv(F.substring(h, 1, 12), 16, 10)
-        .cast("decimal(20,0)")
-        .cast("long")
-    )
-    lvl = F.when(tail == 0, F.lit(48)).otherwise(
-        F.lit(48) - F.length(F.bin(tail))
-    )
+    from finmapreduce_spark.queries._qsk_shared import qsk_lvl_col
+
     return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(_words(F.col("text"))).cast("long").alias("val"),
-        lvl.cast("long").alias("lvl"),
+        qsk_lvl_col().alias("lvl"),
     )
 
 
@@ -807,7 +801,7 @@ QUERIES.update(
 # the local fixture's per-lang volumes.
 # ---------------------------------------------------------------------------
 
-QSK_GROUP_CAP = 64
+from finmapreduce_spark.queries._qsk_shared import QSK_GROUP_CAP  # noqa: E402,F401
 
 
 def sketch_quantile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -859,6 +859,180 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+# High Quality Monolingual Datasets from Web Crawl Data"): split each
+# language's documents into head/middle/tail by LM cross-entropy
+# terciles — the standard crawl-curation triage (head trains as-is,
+# middle gets extra filtering, tail drops). CCNet scores against a
+# wikipedia LM; here the corpus is its own unigram LM (this file's
+# quality-ladder convention), and the tercile cutoffs come from the
+# DETERMINISTIC grouped quantile sketch: at 100 TB an exact per-lang
+# quantile is a full sort, while the sketch is one capacity-bounded
+# per-lang sampler (≤QSK_GROUP_CAP retained rows per language) and
+# two broadcast scalars — and unlike percentile_approx it is
+# recompute-stable across engines, so the oracle replays the cutoffs
+# bit-for-bit.
+#
+# Plan shape: bits is the unigram lane (one explode, one vocab
+# shuffle, one per-doc agg); the sketch side levels one md5 per doc
+# and every window is capacity-bounded; bucket assignment is a
+# per-row CASE against two broadcast cutoffs per language.
+# ---------------------------------------------------------------------------
+
+CCNET_PCTS = (0.3333333333333333, 0.6666666666666666)
+
+
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finmapreduce_spark.queries._qsk_shared import (
+        QSK_GROUP_CAP,
+        qsk_lvl_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    bits = (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log2(F.col("c") / F.col("n_total"))), 6
+            ).alias("val")
+        )
+    )
+    base = (
+        bits.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("lvl", qsk_lvl_col())
+        .persist()
+    )
+    lvlc = base.groupBy("lang", "lvl").agg(F.count("*").alias("c"))
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    thr = (
+        lvlc.select("lang", "lvl", F.sum("c").over(wcum).alias("cge"))
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("cge") <= QSK_GROUP_CAP, F.col("lvl"))
+            ).alias("L")
+        )
+    )
+    sample = base.join(F.broadcast(thr), "lang").filter(
+        F.col("lvl") >= F.col("L")
+    )
+    wrn = W.partitionBy("lang").orderBy("val", "doc_id")
+    wall = W.partitionBy("lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    s = sample.select(
+        "lang",
+        "val",
+        F.row_number().over(wrn).alias("rn"),
+        F.count("*").over(wall).alias("n_s"),
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in CCNET_PCTS], "percentile double"
+    )
+    cut = (
+        s.join(
+            F.broadcast(pcts),
+            F.col("rn") == F.ceil(F.col("percentile") * F.col("n_s")),
+        )
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("percentile") < 0.5, F.col("val"))
+            ).alias("c33"),
+            F.min(
+                F.when(F.col("percentile") > 0.5, F.col("val"))
+            ).alias("c67"),
+        )
+    )
+    return base.join(F.broadcast(cut), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("val").alias("bits_per_token"),
+        F.when(F.col("val") <= F.col("c33"), F.lit("head"))
+        .when(F.col("val") <= F.col("c67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def _ccnet_oracle() -> str:
+    from finmapreduce_spark.queries._qsk_shared import (
+        _QSK_TAIL_SQL,
+        QSK_GROUP_CAP,
+    )
+
+    pcts = ", ".join(repr(p) for p in CCNET_PCTS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM vocab),
+bits AS (
+  SELECT doc_id, round(avg(-log2(c / n_total)), 6) AS val
+  FROM tok JOIN vocab USING (w), tot GROUP BY doc_id
+),
+base AS (
+  SELECT b.doc_id, d.lang, b.val,
+         CAST(CASE WHEN tail = 0 THEN 48
+                   ELSE 48 - length(bin(tail)) END AS BIGINT) AS lvl
+  FROM (SELECT doc_id, val, {_QSK_TAIL_SQL} AS tail FROM bits) b
+  JOIN documents d USING (doc_id)
+),
+lv AS (
+  SELECT lang, lvl, sum(c) OVER (PARTITION BY lang ORDER BY lvl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
+  FROM (SELECT lang, lvl, count(*) AS c FROM base GROUP BY 1, 2)
+),
+thr AS (
+  SELECT lang, min(CASE WHEN cge <= {QSK_GROUP_CAP} THEN lvl END) AS L
+  FROM lv GROUP BY 1
+),
+samp AS (
+  SELECT b.lang, b.doc_id, b.val
+  FROM base b JOIN thr t USING (lang) WHERE b.lvl >= t.L
+),
+s AS (
+  SELECT lang, val,
+         row_number() OVER (PARTITION BY lang ORDER BY val, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_s
+  FROM samp
+),
+pct AS (SELECT CAST(unnest([{pcts}]) AS DOUBLE) AS percentile),
+cut AS (
+  SELECT lang,
+         min(CASE WHEN percentile < 0.5 THEN val END) AS c33,
+         min(CASE WHEN percentile > 0.5 THEN val END) AS c67
+  FROM s JOIN pct ON rn = CAST(ceil(percentile * n_s) AS BIGINT)
+  GROUP BY lang
+)
+SELECT b.doc_id, b.lang, b.val AS bits_per_token,
+       CASE WHEN b.val <= c.c33 THEN 'head'
+            WHEN b.val <= c.c67 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base b JOIN cut c USING (lang)
+"""
+
+
+QUERIES.update(
+    {
+        "quality_ccnet_buckets": QuerySpec(
+            quality_ccnet_buckets, _ccnet_oracle()
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM perplexity quality — the step above the unigram MLE on
 # the CCNet ladder (CCNet scores wikipedia-LM perplexity per doc;
 # here the corpus is its own LM): per-doc mean -log2 P(w2 | w1) under
