@@ -1033,6 +1033,150 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+# More Effective Language Sampling for Large-Scale Multilingual
+# Pretraining"): spread a token budget as uniformly as possible
+# across domains subject to a per-domain epoch cap — the principled
+# alternative to temperature sampling (sample_temperature_mix) and
+# the loss-driven DoReMi (mixture_doremi_weights), completing the
+# mixture family's three production recipes. The sequential
+# water-filling has a closed form over caps sorted ascending: domain
+# i (with prefix cap sum S_{i-1} and n-i+1 domains at or above it)
+# caps out iff cap_i·(n-i+1) + S_{i-1} ≤ B; every uncapped domain
+# gets the water level θ = (B - Σ_capped cap) / n_uncapped.
+#
+# Scale shape: ONE corpus pass (per-source token counts with map-side
+# combine); everything after runs on the |domains|-row table — the
+# windows are domain-sized (the monthly-histogram exemption), the
+# funnel scalars broadcast.
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 1
+UNIMAX_BUDGET_FRAC = 0.9  # high enough that small domains hit the epoch cap
+
+
+def mixture_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    cnt = (
+        docs.select(
+            "source", F.size(_words(F.col("text"))).cast("long").alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    tot = cnt.agg(F.sum("n_tokens").cast("double").alias("n_total"))
+    base = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cap",
+            (F.col("n_tokens") * F.lit(UNIMAX_EPOCH_CAP)).cast("long"),
+        )
+        .withColumn(
+            "budget", F.col("n_total") * F.lit(UNIMAX_BUDGET_FRAC)
+        )
+    )
+    w = W.orderBy("cap", "source")
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = (
+        base.select(
+            "source",
+            "n_tokens",
+            "cap",
+            "budget",
+            F.row_number().over(w).alias("i"),
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("s_prev"),
+            F.count("*").over(wall).alias("n"),
+        )
+        .withColumn(
+            "is_capped",
+            F.col("cap") * (F.col("n") - F.col("i") + 1) + F.col("s_prev")
+            <= F.col("budget"),
+        )
+    )
+    lvl = t.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped"), F.col("cap"))), F.lit(0)
+        ).alias("s_k"),
+        F.sum(F.col("is_capped").cast("long")).alias("k"),
+    )
+    return (
+        t.crossJoin(F.broadcast(lvl))
+        .withColumn(
+            "alloc_tokens",
+            F.round(
+                F.when(F.col("is_capped"), F.col("cap").cast("double"))
+                .otherwise(
+                    (F.col("budget") - F.col("s_k"))
+                    / (F.col("n") - F.col("k"))
+                ),
+                6,
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.col("cap").alias("cap_tokens"),
+            "alloc_tokens",
+            F.round(F.col("alloc_tokens") / F.col("n_tokens"), 6).alias(
+                "epochs"
+            ),
+        )
+    )
+
+
+UNIMAX_ORACLE = f"""
+WITH cnt AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source
+), tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n_total FROM cnt),
+base AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens * {UNIMAX_EPOCH_CAP} AS BIGINT) AS cap,
+         n_total * {UNIMAX_BUDGET_FRAC} AS budget
+  FROM cnt, tot
+),
+t AS (
+  SELECT *,
+         row_number() OVER (ORDER BY cap, source) AS i,
+         coalesce(sum(cap) OVER (ORDER BY cap, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS s_prev,
+         count(*) OVER () AS n
+  FROM base
+),
+flag AS (
+  SELECT *, cap * (n - i + 1) + s_prev <= budget AS is_capped FROM t
+),
+lvl AS (
+  SELECT coalesce(sum(CASE WHEN is_capped THEN cap END), 0) AS s_k,
+         coalesce(sum(CASE WHEN is_capped THEN 1 ELSE 0 END), 0) AS k
+  FROM flag
+)
+SELECT source, n_tokens, cap AS cap_tokens,
+       round(CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+                  ELSE (budget - s_k) / (n - k) END, 6) AS alloc_tokens,
+       round(round(CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+                        ELSE (budget - s_k) / (n - k) END, 6)
+             / n_tokens, 6) AS epochs
+FROM flag, lvl
+"""
+
+QUERIES.update(
+    {
+        "mixture_unimax_allocation": QuerySpec(
+            mixture_unimax_allocation, UNIMAX_ORACLE
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM perplexity quality — the step above the unigram MLE on
 # the CCNet ladder (CCNet scores wikipedia-LM perplexity per doc;
 # here the corpus is its own LM): per-doc mean -log2 P(w2 | w1) under
