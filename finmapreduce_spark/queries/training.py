@@ -859,19 +859,22 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
-# CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
-# High Quality Monolingual Datasets from Web Crawl Data"): split each
-# language's documents into head/middle/tail by LM cross-entropy
-# terciles — the standard crawl-curation triage (head trains as-is,
-# middle gets extra filtering, tail drops). CCNet scores against a
-# wikipedia LM; here the corpus is its own unigram LM (this file's
-# quality-ladder convention), and the tercile cutoffs come from the
-# DETERMINISTIC grouped quantile sketch: at 100 TB an exact per-lang
-# quantile is a full sort, while the sketch is one capacity-bounded
-# per-lang sampler (≤QSK_GROUP_CAP retained rows per language) and
-# two broadcast scalars — and unlike percentile_approx it is
-# recompute-stable across engines, so the oracle replays the cutoffs
-# bit-for-bit.
+# CCNet perplexity bucketing, SKETCH-CUTOFF scale twin (Wenzek et
+# al. 2020): split each language's documents into head/middle/tail
+# by LM cross-entropy terciles. The exact twin below
+# (ccnet_perplexity_buckets) assigns buckets with ntile(3) over a
+# per-language window — exact, but each language partition sorts
+# corpus/|L| rows, the same skewed-partition shape the
+# topk/topk_pruned twins bracket. THIS variant is the 100 TB path:
+# tercile cutoffs come from the DETERMINISTIC grouped quantile
+# sketch (≤QSK_GROUP_CAP retained rows per language, capacity-
+# bounded windows only) and bucketing is a per-row CASE against two
+# broadcast scalars per language — approximate at the boundary
+# (~1/√64 rank error), exact in both engines, so the oracle replays
+# the cutoffs bit-for-bit. Scoring uses the unigram LM (the ladder's
+# cheap rung) and emits PER-DOC assignments, the column a real
+# pipeline writes back; the exact twin emits the per-(lang, bucket)
+# certification report.
 #
 # Plan shape: bits is the unigram lane (one explode, one vocab
 # shuffle, one per-doc agg); the sketch side levels one md5 per doc
