@@ -1060,12 +1060,19 @@ UNIMAX_BUDGET_FRAC = 0.9  # high enough that small domains hit the epoch cap
 
 def mixture_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    # persisted: the |domains|-row count table feeds four plan
+    # branches (total, flags, water-level aggregate, output) — without
+    # the cache each branch re-derives the CORPUS pass (8 parquet
+    # scans in the static plan, no ReusedExchange), which is the
+    # difference between 1 and 4 full reads at 100 TB. Lifecycle is
+    # caller-owned per the catalog-wide clearCache contract.
     cnt = (
         docs.select(
             "source", F.size(_words(F.col("text"))).cast("long").alias("n")
         )
         .groupBy("source")
         .agg(F.sum("n").alias("n_tokens"))
+        .persist()
     )
     tot = cnt.agg(F.sum("n_tokens").cast("double").alias("n_total"))
     base = (
