@@ -21,6 +21,7 @@ additionally reads `lang`):
   hll        corpus distinct-token estimate (live register store)
   cms        watchlist heavy-hitter estimates (--watchlist a,b,c)
   quantile   doc-length quantile estimates (live sampler store)
+  doremi     live DoReMi mixture weights (domain-bucket sum store)
 
 Each store has a matching offline compactor in sources/sinks.py; run
 those from a maintenance job, never concurrently with ingest (the
@@ -36,6 +37,8 @@ import json
 def _schema(mode: str) -> str:
     if mode == "dsir":
         return "doc_id long, lang string, text string"
+    if mode == "doremi":
+        return "doc_id long, text string, source string"
     return "doc_id long, text string"
 
 
@@ -61,6 +64,7 @@ def run(
         "hll": P.serve_hll_distinct_continuous,
         "quantile": P.serve_quantile_sketch_continuous,
         "cms": P.serve_cms_watchlist_continuous,
+        "doremi": P.serve_doremi_weights_continuous,
     }
     if mode not in modes:
         raise SystemExit(

@@ -538,3 +538,49 @@ def test_ingest_cli_drives_continuous_dedup(spark, tmp_path, capsys):
     assert dup[0]["max_jaccard"] > 0.9
     assert _os.path.exists(str(tmp_path / "store"))
     spark.catalog.clearCache()
+
+
+def test_ingest_cli_drives_continuous_doremi(spark, tmp_path, capsys):
+    """The ingest CLI's doremi mode maintains live mixture weights: two
+    epochs over two domains, final weights sum to 1 across the domains
+    seen, store populated with (source, b, c_add) increments."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from finmapreduce_spark.ingest import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "e0.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "alpha beta gamma", "source": "web"})
+        + "\n"
+    )
+    (landing / "e1.json").write_text(
+        _json.dumps({"doc_id": 2, "text": "delta epsilon", "source": "books"})
+        + "\n"
+    )
+    now = _time.time()
+    _os.utime(landing / "e0.json", (now - 60, now - 60))
+    _os.utime(landing / "e1.json", (now, now))
+    summary = main(
+        [
+            "--mode", "doremi",
+            "--landing", str(landing),
+            "--store", str(tmp_path / "store"),
+            "--out", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--max_files_per_trigger", "1",
+        ],
+        spark=spark,
+    )
+    assert summary["epochs"] >= 1 and summary["rows_emitted"] >= 1
+    printed = _json.loads(capsys.readouterr().out)
+    assert printed == summary
+    rows = spark.read.json(str(tmp_path / "out")).collect()
+    final = [r for r in rows if r["epoch"] == max(x["epoch"] for x in rows)]
+    assert {r["source"] for r in final} == {"web", "books"}
+    assert abs(sum(r["weight"] for r in final) - 1.0) < 1e-6
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert {"source", "b", "c_add"} <= set(store.columns)
+    spark.catalog.clearCache()
