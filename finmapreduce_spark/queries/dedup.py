@@ -2842,7 +2842,17 @@ def _substring_candidate_slice(
     # boilerplated corpus (exactly this family's target workload) it
     # approaches corpus size and a pinned hint would OOM the driver
     # instead of degrading to a shuffle join (round-10 advice).
-    return base, base.join(cand_ids, "doc_id")
+    # LEFT SEMI, not inner (round-14 100× study): with an inner join
+    # the planner may build on EITHER side, and on the 100-copy
+    # corpus it picked the TEXT side — templated text compresses ~10×
+    # in parquet, so the file-size estimate looked broadcastable and
+    # the driver-side collect blew spark.driver.maxResultSize at
+    # ~1 GB deserialized (the whole keep-list died with it). A semi
+    # join can only ever build on the id-only candidate table —
+    # broadcast when genuinely small, AQE shuffle fallback otherwise,
+    # and the text side is structurally never collected. Semantics
+    # identical: cand_ids is distinct and doc_id is unique in base.
+    return base, base.join(cand_ids, "doc_id", "left_semi")
 
 
 SUBSTR_GRID_BLOCK = 64  # local-fixture sizing; production ~1024

@@ -1157,3 +1157,26 @@ def test_multimodal_dedup_plans_are_arrow_and_tiled(spark, sf_dir):
         assert "MapInPandas" in plan, name
         assert "BatchEvalPython" not in plan, name
         spark.catalog.clearCache()
+
+
+def test_substring_candidate_slice_joins_semi(spark, sf_dir):
+    """r14 100× study: the winnow candidate slice must be a LEFT SEMI
+    join so the planner can only ever build/broadcast the id-only
+    candidate table. With a plain inner join the 100-copy corpus made
+    the planner pick the TEXT side as the broadcast build (templated
+    text compresses ~10× in parquet, so the size estimate looked
+    tiny) and the driver-side collect blew maxResultSize at ~1 GB,
+    killing dedup_exact_substring and the whole master keep-list."""
+    from finmapreduce_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["dedup_exact_substring"].spark(spark, sf_dir)
+    )
+    assert "LeftSemi" in plan, "candidate slice must join left_semi"
+    # and the text side must never be a broadcast build: every
+    # broadcast exchange in this plan carries only ids/fingerprints
+    for i, line in enumerate(plan.splitlines()):
+        if "BroadcastExchange" in line:
+            sub = "\n".join(plan.splitlines()[i : i + 4])
+            assert " t#" not in sub and "text" not in sub, sub
+    spark.catalog.clearCache()
