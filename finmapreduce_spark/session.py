@@ -57,9 +57,10 @@ def get_spark(
     - AQE on: runtime shuffle-partition coalescing + skew-join
       splitting (the doc×qa join J1 is skewed — one 10-K serves
       many questions; SURVEY §4).
-    - Broadcast threshold raised: dimension tables (region, nation,
-      customer at small SF, the document path catalog S8) should
-      never shuffle.
+    - Broadcast threshold raised to 16 MB: dimension tables (region,
+      nation, customer at small SF, the document path catalog S8)
+      should never shuffle — but not 64 MB, which let compressed
+      corpus-text scans broadcast (round-14 100× study finding).
     - Arrow on: every Pandas-UDF boundary (the LLM stages U1–U5,
       tokenizer F1/F2) moves columnar batches, not pickled rows.
     """
@@ -69,7 +70,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB, not the round-1 64 MB: the threshold compares
+        # COMPRESSED/on-disk estimates, and columnar text compresses
+        # ~10-20×, so 64 MB admitted a 56 MB documents scan whose
+        # deserialized broadcast build was ~1 GB — it blew
+        # spark.driver.maxResultSize in the round-14 100× study
+        # (dedup_exact_substring → master keep-list). 16 MB still
+        # broadcasts every legitimate small side here (dimension
+        # tables, id lists, threshold scalars are all ≤ a few MB)
+        # while corpus-text scans shuffle as they must at scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
