@@ -965,12 +965,24 @@ def _cc_star(edges: DataFrame) -> DataFrame:
     # checkpointed nxt), so carry it over instead of re-aggregating —
     # one scalar-agg job per round instead of two.
     sig_old = _sig(cur)
+    import gc as _gc
+
     for _ in range(MAX_CC_ITERS):
         nxt = small_star(large_star(cur)).localCheckpoint()
         sig_new = _sig(nxt)
         done = (sig_old["n"] == sig_new["n"]) and (sig_old["h"] == sig_new["h"])
         cur = nxt
         sig_old = sig_new
+        # Drop the previous round's checkpoint blocks NOW: rebinding
+        # `cur` orphans the old DataFrame, but its MEMORY_AND_DISK
+        # checkpoint blocks free only after Python GC releases the
+        # py4j handle and ContextCleaner runs. In a tight loop over a
+        # big edge set nothing triggers that collection, so every
+        # round's full edge table stays on disk — the 100× study
+        # (round 14) filled an 80 GB scratch volume with ~15 retained
+        # rounds of a multi-GB edge set and died on ENOSPC. One
+        # gc.collect() per round caps live rounds at ~2.
+        _gc.collect()
         if done:
             break
     else:
