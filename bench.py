@@ -165,6 +165,11 @@ HEADLINE = [
     # round-13 (cont.): integer-weighted MinHash (idf-banded shingle
     # replication — boilerplate-resistant weighted Jaccard)
     "dedup_weighted_minhash_pairs",
+    # round-14: CCNet bucketing via grouped-sketch cutoffs (unigram
+    # LM + capacity-bounded sampler + broadcast CASE), and UniMax
+    # water-filling (one corpus count pass + domain-sized windows)
+    "quality_ccnet_buckets",
+    "mixture_unimax_allocation",
 ]
 
 
