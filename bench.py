@@ -201,6 +201,62 @@ def _shuffle_probe(spark):
     return snapshot
 
 
+# Lanes with cross-trial engine state (localCheckpoint rounds inside
+# the query): their trial walls historically grew monotonically within
+# one session (r13 classifier 5.1→15.2→21.2 s, r14 CC 10→15→25 s)
+# because checkpoint blocks outlive the trial. They get extra trials
+# (median of 5, not 3) so any residual cross-trial drift is visible in
+# the sidecar instead of deciding the headline from one noisy pair.
+ITERATIVE_LANES = {
+    "dedup_cluster_canonical",
+    "classifier_langid_train",
+    "classifier_langid_multiclass",
+    "bpe_train_merges_batched",
+    "pagerank_links",
+    "host_frontier_rank",
+    "kmeans_cluster_sizes",
+}
+
+
+def _release_persistent_rdds(spark):
+    """BLOCKING release of every persistent RDD — including
+    localCheckpoint blocks, which spark.catalog.clearCache() does NOT
+    touch (it only unpersists the cache manager's DataFrames).
+
+    Dropping the Python refs + gc.collect() (the round-14 approach)
+    frees the py4j handles, but the JVM-side removal then depends on
+    an eventual JVM GC plus the ContextCleaner's fire-and-forget
+    block-removal messages — under back-to-back trials nothing forces
+    either, so trial N+1 runs under trial N's accumulated disk/memory
+    pressure (the r14 close record's monotone 10→15→25 s CC lane).
+    Enumerating the context's persistent RDDs and unpersisting each
+    with blocking=True makes the release synchronous: when this
+    returns, the blocks are gone. Safe here because bench has already
+    dropped every DataFrame handle from the finished trial — nothing
+    can re-read a truncated-lineage RDD.
+    """
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values():
+            jrdd.unpersist(True)
+    except Exception as e:  # diagnostics must never fail the bench
+        print(f"bench: persistent-RDD release skipped: {e}", file=sys.stderr)
+
+
+def _git_sha(root):
+    """Current commit hash (best effort, no subprocess — bench must
+    not fork under a loaded box): read .git/HEAD and its ref file."""
+    try:
+        with open(os.path.join(root, ".git", "HEAD")) as f:
+            head = f.read().strip()
+        if head.startswith("ref:"):
+            with open(os.path.join(root, ".git", head.split(None, 1)[1])) as f:
+                return f.read().strip()
+        return head
+    except OSError:
+        return None
+
+
 def _calibration_probe(spark):
     """Fixed-work probe (range-sum over 2^28 longs, pure JVM, no
     shuffle): its wall time moves with host contention exactly like
@@ -257,6 +313,7 @@ def main():
     ]
     probe = _shuffle_probe(spark)
     n_trials = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
+    started_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     calib_start = _calibration_probe(spark)
     timings = {}
     rows = {}
@@ -272,7 +329,10 @@ def main():
         per_trial_rows = []
         per_trial_la = []
         n = None
-        for t in range(n_trials):
+        lane_trials = (
+            max(n_trials, 5) if name in ITERATIVE_LANES else n_trials
+        )
+        for t in range(lane_trials):
             per_trial_la.append(
                 round(os.getloadavg()[0], 2)
                 if hasattr(os, "getloadavg")
@@ -299,13 +359,15 @@ def main():
             # under the accumulated memory pressure of earlier ones
             spark.catalog.clearCache()
             # localCheckpoint blocks (BPE merge rounds, connected
-            # components) are NOT covered by clearCache — they free
-            # only after Python drops the py4j refs and ContextCleaner
-            # runs. Collect the Python side so that can happen between
-            # trials instead of compounding (the r13 driver saw
-            # classifier trials grow 5.1→15.2→21.2 s within a session).
+            # components) are NOT covered by clearCache. Drop the
+            # Python refs, then synchronously unpersist every
+            # remaining persistent RDD (blocking=True) — the r14
+            # gc.collect()-only variant left removal to the async
+            # ContextCleaner and the CC lane still grew 10→15→25 s
+            # across trials in the committed close record.
             df = None
             gc.collect()
+            _release_persistent_rdds(spark)
             if t == 0 and probe is not None:
                 # shuffle volume is plan-determined — one measurement
                 after1 = probe()
@@ -345,8 +407,30 @@ def main():
     # regression in its own right) visible to JSON consumers, not
     # just the stderr stream (round-12 advice)
     calib_mean = round((calib_start + calib_end) / 2, 3)
+    root = os.path.dirname(os.path.abspath(__file__))
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in os.listdir(root)
+        if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    # The CURRENT round: explicit BENCH_ROUND wins; else 1 + the
+    # newest driver CORRECTNESS record (the driver writes round N's
+    # correctness at round N's END, so during round N+1 the newest on
+    # disk is N). Round 14's close record landed under the NEXT
+    # round's filename because this was inferred only at archive time
+    # with nothing stamped inside the record (VERDICT r14 "What's
+    # wrong" #3) — now the round, git SHA and start time are inside
+    # the sidecar, so a misnamed file is self-describing.
+    bench_round = int(
+        os.environ.get("BENCH_ROUND", (max(rounds) + 1) if rounds else 0)
+    )
     detail = dict(
         out,
+        round=bench_round,
+        git_sha=_git_sha(root),
+        started_at=started_at,
         rows=rows,
         shuffle=shuffle,
         trials=trials,
@@ -364,7 +448,6 @@ def main():
             round(total / calib_mean, 2) if calib_mean > 0 else None
         ),
     )
-    root = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(root, "BENCH_DETAILS.json")
     try:
         with open(sidecar, "w") as f:
@@ -372,20 +455,14 @@ def main():
     except OSError:
         pass  # read-only checkout: the stdout line is the contract
     # Per-round archive so bench_trend can diff rounds including the
-    # shuffle sidecar (the driver's BENCH_r{N} keeps wall only). The
-    # current round = 1 + newest driver CORRECTNESS round on disk.
+    # shuffle sidecar (the driver's BENCH_r{N} keeps wall only).
     # Only the DEFAULT scale factor archives: a quick sf0.001 smoke
     # run must not clobber the round's representative sf0.1 record.
-    import re as _re
-
-    rounds = [
-        int(m.group(1))
-        for p in os.listdir(root)
-        if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    if rounds and os.path.realpath(SF_DIR) == os.path.realpath(DEFAULT_SF_DIR):
+    if bench_round and os.path.realpath(SF_DIR) == os.path.realpath(
+        DEFAULT_SF_DIR
+    ):
         archive = os.path.join(
-            root, f"BENCH_DETAILS_r{max(rounds) + 1:02d}.json"
+            root, f"BENCH_DETAILS_r{bench_round:02d}.json"
         )
         # never clobber an existing round archive (the r13 judge's
         # re-run overwrote the driver's untracked sidecar — VERDICT
@@ -393,7 +470,7 @@ def main():
         k = 1
         while os.path.exists(archive):
             archive = os.path.join(
-                root, f"BENCH_DETAILS_r{max(rounds) + 1:02d}.rerun{k}.json"
+                root, f"BENCH_DETAILS_r{bench_round:02d}.rerun{k}.json"
             )
             k += 1
         try:
@@ -401,6 +478,30 @@ def main():
                 json.dump(detail, f, indent=1, sort_keys=True)
         except OSError:
             pass
+    # The headline JSON also lands in a file: the driver's BENCH_r14
+    # record captured only a truncated stdout tail with parsed: null,
+    # so the contract line now has a durable, unambiguous twin. Same
+    # default-SF guard as the archive — an sf0.001 smoke must not
+    # clobber the round's representative record.
+    if os.path.realpath(SF_DIR) != os.path.realpath(DEFAULT_SF_DIR):
+        sys.stdout.flush()
+        print(json.dumps(out), flush=True)
+        return
+    try:
+        with open(os.path.join(root, "BENCH_HEADLINE.json"), "w") as f:
+            json.dump(
+                dict(
+                    out,
+                    round=bench_round,
+                    git_sha=_git_sha(root),
+                    started_at=started_at,
+                ),
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass
     sys.stdout.flush()
     print(json.dumps(out), flush=True)
 

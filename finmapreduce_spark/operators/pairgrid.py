@@ -99,7 +99,37 @@ def grid_self_pairs(
             F.col(f"l.{c}").alias(f"{c}_a"),
             F.col(f"r.{c}").alias(f"{c}_b"),
         ]
-    paired = left.alias("l").join(right.alias("r"), cond).select(*out_cols)
+    # Pin the join to sort-merge ("merge" hint) — never broadcast,
+    # never hash-build. Three reasons, each found by measurement:
+    # 1. The tiler's per-task bound IS the shuffle on (bucket, cell):
+    #    under a broadcast hash join the pair probes run in the stream
+    #    side's physical partitions and the cell ids never reach a
+    #    partitioner, so one hot bucket funnels its whole pair volume
+    #    through the few tasks holding its rows. SMJ exchanges both
+    #    sides on the full cell key exactly like a shuffled hash join.
+    # 2. Both sides are explode output (the cell replication), and
+    #    Catalyst's sizeInBytes for Generate equals its INPUT size —
+    #    an underestimate by the replication factor — while AQE's
+    #    runtime conversion judges the COMPRESSED shuffle bytes of
+    #    highly templated rows. At 50× corpus scale the composed
+    #    keep-list broadcast this join at ~13 GiB real size ("Cannot
+    #    broadcast the table that is larger than 8.0 GiB" / 2 GiB
+    #    allocation retries, SCALE.md round-14/15 ledgers). A
+    #    broadcast here is never right: the replicated bucket table
+    #    is corpus-sized.
+    # 3. Not shuffle_hash (the first round-15 attempt): a shuffled
+    #    hash join builds an UNSPILLABLE per-partition hash map, so
+    #    per-task memory scales with corpus/partitions — the 50× run
+    #    died in the gram-grid build ("Not enough memory to build
+    #    hash map", HashedRelation.scala:487) with 32 partitions.
+    #    Sort-merge spills both sorted runs; per-task memory is
+    #    bounded regardless of partition-count tuning.
+    paired = (
+        left.alias("l")
+        .hint("merge")
+        .join(right.alias("r"), cond)
+        .select(*out_cols)
+    )
     if not dedupe:
         return paired
     return paired.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])

@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from finmapreduce_spark.operators.checkpoints import iter_checkpoint
 from finmapreduce_spark.queries import QuerySpec
 from finmapreduce_spark.session import read_table
 
@@ -851,16 +852,16 @@ def _cc_minlabel(edges: DataFrame) -> DataFrame:
     """Min-label propagation: label := min(label, neighbors' labels)
     per iteration (one join+agg); driver sees only the converged flag.
     Deterministic: the fixpoint is unique regardless of order."""
-    # localCheckpoint (not persist): the label table's plan nests one
+    # Checkpoint (not persist): the label table's plan nests one
     # join deeper per iteration; past ~15 iterations even FORMATTING
     # the plan (codegen tree strings) blows the heap. Checkpointing
-    # cuts lineage to a leaf each round; reliable checkpoint(dir) on a
-    # real cluster.
-    labels = (
+    # cuts lineage to a leaf each round; iter_checkpoint upgrades to
+    # reliable checkpoint(dir) when FMR_CHECKPOINT_DIR is set (a
+    # cluster run must survive executor loss mid-loop).
+    labels = iter_checkpoint(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
@@ -868,7 +869,7 @@ def _cc_minlabel(edges: DataFrame) -> DataFrame:
             .groupBy(edges.doc_a)
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = iter_checkpoint(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
@@ -876,7 +877,6 @@ def _cc_minlabel(edges: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -936,21 +936,21 @@ def _cc_star(edges: DataFrame) -> DataFrame:
         keep = m.select(F.col("doc_a"), F.col("m").alias("doc_b"))
         return hang.union(keep).distinct()
 
-    # localCheckpoint (not persist): each round's plan embeds the
+    # Checkpoint (not persist): each round's plan embeds the
     # previous round's TWICE (the symmetric-union self-reference), so
     # lineage grows ~4^rounds and Catalyst's analysis itself blows up
     # by round ~6. Checkpointing materializes the edge set and cuts
-    # the logical plan back to a leaf every round. On a cluster use
-    # reliable checkpoint(dir) for fault tolerance; local[] has no
-    # executor loss to survive.
-    cur = (
+    # the logical plan back to a leaf every round. iter_checkpoint
+    # uses local blocks by default; FMR_CHECKPOINT_DIR switches to
+    # reliable checkpoint(dir) so an hours-long cluster CC run
+    # survives executor loss (local[] has none to survive).
+    cur = iter_checkpoint(
         edges.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.greatest("doc_a", "doc_b").alias("doc_a"),
             F.least("doc_a", "doc_b").alias("doc_b"),
         )
         .distinct()
-        .localCheckpoint()
     )
     def _sig(e: DataFrame):
         # count + order-independent hash XOR (two scalar aggs, no
@@ -968,7 +968,7 @@ def _cc_star(edges: DataFrame) -> DataFrame:
     import gc as _gc
 
     for _ in range(MAX_CC_ITERS):
-        nxt = small_star(large_star(cur)).localCheckpoint()
+        nxt = iter_checkpoint(small_star(large_star(cur)))
         sig_new = _sig(nxt)
         done = (sig_old["n"] == sig_new["n"]) and (sig_old["h"] == sig_new["h"])
         cur = nxt
@@ -988,15 +988,14 @@ def _cc_star(edges: DataFrame) -> DataFrame:
     else:
         raise RuntimeError(f"components did not converge in {MAX_CC_ITERS} iters")
     # converged stars: doc_a hangs off root doc_b; roots label themselves.
-    # localCheckpoint the node list NOW, while the caller's edge input
+    # Checkpoint the node list NOW, while the caller's edge input
     # is still persisted — otherwise the returned plan re-derives the
     # node ids from the raw edge pipeline (for the LSH graph that
     # means re-running shingling+minhash+band join at collect time).
-    nodes = (
+    nodes = iter_checkpoint(
         edges.select(F.col("doc_a").alias("doc_id"))
         .union(edges.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
     )
     out = (
         nodes.join(cur, nodes.doc_id == cur.doc_a, "left")
@@ -2587,8 +2586,9 @@ def pagerank_ranks(
       lineage lesson at _cc_star applies: unbounded iteration with
       unbounded lineage eventually blows up Catalyst analysis, not
       just execution). The delta is a single scalar aggregate — no
-      rank data ever reaches the driver. On a cluster, swap
-      localCheckpoint for reliable checkpoint(dir).
+      rank data ever reaches the driver. On a cluster, set
+      FMR_CHECKPOINT_DIR to swap the local blocks for reliable
+      checkpoint(dir) (operators/checkpoints.py).
 
     edges/outdeg persists are caller-owned (bench/compare clearCache
     per query), matching the catalog-wide lifecycle contract.
@@ -2626,13 +2626,13 @@ def pagerank_ranks(
 
     if tol is None:
         tol = docs.count()  # L1 ≤ |V|: mean change < 1 integer unit
-    ranks = ranks.localCheckpoint()
+    ranks = iter_checkpoint(ranks)
     prev_ckpt = ranks  # last materialized snapshot; at most ONE is retained
     for i in range(1, max_iters + 1):
         nxt = step(ranks)
         new_ckpt = None
         if i % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint()  # eager: blocks exist after this line
+            nxt = iter_checkpoint(nxt)  # eager: state exists after this line
             new_ckpt = nxt
         delta = (
             ranks.select("doc_id", F.col("rank").alias("r_old"))

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from finmapreduce_spark.operators.checkpoints import iter_checkpoint
 from finmapreduce_spark.operators.distrank import banded_rank, hex_band
 from finmapreduce_spark.queries import QuerySpec
 from finmapreduce_spark.queries.dedup import SHINGLE_K, with_shingles
@@ -1675,15 +1676,17 @@ def _bpe_train_batched(
         # and chained persists keep the whole replace-expression
         # lineage in every task binary — ~60 rounds deep it
         # StackOverflows task DEserialization and takes the
-        # SparkContext down. localCheckpoint every few rounds cuts the
-        # chain; persist covers the rounds in between. NB the
-        # unpersist below is a cache-manager no-op on checkpointed
-        # frames — their blocks are released by the ContextCleaner
-        # when driver GC drops the RDD handle. Acceptable: the table
-        # is the DISTINCT-WORD vocabulary (corpus-compressed, ~|vocab|
-        # rows at any corpus size), so a few pinned generations are
-        # KBs locally / MBs at 100 TB, not corpus-sized.
-        nxt = nxt.localCheckpoint() if r % 8 == 0 else nxt.persist()
+        # SparkContext down. iter_checkpoint every few rounds cuts the
+        # chain (local blocks; FMR_CHECKPOINT_DIR upgrades to reliable
+        # checkpoint(dir) for cluster fault tolerance); persist covers
+        # the rounds in between. NB the unpersist below is a
+        # cache-manager no-op on checkpointed frames — their blocks
+        # are released by the ContextCleaner when driver GC drops the
+        # RDD handle. Acceptable: the table is the DISTINCT-WORD
+        # vocabulary (corpus-compressed, ~|vocab| rows at any corpus
+        # size), so a few pinned generations are KBs locally / MBs at
+        # 100 TB, not corpus-sized.
+        nxt = iter_checkpoint(nxt) if r % 8 == 0 else nxt.persist()
         toks.unpersist()
         toks = nxt
     return rows, toks

@@ -87,6 +87,12 @@ def get_spark(
         # Paid LLM stages must never run twice for the same row:
         # speculation off engine-wide (SURVEY §4 "needs custom work").
         .config("spark.speculation", "false")
+        # Reliable checkpoints (FMR_CHECKPOINT_DIR — the iterative
+        # loops' cluster fault-tolerance mode, operators/checkpoints
+        # .py) are files the ContextCleaner only deletes with this on;
+        # without it a long-lived session leaks one edge-table-sized
+        # directory per loop round. No effect on localCheckpoint.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

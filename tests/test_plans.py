@@ -1159,6 +1159,40 @@ def test_multimodal_dedup_plans_are_arrow_and_tiled(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def _jchildren(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _jsubtree_has(node, cls_fragment: str) -> bool:
+    if cls_fragment in node.getClass().getSimpleName():
+        return True
+    return any(_jsubtree_has(c, cls_fragment) for c in _jchildren(node))
+
+
+def _broadcast_exchanges(df):
+    """(output-attribute-name set, has_generate_below) for every
+    BroadcastExchange in the STATIC physical plan (sparkPlan — where
+    the broadcast decision is made), walked via the JVM tree so the
+    checks anchor on the exchange's actual output attributes instead
+    of a fixed window of explain-string lines (round-14 advice: the
+    substring scan false-positives on any identifier containing
+    'text' and false-negatives past 4 lines)."""
+    out = []
+
+    def walk(node):
+        if node.getClass().getSimpleName().startswith("BroadcastExchange"):
+            attrs = node.output()
+            names = {attrs.apply(i).name() for i in range(attrs.length())}
+            gen = any(_jsubtree_has(c, "Generate") for c in _jchildren(node))
+            out.append((names, gen))
+        for c in _jchildren(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return out
+
+
 def test_substring_candidate_slice_joins_semi(spark, sf_dir):
     """r14 100× study: the winnow candidate slice must be a LEFT SEMI
     join so the planner can only ever build/broadcast the id-only
@@ -1169,14 +1203,66 @@ def test_substring_candidate_slice_joins_semi(spark, sf_dir):
     killing dedup_exact_substring and the whole master keep-list."""
     from finmapreduce_spark.queries import all_queries
 
-    plan = plan_of(
-        all_queries()["dedup_exact_substring"].spark(spark, sf_dir)
-    )
+    df = all_queries()["dedup_exact_substring"].spark(spark, sf_dir)
+    plan = plan_of(df)
     assert "LeftSemi" in plan, "candidate slice must join left_semi"
     # and the text side must never be a broadcast build: every
     # broadcast exchange in this plan carries only ids/fingerprints
-    for i, line in enumerate(plan.splitlines()):
-        if "BroadcastExchange" in line:
-            sub = "\n".join(plan.splitlines()[i : i + 4])
-            assert " t#" not in sub and "text" not in sub, sub
+    for names, _gen in _broadcast_exchanges(df):
+        assert not names & {"t", "text"}, (
+            f"broadcast exchange carries a text column: {sorted(names)}"
+        )
     spark.catalog.clearCache()
+
+
+def test_dedup_lanes_never_broadcast_explode_output(spark, sf_dir):
+    """r14 carried scale-killer, fixed r15: Catalyst's sizeInBytes for
+    Generate output equals its INPUT size, so anything downstream of
+    an explode is underestimated by the replication factor — at 50×
+    the composed keep-list planned one grid join as a ~13 GiB
+    broadcast ("Cannot broadcast the table that is larger than
+    8.0 GiB"). Explode output in the dedup lanes is corpus-derived
+    (shingles, grams, band replications), so it is NEVER a legitimate
+    broadcast build at scale: pin "no BroadcastExchange above a
+    Generate" across every dedup lane's static plan."""
+    from finmapreduce_spark.queries import all_queries
+
+    qs = all_queries()
+    lanes = [
+        "dedup_lsh_pairs_grid",
+        "dedup_simhash_pairs_grid",
+        "dedup_semantic_verify",
+        "dedup_exact_substring",
+        "dedup_weighted_minhash_pairs",
+        "dedup_image_phash_pairs",
+        "dedup_duplicate_passages",
+    ]
+    for name in lanes:
+        df = qs[name].spark(spark, sf_dir)
+        offenders = [
+            sorted(names)
+            for names, gen in _broadcast_exchanges(df)
+            if gen
+        ]
+        assert not offenders, f"{name}: broadcast over Generate {offenders}"
+        spark.catalog.clearCache()
+
+
+def test_grid_cell_join_is_sort_merge(spark, sf_dir):
+    """The pairgrid cell join must be a SortMergeJoin: the exchange on
+    (bucket, cell) is the tiler's per-task bound (broadcast keeps the
+    pair volume in the stream side's partitions), and the build side
+    is corpus-sized so a shuffled-hash build is an unspillable
+    per-partition OOM (the 50× run died in HashedRelation.apply —
+    SCALE.md round-15). The merge hint gives the same cell-key
+    exchange with spill-safe sorted runs."""
+    from finmapreduce_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("dedup_lsh_pairs_grid", "dedup_simhash_pairs_grid"):
+        plan = plan_of(qs[name].spark(spark, sf_dir))
+        assert "SortMergeJoin" in plan, name
+        assert "ShuffledHashJoin" not in plan, name
+        # cell ids are join keys (reach the partitioner)
+        assert "__blk_i" in plan and "__blk_j" in plan, name
+        spark.catalog.clearCache()
