@@ -170,6 +170,14 @@ HEADLINE = [
     # water-filling (one corpus count pass + domain-sized windows)
     "quality_ccnet_buckets",
     "mixture_unimax_allocation",
+    # round-15: the promoted tokenizer-exact defaults (F2 at reference
+    # 32768/4096 token budgets; the full default-model QA DAG) and the
+    # staged master keep-list (sequential lane materialization → CC
+    # from parquet pair tables — the production curation shape and the
+    # round's scale-fix centerpiece)
+    "f2_chunk_documents",
+    "pipeline_e2e_answers_bpe",
+    "dedup_master_keep_list_staged",
 ]
 
 

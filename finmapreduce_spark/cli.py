@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     # reference defaults: main_async.py:44-51
     p.add_argument("--chunk_size", type=int, default=32768)
     p.add_argument("--chunk_overlap", type=int, default=4096)
+    p.add_argument("--token_model", choices=("bpe", "tiktoken", "words", "chars"),
+                   default=None,
+                   help="budget model for chunk sizes and truncation: "
+                        "default resolves FMR_TOKEN_MODEL -> 'bpe' "
+                        "(tokenizer-exact under the vendored merges; the "
+                        "reference counts tiktoken tokens — its 32768/4096 "
+                        "defaults are TOKEN budgets); 'tiktoken' = "
+                        "reference-identical cl100k when installed; "
+                        "'chars'/'words' = the closed-form legacy model")
     p.add_argument("--score_threshold", type=int, default=None,
                    help="default 5 (json/hybrid) or 50 (plain_text)")
     p.add_argument("--truncation_strategy", choices=("start", "end", "smart"),
@@ -247,6 +256,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
         cfg = MapReduceConfig(
             chunk_size=args.chunk_size,
             chunk_overlap=args.chunk_overlap,
+            token_model=args.token_model,
             score_threshold=threshold,
             format_type=args.format_type,  # P2: json → struct filter
             concurrency=concurrency,
@@ -273,6 +283,9 @@ def run(argv: list[str] | None = None, spark=None) -> str:
         cfg = TruncationConfig(
             max_doc_tokens=args.max_doc_tokens,
             strategy=args.truncation_strategy,
+            token_model=(
+                "words" if args.token_model == "chars" else args.token_model
+            ),
             client_factory=client_factory,
             context_window=args.context_window,
             buffer=args.buffer,

@@ -6,9 +6,11 @@ whole-file corpus scan instead of a sequential file loop.
 
 Token models (the reference hard-codes tiktoken cl100k_base via
 utils.num_tokens_from_string):
-  --model ws       whitespace model (default; functions/text.py F1)
+  --model merges   tokenizer-exact via a merge table (DEFAULT since
+                   round 15 — the engine's vendored 4,096-merge table
+                   unless --merges_file overrides)
   --model tiktoken tokenizer-exact via tiktoken, when installed
-  --model merges   tokenizer-exact via a trained merge list
+  --model ws       whitespace model (legacy; functions/text.py F1)
                    (--merges_file, the bpe_train_merges format /
                    functions/mini_bpe.py)
 
@@ -45,12 +47,17 @@ def _counted(spark, glob_path: str, model: str, merges_file: str | None):
 
         factory = tiktoken_encoder_factory()
     elif model == "merges":
-        if not merges_file:
-            raise SystemExit("--model merges needs --merges_file")
         from finmapreduce_spark.functions.mini_bpe import MergesBPE
+        from finmapreduce_spark.functions.token_model import (
+            vocab_merges_path,
+        )
 
         factory = MergesBPE.factory(
-            list(MergesBPE.from_merges_file(merges_file).ranks)
+            list(
+                MergesBPE.from_merges_file(
+                    merges_file or vocab_merges_path()
+                ).ranks
+            )
         )
     else:
         raise SystemExit(f"unknown --model {model!r}")
@@ -229,8 +236,11 @@ def main(argv=None, spark=None) -> dict:
     )
     ap.add_argument("--docs_glob", nargs="+", required=True)
     ap.add_argument("--model", choices=("ws", "tiktoken", "merges"),
-                    default="ws")
-    ap.add_argument("--merges_file", default=None)
+                    default="merges")
+    ap.add_argument("--merges_file", default=None,
+                    help="merge table for --model merges; defaults to the "
+                         "engine's vendored 4,096-merge table (the round-15 "
+                         "default budget model)")
     ap.add_argument("--per_file", action="store_true")
     args = ap.parse_args(argv)
 

@@ -245,12 +245,17 @@ def grid_cross_pairs(
     # few scan/cache partitions funnels the full H_l×H_r volume
     # through those tasks and the cell ids never reach a partitioner
     # (measured: 44 s hot task vs the plain probe's 33 s on the
-    # two-sided clone corpus, SCALE.md round-12 study). Force the
-    # shuffled hash join: both sides exchange on the full cell key,
-    # per-task pair work is genuinely ≤ block² × cells/partition.
+    # two-sided clone corpus, SCALE.md round-12 study). Pin
+    # sort-merge (round 15, same reasoning as grid_self_pairs above):
+    # both sides exchange on the full cell key exactly as the
+    # round-12 shuffle_hash pin did, but the build is spill-safe
+    # sorted runs instead of an unspillable per-partition hash map —
+    # the 50× study killed the self-tiler's SHJ build in
+    # HashedRelation.apply, and a corpus-scale history store hits the
+    # identical wall here.
     return (
         lrep.alias("l")
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(rrep.alias("r"), cond)
         .select(*out_cols)
     )

@@ -26,6 +26,13 @@ from finmapreduce_spark.plans.mapreduce import join_documents
 class TruncationConfig:
     max_doc_tokens: int = 100  # F6 output; fixture-scale budget
     strategy: str = "start"  # start|end|smart (F3/F4/F5)
+    # Token model for the budget (round 15): None resolves
+    # FMR_TOKEN_MODEL → "bpe" (DEFAULT — budgets count vendored-BPE
+    # tokens, matching the reference's tiktoken-token budgets,
+    # truncation_utils.py:35-120); "tiktoken" when installed;
+    # "words" keeps the closed-form whitespace model the word-based
+    # parity oracles pin explicitly.
+    token_model: str | None = None
     client_factory: object = mock_client_factory
     # F6 per-QA budget mode (reference truncation_utils.py:230-266 +
     # main_async --context_window/--buffer): when context_window is
@@ -42,11 +49,23 @@ class TruncationConfig:
 
 
 def truncate_docs(qa_docs: DataFrame, cfg: TruncationConfig) -> DataFrame:
+    from finmapreduce_spark.functions.token_model import token_model
+
     ok = qa_docs.filter(F.col("doc_error").isNull())
+    model = (
+        cfg.token_model
+        if cfg.token_model == "words"
+        else token_model(cfg.token_model)
+    )
     if cfg.context_window is not None:
         from finmapreduce_spark.functions.text import word_tokens
         from finmapreduce_spark.functions.truncation import truncation_budget
 
+        # Per-QA Column budgets stay on the closed-form word path:
+        # truncate_words_exact takes a scalar budget (one UDF per
+        # budget value), so the F6 per-row-budget mode keeps word
+        # semantics regardless of model — documented limit, the
+        # reference's own budget floor logic is model-independent.
         budget = truncation_budget(
             cfg.context_window,
             F.size(word_tokens(F.col("question"))),
@@ -55,8 +74,26 @@ def truncate_docs(qa_docs: DataFrame, cfg: TruncationConfig) -> DataFrame:
         return truncate_words(
             ok, "text", budget, strategy=cfg.strategy, out_prefix="trunc"
         )
-    return truncate_words(
-        ok, "text", cfg.max_doc_tokens, strategy=cfg.strategy, out_prefix="trunc"
+    if model == "words":
+        return truncate_words(
+            ok,
+            "text",
+            cfg.max_doc_tokens,
+            strategy=cfg.strategy,
+            out_prefix="trunc",
+        )
+    from finmapreduce_spark.functions.exact_tokens import truncate_words_exact
+    from finmapreduce_spark.functions.token_model import (
+        default_encoder_factory,
+    )
+
+    return truncate_words_exact(
+        ok,
+        "text",
+        cfg.max_doc_tokens,
+        strategy=cfg.strategy,
+        out_prefix="trunc",
+        encoder_factory=default_encoder_factory(model),
     )
 
 

@@ -3338,6 +3338,88 @@ QUERIES.update(
 )
 
 
+def dedup_master_keep_list_staged(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
+    """The master keep-list with each edge lane MATERIALIZED to
+    parquet sequentially before the union+CC — the shape a production
+    curation run takes at full corpus scale, for three reasons found
+    by the round-14/15 scale studies:
+
+    1. Scratch-disk ceiling: the inline composition keeps all five
+       lanes' shuffle files live inside ONE distinct() job, and at
+       100× that exceeded a single box's scratch (ENOSPC, SCALE.md
+       round-14 ledger). Staging runs one lane at a time, drops its
+       refs, and nudges the ContextCleaner so each lane's shuffle
+       files can be reclaimed before the next lane starts — peak
+       scratch is max(lane) + pair tables instead of sum(lanes).
+    2. Honest statistics: the CC phase reads the pair tables back
+       from parquet, so every downstream join plans from REAL file
+       sizes instead of explode-underestimated pipeline estimates
+       (the 12.9 GiB mis-broadcast class).
+    3. Reusable artifacts: per-signal pair tables are exactly what an
+       incremental curation pipeline diffs, audits, and re-clusters
+       without recomputing signatures.
+
+    Result-identical to dedup_master_keep_list (same oracle): lanes,
+    union-distinct, CC, and the anti-join are unchanged — only the
+    materialization boundary moves.
+    """
+    import gc as _gc
+    import tempfile
+
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="fmr_keeplist_stage_")
+    docs = _docs(spark, sf_dir)
+
+    def exact_lane():
+        hashed, keepers = _content_hash_keepers(docs)
+        return (
+            hashed.join(keepers, "content_hash")
+            .filter(F.col("doc_id") != F.col("keeper"))
+            .select(
+                F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
+
+    lanes = {
+        "exact": exact_lane,
+        "lsh": lambda: dedup_lsh_pairs_grid(spark, sf_dir),
+        "simhash": lambda: dedup_simhash_pairs_grid(spark, sf_dir),
+        "semantic": lambda: dedup_semantic_verify(spark, sf_dir),
+        "substring": lambda: exact_substring_pairs(docs),
+    }
+    for name, build in lanes.items():
+        build().select("doc_a", "doc_b").write.mode("overwrite").parquet(
+            f"{stage_dir}/{name}"
+        )
+        # Free this lane's state before the next lane shuffles:
+        # clearCache drops its persisted frames (each lane builds its
+        # own shingle/index caches in staged mode); the gc pair lets
+        # the ContextCleaner reclaim the lane's now-unreferenced
+        # shuffle files (best effort — removal is async, but the next
+        # lane's write gives it wall time to land).
+        spark.catalog.clearCache()
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    pair_tables = [
+        spark.read.parquet(f"{stage_dir}/{name}") for name in lanes
+    ]
+    edges = reduce(lambda a, b: a.unionByName(b), pair_tables).distinct()
+    labels = connected_components(edges)
+    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    return docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+
+
+QUERIES.update(
+    {
+        "dedup_master_keep_list_staged": QuerySpec(
+            dedup_master_keep_list_staged, DEDUP_MASTER_KEEP_ORACLE
+        ),
+    }
+)
+
+
 def incremental_substring_pairs(
     incoming: DataFrame,
     history: DataFrame,

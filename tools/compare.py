@@ -80,10 +80,16 @@ def dump_failure(name, scols, cs, dcols, cd, only_s, only_d, rerun_verdict):
     (contention-correlated) flake is root-causable after the fact."""
     import json
 
+    # Dumps live under a gitignored subdirectory: repeated failing
+    # sweeps used to scatter ~40k-row JSON files across the repo root
+    # next to tracked round artifacts, one `git add .` away from being
+    # committed (round-14 advice).
+    dump_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "compare_failures"
+    )
+    os.makedirs(dump_dir, exist_ok=True)
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "..",
-        f"compare_fail_{name}_{os.getpid()}.json",
+        dump_dir, f"compare_fail_{name}_{os.getpid()}.json"
     )
     cap = 20000
     payload = {
