@@ -25,7 +25,11 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from finmapreduce_spark.operators.checkpoints import iter_checkpoint
+from finmapreduce_spark.operators.checkpoints import (
+    iter_checkpoint,
+    release_all_persistent_rdds,
+    release_iter_checkpoint,
+)
 from finmapreduce_spark.queries import QuerySpec
 from finmapreduce_spark.session import read_table
 
@@ -885,7 +889,12 @@ def _cc_minlabel(edges: DataFrame) -> DataFrame:
             .limit(1)
             .count()
         )
+        prev = labels
         labels = new_labels
+        # The `changed` count above was the last reader of the old
+        # label snapshot; free its checkpoint blocks synchronously so
+        # a long run holds one label table, not one per iteration.
+        release_iter_checkpoint(prev)
         if changed == 0:
             return labels
     raise RuntimeError(f"components did not converge in {MAX_CC_ITERS} iters")
@@ -965,24 +974,24 @@ def _cc_star(edges: DataFrame) -> DataFrame:
     # checkpointed nxt), so carry it over instead of re-aggregating —
     # one scalar-agg job per round instead of two.
     sig_old = _sig(cur)
-    import gc as _gc
 
     for _ in range(MAX_CC_ITERS):
+        prev = cur
         nxt = iter_checkpoint(small_star(large_star(cur)))
         sig_new = _sig(nxt)
         done = (sig_old["n"] == sig_new["n"]) and (sig_old["h"] == sig_new["h"])
         cur = nxt
         sig_old = sig_new
         # Drop the previous round's checkpoint blocks NOW: rebinding
-        # `cur` orphans the old DataFrame, but its MEMORY_AND_DISK
-        # checkpoint blocks free only after Python GC releases the
-        # py4j handle and ContextCleaner runs. In a tight loop over a
-        # big edge set nothing triggers that collection, so every
-        # round's full edge table stays on disk — the 100× study
-        # (round 14) filled an 80 GB scratch volume with ~15 retained
-        # rounds of a multi-GB edge set and died on ENOSPC. One
-        # gc.collect() per round caps live rounds at ~2.
-        _gc.collect()
+        # `cur` orphans the old snapshot, and the 100× study (round
+        # 14) showed ~15 retained rounds of a multi-GB edge set fill
+        # an 80 GB scratch volume (ENOSPC). The blocking by-id
+        # release is synchronous — the round-14 per-round
+        # gc.collect() only made removal *eligible* for the async
+        # ContextCleaner, which back-to-back bench trials proved can
+        # lag arbitrarily. Safe here: nxt is eagerly materialized, so
+        # nothing can re-read prev's truncated lineage.
+        release_iter_checkpoint(prev)
         if done:
             break
     else:
@@ -2645,10 +2654,13 @@ def pagerank_ranks(
         # the new checkpoint is materialized, drop the old one so a long
         # run holds one rank copy in executor storage, not
         # max_iters/checkpoint_every of them. Must happen AFTER the
-        # delta: localCheckpoint truncates lineage, so unpersisting
+        # delta: localCheckpoint truncates lineage, so releasing
         # earlier would orphan the old ranks' only copy mid-read.
+        # (DataFrame.unpersist() — the pre-round-15 call here — is a
+        # cache-manager no-op on checkpointed frames; the by-id
+        # blocking release actually frees the blocks.)
         if new_ckpt is not None:
-            prev_ckpt.unpersist()
+            release_iter_checkpoint(prev_ckpt)
             prev_ckpt = new_ckpt
         # NULL delta means the join was empty — zero nodes — which is
         # trivially converged, not "keep burning rounds until the
@@ -3393,13 +3405,15 @@ def dedup_master_keep_list_staged(
         build().select("doc_a", "doc_b").write.mode("overwrite").parquet(
             f"{stage_dir}/{name}"
         )
-        # Free this lane's state before the next lane shuffles:
-        # clearCache drops its persisted frames (each lane builds its
-        # own shingle/index caches in staged mode); the gc pair lets
-        # the ContextCleaner reclaim the lane's now-unreferenced
-        # shuffle files (best effort — removal is async, but the next
-        # lane's write gives it wall time to land).
+        # Free this lane's state before the next lane shuffles: the
+        # blocking release drops every persistent RDD (cached frames
+        # AND checkpoint blocks — clearCache alone misses the latter)
+        # synchronously; the gc pair then lets the ContextCleaner
+        # reclaim the lane's now-unreferenced shuffle files (best
+        # effort — shuffle removal is async, but the next lane's
+        # write gives it wall time to land).
         spark.catalog.clearCache()
+        release_all_persistent_rdds(spark)
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
     pair_tables = [

@@ -17,7 +17,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from finmapreduce_spark.operators.checkpoints import iter_checkpoint
+from finmapreduce_spark.operators.checkpoints import (
+    iter_checkpoint,
+    release_iter_checkpoint,
+)
 from finmapreduce_spark.operators.distrank import banded_rank, hex_band
 from finmapreduce_spark.queries import QuerySpec
 from finmapreduce_spark.queries.dedup import SHINGLE_K, with_shingles
@@ -1627,6 +1630,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_BATCH_ROUNDS = 2
 BPE_BATCH_M = 2
 BPE_CAND_WINDOW = 64  # ranked candidates scanned per round (both engines)
+BPE_CKPT_EVERY = 8  # rounds between lineage-truncating checkpoints
 
 
 def _bpe_train_batched(
@@ -1639,6 +1643,7 @@ def _bpe_train_batched(
 ):
     toks = _bpe_char_toks(spark, sf_dir, docs).persist()
     rows = []
+    last_ckpt = None  # newest checkpoint generation; predecessors released
     for r in range(1, rounds + 1):
         cand = (
             _bpe_pair_counts(toks)
@@ -1679,14 +1684,21 @@ def _bpe_train_batched(
         # SparkContext down. iter_checkpoint every few rounds cuts the
         # chain (local blocks; FMR_CHECKPOINT_DIR upgrades to reliable
         # checkpoint(dir) for cluster fault tolerance); persist covers
-        # the rounds in between. NB the unpersist below is a
-        # cache-manager no-op on checkpointed frames — their blocks
-        # are released by the ContextCleaner when driver GC drops the
-        # RDD handle. Acceptable: the table is the DISTINCT-WORD
+        # the rounds in between. A superseded checkpoint generation is
+        # released (blocking) only once the NEXT one is eagerly
+        # materialized — the persisted rounds in between read through
+        # it, and checkpointing truncated their lineage, so an earlier
+        # release would destroy the only copy. The FINAL generation
+        # stays pinned for the caller (bpe_apply_compression reads
+        # toks downstream); acceptable: the table is the DISTINCT-WORD
         # vocabulary (corpus-compressed, ~|vocab| rows at any corpus
-        # size), so a few pinned generations are KBs locally / MBs at
-        # 100 TB, not corpus-sized.
-        nxt = iter_checkpoint(nxt) if r % 8 == 0 else nxt.persist()
+        # size), KBs locally / MBs at 100 TB, not corpus-sized.
+        if r % BPE_CKPT_EVERY == 0:
+            nxt = iter_checkpoint(nxt)
+            release_iter_checkpoint(last_ckpt)
+            last_ckpt = nxt
+        else:
+            nxt = nxt.persist()
         toks.unpersist()
         toks = nxt
     return rows, toks

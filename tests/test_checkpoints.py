@@ -78,3 +78,68 @@ def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path, monkeypatch
         for r in pagerank_ranks(docs, links, n, tol=0, checkpoint_every=2).collect()
     )
     assert got == want
+
+
+def _live_ids(spark):
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def test_release_iter_checkpoint_frees_blocks(spark, monkeypatch):
+    from finmapreduce_spark.operators.checkpoints import (
+        release_iter_checkpoint,
+    )
+
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    df = iter_checkpoint(_edges(spark))
+    ids = df._fmr_ckpt_rdd_ids
+    assert ids, "local checkpoint registered no persistent RDDs"
+    assert ids <= _live_ids(spark)
+    assert release_iter_checkpoint(df) == len(ids)
+    assert not (ids & _live_ids(spark)), "blocks still live after release"
+    # releasing twice is a no-op, and None is accepted
+    assert release_iter_checkpoint(df) == 0
+    assert release_iter_checkpoint(None) == 0
+
+
+def test_release_reliable_mode_keeps_frame_readable(
+    spark, tmp_path, monkeypatch
+):
+    from finmapreduce_spark.operators.checkpoints import (
+        release_iter_checkpoint,
+    )
+
+    monkeypatch.setenv(CHECKPOINT_DIR_ENV, str(tmp_path / "ckrel"))
+    df = iter_checkpoint(_edges(spark))
+    assert df._fmr_ckpt_rdd_ids == frozenset()
+    assert release_iter_checkpoint(df) == 0
+    assert df.count() == 6  # reliable files untouched by release
+
+
+def test_release_all_persistent_rdds(spark, monkeypatch):
+    from finmapreduce_spark.operators.checkpoints import (
+        release_all_persistent_rdds,
+    )
+
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    a = _edges(spark).persist()
+    a.count()
+    b = iter_checkpoint(_edges(spark))
+    assert _live_ids(spark)
+    released = release_all_persistent_rdds(spark)
+    assert released >= 2
+    assert not _live_ids(spark)
+    del a, b
+
+
+def test_cc_star_retains_bounded_snapshots(spark, monkeypatch):
+    """The star loop must hold O(1) snapshots, not one per round: each
+    superseded round is blocking-released (the r14 100x ENOSPC class)."""
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    before = _live_ids(spark)
+    out = connected_components(_edges(spark), "star")
+    assert out.count() == 7
+    # retained: the converged edge set + the node-list checkpoint
+    assert len(_live_ids(spark) - before) <= 2
