@@ -309,21 +309,38 @@ def test_cli_max_total_requests_shapes_partitions(spark, fixture_dirs):
 def test_count_tokens_cli(spark, fixture_dirs, capsys):
     """scripts/count_tokens.py parity: per-directory totals, grand
     total, and a log2-bucket histogram, as one Spark agg per glob.
-    Exact ws-model expectations derive from the fixture texts: the
-    acme doc is 8 words × 40 reps, the beta doc 4 words × 40 reps
-    (trailing space does not create a token)."""
+    The DEFAULT model is the vendored-merges BPE (round 15 — the
+    reference counts tiktoken tokens, document_processing.py:19-23):
+    the acme doc encodes to 28 tokens × 40 reps, the beta doc 16 × 40
+    (derived with functions/token_model.default_encoder_factory)."""
     qa_path, docs_dir, _ = fixture_dirs
     from finmapreduce_spark.count_tokens import main
 
     out = main(["--docs_glob", docs_dir, "--per_file"], spark=spark)
     (d,) = out["dirs"]
     assert d["files"] == 2
+    assert d["per_file"] == {"acme_2023": 1120, "beta_2022": 640}
+    assert d["tokens"] == 1760 and out["total"] == {"files": 2, "tokens": 1760}
+    assert (d["min"], d["max"], d["avg"]) == (640, 1120, 880.0)
+    # 640 → floor(log2)=9 → 512-1023; 1120 → floor(log2)=10 → 1024-2047
+    assert out["histogram"] == {"512-1023": 1, "1024-2047": 1}
+    assert json.loads(capsys.readouterr().out)["total"]["tokens"] == 1760
+
+
+def test_count_tokens_cli_ws_model(spark, fixture_dirs):
+    """--model ws keeps the legacy whitespace counts behind the flag:
+    the acme doc is 8 words × 40 reps, the beta doc 4 words × 40 reps
+    (trailing space does not create a token)."""
+    qa_path, docs_dir, _ = fixture_dirs
+    from finmapreduce_spark.count_tokens import main
+
+    out = main(
+        ["--docs_glob", docs_dir, "--model", "ws", "--per_file"], spark=spark
+    )
+    (d,) = out["dirs"]
     assert d["per_file"] == {"acme_2023": 320, "beta_2022": 160}
-    assert d["tokens"] == 480 and out["total"] == {"files": 2, "tokens": 480}
-    assert (d["min"], d["max"], d["avg"]) == (160, 320, 240.0)
-    # 160 → floor(log2)=7 → 128-255; 320 → floor(log2)=8 → 256-511
+    assert out["total"] == {"files": 2, "tokens": 480}
     assert out["histogram"] == {"128-255": 1, "256-511": 1}
-    assert json.loads(capsys.readouterr().out)["total"]["tokens"] == 480
 
 
 def test_count_tokens_cli_merges_model(spark, fixture_dirs):
@@ -366,9 +383,10 @@ def test_count_tokens_cli_nested_brace_glob(spark, fixture_dirs):
     out = main(["--docs_glob", pattern, "--per_file"], spark=spark)
     (d,) = out["dirs"]
     # per-glob entry counts every match (acme twice is still one FILE
-    # per distinct path); grand total dedups on realpath
-    assert d["per_file"] == {"acme_2023": 320, "beta_2022": 160}
-    assert out["total"] == {"files": 2, "tokens": 480}
+    # per distinct path); grand total dedups on realpath. Default
+    # merges-BPE counts: 28×40 and 16×40 (see test_count_tokens_cli).
+    assert d["per_file"] == {"acme_2023": 1120, "beta_2022": 640}
+    assert out["total"] == {"files": 2, "tokens": 1760}
 
 
 def test_cli_preprocess_questions_hybrid(spark, fixture_dirs, capsys):
@@ -444,8 +462,11 @@ def test_count_tokens_overlapping_globs_dedupe_grand_total(spark, tmp_path):
     d.mkdir()
     (d / "a.md").write_text("one two three")  # 3 ws tokens
     (d / "b.md").write_text("four five")  # 2 ws tokens
+    # --model ws: this test pins GLOB-DEDUP semantics, so the legacy
+    # model keeps the expectations hand-derivable from word counts
     out = main(
-        ["--docs_glob", str(d / "*.md"), str(d / "a.md")], spark=spark
+        ["--docs_glob", str(d / "*.md"), str(d / "a.md"), "--model", "ws"],
+        spark=spark,
     )
     ga, gb = out["dirs"]
     assert (ga["files"], ga["tokens"]) == (2, 5)
