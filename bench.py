@@ -178,6 +178,7 @@ HEADLINE = [
     "f2_chunk_documents",
     "pipeline_e2e_answers_bpe",
     "dedup_master_keep_list_staged",
+    "dedup_master_keep_list_incremental",
 ]
 
 

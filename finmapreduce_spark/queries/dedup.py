@@ -2073,6 +2073,34 @@ HAVING count(*) >= {PASSAGE_MIN_RUN}
 SEMANTIC_COSINE_MIN = 0.99
 
 
+def _semantic_buckets(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band_id, key): the semantic lane's MinHash band
+    buckets over an already-shingled frame — shared by the batch lane
+    and the incremental capstone's cross probe."""
+    sig = shingled.select("doc_id", *_minhash_cols(F.col("shingles")))
+    band0, band1 = _band_exprs()
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
+                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.key")
+
+
+def _hashing_bow_embeddings(docs: DataFrame) -> DataFrame:
+    """(doc_id, e, nm): hashing-BoW embedding + L2 norm — the
+    semantic lane's verify features, one definition for the batch
+    lane and the incremental cross probe."""
+    from finmapreduce_spark.functions.scoring import embed_text_udf
+
+    return docs.select(
+        "doc_id", embed_text_udf("hashing-bow")(F.col("text")).alias("e")
+    ).withColumn("nm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+
+
 def dedup_semantic_verify(
     spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
 ) -> DataFrame:
@@ -2085,25 +2113,12 @@ def dedup_semantic_verify(
     per candidate. The embedding's integer-valued components keep the
     cosine FP-exact, so the DuckDB oracle reconstructs the whole DAG
     — candidates AND model output — relationally."""
-    from finmapreduce_spark.functions.scoring import embed_text_udf
-
     docs = (
         shingled
         if shingled is not None
         else with_shingles(_docs(spark, sf_dir))
     )
-    sig = docs.select("doc_id", *_minhash_cols(F.col("shingles")))
-    band0, band1 = _band_exprs()
-
-    buckets = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_id"), band0.alias("key")),
-                F.struct(F.lit(1).alias("band_id"), band1.alias("key")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.key")
+    buckets = _semantic_buckets(docs)
     cand = (
         buckets.alias("l")
         .join(
@@ -2117,16 +2132,10 @@ def dedup_semantic_verify(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    emb = (
-        # when a shared shingled frame is passed it still carries
-        # text, and reading it hits the caller's cache instead of a
-        # fourth corpus scan
-        docs.select(
-            "doc_id", embed_text_udf("hashing-bow")(F.col("text")).alias("e")
-        )
-        .withColumn("nm", F.sqrt(_dot(F.col("e"), F.col("e"))))
-        .persist()
-    )
+    # when a shared shingled frame is passed it still carries text,
+    # and reading it hits the caller's cache instead of a fourth
+    # corpus scan
+    emb = _hashing_bow_embeddings(docs).persist()
     a, b = emb.alias("a"), emb.alias("b")
     pairs = (
         cand.join(a, cand.doc_a == F.col("a.doc_id"))
@@ -3271,6 +3280,17 @@ def dedup_master_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume-sized; CC is the O(log n)-round star algorithm. This is
     the plan shape a production curation run actually executes."""
     docs = _docs(spark, sf_dir)
+    labels = connected_components(_master_edge_union(spark, sf_dir, docs))
+    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    return docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+
+
+def _master_edge_union(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """The capstone's five-signal edge union over ``docs`` —
+    corpus-subset-parametric so the incremental twin can run it over
+    the history and delta slices independently."""
     hashed, keepers = _content_hash_keepers(docs)
     exact_edges = (
         hashed.join(keepers, "content_hash")
@@ -3285,7 +3305,7 @@ def dedup_master_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lanes' downstream derivations all read the cache; lifecycle
     # is caller-owned per the catalog-wide clearCache contract.
     shingled = with_shingles(docs).persist()
-    edges = (
+    return (
         exact_edges.unionByName(
             dedup_lsh_pairs_grid(spark, sf_dir, shingled=shingled).select(
                 "doc_a", "doc_b"
@@ -3304,9 +3324,6 @@ def dedup_master_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(exact_substring_pairs(docs).select("doc_a", "doc_b"))
         .distinct()
     )
-    labels = connected_components(edges)
-    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
-    return docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
 
 
 DEDUP_MASTER_KEEP_ORACLE = f"""
@@ -3429,6 +3446,198 @@ QUERIES.update(
     {
         "dedup_master_keep_list_staged": QuerySpec(
             dedup_master_keep_list_staged, DEDUP_MASTER_KEEP_ORACLE
+        ),
+    }
+)
+
+
+def _master_cross_edges(
+    spark: SparkSession, sf_dir: str, delta: DataFrame, hist: DataFrame
+) -> DataFrame:
+    """Delta×history edges for every capstone signal: each lane's
+    pair criterion is a pure pairwise function of per-doc signatures
+    (content hash, LSH band keys + shingle Jaccard, SimHash bands +
+    Hamming, MinHash bands + hashing-BoW cosine, winnow fingerprints
+    + gram verify), so probing the delta's signature tables against
+    the history's finds exactly the cross pairs the full-corpus lane
+    join would — the decomposition the incremental capstone rests on.
+
+    Scale: every probe is the banded/fingerprint equi-join of its
+    batch lane with the DELTA on the build-friendly side — per-ingest
+    cost is |delta| signature work × bucket-hit-rate, never a corpus
+    self-join; the substring probe routes through the rectangular
+    pairgrid tiler exactly like the streaming store twin."""
+    sh_delta = with_shingles(delta).persist()
+    sh_hist = with_shingles(hist).persist()
+
+    # exact: connect every delta doc to the history keeper of its
+    # content hash (null hashes drop out of the equi-join, matching
+    # the batch lane's null-unsafe join semantics)
+    d_hashed, _ = _content_hash_keepers(delta)
+    _, h_keepers = _content_hash_keepers(hist)
+    exact_cross = d_hashed.join(h_keepers, "content_hash").select(
+        F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+
+    # MinHash/LSH: band-key probe + the lane's exact Jaccard verify
+    # over hashed shingles
+    ld = _lsh_band_buckets(spark, sf_dir, shingled=sh_delta)
+    lh = _lsh_band_buckets(spark, sf_dir, shingled=sh_hist)
+    lsh_cand = (
+        ld.alias("l")
+        .join(
+            lh.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.key") == F.col("r.key")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    lsh_cross = (
+        lsh_cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+    # SimHash: band probe + popcount verify
+    sd = _simhash_pair_bands(spark, sf_dir, shingled=sh_delta)
+    sh_ = _simhash_pair_bands(spark, sf_dir, shingled=sh_hist)
+    sim_cand = (
+        sd.alias("l")
+        .join(
+            sh_.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.bv") == F.col("r.bv")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    sim_cross = (
+        sim_cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b")
+    )
+
+    # semantic: MinHash-band probe + hashing-BoW cosine gate
+    sem_cand = (
+        _semantic_buckets(sh_delta)
+        .alias("l")
+        .join(
+            _semantic_buckets(sh_hist).alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.key") == F.col("r.key")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    emb_d = _hashing_bow_embeddings(sh_delta).persist()
+    emb_h = _hashing_bow_embeddings(sh_hist).persist()
+    sem_pairs = sem_cand.join(
+        emb_d.alias("a"), sem_cand.doc_a == F.col("a.doc_id")
+    ).join(emb_h.alias("b"), sem_cand.doc_b == F.col("b.doc_id"))
+    cos = F.round(
+        F.when(
+            F.col("a.nm") * F.col("b.nm") > 0,
+            _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nm") * F.col("b.nm")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    sem_cross = (
+        sem_pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= SEMANTIC_COSINE_MIN)
+        .select("doc_a", "doc_b")
+    )
+
+    # verbatim substring: the delta winnows itself and probes the
+    # history fingerprint store (window guarantee: no shared
+    # >=min_len substring is missed)
+    sub_cross = incremental_substring_pairs(
+        delta.select("doc_id", "text"), hist.select("doc_id", "text")
+    ).select(
+        F.col("hist_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+
+    return (
+        exact_cross.unionByName(lsh_cross)
+        .unionByName(sim_cross)
+        .unionByName(sem_cross)
+        .unionByName(sub_cross)
+        .distinct()
+    )
+
+
+def dedup_master_keep_list_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The capstone keep-list, recomputed INCREMENTALLY after an
+    ingest — and provably identical to the full recompute (it carries
+    the capstone's exact oracle).
+
+    The catalog-wide ingest split (doc_id % INGEST_MOD == 0 is the
+    incoming batch) simulates the production state: the history slice
+    stands for the PREVIOUS run, compressed to its component labels
+    (in production: the persisted label table next to the staged pair
+    tables); the delta then contributes only (a) its own internal
+    edges and (b) cross probes against the history signature stores.
+    CC warm-starts from the history's STAR EDGES (label → member),
+    which preserve the old components exactly, so the iterative work
+    is proportional to the NEW edges, not the corpus pair volume.
+
+    Exactness argument (why the full-recompute oracle certifies this
+    path): every lane's pair rule depends only on the two docs'
+    own signatures, so full-corpus edges decompose exactly into
+    hist-internal ∪ cross ∪ delta-internal; replacing hist-internal
+    edges by the previous labels' star edges preserves connectivity;
+    and min-doc-id labels are stable under component merges (an old
+    label IS the min id of its old component, so the merged
+    component's min over {old labels} ∪ {delta ids} equals its true
+    min). Reference parity: the reference recomputes from scratch
+    per run (no incremental path exists there); this entry is the
+    100 TB posture where re-pairing the full corpus per ingest is
+    not an option."""
+    docs = _docs(spark, sf_dir)
+    delta = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
+    hist = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    # the "previous run": history labels, compressed to star edges
+    hist_labels = connected_components(
+        _master_edge_union(spark, sf_dir, hist)
+    )
+    hist_star = hist_labels.filter(
+        F.col("doc_id") != F.col("label")
+    ).select(F.col("label").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    # the ingest: delta-internal edges + delta×history cross probes
+    delta_edges = _master_edge_union(spark, sf_dir, delta)
+    cross_edges = _master_cross_edges(spark, sf_dir, delta, hist)
+    edges = (
+        hist_star.unionByName(delta_edges)
+        .unionByName(cross_edges)
+        .distinct()
+    )
+    labels = connected_components(edges)
+    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    return docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+
+
+QUERIES.update(
+    {
+        "dedup_master_keep_list_incremental": QuerySpec(
+            dedup_master_keep_list_incremental, DEDUP_MASTER_KEEP_ORACLE
         ),
     }
 )
