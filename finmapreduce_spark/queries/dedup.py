@@ -3451,8 +3451,39 @@ QUERIES.update(
 )
 
 
+def master_history_state(
+    spark: SparkSession, sf_dir: str, hist: DataFrame
+) -> dict:
+    """The per-lane signature stores the incremental capstone probes —
+    the PERSISTABLE "previous run" state (each value is a DataFrame in
+    an existing store schema; a production pipeline writes these to
+    parquet next to the staged pair tables and the label table, and
+    per-ingest cost then depends on the DELTA only).
+
+    Keys: ``keepers`` (content_hash → min-id keeper), ``lsh_buckets``
+    (band_signature_table / _lsh_band_buckets schema), ``simhash_bands``
+    (doc_id, sim, k, bv), ``semantic_buckets`` (doc_id, band_id, key),
+    ``embeddings`` (doc_id, e, nm), ``substring_fps`` (doc_id, fp —
+    substring_fp_table, already the streaming store schema)."""
+    sh_hist = with_shingles(hist).persist()
+    return {
+        "keepers": _content_hash_keepers(hist)[1],
+        "lsh_buckets": _lsh_band_buckets(spark, sf_dir, shingled=sh_hist),
+        "simhash_bands": _simhash_pair_bands(
+            spark, sf_dir, shingled=sh_hist
+        ),
+        "semantic_buckets": _semantic_buckets(sh_hist),
+        "embeddings": _hashing_bow_embeddings(sh_hist),
+        "substring_fps": substring_fp_table(_substring_base(hist)).persist(),
+    }
+
+
 def _master_cross_edges(
-    spark: SparkSession, sf_dir: str, delta: DataFrame, hist: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    delta: DataFrame,
+    hist: DataFrame,
+    state: dict | None = None,
 ) -> DataFrame:
     """Delta×history edges for every capstone signal: each lane's
     pair criterion is a pure pairwise function of per-doc signatures
@@ -3462,27 +3493,35 @@ def _master_cross_edges(
     the history's finds exactly the cross pairs the full-corpus lane
     join would — the decomposition the incremental capstone rests on.
 
+    ``state``: prebuilt history stores (master_history_state) — the
+    production path, where history signatures were persisted by the
+    previous run and only the delta derives signatures this ingest.
+    Omitted, they are derived here (the self-contained catalog path).
+
     Scale: every probe is the banded/fingerprint equi-join of its
     batch lane with the DELTA on the build-friendly side — per-ingest
     cost is |delta| signature work × bucket-hit-rate, never a corpus
     self-join; the substring probe routes through the rectangular
-    pairgrid tiler exactly like the streaming store twin."""
+    pairgrid tiler exactly like the streaming store twin. (The gram
+    VERIFY reads the text of fp-hit docs on both sides — hit-rate
+    bounded, and the only part of the probe that touches history
+    text.)"""
+    if state is None:
+        state = master_history_state(spark, sf_dir, hist)
     sh_delta = with_shingles(delta).persist()
-    sh_hist = with_shingles(hist).persist()
 
     # exact: connect every delta doc to the history keeper of its
     # content hash (null hashes drop out of the equi-join, matching
     # the batch lane's null-unsafe join semantics)
     d_hashed, _ = _content_hash_keepers(delta)
-    _, h_keepers = _content_hash_keepers(hist)
-    exact_cross = d_hashed.join(h_keepers, "content_hash").select(
+    exact_cross = d_hashed.join(state["keepers"], "content_hash").select(
         F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
 
     # MinHash/LSH: band-key probe + the lane's exact Jaccard verify
     # over hashed shingles
     ld = _lsh_band_buckets(spark, sf_dir, shingled=sh_delta)
-    lh = _lsh_band_buckets(spark, sf_dir, shingled=sh_hist)
+    lh = state["lsh_buckets"]
     lsh_cand = (
         ld.alias("l")
         .join(
@@ -3508,7 +3547,7 @@ def _master_cross_edges(
 
     # SimHash: band probe + popcount verify
     sd = _simhash_pair_bands(spark, sf_dir, shingled=sh_delta)
-    sh_ = _simhash_pair_bands(spark, sf_dir, shingled=sh_hist)
+    sh_ = state["simhash_bands"]
     sim_cand = (
         sd.alias("l")
         .join(
@@ -3536,7 +3575,7 @@ def _master_cross_edges(
         _semantic_buckets(sh_delta)
         .alias("l")
         .join(
-            _semantic_buckets(sh_hist).alias("r"),
+            state["semantic_buckets"].alias("r"),
             (F.col("l.band_id") == F.col("r.band_id"))
             & (F.col("l.key") == F.col("r.key")),
         )
@@ -3547,7 +3586,7 @@ def _master_cross_edges(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     emb_d = _hashing_bow_embeddings(sh_delta).persist()
-    emb_h = _hashing_bow_embeddings(sh_hist).persist()
+    emb_h = state["embeddings"]
     sem_pairs = sem_cand.join(
         emb_d.alias("a"), sem_cand.doc_a == F.col("a.doc_id")
     ).join(emb_h.alias("b"), sem_cand.doc_b == F.col("b.doc_id"))
@@ -3568,7 +3607,9 @@ def _master_cross_edges(
     # history fingerprint store (window guarantee: no shared
     # >=min_len substring is missed)
     sub_cross = incremental_substring_pairs(
-        delta.select("doc_id", "text"), hist.select("doc_id", "text")
+        delta.select("doc_id", "text"),
+        hist.select("doc_id", "text"),
+        history_fps=state["substring_fps"],
     ).select(
         F.col("hist_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
