@@ -201,7 +201,10 @@ FROM (SELECT doc_id, {_MINHASH_SQL_COLS} FROM ({_SHINGLES_SQL}))
 # ---------------------------------------------------------------------------
 
 def _lsh_band_buckets(
-    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    shingled: DataFrame | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """The shared band-bucket table (doc_id, hashed shingles, band_id,
     key) behind BOTH pair builders — one definition, so a banding or
@@ -238,7 +241,7 @@ def _lsh_band_buckets(
         *_minhash_cols(F.col("shingles")),
     )
     band0, band1 = _band_exprs()
-    return (
+    out = (
         sig.select(
             "doc_id",
             F.col("sh_hashed").alias("shingles"),
@@ -252,6 +255,9 @@ def _lsh_band_buckets(
         .select("doc_id", "shingles", "b.band_id", "b.key")
         .persist()
     )
+    if scratch is not None:
+        scratch.append(out)
+    return out
 
 
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,14 +317,32 @@ LSH_GRID_BLOCK = 64
 
 
 def dedup_lsh_pairs_grid(
-    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    shingled: DataFrame | None = None,
+    buckets: DataFrame | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
+    # ``buckets``: a prebuilt (and persisted) _lsh_band_buckets table
+    # — the incremental capstone derives each corpus slice's signature
+    # store ONCE and feeds both its internal pair join and the cross
+    # probe from it, instead of re-running scan→shingle→minhash per
+    # consumer. ``scratch`` collects frames THIS call persists so a
+    # staged caller can release exactly this lane's state.
     from finmapreduce_spark.operators.pairgrid import grid_self_pairs
 
-    buckets = _lsh_band_buckets(spark, sf_dir, shingled=shingled)
+    if buckets is None:
+        buckets = _lsh_band_buckets(
+            spark, sf_dir, shingled=shingled, scratch=scratch
+        )
 
     cand = grid_self_pairs(
-        buckets, ["band_id", "key"], "doc_id", ["shingles"], block=LSH_GRID_BLOCK
+        buckets,
+        ["band_id", "key"],
+        "doc_id",
+        ["shingles"],
+        block=LSH_GRID_BLOCK,
+        scratch=scratch,
     ).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
@@ -441,7 +465,10 @@ assert SIMHASH_PAIR_BITS % SIMHASH_PAIR_BANDS == 0
 
 
 def _simhash_pair_bands(
-    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    shingled: DataFrame | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     # ``shingled``: an already-built AND PERSISTED with_shingles frame
     # to reuse (master keep-list lane sharing). Persisted matters
@@ -527,6 +554,8 @@ def _simhash_pair_bands(
         .select("doc_id", "sim", F.col("b.k").alias("k"), F.col("b.bv").alias("bv"))
         .persist()
     )
+    if scratch is not None:
+        scratch.append(bands)
     return bands
 
 
@@ -557,17 +586,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs_grid(
-    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    shingled: DataFrame | None = None,
+    bands: DataFrame | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Hot-bucket-safe twin of ``dedup_simhash_pairs``: the (k, bv)
     band self-join goes through the shared grid tiler
     (operators/pairgrid.py) so a band value shared by a boilerplate
     cluster cannot funnel its pair product through one task. Same
-    pairs, same oracle."""
+    pairs, same oracle. ``bands``/``scratch``: prebuilt signature
+    store / persisted-frame collector (see dedup_lsh_pairs_grid)."""
     from finmapreduce_spark.operators.pairgrid import grid_self_pairs
 
-    bands = _simhash_pair_bands(spark, sf_dir, shingled=shingled)
-    cand = grid_self_pairs(bands, ["k", "bv"], "doc_id", ["sim"]).select(
+    if bands is None:
+        bands = _simhash_pair_bands(
+            spark, sf_dir, shingled=shingled, scratch=scratch
+        )
+    cand = grid_self_pairs(
+        bands, ["k", "bv"], "doc_id", ["sim"], scratch=scratch
+    ).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
         F.col("sim_a"),
@@ -2102,7 +2141,12 @@ def _hashing_bow_embeddings(docs: DataFrame) -> DataFrame:
 
 
 def dedup_semantic_verify(
-    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    shingled: DataFrame | None = None,
+    buckets: DataFrame | None = None,
+    emb: DataFrame | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Band-bucket candidates ∘ hashing-BoW cosine gate.
 
@@ -2113,12 +2157,16 @@ def dedup_semantic_verify(
     per candidate. The embedding's integer-valued components keep the
     cosine FP-exact, so the DuckDB oracle reconstructs the whole DAG
     — candidates AND model output — relationally."""
+    # ``buckets``/``emb``: prebuilt signature stores (the incremental
+    # capstone's master_history_state shape); ``scratch`` collects the
+    # frames THIS call persists (staged-lane lifecycle).
     docs = (
         shingled
         if shingled is not None
         else with_shingles(_docs(spark, sf_dir))
     )
-    buckets = _semantic_buckets(docs)
+    if buckets is None:
+        buckets = _semantic_buckets(docs)
     cand = (
         buckets.alias("l")
         .join(
@@ -2135,7 +2183,10 @@ def dedup_semantic_verify(
     # when a shared shingled frame is passed it still carries text,
     # and reading it hits the caller's cache instead of a fourth
     # corpus scan
-    emb = _hashing_bow_embeddings(docs).persist()
+    if emb is None:
+        emb = _hashing_bow_embeddings(docs).persist()
+        if scratch is not None:
+            scratch.append(emb)
     a, b = emb.alias("a"), emb.alias("b")
     pairs = (
         cand.join(a, cand.doc_a == F.col("a.doc_id"))
@@ -2818,7 +2869,22 @@ def substring_fp_table(
 
 def _l_grams(base_slice: DataFrame, min_len: int) -> DataFrame:
     """(doc_id, gram): per-doc-DISTINCT stride-1 min_len-grams of a
-    (doc_id, t) slice — the exact-verify currency."""
+    (doc_id, t) slice — the exact-verify currency — as 64-bit
+    xxhash64 values, hashed AFTER the per-doc array_distinct so the
+    per-doc gram count is exactly the distinct-string count.
+
+    Hashing is the round-15 shuffle-bytes fix (guide §2.3 "shuffle
+    keys and metadata instead of payloads"): the verify join/count
+    only ever compares grams for equality, and a ``min_len``-char
+    string key (50 B) is ~6× the bytes of its 64-bit hash through the
+    window sort, the grid-cell exchange and the pair aggregate
+    (measured 102 MB → 17 MB shuffle on dedup_exact_substring at
+    sf0.1). Same exactness budget as the candidate stage and the LSH
+    verify, both already hash-keyed: a COUNT is off only if two
+    DISTINCT grams of one doc (count dip) or of one candidate pair
+    (count bump / spurious pair) collide in 64 bits — ≈ g²/2⁶⁵ per
+    doc/pair, ~1e-13 at corpus scale, the same odds the winnow
+    fingerprint stage already accepts."""
     ct = F.col("t")
     cn = F.length(ct)
     return base_slice.select(
@@ -2826,13 +2892,16 @@ def _l_grams(base_slice: DataFrame, min_len: int) -> DataFrame:
         F.explode(
             F.when(
                 cn >= min_len,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), cn - min_len + 1),
-                        lambda i: ct.substr(i, F.lit(min_len)),
-                    )
+                F.transform(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), cn - min_len + 1),
+                            lambda i: ct.substr(i, F.lit(min_len)),
+                        )
+                    ),
+                    lambda g: F.xxhash64(g),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("gram"),
     )
 
@@ -2842,6 +2911,7 @@ def _substring_candidate_slice(
     min_len: int = SUBSTR_L,
     k: int = SUBSTR_K,
     scratch: list | None = None,
+    fps: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared winnow front-end: → (base, candidate_docs) where base is
     (doc_id, t) for the whole corpus and candidate_docs is the slice
@@ -2861,9 +2931,13 @@ def _substring_candidate_slice(
     # scans, measured 16.7 s → 5.5 s warm at sf0.1). Lifecycle is
     # caller-owned per the catalog-wide contract (clearCache when
     # done — same as pairgrid) unless scratch collects it.
-    fps = substring_fp_table(base, min_len, k).persist()
-    if scratch is not None:
-        scratch.append(fps)
+    # ``fps``: a prebuilt (persisted) substring_fp_table over the same
+    # docs — the incremental capstone's signature store, reused here
+    # so the winnow map runs once per corpus slice, not per consumer.
+    if fps is None:
+        fps = substring_fp_table(base, min_len, k).persist()
+        if scratch is not None:
+            scratch.append(fps)
     # fingerprints seen in >=2 docs -> candidate doc ids (rows are
     # unique per (doc, fp) via array_distinct, so count(*) = doc count)
     shared_fp = (
@@ -2897,6 +2971,7 @@ def exact_substring_pairs(
     k: int = SUBSTR_K,
     block: int | None = SUBSTR_GRID_BLOCK,
     scratch: list | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared_grams): all unordered doc pairs sharing
     at least one verbatim ``min_len``-char substring; n_shared_grams
@@ -2913,7 +2988,9 @@ def exact_substring_pairs(
     the distinct shared-gram count — the same oracle certifies both).
     ``block=None`` selects the plain self-join (the un-tiled twin the
     skew study compares against)."""
-    _, cd = _substring_candidate_slice(docs, min_len, k, scratch=scratch)
+    _, cd = _substring_candidate_slice(
+        docs, min_len, k, scratch=scratch, fps=fps
+    )
     if block is not None:
         from finmapreduce_spark.operators.pairgrid import grid_self_pairs
 
@@ -3286,12 +3363,26 @@ def dedup_master_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _master_edge_union(
-    spark: SparkSession, sf_dir: str, docs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    state: dict | None = None,
 ) -> DataFrame:
     """The capstone's five-signal edge union over ``docs`` —
     corpus-subset-parametric so the incremental twin can run it over
-    the history and delta slices independently."""
-    hashed, keepers = _content_hash_keepers(docs)
+    the history and delta slices independently.
+
+    ``state``: this slice's prebuilt signature stores
+    (master_history_state over the SAME ``docs``) — the incremental
+    capstone derives each slice's signatures once and feeds both this
+    internal pair join and the cross probe from them (round-15: the
+    signature pipeline used to run twice per slice). Pair semantics
+    are identical either way: each lane consumes exactly the table it
+    would have derived itself."""
+    if state is not None:
+        hashed, keepers = state["hashed"], state["keepers"]
+    else:
+        hashed, keepers = _content_hash_keepers(docs)
     exact_edges = (
         hashed.join(keepers, "content_hash")
         .filter(F.col("doc_id") != F.col("keeper"))
@@ -3299,6 +3390,33 @@ def _master_edge_union(
             F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
     )
+    if state is not None:
+        return (
+            exact_edges.unionByName(
+                dedup_lsh_pairs_grid(
+                    spark, sf_dir, buckets=state["lsh_buckets"]
+                ).select("doc_a", "doc_b")
+            )
+            .unionByName(
+                dedup_simhash_pairs_grid(
+                    spark, sf_dir, bands=state["simhash_bands"]
+                ).select("doc_a", "doc_b")
+            )
+            .unionByName(
+                dedup_semantic_verify(
+                    spark,
+                    sf_dir,
+                    buckets=state["semantic_buckets"],
+                    emb=state["embeddings"],
+                ).select("doc_a", "doc_b")
+            )
+            .unionByName(
+                exact_substring_pairs(
+                    docs, fps=state["substring_fps"]
+                ).select("doc_a", "doc_b")
+            )
+            .distinct()
+        )
     # ONE scan→split→shingle pipeline shared by the LSH, SimHash and
     # semantic lanes (round-10 candidate (a): each lane used to
     # rebuild it — three extra corpus scans at 100 TB). Persisted so
@@ -3411,14 +3529,57 @@ def dedup_master_keep_list_staged(
             )
         )
 
-    lanes = {
-        "exact": exact_lane,
-        "lsh": lambda: dedup_lsh_pairs_grid(spark, sf_dir),
-        "simhash": lambda: dedup_simhash_pairs_grid(spark, sf_dir),
-        "semantic": lambda: dedup_semantic_verify(spark, sf_dir),
-        "substring": lambda: exact_substring_pairs(docs),
-    }
-    for name, build in lanes.items():
+    # ONE scan→split→shingle pipeline shared by the LSH/SimHash/
+    # semantic lanes, exactly as the inline _master_edge_union does
+    # (round-15: the first staged version rebuilt it per lane — three
+    # corpus scans + three shingle builds, the single largest cost of
+    # the staged composition at sf0.1). Staging's scratch-relief
+    # property survives: each lane's OWN persisted state (signature
+    # tables, grid index) is released via ``scratch`` right after its
+    # pair table lands in parquet, so concurrent-shuffle peak is still
+    # max(lane), and only the shared shingle cache — ~corpus-sized,
+    # MEMORY_AND_DISK, strictly less than what the inline composition
+    # holds — spans the three signature lanes. It is dropped before
+    # the scratch-heaviest lane (substring) starts.
+    shingled = with_shingles(docs).persist()
+    scratch: list = []
+    shingle_lanes = [
+        (
+            "lsh",
+            lambda: dedup_lsh_pairs_grid(
+                spark, sf_dir, shingled=shingled, scratch=scratch
+            ),
+        ),
+        (
+            "simhash",
+            lambda: dedup_simhash_pairs_grid(
+                spark, sf_dir, shingled=shingled, scratch=scratch
+            ),
+        ),
+        (
+            "semantic",
+            lambda: dedup_semantic_verify(
+                spark, sf_dir, shingled=shingled, scratch=scratch
+            ),
+        ),
+    ]
+    lane_names = ["lsh", "simhash", "semantic", "exact", "substring"]
+    for name, build in shingle_lanes:
+        build().select("doc_a", "doc_b").write.mode("overwrite").parquet(
+            f"{stage_dir}/{name}"
+        )
+        # Free exactly THIS lane's persisted state (blocking) before
+        # the next lane shuffles — the shared shingle cache stays.
+        for fr in scratch:
+            fr.unpersist(True)
+        scratch.clear()
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    shingled.unpersist(True)
+    for name, build in [
+        ("exact", exact_lane),
+        ("substring", lambda: exact_substring_pairs(docs)),
+    ]:
         build().select("doc_a", "doc_b").write.mode("overwrite").parquet(
             f"{stage_dir}/{name}"
         )
@@ -3434,7 +3595,7 @@ def dedup_master_keep_list_staged(
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
     pair_tables = [
-        spark.read.parquet(f"{stage_dir}/{name}") for name in lanes
+        spark.read.parquet(f"{stage_dir}/{name}") for name in lane_names
     ]
     edges = reduce(lambda a, b: a.unionByName(b), pair_tables).distinct()
     labels = connected_components(edges)
@@ -3460,20 +3621,31 @@ def master_history_state(
     parquet next to the staged pair tables and the label table, and
     per-ingest cost then depends on the DELTA only).
 
-    Keys: ``keepers`` (content_hash → min-id keeper), ``lsh_buckets``
+    Keys: ``hashed`` (doc_id → content_hash), ``keepers``
+    (content_hash → min-id keeper), ``lsh_buckets``
     (band_signature_table / _lsh_band_buckets schema), ``simhash_bands``
     (doc_id, sim, k, bv), ``semantic_buckets`` (doc_id, band_id, key),
     ``embeddings`` (doc_id, e, nm), ``substring_fps`` (doc_id, fp —
-    substring_fp_table, already the streaming store schema)."""
+    substring_fp_table, already the streaming store schema).
+
+    Every table is persisted: the incremental capstone reads each one
+    from BOTH its slice-internal pair join (_master_edge_union with
+    ``state=``) and the cross probe — round-15 measurement: deriving
+    the slice signatures once here instead of once per consumer
+    (shingle pipeline ×3, minhash/simhash votes ×2, embedding UDF ×2,
+    winnow map ×2) was the single largest cost of the incremental
+    lane. Lifecycle is caller-owned (clearCache), catalog-wide."""
     sh_hist = with_shingles(hist).persist()
+    hashed, keepers = _content_hash_keepers(hist)
     return {
-        "keepers": _content_hash_keepers(hist)[1],
+        "hashed": hashed.persist(),
+        "keepers": keepers.persist(),
         "lsh_buckets": _lsh_band_buckets(spark, sf_dir, shingled=sh_hist),
         "simhash_bands": _simhash_pair_bands(
             spark, sf_dir, shingled=sh_hist
         ),
-        "semantic_buckets": _semantic_buckets(sh_hist),
-        "embeddings": _hashing_bow_embeddings(sh_hist),
+        "semantic_buckets": _semantic_buckets(sh_hist).persist(),
+        "embeddings": _hashing_bow_embeddings(sh_hist).persist(),
         "substring_fps": substring_fp_table(_substring_base(hist)).persist(),
     }
 
@@ -3484,6 +3656,7 @@ def _master_cross_edges(
     delta: DataFrame,
     hist: DataFrame,
     state: dict | None = None,
+    delta_state: dict | None = None,
 ) -> DataFrame:
     """Delta×history edges for every capstone signal: each lane's
     pair criterion is a pure pairwise function of per-doc signatures
@@ -3508,19 +3681,35 @@ def _master_cross_edges(
     text.)"""
     if state is None:
         state = master_history_state(spark, sf_dir, hist)
-    sh_delta = with_shingles(delta).persist()
+    # ``delta_state``: the delta slice's prebuilt signature stores
+    # (master_history_state over ``delta``) — shared with the delta's
+    # internal edge union by the incremental capstone so the delta
+    # signatures too are derived exactly once per ingest.
+    if delta_state is not None:
+        d_hashed = delta_state["hashed"]
+        ld = delta_state["lsh_buckets"]
+        sd = delta_state["simhash_bands"]
+        sem_d = delta_state["semantic_buckets"]
+        emb_d = delta_state["embeddings"]
+        delta_fps = delta_state["substring_fps"]
+    else:
+        sh_delta = with_shingles(delta).persist()
+        d_hashed = _content_hash_keepers(delta)[0]
+        ld = _lsh_band_buckets(spark, sf_dir, shingled=sh_delta)
+        sd = _simhash_pair_bands(spark, sf_dir, shingled=sh_delta)
+        sem_d = _semantic_buckets(sh_delta)
+        emb_d = _hashing_bow_embeddings(sh_delta).persist()
+        delta_fps = None
 
     # exact: connect every delta doc to the history keeper of its
     # content hash (null hashes drop out of the equi-join, matching
     # the batch lane's null-unsafe join semantics)
-    d_hashed, _ = _content_hash_keepers(delta)
     exact_cross = d_hashed.join(state["keepers"], "content_hash").select(
         F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
 
     # MinHash/LSH: band-key probe + the lane's exact Jaccard verify
     # over hashed shingles
-    ld = _lsh_band_buckets(spark, sf_dir, shingled=sh_delta)
     lh = state["lsh_buckets"]
     lsh_cand = (
         ld.alias("l")
@@ -3546,7 +3735,6 @@ def _master_cross_edges(
     )
 
     # SimHash: band probe + popcount verify
-    sd = _simhash_pair_bands(spark, sf_dir, shingled=sh_delta)
     sh_ = state["simhash_bands"]
     sim_cand = (
         sd.alias("l")
@@ -3572,7 +3760,7 @@ def _master_cross_edges(
 
     # semantic: MinHash-band probe + hashing-BoW cosine gate
     sem_cand = (
-        _semantic_buckets(sh_delta)
+        sem_d
         .alias("l")
         .join(
             state["semantic_buckets"].alias("r"),
@@ -3585,7 +3773,6 @@ def _master_cross_edges(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    emb_d = _hashing_bow_embeddings(sh_delta).persist()
     emb_h = state["embeddings"]
     sem_pairs = sem_cand.join(
         emb_d.alias("a"), sem_cand.doc_a == F.col("a.doc_id")
@@ -3610,6 +3797,7 @@ def _master_cross_edges(
         delta.select("doc_id", "text"),
         hist.select("doc_id", "text"),
         history_fps=state["substring_fps"],
+        incoming_fps=delta_fps,
     ).select(
         F.col("hist_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
@@ -3655,16 +3843,27 @@ def dedup_master_keep_list_incremental(
     docs = _docs(spark, sf_dir)
     delta = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
     hist = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
+    # Each slice's signature stores are derived ONCE and shared by its
+    # internal edge union AND the cross probe (round-15: the history
+    # signatures used to be built twice — once inside the hist edge
+    # union, once inside the cross probe's default state — and the
+    # delta's twice likewise; at 100 TB that is a full extra signature
+    # pass over the corpus per ingest). This is also the production
+    # shape: the stores ARE what the previous run persisted.
+    state_h = master_history_state(spark, sf_dir, hist)
+    state_d = master_history_state(spark, sf_dir, delta)
     # the "previous run": history labels, compressed to star edges
     hist_labels = connected_components(
-        _master_edge_union(spark, sf_dir, hist)
+        _master_edge_union(spark, sf_dir, hist, state=state_h)
     )
     hist_star = hist_labels.filter(
         F.col("doc_id") != F.col("label")
     ).select(F.col("label").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     # the ingest: delta-internal edges + delta×history cross probes
-    delta_edges = _master_edge_union(spark, sf_dir, delta)
-    cross_edges = _master_cross_edges(spark, sf_dir, delta, hist)
+    delta_edges = _master_edge_union(spark, sf_dir, delta, state=state_d)
+    cross_edges = _master_cross_edges(
+        spark, sf_dir, delta, hist, state=state_h, delta_state=state_d
+    )
     edges = (
         hist_star.unionByName(delta_edges)
         .unionByName(cross_edges)
@@ -3691,6 +3890,7 @@ def incremental_substring_pairs(
     k: int = SUBSTR_K,
     history_fps: DataFrame | None = None,
     scratch: list | None = None,
+    incoming_fps: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, hist_id, n_shared_grams): which incoming docs share a
     verbatim >=min_len substring with the EXISTING corpus — the
@@ -3718,8 +3918,13 @@ def incremental_substring_pairs(
     bi = _substring_base(incoming)
     bh = _substring_base(history)
     created = scratch if scratch is not None else []
-    fi = substring_fp_table(bi, min_len, k).persist()
-    created.append(fi)
+    # ``incoming_fps``: prebuilt delta fp store (the incremental
+    # capstone's delta_state) — skips re-winnowing the delta here.
+    if incoming_fps is not None:
+        fi = incoming_fps
+    else:
+        fi = substring_fp_table(bi, min_len, k).persist()
+        created.append(fi)
     if history_fps is not None:
         fh = history_fps
     else:
