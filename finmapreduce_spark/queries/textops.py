@@ -665,7 +665,12 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, so no key can outgrow an executor.
     """
     docs = _docs(spark, sf_dir)
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    # Materialize the word split before the bigram lambda references
+    # it — an inline split inside a higher-order-function lambda is
+    # re-evaluated PER ELEMENT (the _shingles_of O(n²) trap,
+    # dedup.py:62): every bigram re-split the whole document.
+    docs = docs.withColumn("__words", F.split(F.trim(F.col("text")), r"\s+"))
+    words = F.col("__words")
     # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
     # guard single-word docs explicitly (DuckDB's generate_series(1,0)
     # is empty, so both engines then agree: no bigrams, no row).

@@ -2063,7 +2063,18 @@ def bpe_chunk_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [tuple(r[1].split(" ")) for r in sorted(rows)]
     docs = _docs(spark, sf_dir)
     size, step = BPE_CHUNK_SIZE, BPE_CHUNK_SIZE - BPE_CHUNK_OVERLAP
-    tk = _bpe_tokens_col(F.col("text"), merges)
+    # Materialize the token array ONCE per doc before the per-chunk
+    # transform lambda references it — inline subexpressions inside a
+    # higher-order-function lambda can be re-evaluated PER ELEMENT
+    # (the _shingles_of O(n²) trap, dedup.py:62). Wall-neutral at
+    # sf0.1 (docs are ~1 chunk each and runtime subexpression
+    # elimination was already absorbing the duplicate refs), but the
+    # projection makes the single evaluation EXPLICIT in the plan —
+    # at production chunk counts the lambda re-reference would
+    # otherwise be one interpreter change away from O(n_chunks ×
+    # tokenize) per doc.
+    docs = docs.withColumn("__tk", _bpe_tokens_col(F.col("text"), merges))
+    tk = F.col("__tk")
     n = F.size(tk)
     n_chunks = (
         F.when(n <= size, F.lit(1).cast("long"))
@@ -2184,7 +2195,12 @@ def bpe_truncate_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [tuple(r[1].split(" ")) for r in sorted(rows)]
     docs = _docs(spark, sf_dir)
     b = BPE_TRUNC_BUDGET
-    tk = _bpe_tokens_col(F.col("text"), merges)
+    # Materialized once per doc (see bpe_chunk_documents_exact): the
+    # flat select below references tk from four output expressions,
+    # and the replace-chain tokenizer is CodegenFallback — without
+    # the projection each reference re-tokenizes the document.
+    docs = docs.withColumn("__tk", _bpe_tokens_col(F.col("text"), merges))
+    tk = F.col("__tk")
     n = F.size(tk)
     kept = F.least(F.lit(b), n)
     start_txt = F.concat_ws("", F.slice(tk, 1, b))
