@@ -737,7 +737,17 @@ def _train_centroids(v: DataFrame) -> DataFrame:
     )
     for _ in range(KMEANS_ITERS):
         cents = _recompute(_assign(v, cents))
-    return cents
+    # Persist the FINAL centroid table (K rows, a few KB): consumers
+    # reference it from several places (two _assign calls in the
+    # incremental index, assign + the size-report join, both sides of
+    # the serve join upstream) and each reference otherwise re-runs
+    # the ENTIRE Lloyd chain — KMEANS_ITERS full corpus passes per
+    # reference (measured: ann_ivf_incremental_topk 10.4 → 3.4 s at
+    # sf0.1). Intermediate iterations are referenced exactly once
+    # and need no pin; lifecycle is caller-owned (clearCache),
+    # catalog-wide. Re-persisting at a call site is a same-level
+    # no-op.
+    return cents.persist()
 
 
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +831,11 @@ def _serve_cells(assigned: DataFrame) -> DataFrame:
     cid. q derives from a window+filter, so Catalyst has no size
     stats — hint the broadcast explicitly or the tiny query set
     sort-merges against the corpus."""
+    # assigned feeds BOTH sides of the cell join (the broadcast query
+    # slice and the corpus side) — without the pin each side re-runs
+    # the whole upstream assign (and, for the k-means lanes, train)
+    # chain. K-row/corpus-sized per lane, caller-owned lifecycle.
+    assigned = assigned.persist()
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
@@ -1673,8 +1688,20 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
-    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
-    absmax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    # Materialize vd/absmax/scale/q as columns before any lambda
+    # references them: an inline expression inside a higher-order-
+    # function lambda is re-evaluated PER ELEMENT (the _shingles_of
+    # trap, dedup.py:62) — with `scale` inline, the per-element
+    # division re-derived absmax (an O(dim) fold) inside the quantize
+    # transform, making the projection O(dim²) per row.
+    emb = emb.withColumn(
+        "__vd", F.transform(F.col("v"), lambda x: x.cast("double"))
+    )
+    vd = F.col("__vd")
+    emb = emb.withColumn(
+        "__absmax", F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    )
+    absmax = F.col("__absmax")
     # Totality (ANSI) + engine parity: quantization is defined ONLY
     # for clean finite vectors. A zero vector gets all-zero codes
     # (scale 0, err 0 — the unguarded x/scale would throw
@@ -1689,16 +1716,26 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.isnan(absmax)
         & (absmax != F.lit(float("inf")))
     )
-    scale = F.when(clean & (absmax > 0), absmax / F.lit(127.0)).when(
-        clean & (absmax == 0), F.lit(0.0)
+    emb = emb.withColumn(
+        "__scale",
+        F.when(clean & (absmax > 0), absmax / F.lit(127.0)).when(
+            clean & (absmax == 0), F.lit(0.0)
+        ),
     )
-    q = F.when(
-        clean & (absmax > 0),
-        F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")),
-    ).when(
-        clean & (absmax == 0),
-        F.transform(vd, lambda x: F.lit(0).cast("long")),
+    scale = F.col("__scale")
+    emb = emb.withColumn(
+        "__q",
+        F.when(
+            clean & (absmax > 0),
+            F.transform(
+                vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+            ),
+        ).when(
+            clean & (absmax == 0),
+            F.transform(vd, lambda x: F.lit(0).cast("long")),
+        ),
     )
+    q = F.col("__q")
     checksum = F.aggregate(
         F.zip_with(
             q,
