@@ -394,12 +394,25 @@ _HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    words = F.array_distinct(_words(F.col("text")))
-    n = F.size(words)
+    # md5 MATERIALIZED once per word before the 16 per-bit vote
+    # passes — with the inline ``md5(w)`` inside the filter lambda it
+    # was re-evaluated per (bit, element): 16× the hash work (the
+    # same hoist the 32-bit twin _simhash_pair_bands documents at
+    # 15.6 s → 3 s; this older lane never got it). A nibble's high
+    # bit is set iff its hex char sorts >= '8' ('8','9','a'..'f') —
+    # one compare instead of an 8-way IN set, same votes.
+    docs = docs.withColumn(
+        "__hashes",
+        F.transform(
+            F.array_distinct(_words(F.col("text"))), lambda w: F.md5(w)
+        ),
+    )
+    hashes = F.col("__hashes")
+    n = F.size(hashes)
     bits = []
     for j in range(1, SIMHASH_BITS + 1):
         cnt = F.size(
-            F.filter(words, lambda w: F.substring(F.md5(w), j, 1).isin(*_HIGH))
+            F.filter(hashes, lambda h: F.substring(h, j, 1) >= F.lit("8"))
         )
         bits.append(F.when(cnt * 2 > n, F.lit("1")).otherwise(F.lit("0")))
     sig = F.concat(*bits)
@@ -512,7 +525,9 @@ def _simhash_pair_bands(
     # inspects arity and a second parameter (even a `j=j` default)
     # would be bound to the ARRAY INDEX, not the loop constant.
     def _nibble_high(j):
-        return lambda h: F.substring(h, j, 1).isin(*_HIGH)
+        # '8' <= c holds exactly for hex chars 8,9,a-f (the nibbles
+        # with the high bit set) — one compare vs the 8-way IN set.
+        return lambda h: F.substring(h, j, 1) >= F.lit("8")
 
     terms = []
     for j in range(1, SIMHASH_PAIR_BITS + 1):
