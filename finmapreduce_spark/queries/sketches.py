@@ -51,8 +51,12 @@ def _words(col):
 
 
 def _hex3(h, start):
-    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    return (digit(start) * 16 + digit(start + 1)) * 16 + digit(start + 2)
+    # ONE conv decodes the 3-hex-digit window — identical value to
+    # the digit-by-digit strpos arithmetic the oracle keeps (same
+    # base-16 expansion), at a third of the string ops and without
+    # duplicating the md5 subtree per digit (round-15, guide §1.2
+    # per-task work).
+    return F.conv(F.substring(h, start, 3), 16, 10).cast("int")
 
 
 def _hex3_sql(expr: str, start: int) -> str:
@@ -166,8 +170,9 @@ def _batch_hll_registers(docs: DataFrame) -> DataFrame:
     sketch homomorphism)."""
     tok = docs.select(F.explode(_words(F.col("text"))).alias("w"))
     h = F.md5(F.col("w"))
-    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    bucket = digit(1) * 16 + digit(2)
+    # one conv per register probe (see _hex3) — same value as the
+    # two-strpos arithmetic
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     tail = F.conv(F.substring(h, 3, 12), 16, 10).cast("decimal(20,0)").cast(
         "long"
     )
@@ -301,9 +306,10 @@ def _bloom_positions(col, j):
     same asymptotic false-positive rate (Kirsch & Mitzenmacher 2006);
     the no-false-negative theorem holds for ANY position function."""
     h = F.md5(col)
-    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    h1 = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
-    h2 = (((digit(5) * 16 + digit(6)) * 16 + digit(7)) * 16 + digit(8)) * 2 + 1
+    # one conv per 4-digit window (see _hex3) — identical values to
+    # the per-digit strpos chain
+    h1 = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    h2 = F.conv(F.substring(h, 5, 4), 16, 10).cast("int") * 2 + 1
     return F.pmod(h1 + j * h2, F.lit(BLOOM_M))
 
 
@@ -339,13 +345,11 @@ def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram, k derived positions).
     def _gram_struct(s_):
         h = F.md5(s_)
-        digit = lambda i: (  # noqa: E731
-            F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
-        )
-        h1 = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
-        h2 = (
-            ((digit(5) * 16 + digit(6)) * 16 + digit(7)) * 16 + digit(8)
-        ) * 2 + 1
+        # one conv per 4-digit window (see _hex3): the per-digit form
+        # embedded EIGHT copies of the md5 subtree in the transform
+        # lambda — 2 remain
+        h1 = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+        h2 = F.conv(F.substring(h, 5, 4), 16, 10).cast("int") * 2 + 1
         return F.struct(
             F.xxhash64(s_).alias("hs"), h1.alias("h1"), h2.alias("h2")
         )
@@ -481,8 +485,8 @@ def sketch_hll_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id"),
     )
     h = F.md5(F.col("user_id").cast("string"))
-    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    bucket = digit(1) * 16 + digit(2)
+    # one conv (see _hex3) — same value as the two-strpos arithmetic
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     tail = F.conv(F.substring(h, 3, 12), 16, 10).cast("decimal(20,0)").cast(
         "long"
     )

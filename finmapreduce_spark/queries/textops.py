@@ -518,8 +518,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicated, or corrupted by a format round-trip
 def _text_hash16(col):
     h = F.md5(col)
-    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    return ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+    # one conv decodes the 4-digit window — identical value to the
+    # oracle's digit-by-digit strpos arithmetic (same base-16
+    # expansion), one md5 subtree instead of four
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
 
 
 _TEXT_HASH16_SQL = (
@@ -949,8 +951,8 @@ def _hash_bucket_expr(col):
     """First 4 hex chars of md5(key) as an int in [0, 65536) — the
     same arithmetic the oracle does, digit by digit."""
     h = F.md5(col.cast("string"))
-    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    return ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+    # one conv (see _text_hash16) — same value, digit-for-digit
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
 
 
 def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3383,10 +3383,10 @@ _HEX = "0123456789abcdef"
 
 
 def _gram_bucket(col):
-    """First 3 hex chars of md5(gram) as an int in [0, 4096)."""
-    h = F.md5(col)
-    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    return (digit(1) * 16 + digit(2)) * 16 + digit(3)
+    """First 3 hex chars of md5(gram) as an int in [0, 4096) — ONE
+    conv, identical to the oracle's digit-by-digit strpos arithmetic
+    (same base-16 expansion)."""
+    return F.conv(F.substring(F.md5(col), 1, 3), 16, 10).cast("int")
 
 
 _GRAM_BUCKET_SQL = (
