@@ -1737,15 +1737,18 @@ def passage_spans_of(docs: DataFrame) -> DataFrame:
     # are still generated IN-ROW from that bounded list — no
     # position-table self-join at any point.
     per = _capped_occurrences(sh)
-    ok = (
-        per.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df").between(2, PASSAGE_MAX_DF))
-        .select("h")
+    # df via ONE window exchange on h instead of groupBy(h)+join-back
+    # (round-15, guide §2.4): the join form computed the whole gram
+    # pipeline TWICE (per was unpersisted and fed both the count agg
+    # and the probe side) and shipped it by h twice; the window
+    # computes the identical df in one exchange, and the groupBy("h")
+    # below then REUSES that partitioning (window and aggregation
+    # keyed the same way share the exchange). Same df, same spans.
+    per = per.withColumn("df", F.count("*").over(W.partitionBy("h"))).filter(
+        F.col("df").between(2, PASSAGE_MAX_DF)
     )
     occ = (
-        per.join(ok, "h")
-        .groupBy("h")
+        per.groupBy("h")
         .agg(F.collect_list(F.struct("doc_id", "poss")).alias("docs"))
         .select(
             F.flatten(
@@ -1989,14 +1992,12 @@ def passage_gram_store(docs: DataFrame, max_df: int = PASSAGE_MAX_DF) -> DataFra
     compaction, exactly like the band-signature store's compaction
     collapses replayed epochs."""
     per = _capped_occurrences(passage_gram_table(docs))
-    ok = (
-        per.groupBy("h")
-        .agg(F.count("*").alias("df"))
+    # window df instead of groupBy+join-back (see passage_spans_of —
+    # one exchange, one gram pipeline, identical rows)
+    return (
+        per.withColumn("df", F.count("*").over(W.partitionBy("h")))
         .filter(F.col("df") <= max_df)
-        .select("h")
-    )
-    return per.join(ok, "h").select(
-        "doc_id", F.explode("poss").alias("pos"), "h"
+        .select("doc_id", F.explode("poss").alias("pos"), "h")
     )
 
 

@@ -1697,6 +1697,15 @@ def text_substring_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # Parallelism floor for the per-doc automaton stage (round-15,
+    # guide §6 "minPartitionNum sets a floor on scan parallelism"):
+    # a small corpus scans into ONE split, serializing the whole
+    # Python stage onto one core (measured 2.6 → 0.9 s at sf0.1).
+    # Guarded so it is a NO-OP at scale — when the scan already has
+    # >= defaultParallelism splits nothing is shuffled.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     k = SUBSTR_STATS_K
 
     def gen(batches):
@@ -1799,6 +1808,10 @@ def text_longest_repeat_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # same guarded parallelism floor as text_substring_diversity
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
 
     def gen(batches):
         from finmapreduce_spark.functions.suffix import sam_substring_stats
