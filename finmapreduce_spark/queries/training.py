@@ -1547,7 +1547,12 @@ def _bpe_char_toks(
 
 
 def _bpe_pair_counts(toks: DataFrame) -> DataFrame:
-    t = F.split("s", " ")
+    # Materialize the token split before the pair lambda references
+    # it (round-15): the inline split inside the transform lambda was
+    # re-evaluated PER PAIR (the _shingles_of trap, dedup.py:62) —
+    # this is the trainers' per-round inner loop.
+    toks = toks.withColumn("__t", F.split("s", " "))
+    t = F.col("__t")
     # guard: sequence(1, 0) DESCENDS in Spark, so single-token
     # words must short-circuit to an empty pair list
     pair_list = F.when(
