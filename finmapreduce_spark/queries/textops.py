@@ -1272,13 +1272,21 @@ GOPHER_MIN_ALPHA = 0.8
 GOPHER_MIN_STOP_HITS = 2
 
 
-def _gopher_metrics(text_col):
+def _gopher_metrics(text_col, words=None):
     """The Gopher rule battery over one text column → dict of Columns
     (n, mwl, alpha_frac, stop_hits, keep). The SINGLE definition of
     the gate — shared by the standalone rule query, the composed
     cleaning funnel, and (through cleaning_stage) the streaming
-    ingest gate, so the three can never drift apart."""
-    words = F.split(F.trim(text_col), "[ \t\n\f\r]+")
+    ingest gate, so the three can never drift apart.
+
+    ``words``: a pre-MATERIALIZED column holding the split of
+    text_col. The battery references the word array from 20+ places
+    (n, the length fold, the alpha filter, one array_contains per
+    stopword) — with the split inline, every reference re-splits the
+    document (round-15, the _shingles_of duplication class); callers
+    on a hot path project the split once and pass the column ref."""
+    if words is None:
+        words = F.split(F.trim(text_col), "[ \t\n\f\r]+")
     n = F.size(words)
     total_len = F.aggregate(
         F.transform(words, lambda w: F.length(w)),
@@ -1335,8 +1343,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is the predicate a 100 TB cleaning pass would push into
     the write of the filtered corpus.
     """
-    docs = _docs(spark, sf_dir)
-    m = _gopher_metrics(F.col("text"))
+    docs = _docs(spark, sf_dir).withColumn(
+        "__gw", F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")
+    )
+    m = _gopher_metrics(F.col("text"), words=F.col("__gw"))
     return docs.select(
         "doc_id",
         m["n"].cast("long").alias("n_words"),
@@ -1491,13 +1501,19 @@ def cleaning_stage(docs: DataFrame) -> DataFrame:
     as-is (the streaming corpus-ingest gate in streaming/pipeline.py
     applies this exact function per micro-batch, twin-tested)."""
     extracted = _extract_expr(_page_expr())
-    m = _gopher_metrics(extracted)
+    # materialize the extracted text AND its word split once — the
+    # gate references the split 20+ times and the extraction chain
+    # is itself a multi-regexp expression (see _gopher_metrics)
+    docs = docs.withColumn("__gx", extracted).withColumn(
+        "__gw", F.split(F.trim(F.col("__gx")), "[ \t\n\f\r]+")
+    )
+    m = _gopher_metrics(F.col("__gx"), words=F.col("__gw"))
     return docs.select(
         "doc_id",
         "source",
         m["keep"].alias("keep"),
         m["n"].alias("n_words"),
-        F.md5(extracted).alias("fp"),
+        F.md5(F.col("__gx")).alias("fp"),
     )
 
 
