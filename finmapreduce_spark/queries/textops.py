@@ -772,8 +772,12 @@ LANG_PROFILES = {
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    tokens = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+    # materialized once — the profile scorer references the token set
+    # once per language (5 re-splits per row with the inline form)
+    docs = _docs(spark, sf_dir).withColumn(
+        "__toks", F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+    )
+    tokens = F.col("__toks")
     scored = docs.select(
         "doc_id",
         "lang",

@@ -3166,8 +3166,12 @@ def train_curriculum_order(
     docs = (docs if docs is not None else _docs(spark, sf_dir)).select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
     )
-    words = F.split(F.trim("t"), r"\s+")
-    n_words = F.size(words)
+    # word count materialized once (the stage predicate references it
+    # three times; inline, each reference re-split the document)
+    docs = docs.withColumn(
+        "__nw", F.size(F.split(F.trim("t"), r"\s+"))
+    )
+    n_words = F.col("__nw")
     mean_wl = F.when(
         n_words > 0,
         (F.length(F.regexp_replace(F.col("t"), r"\s", "")) / n_words),
