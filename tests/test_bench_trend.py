@@ -158,6 +158,13 @@ def test_round_archives_trend_no_shuffle_regression():
         # exchanges by design (test_host_frontier_rank_is_distributed,
         # SCALE.md round-13 bench-trend note)
         "host_frontier_rank",
+        # r15: the df-weight BROADCAST join (weight table = distinct
+        # corpus shingles — a driver-killing broadcast at scale) was
+        # replaced by a window count; the instance table now crosses
+        # the wire once instead of riding the broadcast, so +8 MB
+        # shuffle at sf0.1 IS the shipped change
+        # (test_weighted_minhash_has_no_broadcast, OPTIMIZATION_r15.md)
+        "dedup_weighted_minhash_pairs",
     }
     shuffle_flags = [
         f

@@ -1273,3 +1273,30 @@ def test_grid_cell_join_is_sort_merge(spark, sf_dir):
         # cell ids are join keys (reach the partitioner)
         assert "__blk_i" in plan and "__blk_j" in plan, name
         spark.catalog.clearCache()
+
+
+def test_weighted_minhash_has_no_broadcast(spark, sf_dir):
+    """Round-15 pin: the df-weight computation must be a window count
+    over the exploded shingle table, NOT a broadcast join of the
+    distinct-shingle weight table (that table grows with corpus
+    vocabulary — a driver-killing broadcast at 100 TB, the 50×-study
+    failure class). Window form: one deterministic exchange, no
+    BroadcastExchange anywhere in the lane."""
+    plan = plan_of(QS["dedup_weighted_minhash_pairs"].spark(spark, sf_dir))
+    assert "BroadcastExchange" not in plan
+    assert "Window" in plan
+    spark.catalog.clearCache()
+
+
+def test_passage_df_filter_shares_window_exchange(spark, sf_dir):
+    """Round-15 pin: passage_spans_of computes the gram df with a
+    window on h whose partitioning the following groupBy(h) REUSES —
+    the old groupBy+join-back form ran the whole gram pipeline twice.
+    The pin counts Exchange nodes: the window rewrite dropped the
+    plan from 14 to 8; allow slack but fail if the join-back shape
+    (>= 12 exchanges) returns."""
+    plan = plan_of(QS["dedup_duplicate_passages"].spark(spark, sf_dir))
+    assert "Window" in plan
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 10, f"{n_exchanges} Exchange nodes"
+    spark.catalog.clearCache()
