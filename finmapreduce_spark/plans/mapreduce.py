@@ -144,7 +144,20 @@ def _llm_stage(df: DataFrame, cfg: MapReduceConfig, **kw) -> DataFrame:
 
 def join_documents(qa: DataFrame, docs: DataFrame) -> DataFrame:
     """J1: broadcast left join; null/empty content becomes a typed
-    error row (P5), preserved through the DAG as 'No answer'."""
+    error row (P5), preserved through the DAG as 'No answer'.
+
+    The qa side gets the guarded scan-parallelism floor (guide §6;
+    operators/parallelism.py): the whole QA DAG — chunk explode,
+    Arrow LLM map/filter/reduce — inherits the probe side's
+    partitioning from this broadcast join, and a small qa scan is ONE
+    split, serializing every per-row stage onto one core until the
+    reduce shuffle.  Flooring qa (narrow rows, BEFORE doc text is
+    attached) is a no-op at scale and spreads the whole pre-reduce
+    pipeline locally; qa_ids are already assigned below the exchange,
+    so results are unchanged."""
+    from finmapreduce_spark.operators.parallelism import scan_floor
+
+    qa = scan_floor(qa, "qa_id")
     joined = qa.join(F.broadcast(docs), "doc_id", "left")
     return joined.withColumn(
         "doc_error",

@@ -88,9 +88,22 @@ def _shingles_of(words):
     )
 
 
-def with_shingles(df, text_col: str = "text"):
+def with_shingles(df, text_col: str = "text", floor: bool = True):
     """df + a ``shingles`` column, with the word split materialized
-    first so the shingle lambda is O(n), not O(n²)."""
+    first so the shingle lambda is O(n), not O(n²).
+
+    ``floor``: guarded scan-parallelism floor (guide §6; operators/
+    parallelism.py) BEFORE the split+shingle projection — shingling
+    and every signature build above it (minhash/simhash votes,
+    embeddings) are pure per-doc CPU, and a small corpus scans into
+    ONE split, serializing them onto one core. No-op at scale (real
+    scans have >= defaultParallelism splits). The streaming store
+    builders pass floor=False: their micro-batch partitioning is the
+    stream's concern, not this helper's."""
+    if floor:
+        from finmapreduce_spark.operators.parallelism import scan_floor
+
+        df = scan_floor(df, "doc_id")
     return df.withColumn("__words", _words(F.col(text_col))).withColumn(
         "shingles", _shingles_of(F.col("__words"))
     ).drop("__words")
@@ -392,28 +405,73 @@ SIMHASH_BITS = 16
 _HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
+def _with_hash_windows(df, hashes_col, n_bits, prefix="__hw"):
+    """Decode the first ``n_bits // 8`` 8-hex-char windows of every
+    hash in the ``hashes_col`` array into unsigned 32-bit integers,
+    materialized as ``{prefix}{g}`` long-array columns — ONE decode
+    per hash, after which every per-bit vote is an integer bit test
+    instead of a per-pass substring + string compare.
+
+    The transform lambda comes from a factory so it stays
+    ONE-parameter: ``lambda h, start=start`` would have arity 2 and
+    F.transform would bind ``start`` to the ARRAY INDEX (the same
+    trap the vote filters document below)."""
+
+    def _win_fn(start):
+        return lambda h: F.conv(F.substring(h, start, 8), 16, 10).cast(
+            "long"
+        )
+
+    for g in range(n_bits // 8):
+        df = df.withColumn(
+            f"{prefix}{g}", F.transform(hashes_col, _win_fn(1 + 8 * g))
+        )
+    return df
+
+
+def _nibble_vote_count(window_col, bitpos):
+    """Count of hashes whose decoded window has bit ``bitpos`` set —
+    bit-identical to counting hex chars >= '8' at the corresponding
+    position (hex char o of a window is bits [4*(7-o), 4*(7-o)+3], so
+    its high nibble bit is bit 31-4*o), but the pass is an
+    allocation-free long aggregate instead of F.size(F.filter(...)),
+    which materializes a filtered copy of the array per bit."""
+    return F.aggregate(
+        F.col(window_col),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.shiftright(v, bitpos).bitwiseAND(F.lit(1)),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    from finmapreduce_spark.operators.parallelism import scan_floor
+
+    # guarded scan-parallelism floor: the signature build is pure
+    # per-doc CPU on what is otherwise a single scan split locally
+    docs = scan_floor(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    )
     # md5 MATERIALIZED once per word before the 16 per-bit vote
     # passes — with the inline ``md5(w)`` inside the filter lambda it
     # was re-evaluated per (bit, element): 16× the hash work (the
     # same hoist the 32-bit twin _simhash_pair_bands documents at
-    # 15.6 s → 3 s; this older lane never got it). A nibble's high
-    # bit is set iff its hex char sorts >= '8' ('8','9','a'..'f') —
-    # one compare instead of an 8-way IN set, same votes.
+    # 15.6 s → 3 s; this older lane never got it). The votes then run
+    # on integer windows (_with_hash_windows): each hash's first 16
+    # hex chars decode to two 32-bit ints ONCE, and bit j's count is
+    # an allocation-free aggregate testing one integer bit — the same
+    # majority votes as the oracle's per-char high-nibble test.
     docs = docs.withColumn(
         "__hashes",
         F.transform(
             F.array_distinct(_words(F.col("text"))), lambda w: F.md5(w)
         ),
     )
-    hashes = F.col("__hashes")
-    n = F.size(hashes)
+    docs = _with_hash_windows(docs, "__hashes", SIMHASH_BITS)
+    n = F.size(F.col("__hashes"))
     bits = []
     for j in range(1, SIMHASH_BITS + 1):
-        cnt = F.size(
-            F.filter(hashes, lambda h: F.substring(h, j, 1) >= F.lit("8"))
-        )
+        g, o = (j - 1) // 8, (j - 1) % 8
+        cnt = _nibble_vote_count(f"__hw{g}", 31 - 4 * o)
         bits.append(F.when(cnt * 2 > n, F.lit("1")).otherwise(F.lit("0")))
     sig = F.concat(*bits)
     out = docs.select("doc_id", sig.alias("simhash"))
@@ -520,18 +578,17 @@ def _simhash_pair_bands(
     # bit j (MSB-first) = majority vote of the j-th md5 nibble's high
     # bit over the doc's shingles — same vote rule as dedup_simhash,
     # widened to 32 bits and packed into a BIGINT so the verify is
-    # one xor+popcount instead of 32 char compares.
-    # NB: the predicate must be a ONE-parameter lambda — F.filter
-    # inspects arity and a second parameter (even a `j=j` default)
-    # would be bound to the ARRAY INDEX, not the loop constant.
-    def _nibble_high(j):
-        # '8' <= c holds exactly for hex chars 8,9,a-f (the nibbles
-        # with the high bit set) — one compare vs the 8-way IN set.
-        return lambda h: F.substring(h, j, 1) >= F.lit("8")
-
+    # one xor+popcount instead of 32 char compares. The 32 vote
+    # passes run on integer windows (_with_hash_windows): each hash's
+    # 32 hex chars decode to four 32-bit ints ONCE, and each count is
+    # an allocation-free aggregate testing one integer bit — the
+    # F.size(F.filter(substring >= '8')) form materialized a filtered
+    # string-array copy per (bit, doc).
+    base = _with_hash_windows(base, "hashes", SIMHASH_PAIR_BITS)
     terms = []
     for j in range(1, SIMHASH_PAIR_BITS + 1):
-        cnt = F.size(F.filter(F.col("hashes"), _nibble_high(j)))
+        g, o = (j - 1) // 8, (j - 1) % 8
+        cnt = _nibble_vote_count(f"__hw{g}", 31 - 4 * o)
         terms.append(
             F.when(
                 cnt * 2 > F.col("n"), F.lit(1 << (SIMHASH_PAIR_BITS - j))
@@ -1391,7 +1448,7 @@ def band_signature_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (split/transform/explode), so it runs identically over a static
     corpus or a streaming micro-batch (the streaming incremental-dedup
     twin in streaming/pipeline.py reuses it verbatim)."""
-    docs = with_shingles(docs, text_col)
+    docs = with_shingles(docs, text_col, floor=False)
     sig = docs.select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
@@ -2286,7 +2343,7 @@ def semantic_signature_table(docs: DataFrame, text_col: str = "text") -> DataFra
     docs = docs.withColumn(
         "__e", embed_text_udf("hashing-bow")(F.col(text_col))
     )
-    sig = with_shingles(docs, text_col).select(
+    sig = with_shingles(docs, text_col, floor=False).select(
         "doc_id", "__e", *_minhash_cols(F.col("shingles"))
     )
     band0, band1 = _band_exprs()

@@ -59,7 +59,11 @@ def synthetic_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("question"),
         F.lit("gold-other").alias("answer"),
     )
-    missing = spark.range(N_MISSING).select(
+    # ONE slice, not defaultParallelism: 5 rows in 32 empty range
+    # slices made the union's partition COUNT read >= the session
+    # width, silently defeating join_documents' guarded scan floor
+    # (the count is the guard) while the data still sat in one split.
+    missing = spark.range(0, N_MISSING, 1, 1).select(
         (F.lit(1_000_000) + F.col("id")).alias("qa_id"),
         (F.lit(-1) - F.col("id")).alias("doc_id"),
         F.concat(

@@ -91,7 +91,16 @@ def sketch_countmin_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    docs = _docs(spark, sf_dir)
+    from finmapreduce_spark.operators.parallelism import scan_floor
+
+    # guarded scan-parallelism floor: both corpus passes (cells build
+    # with CMS_DEPTH md5 per word, token explode) are map-side CPU on
+    # what is otherwise one scan split locally; no-op at scale, and
+    # unlike the perceptron there are no downstream per-epoch jobs to
+    # pay task-scheduling overhead on (the _cls_features counter-case)
+    docs = scan_floor(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    )
     cells = docs.select(
         F.explode(
             F.flatten(F.transform(_words(F.col("text")), _cells))

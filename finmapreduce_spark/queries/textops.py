@@ -80,8 +80,12 @@ def f2_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_encoder_factory,
     )
 
+    from finmapreduce_spark.operators.parallelism import scan_floor
+
     chunks = explode_chunks_exact(
-        _docs_stripped(spark, sf_dir),
+        # guarded scan-parallelism floor: the MergesBPE encode is
+        # pure per-doc CPU and a small corpus scans into one split
+        scan_floor(_docs_stripped(spark, sf_dir), "doc_id"),
         text_col="text",
         key_cols=("doc_id",),
         chunk_size=REF_CHUNK_SIZE,
@@ -486,8 +490,11 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 
 def _quality_select(docs: DataFrame) -> DataFrame:
     """Quality-heuristic projection shared by the plain and
-    sorted-layout scans."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    sorted-layout scans. The word split is materialized once — the
+    inline expression was re-evaluated by each of its three consumers
+    (size, array_distinct, the stopword filter) per row."""
+    docs = docs.withColumn("__words", F.split(F.trim(F.col("text")), r"\s+"))
+    words = F.col("__words")
     n = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
@@ -1716,16 +1723,17 @@ def text_substring_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the capped longest repeated substring."""
     import pandas as pd
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
     # Parallelism floor for the per-doc automaton stage (round-15,
     # guide §6 "minPartitionNum sets a floor on scan parallelism"):
     # a small corpus scans into ONE split, serializing the whole
     # Python stage onto one core (measured 2.6 → 0.9 s at sf0.1).
     # Guarded so it is a NO-OP at scale — when the scan already has
-    # >= defaultParallelism splits nothing is shuffled.
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    # >= defaultParallelism splits nothing is shuffled. Shared helper
+    # (operators/parallelism.py): deterministic hash repartition on
+    # doc_id, not keyless round-robin.
+    from finmapreduce_spark.operators.parallelism import scan_floor
+
+    docs = scan_floor(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
     k = SUBSTR_STATS_K
 
     def gen(batches):
@@ -1827,11 +1835,10 @@ QUERIES.update(
 def text_longest_repeat_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
     # same guarded parallelism floor as text_substring_diversity
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    from finmapreduce_spark.operators.parallelism import scan_floor
+
+    docs = scan_floor(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
 
     def gen(batches):
         from finmapreduce_spark.functions.suffix import sam_substring_stats

@@ -2066,7 +2066,13 @@ def bpe_chunk_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, toks = _bpe_train(spark, sf_dir)
     toks.unpersist()
     merges = [tuple(r[1].split(" ")) for r in sorted(rows)]
-    docs = _docs(spark, sf_dir)
+    # Guarded scan-parallelism floor (guide §6; operators/
+    # parallelism.py): the replace-chain tokenizer is pure per-doc
+    # CPU, and a small corpus scans into ONE split — without the
+    # floor the whole encode runs on one core. No-op at scale.
+    from finmapreduce_spark.operators.parallelism import scan_floor
+
+    docs = scan_floor(_docs(spark, sf_dir), "doc_id")
     size, step = BPE_CHUNK_SIZE, BPE_CHUNK_SIZE - BPE_CHUNK_OVERLAP
     # Materialize the token array ONCE per doc before the per-chunk
     # transform lambda references it — inline subexpressions inside a
@@ -2198,7 +2204,10 @@ def bpe_truncate_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, toks = _bpe_train(spark, sf_dir)
     toks.unpersist()
     merges = [tuple(r[1].split(" ")) for r in sorted(rows)]
-    docs = _docs(spark, sf_dir)
+    # same guarded parallelism floor as bpe_chunk_documents_exact
+    from finmapreduce_spark.operators.parallelism import scan_floor
+
+    docs = scan_floor(_docs(spark, sf_dir), "doc_id")
     b = BPE_TRUNC_BUDGET
     # Materialized once per doc (see bpe_chunk_documents_exact): the
     # flat select below references tk from four output expressions,

@@ -459,12 +459,20 @@ def test_kmeans_assign_is_zero_shuffle_fold(spark, sf_dir):
 )
 def test_bpe_exact_lane_corpus_path_is_single_scan(spark, sf_dir, name):
     """The tokenize→chunk/truncate corpus path must stay ONE parquet
-    scan of documents with pure JVM string expressions: no exchange,
-    no join, no Python (BatchEvalPython/ArrowEvalPython) anywhere in
-    the final plan — training collects run as separate bounded jobs
-    before the plan is built."""
+    scan of documents with pure JVM string expressions: no join, no
+    Python (BatchEvalPython/ArrowEvalPython) anywhere in the final
+    plan — training collects run as separate bounded jobs before the
+    plan is built. The ONLY exchange allowed is the guarded
+    scan-parallelism floor (operators/parallelism.py, round 15): a
+    deterministic hashpartitioning repartition of the scan that
+    exists exactly when the corpus scans narrower than the session —
+    a no-op at production scale. The tokenizer itself must stay above
+    a single scan with no other shuffle."""
     plan = plan_of(QS[name].spark(spark, sf_dir))
-    assert "Exchange" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1, tree
+    if "Exchange" in tree:
+        assert "hashpartitioning(doc_id" in plan, plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
     # formatted explain repeats each node in the details section —
@@ -990,13 +998,18 @@ def test_url_canonical_is_projection_plus_one_agg(spark, sf_dir):
 
 
 def test_substring_diversity_single_scan_single_arrow_hop(spark, sf_dir):
-    """The suffix-automaton stage is one Arrow hop over one scan with
-    NO exchange before it — per-doc CPU work only; the final
-    projection (ratio rounding) adds nothing physical."""
+    """The suffix-automaton stage is one Arrow hop over one scan —
+    per-doc CPU work only; the final projection (ratio rounding) adds
+    nothing physical. The ONLY exchange allowed is the guarded
+    scan-parallelism floor (operators/parallelism.py): a deterministic
+    hashpartitioning(doc_id) repartition that exists exactly when the
+    corpus scans narrower than the session — a no-op at scale."""
     plan = plan_of(QS["text_substring_diversity"].spark(spark, sf_dir))
     tree = plan[: plan.index("(1) Scan")]
     assert tree.count("MapInPandas") == 1
-    assert "Exchange" not in tree
+    assert tree.count("Exchange") <= 1, tree
+    if "Exchange" in tree:
+        assert "hashpartitioning(doc_id" in plan, plan
     assert "Join" not in tree
     # column pruning: the scan reads only doc_id + text
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
