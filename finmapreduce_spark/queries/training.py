@@ -285,7 +285,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_lsh_pairs documents; measured 9.5 s → 1.7 s at sf0.1). The
     oracle stays on strings, which is the point: counts agree.
     """
-    sh = with_shingles(_docs(spark, sf_dir)).select(
+    # floor=False: the downstream distinct + broadcast hit set are
+    # unique-ish shingle keys — fanning the map side out defeats
+    # partial dedup (the trigram-lane counter-case, measured +0.5 s
+    # and 0.07 → 0.92 MB shuffle at sf0.1 with the floor on)
+    sh = with_shingles(_docs(spark, sf_dir), floor=False).select(
         "doc_id",
         F.explode(
             F.transform("shingles", lambda s: F.xxhash64(s))
@@ -1224,6 +1228,9 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     no bigram event and drop from the report in both engines (the
     Spark guard is load-bearing: sequence(1, 0) DESCENDS, and a
     [NULL]-element pair list would make NULL-text docs matchable)."""
+    # NO scan-parallelism floor (see the trigram lane's measured
+    # counter-case: unique-ish n-gram keys defeat partial agg when
+    # the map side fans out)
     docs = _docs(spark, sf_dir)
     w = F.col("__w")
     pair = docs.withColumn("__w", _words(F.col("text"))).select(
@@ -1328,6 +1335,12 @@ def text_trigram_interp_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop from the report in both engines (same load-bearing guard as
     the bigram: sequence(1, 0) DESCENDS)."""
     l3, l2, l1 = TRIGRAM_LAMBDAS
+    # NO scan-parallelism floor here (measured NET NEGATIVE, round
+    # 15): n-gram keys are mostly unique, so the count aggregations'
+    # map-side partial agg compresses ~10× better from one map
+    # partition than from 32 (shuffle 0.7 → 7.7 MB, wall 1.9 → 3.4 s
+    # at sf0.1) — the same trade _cls_features documents. At scale
+    # the scan fans out by itself.
     docs = _docs(spark, sf_dir)
     w = F.col("__w")
     ev = (
@@ -3421,7 +3434,16 @@ def _dsir_doc_buckets(
     ``docs`` overrides the table read (the streaming twin passes the
     micro-batch) — same columns (doc_id, lang, text) required."""
     if docs is None:
-        docs = _docs(spark, sf_dir)
+        # guarded scan-parallelism floor (batch path only — the
+        # streaming twin owns its micro-batch partitioning): the
+        # uni+bigram explode with per-gram md5 is map-side CPU on
+        # what is otherwise one scan split locally; no-op at scale
+        from finmapreduce_spark.operators.parallelism import scan_floor
+
+        docs = scan_floor(
+            _docs(spark, sf_dir).select("doc_id", "lang", "text"),
+            "doc_id",
+        )
     docs = docs.filter(F.col("text").isNotNull())
     w = F.col("__w")
     grams = docs.withColumn("__w", _words(F.col("text"))).select(
@@ -4665,9 +4687,10 @@ def contamination_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # persist before exploding — the generator-rematerialization
-    # lesson (SCALE.md round-13)
+    # lesson (SCALE.md round-13). floor=False: same unique-key
+    # counter-case as contamination_ngram_overlap above.
     sh = (
-        with_shingles(_docs(spark, sf_dir))
+        with_shingles(_docs(spark, sf_dir), floor=False)
         .filter(F.col("shingles").isNotNull())
         .select("doc_id", "shingles")
         .persist()
