@@ -165,6 +165,30 @@ def test_round_archives_trend_no_shuffle_regression():
         # shuffle at sf0.1 IS the shipped change
         # (test_weighted_minhash_has_no_broadcast, OPTIMIZATION_r15.md)
         "dedup_weighted_minhash_pairs",
+        # r15 session 2: the guarded scan-parallelism floor
+        # (operators/parallelism.py) repartitions the one-split local
+        # scan up to defaultParallelism — each floored lane's small
+        # corpus/qa projection crosses the wire ONCE (+0.1-2.5 MB at
+        # sf0.1, a no-op at scale where scans already fan out). The
+        # wall drops 1.3-5x per lane; the byte delta IS the shipped
+        # change (test_bpe_exact_lane_corpus_path_is_single_scan,
+        # test_substring_diversity_single_scan_single_arrow_hop,
+        # OPTIMIZATION_r15.md "Guarded scan-parallelism floor").
+        "text_substring_diversity",
+        "text_longest_repeat_uncapped",
+        "dedup_lsh_pairs",
+        "dedup_simhash_pairs",
+        "dedup_simhash_pairs_grid",
+        "dedup_semantic_verify",
+        "pipeline_e2e_answers",
+        "pipeline_e2e_answers_json",
+        "pipeline_e2e_answers_plain",
+        "pipeline_e2e_answers_baseline",
+        "pipeline_e2e_answers_bpe",
+        "bpe_chunk_documents_exact",
+        "f2_chunk_documents",
+        "sketch_countmin_grams",
+        "j1_broadcast_left_join",
     }
     shuffle_flags = [
         f
