@@ -189,6 +189,9 @@ def test_round_archives_trend_no_shuffle_regression():
         "f2_chunk_documents",
         "sketch_countmin_grams",
         "j1_broadcast_left_join",
+        # inherits the with_shingles floor through its LSH candidate
+        # source (the Arrow LCS stage itself is unchanged)
+        "dedup_lcs_containment",
     }
     shuffle_flags = [
         f
