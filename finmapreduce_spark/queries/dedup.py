@@ -3440,6 +3440,7 @@ def _master_edge_union(
     sf_dir: str,
     docs: DataFrame,
     state: dict | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """The capstone's five-signal edge union over ``docs`` —
     corpus-subset-parametric so the incremental twin can run it over
@@ -3447,11 +3448,17 @@ def _master_edge_union(
 
     ``state``: this slice's prebuilt signature stores
     (master_history_state over the SAME ``docs``) — the incremental
-    capstone derives each slice's signatures once and feeds both this
-    internal pair join and the cross probe from them (round-15: the
-    signature pipeline used to run twice per slice). Pair semantics
-    are identical either way: each lane consumes exactly the table it
-    would have derived itself."""
+    capstone derives the corpus signatures once and feeds this pair
+    join (and, on the production probe path, the cross probe) from
+    them (round-15: the signature pipeline used to run twice per
+    slice). Pair semantics are identical either way: each lane
+    consumes exactly the table it would have derived itself.
+
+    ``scratch``: collects every frame the lanes persist beyond the
+    ``state`` tables themselves (the grid tilers' indexed bucket
+    tables), so a caller that materializes the union once can release
+    this call's entire footprint mid-query (the staged-lane
+    lifecycle)."""
     if state is not None:
         hashed, keepers = state["hashed"], state["keepers"]
     else:
@@ -3467,12 +3474,18 @@ def _master_edge_union(
         return (
             exact_edges.unionByName(
                 dedup_lsh_pairs_grid(
-                    spark, sf_dir, buckets=state["lsh_buckets"]
+                    spark,
+                    sf_dir,
+                    buckets=state["lsh_buckets"],
+                    scratch=scratch,
                 ).select("doc_a", "doc_b")
             )
             .unionByName(
                 dedup_simhash_pairs_grid(
-                    spark, sf_dir, bands=state["simhash_bands"]
+                    spark,
+                    sf_dir,
+                    bands=state["simhash_bands"],
+                    scratch=scratch,
                 ).select("doc_a", "doc_b")
             )
             .unionByName(
@@ -3485,7 +3498,7 @@ def _master_edge_union(
             )
             .unionByName(
                 exact_substring_pairs(
-                    docs, fps=state["substring_fps"]
+                    docs, fps=state["substring_fps"], scratch=scratch
                 ).select("doc_a", "doc_b")
             )
             .distinct()
@@ -3912,39 +3925,100 @@ def dedup_master_keep_list_incremental(
     min). Reference parity: the reference recomputes from scratch
     per run (no incremental path exists there); this entry is the
     100 TB posture where re-pairing the full corpus per ingest is
-    not an option."""
+    not an option.
+
+    Round-16 structure (same oracle, same output): the self-contained
+    catalog/bench path derives the "previous run" as a DECLARED STAGED
+    PREDECESSOR inside the query — ONE full-corpus signature store and
+    ONE five-lane pair pass (exactly the tables a staged curation run
+    persists), materialized once and split by the ingest predicate
+    into history-internal edges (both endpoints in history — the
+    previous run's pair tables) and NEW edges (at least one delta
+    endpoint — what the production cross/internal probes of the delta
+    against the store return). Round 15 ran the five pair joins THREE
+    times (hist², delta², delta×hist probes — the same total pair
+    work as one full-corpus pass, plus two extra rounds of per-lane
+    join overhead) and re-derived each slice's signatures separately
+    (two corpus scans). Nothing is cached across runs: every bench
+    trial rebuilds store, pair tables and labels from the parquet
+    inputs. The production probe path (prebuilt history stores +
+    per-delta signatures) remains `_master_cross_edges(state=...)`,
+    pinned equal to the self-contained derivation by
+    tests/test_master_incremental.py.
+
+    The ingest merge is the label-CONTRACTION form of the round-15
+    star-edge warm start: old components are contracted to their
+    label node (new-edge endpoints map through the history labels,
+    unlabeled docs map to themselves), CC runs over the NEW edges
+    only, and the keep decision needs no relabeling join — a doc is
+    dropped iff it lost in the previous run (its history label is
+    smaller) or its contracted node lost in the merge CC. Exactness:
+    star edges make each old component a connected blob, so
+    contracting it preserves the full graph's connectivity 1:1; an
+    old label IS the min doc_id of its old chunk and every other
+    contracted node is its own doc_id, so the merge component's min
+    over contracted nodes equals its true min doc_id. The iterative
+    work is proportional to the NEW edge volume — the star rounds
+    never re-walk the history graph."""
+    from finmapreduce_spark.operators.checkpoints import (
+        iter_checkpoint,
+        release_iter_checkpoint,
+    )
+
     docs = _docs(spark, sf_dir)
-    delta = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
-    hist = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
-    # Each slice's signature stores are derived ONCE and shared by its
-    # internal edge union AND the cross probe (round-15: the history
-    # signatures used to be built twice — once inside the hist edge
-    # union, once inside the cross probe's default state — and the
-    # delta's twice likewise; at 100 TB that is a full extra signature
-    # pass over the corpus per ingest). This is also the production
-    # shape: the stores ARE what the previous run persisted.
-    state_h = master_history_state(spark, sf_dir, hist)
-    state_d = master_history_state(spark, sf_dir, delta)
-    # the "previous run": history labels, compressed to star edges
+    # The staged predecessor, derived inside the timed query: one
+    # signature store + one pair pass over the whole corpus.
+    state = master_history_state(spark, sf_dir, docs)
+    scratch: list = []
+    all_edges = iter_checkpoint(
+        _master_edge_union(spark, sf_dir, docs, state=state, scratch=scratch)
+    )
+    # The stores fed the pair pass only — release them (blocking)
+    # before the CC phases so label work never runs under the
+    # signature tables' memory pressure (the staged lane's scratch
+    # discipline; all_edges is an eager checkpoint, nothing re-reads
+    # the released lineage).
+    for fr in (*state.values(), *scratch):
+        fr.unpersist(True)
+    is_delta_a = F.pmod(F.col("doc_a"), F.lit(INGEST_MOD)) == 0
+    is_delta_b = F.pmod(F.col("doc_b"), F.lit(INGEST_MOD)) == 0
+    # the "previous run": labels over the history-internal subgraph
     hist_labels = connected_components(
-        _master_edge_union(spark, sf_dir, hist, state=state_h)
+        all_edges.filter(~is_delta_a & ~is_delta_b)
     )
-    hist_star = hist_labels.filter(
-        F.col("doc_id") != F.col("label")
-    ).select(F.col("label").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    # the ingest: delta-internal edges + delta×history cross probes
-    delta_edges = _master_edge_union(spark, sf_dir, delta, state=state_d)
-    cross_edges = _master_cross_edges(
-        spark, sf_dir, delta, hist, state=state_h, delta_state=state_d
+    new_edges = all_edges.filter(is_delta_a | is_delta_b)
+    # ingest merge: contract old components to their label node and
+    # run CC over the new edges only (endpoints in disjoint slices
+    # can never contract to the same node, so no self-loops appear)
+    la = hist_labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("label").alias("__la")
     )
-    edges = (
-        hist_star.unionByName(delta_edges)
-        .unionByName(cross_edges)
-        .distinct()
+    lb = hist_labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("label").alias("__lb")
     )
-    labels = connected_components(edges)
-    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
-    return docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+    contracted = (
+        new_edges.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("__la", "doc_a").alias("doc_a"),
+            F.coalesce("__lb", "doc_b").alias("doc_b"),
+        )
+    )
+    merge_labels = connected_components(contracted)
+    losers = (
+        hist_labels.filter(F.col("doc_id") != F.col("label"))
+        .select("doc_id")
+        .unionByName(
+            merge_labels.filter(F.col("doc_id") != F.col("label")).select(
+                "doc_id"
+            )
+        )
+    )
+    out = docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+    # Both CC results are eagerly checkpointed internally; the pair
+    # table is no longer referenced by the returned plan — release it.
+    release_iter_checkpoint(all_edges)
+    return out
 
 
 QUERIES.update(
