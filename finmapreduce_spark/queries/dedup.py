@@ -1137,12 +1137,27 @@ def connected_components(edges: DataFrame, algorithm: str | None = None) -> Data
     )
     if algorithm not in CC_ALGORITHMS:
         raise ValueError(f"unknown CC algorithm {algorithm!r}; known: {CC_ALGORITHMS}")
+    if algorithm == "star":
+        # The star path needs no up-front symmetric closure: its
+        # initial normalization (greatest/least + distinct) and its
+        # node list are direction-invariant, and each round
+        # re-symmetrizes its own current edge set inside large_star.
+        # Persist the RAW edge input instead (round-16, guide §2.4):
+        # half the cached rows, and — because a union's two branches
+        # each evaluate the input subtree — the symmetric-closure
+        # build used to run the caller's (often expensive) pair
+        # pipeline once per branch before anything was cached.
+        edges = edges.persist()
+        try:
+            return _cc_star(edges)
+        finally:
+            edges.unpersist()
+    # minlabel propagates along directed doc_a -> doc_b rows, so it
+    # genuinely needs both directions materialized.
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     try:
-        if algorithm == "star":
-            return _cc_star(sym)
         return _cc_minlabel(sym)
     finally:
         sym.unpersist()
@@ -3597,12 +3612,24 @@ def dedup_master_keep_list_staged(
     Result-identical to dedup_master_keep_list (same oracle): lanes,
     union-distinct, CC, and the anti-join are unchanged — only the
     materialization boundary moves.
+
+    ``stage_dir=None`` (the default catalog/bench path) hands each
+    lane's pair table to the CC phase as an eager executor-local
+    checkpoint instead of a parquet round-trip — the same sequential
+    lane lifecycle and per-lane scratch release (the materialization
+    still truncates lineage and frees the lane's upstream), without
+    the filesystem write+read (round-16, guide §3.3/§5: checkpoint is
+    the cheaper intra-query handoff when the artifact itself is not
+    wanted). Pass ``stage_dir`` to keep the production parquet
+    artifacts (reason 3 above) — the write path is unchanged.
     """
     import gc as _gc
-    import tempfile
 
-    if stage_dir is None:
-        stage_dir = tempfile.mkdtemp(prefix="fmr_keeplist_stage_")
+    from finmapreduce_spark.operators.checkpoints import (
+        iter_checkpoint,
+        release_iter_checkpoint,
+    )
+
     docs = _docs(spark, sf_dir)
 
     def exact_lane():
@@ -3649,11 +3676,20 @@ def dedup_master_keep_list_staged(
             ),
         ),
     ]
-    lane_names = ["lsh", "simhash", "semantic", "exact", "substring"]
+    staged: list = []
+
+    def materialize(name, df):
+        """One lane's handoff: parquet when stage_dir is given (the
+        production artifact), eager local checkpoint otherwise — both
+        truncate the lane's lineage so its scratch can be released."""
+        if stage_dir is not None:
+            df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+            staged.append(spark.read.parquet(f"{stage_dir}/{name}"))
+        else:
+            staged.append(iter_checkpoint(df))
+
     for name, build in shingle_lanes:
-        build().select("doc_a", "doc_b").write.mode("overwrite").parquet(
-            f"{stage_dir}/{name}"
-        )
+        materialize(name, build().select("doc_a", "doc_b"))
         # Free exactly THIS lane's persisted state (blocking) before
         # the next lane shuffles — the shared shingle cache stays.
         for fr in scratch:
@@ -3664,29 +3700,32 @@ def dedup_master_keep_list_staged(
     shingled.unpersist(True)
     for name, build in [
         ("exact", exact_lane),
-        ("substring", lambda: exact_substring_pairs(docs)),
+        ("substring", lambda: exact_substring_pairs(docs, scratch=scratch)),
     ]:
-        build().select("doc_a", "doc_b").write.mode("overwrite").parquet(
-            f"{stage_dir}/{name}"
-        )
-        # Free this lane's state before the next lane shuffles: the
-        # blocking release drops every persistent RDD (cached frames
-        # AND checkpoint blocks — clearCache alone misses the latter)
-        # synchronously; the gc pair then lets the ContextCleaner
-        # reclaim the lane's now-unreferenced shuffle files (best
-        # effort — shuffle removal is async, but the next lane's
-        # write gives it wall time to land).
-        spark.catalog.clearCache()
-        release_all_persistent_rdds(spark)
+        materialize(name, build().select("doc_a", "doc_b"))
+        # Free this lane's state before the next lane shuffles —
+        # selective (the scratch collector), NOT the round-15
+        # release_all_persistent_rdds sweep, which would also drop
+        # the earlier lanes' checkpointed pair tables; the gc pair
+        # then lets the ContextCleaner reclaim the lane's
+        # now-unreferenced shuffle files (best effort — shuffle
+        # removal is async, but the next lane's materialization gives
+        # it wall time to land).
+        for fr in scratch:
+            fr.unpersist(True)
+        scratch.clear()
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
-    pair_tables = [
-        spark.read.parquet(f"{stage_dir}/{name}") for name in lane_names
-    ]
-    edges = reduce(lambda a, b: a.unionByName(b), pair_tables).distinct()
+    edges = reduce(lambda a, b: a.unionByName(b), staged).distinct()
     labels = connected_components(edges)
     losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
-    return docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+    out = docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+    if stage_dir is None:
+        # the CC output is checkpoint-backed; the pair-table blocks
+        # are no longer referenced by the returned plan
+        for df in staged:
+            release_iter_checkpoint(df)
+    return out
 
 
 QUERIES.update(
