@@ -273,10 +273,60 @@ def _lsh_band_buckets(
     return out
 
 
+def _attach_shingle_sets(cand: DataFrame, buckets: DataFrame) -> DataFrame:
+    """``cand`` (doc_a, doc_b) + ``sh_a``/``sh_b`` hashed-shingle
+    arrays from the persisted bucket table's band-0 slice (one row
+    per doc — guide §2.3/§8 "decide with small rows, attach the heavy
+    payload once": the candidate join and the grid tiler move bare
+    8-byte ids; the shingle arrays cross the wire exactly once here,
+    instead of riding the in-bucket index window, both replicated
+    explode sides and the candidate dedup). Joins are pinned
+    sort-merge for the pairgrid reasons: both sides are corpus-derived
+    (candidates via explode, the shingle table corpus-sized), so a
+    broadcast is never legitimate at scale and a shuffled-hash build
+    is an unspillable per-partition map."""
+    sig = buckets.filter(F.col("band_id") == 0).select("doc_id", "shingles")
+    return (
+        cand.hint("merge")
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .hint("merge")
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+    )
+
+
+def _jaccard_verify(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for the pairs passing the threshold —
+    |A∪B| = |A|+|B|−|A∩B| for distinct arrays: one hash-set pass per
+    pair instead of two (array_union was ~half the verify cost)."""
+    with_inter = pairs.withColumn(
+        "inter", F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    jac = F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+    return (
+        with_inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs via band-bucket equi-join (the shuffle key is
     the bucket — at 100 TB this is the only join that runs, never the
     n² cross), verified with exact Jaccard over distinct shingles.
+    The bucket join moves ids only; shingle arrays attach once at the
+    verify (_attach_shingle_sets).
     """
     buckets = _lsh_band_buckets(spark, sf_dir)
     left = buckets.alias("l")
@@ -291,22 +341,10 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # |A∪B| = |A|+|B|−|A∩B| for distinct arrays: one hash-set pass per
-    # pair instead of two (array_union was ~half the verify cost).
-    with_inter = cand.withColumn(
-        "inter", F.size(F.array_intersect("sh_a", "sh_b"))
-    )
-    jac = F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
-    return (
-        with_inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify(_attach_shingle_sets(cand, buckets))
 
 
 # ---------------------------------------------------------------------------
@@ -349,28 +387,22 @@ def dedup_lsh_pairs_grid(
             spark, sf_dir, shingled=shingled, scratch=scratch
         )
 
+    # The tiler moves bare ids; shingle arrays attach once at the
+    # verify (guide §2.3/§8 — they no longer ride the in-bucket index
+    # window, the two replicated explode sides, the cell sort-merge
+    # sorts, or the candidate dedup exchange).
     cand = grid_self_pairs(
-        buckets,
+        buckets.select("doc_id", "band_id", "key"),
         ["band_id", "key"],
         "doc_id",
-        ["shingles"],
+        [],
         block=LSH_GRID_BLOCK,
         scratch=scratch,
     ).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
-        F.col("shingles_a").alias("sh_a"),
-        F.col("shingles_b").alias("sh_b"),
     )
-    with_inter = cand.withColumn(
-        "inter", F.size(F.array_intersect("sh_a", "sh_b"))
-    )
-    jac = F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
-    return (
-        with_inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify(_attach_shingle_sets(cand, buckets))
 
 
 DEDUP_LSH_ORACLE = f"""
@@ -3833,8 +3865,12 @@ def _master_cross_edges(
         F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
 
-    # MinHash/LSH: band-key probe + the lane's exact Jaccard verify
-    # over hashed shingles
+    # MinHash/LSH: band-key probe + the lane's exact Jaccard verify.
+    # The probe join moves ids only; the hashed-shingle verify
+    # payloads attach once afterwards from each side's band-0 store
+    # slice (round-16, the cross-probe twin of _attach_shingle_sets —
+    # the arrays used to ride the probe exchange and the candidate
+    # dedup for every band hit).
     lh = state["lsh_buckets"]
     lsh_cand = (
         ld.alias("l")
@@ -3846,15 +3882,31 @@ def _master_cross_edges(
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    lsh_pairs = (
+        lsh_cand.hint("merge")
+        .join(
+            ld.filter(F.col("band_id") == 0).select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .hint("merge")
+        .join(
+            lh.filter(F.col("band_id") == 0).select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     lsh_cross = (
-        lsh_cand.withColumn("jaccard", F.round(jac, 6))
+        lsh_pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -4984,13 +5036,38 @@ def dedup_weighted_minhash_pairs(
         .select("doc_id", "rh", "b.band_id", "b.key")
         .persist()
     )
-    cand = grid_self_pairs(
-        buckets, ["band_id", "key"], "doc_id", ["rh"], block=LSH_GRID_BLOCK
+    # The tiler moves bare ids; the replicated-hash multiset payloads
+    # attach once at the verify from the band-0 bucket slice (guide
+    # §2.3/§8, same split as _attach_shingle_sets — the rh arrays are
+    # the heaviest payload in the family, 4× shingle replication at
+    # the df=1 weight). Merge-hinted for the pairgrid reasons: both
+    # sides corpus-derived, broadcast never legitimate at scale.
+    ids = grid_self_pairs(
+        buckets.select("doc_id", "band_id", "key"),
+        ["band_id", "key"],
+        "doc_id",
+        [],
+        block=LSH_GRID_BLOCK,
     ).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
-        "rh_a",
-        "rh_b",
+    )
+    rtab = buckets.filter(F.col("band_id") == 0).select("doc_id", "rh")
+    cand = (
+        ids.hint("merge")
+        .join(
+            rtab.select(
+                F.col("doc_id").alias("doc_a"), F.col("rh").alias("rh_a")
+            ),
+            "doc_a",
+        )
+        .hint("merge")
+        .join(
+            rtab.select(
+                F.col("doc_id").alias("doc_b"), F.col("rh").alias("rh_b")
+            ),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("rh_a", "rh_b"))
     wj = inter / (F.size("rh_a") + F.size("rh_b") - inter)

@@ -730,6 +730,16 @@ def _train_centroids(v: DataFrame) -> DataFrame:
     (cluster-sizes report, monolithic search, incremental index,
     persisted index, tests). A seeding/iteration change made here
     cannot diverge the incremental index from the monolithic one."""
+    # Persist the vector table for the duration of training: every
+    # Lloyd round's _assign references it, and the callers' final
+    # assign / serve joins reference the same object again — without
+    # the cache each reference re-runs the whole emb_table pipeline
+    # including its modal-dim guard aggregate (KMEANS_ITERS + 2 extra
+    # corpus passes per query; kmeans trials showed a cold first
+    # trial from exactly this). A no-op when the caller already
+    # persisted its store (refresh_ivf_index); lifecycle is
+    # caller-owned (clearCache), catalog-wide.
+    v = v.persist()
     cents = v.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("cid"),
         F.col("v").alias("cv"),
