@@ -2267,6 +2267,7 @@ def dedup_semantic_verify(
     buckets: DataFrame | None = None,
     emb: DataFrame | None = None,
     scratch: list | None = None,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """Band-bucket candidates ∘ hashing-BoW cosine gate.
 
@@ -2279,27 +2280,33 @@ def dedup_semantic_verify(
     — candidates AND model output — relationally."""
     # ``buckets``/``emb``: prebuilt signature stores (the incremental
     # capstone's master_history_state shape); ``scratch`` collects the
-    # frames THIS call persists (staged-lane lifecycle).
+    # frames THIS call persists (staged-lane lifecycle). ``cand``:
+    # prebuilt candidate id pairs — the semantic band keys are the
+    # LSH lane's by shared definition, so a keep-list composition
+    # that already generated the LSH candidates passes them here and
+    # this lane runs the cosine gate only.
     docs = (
         shingled
         if shingled is not None
         else with_shingles(_docs(spark, sf_dir))
     )
-    if buckets is None:
-        buckets = _semantic_buckets(docs)
-    cand = (
-        buckets.alias("l")
-        .join(
-            buckets.alias("r"),
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    if cand is None:
+        if buckets is None:
+            buckets = _semantic_buckets(docs)
+        cand = (
+            buckets.alias("l")
+            .join(
+                buckets.alias("r"),
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     # when a shared shingled frame is passed it still carries text,
     # and reading it hits the caller's cache instead of a fourth
     # corpus scan
@@ -3517,14 +3524,36 @@ def _master_edge_union(
             F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
     )
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    def _banded_cand(buckets):
+        """ONE grid-tiled candidate build shared by the MinHash-LSH
+        and semantic lanes — their band keys are identical by shared
+        definition (round-16; see master_history_state), so the two
+        lanes differ only in the verify gate. Persisted: both
+        verifies read it."""
+        c = grid_self_pairs(
+            buckets.select("doc_id", "band_id", "key"),
+            ["band_id", "key"],
+            "doc_id",
+            [],
+            block=LSH_GRID_BLOCK,
+            scratch=scratch,
+        ).select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+        ).persist()
+        if scratch is not None:
+            scratch.append(c)
+        return c
+
     if state is not None:
+        lsh_b = state["lsh_buckets"]
+        cand = _banded_cand(lsh_b)
         return (
             exact_edges.unionByName(
-                dedup_lsh_pairs_grid(
-                    spark,
-                    sf_dir,
-                    buckets=state["lsh_buckets"],
-                    scratch=scratch,
+                _jaccard_verify(
+                    _attach_shingle_sets(cand, lsh_b)
                 ).select("doc_a", "doc_b")
             )
             .unionByName(
@@ -3539,8 +3568,8 @@ def _master_edge_union(
                 dedup_semantic_verify(
                     spark,
                     sf_dir,
-                    buckets=state["semantic_buckets"],
                     emb=state["embeddings"],
+                    cand=cand,
                 ).select("doc_a", "doc_b")
             )
             .unionByName(
@@ -3552,15 +3581,19 @@ def _master_edge_union(
         )
     # ONE scan→split→shingle pipeline shared by the LSH, SimHash and
     # semantic lanes (round-10 candidate (a): each lane used to
-    # rebuild it — three extra corpus scans at 100 TB). Persisted so
-    # the lanes' downstream derivations all read the cache; lifecycle
-    # is caller-owned per the catalog-wide clearCache contract.
+    # rebuild it — three extra corpus scans at 100 TB), and ONE
+    # bucket table + candidate build shared by the LSH and semantic
+    # lanes. Persisted so the lanes' downstream derivations all read
+    # the cache; lifecycle is caller-owned per the catalog-wide
+    # clearCache contract.
     shingled = with_shingles(docs).persist()
+    buckets = _lsh_band_buckets(spark, sf_dir, shingled=shingled)
+    cand = _banded_cand(buckets)
     return (
         exact_edges.unionByName(
-            dedup_lsh_pairs_grid(spark, sf_dir, shingled=shingled).select(
-                "doc_a", "doc_b"
-            )
+            _jaccard_verify(
+                _attach_shingle_sets(cand, buckets)
+            ).select("doc_a", "doc_b")
         )
         .unionByName(
             dedup_simhash_pairs_grid(
@@ -3568,9 +3601,9 @@ def _master_edge_union(
             ).select("doc_a", "doc_b")
         )
         .unionByName(
-            dedup_semantic_verify(spark, sf_dir, shingled=shingled).select(
-                "doc_a", "doc_b"
-            )
+            dedup_semantic_verify(
+                spark, sf_dir, shingled=shingled, cand=cand
+            ).select("doc_a", "doc_b")
         )
         .unionByName(exact_substring_pairs(docs).select("doc_a", "doc_b"))
         .distinct()
@@ -3688,22 +3721,40 @@ def dedup_master_keep_list_staged(
     # the scratch-heaviest lane (substring) starts.
     shingled = with_shingles(docs).persist()
     scratch: list = []
+    # ONE bucket table + ONE grid candidate build shared by the LSH
+    # and semantic lanes (their band keys are identical by shared
+    # definition — see master_history_state); the two lanes run in
+    # consecutive order and the shared frames are released right
+    # after the second one materializes, so staging's peak-scratch
+    # property degrades only from max(lane) to max(lane)+|cand ids|.
+    from finmapreduce_spark.operators.pairgrid import grid_self_pairs
+
+    buckets = _lsh_band_buckets(spark, sf_dir, shingled=shingled)
+    cand = grid_self_pairs(
+        buckets.select("doc_id", "band_id", "key"),
+        ["band_id", "key"],
+        "doc_id",
+        [],
+        block=LSH_GRID_BLOCK,
+        scratch=scratch,
+    ).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+    ).persist()
     shingle_lanes = [
         (
             "lsh",
-            lambda: dedup_lsh_pairs_grid(
-                spark, sf_dir, shingled=shingled, scratch=scratch
+            lambda: _jaccard_verify(_attach_shingle_sets(cand, buckets)),
+        ),
+        (
+            "semantic",
+            lambda: dedup_semantic_verify(
+                spark, sf_dir, shingled=shingled, cand=cand, scratch=scratch
             ),
         ),
         (
             "simhash",
             lambda: dedup_simhash_pairs_grid(
-                spark, sf_dir, shingled=shingled, scratch=scratch
-            ),
-        ),
-        (
-            "semantic",
-            lambda: dedup_semantic_verify(
                 spark, sf_dir, shingled=shingled, scratch=scratch
             ),
         ),
@@ -3723,7 +3774,12 @@ def dedup_master_keep_list_staged(
     for name, build in shingle_lanes:
         materialize(name, build().select("doc_a", "doc_b"))
         # Free exactly THIS lane's persisted state (blocking) before
-        # the next lane shuffles — the shared shingle cache stays.
+        # the next lane shuffles — the shared shingle cache stays,
+        # and the shared bucket/candidate tables drop once the second
+        # of their two consumer lanes has materialized.
+        if name == "semantic":
+            cand.unpersist(True)
+            buckets.unpersist(True)
         for fr in scratch:
             fr.unpersist(True)
         scratch.clear()
@@ -3794,14 +3850,23 @@ def master_history_state(
     lane. Lifecycle is caller-owned (clearCache), catalog-wide."""
     sh_hist = with_shingles(hist).persist()
     hashed, keepers = _content_hash_keepers(hist)
+    lsh_b = _lsh_band_buckets(spark, sf_dir, shingled=sh_hist)
     return {
         "hashed": hashed.persist(),
         "keepers": keepers.persist(),
-        "lsh_buckets": _lsh_band_buckets(spark, sf_dir, shingled=sh_hist),
+        "lsh_buckets": lsh_b,
         "simhash_bands": _simhash_pair_bands(
             spark, sf_dir, shingled=sh_hist
         ),
-        "semantic_buckets": _semantic_buckets(sh_hist).persist(),
+        # The semantic lane's band keys ARE the LSH lane's
+        # (_semantic_buckets uses the identical _minhash_cols +
+        # _band_exprs over the same shingles) — derive the store as a
+        # projection of the persisted LSH bucket table instead of
+        # re-running the whole minhash pass (round-16, guide §1.2
+        # "don't compute things twice"; value-identical by shared
+        # definition, and _master_edge_union shares the candidate
+        # pair build between the two lanes for the same reason).
+        "semantic_buckets": lsh_b.select("doc_id", "band_id", "key"),
         "embeddings": _hashing_bow_embeddings(sh_hist).persist(),
         "substring_fps": substring_fp_table(_substring_base(hist)).persist(),
     }
@@ -3935,21 +4000,13 @@ def _master_cross_edges(
         .select("doc_a", "doc_b")
     )
 
-    # semantic: MinHash-band probe + hashing-BoW cosine gate
-    sem_cand = (
-        sem_d
-        .alias("l")
-        .join(
-            state["semantic_buckets"].alias("r"),
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.key") == F.col("r.key")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # semantic: MinHash-band probe + hashing-BoW cosine gate. The
+    # semantic band keys are the LSH lane's by shared definition
+    # (see master_history_state), so the probe's candidate id pairs
+    # ARE lsh_cand — reuse them instead of re-joining the projected
+    # semantic store (sem_d stays in the signature for store-schema
+    # compatibility and the self-contained derivation below).
+    sem_cand = lsh_cand
     emb_h = state["embeddings"]
     sem_pairs = sem_cand.join(
         emb_d.alias("a"), sem_cand.doc_a == F.col("a.doc_id")
