@@ -33,7 +33,11 @@ def scan_floor(df: DataFrame, *keys: str) -> DataFrame:
     partitioning-independent); the only plan delta is one Exchange
     that exists exactly when the input is narrower than the session.
     """
-    assert keys, "scan_floor needs deterministic partition keys"
+    if not keys:
+        # explicit raise, not assert: stripped under `python -O` an
+        # assert would let a keyless call fall through to the
+        # round-robin repartition the module docstring forbids
+        raise ValueError("scan_floor needs deterministic partition keys")
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, *keys)

@@ -88,7 +88,9 @@ def _shingles_of(words):
     )
 
 
-def with_shingles(df, text_col: str = "text", floor: bool = True):
+def with_shingles(
+    df, text_col: str = "text", floor: bool = True, key_col: str = "doc_id"
+):
     """df + a ``shingles`` column, with the word split materialized
     first so the shingle lambda is O(n), not O(n²).
 
@@ -97,13 +99,16 @@ def with_shingles(df, text_col: str = "text", floor: bool = True):
     and every signature build above it (minhash/simhash votes,
     embeddings) are pure per-doc CPU, and a small corpus scans into
     ONE split, serializing them onto one core. No-op at scale (real
-    scans have >= defaultParallelism splits). The streaming store
-    builders pass floor=False: their micro-batch partitioning is the
-    stream's concern, not this helper's."""
+    scans have >= defaultParallelism splits). The floor repartitions
+    by ``key_col`` (default ``doc_id`` — the corpus key every catalog
+    caller carries; round-16 advice: the requirement is part of the
+    signature now, not an implicit AnalysisException). The streaming
+    store builders pass floor=False: their micro-batch partitioning
+    is the stream's concern, not this helper's."""
     if floor:
         from finmapreduce_spark.operators.parallelism import scan_floor
 
-        df = scan_floor(df, "doc_id")
+        df = scan_floor(df, key_col)
     return df.withColumn("__words", _words(F.col(text_col))).withColumn(
         "shingles", _shingles_of(F.col("__words"))
     ).drop("__words")

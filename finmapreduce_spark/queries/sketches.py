@@ -363,6 +363,13 @@ def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64(s_).alias("hs"), h1.alias("h1"), h2.alias("h2")
         )
 
+    # The default with_shingles floor STAYS despite the near-unique
+    # downstream distinct() (the n-gram partial-agg counter-case that
+    # keeps the LM/contamination lanes unfloored): here the per-row
+    # explode + md5 + two conv decodes dominate, and the floor's
+    # repartition runs BEFORE the gram explode so it ships doc rows,
+    # not gram rows. Measured r16 (solo_bench, warm): floor ON 2.02 s
+    # / 1.1 MB shuffle vs floor OFF 2.48 s / 4.3 MB.
     sh = (
         with_shingles(_docs(spark, sf_dir))
         .select(

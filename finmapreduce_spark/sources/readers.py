@@ -46,8 +46,18 @@ def load_financebench(
     spark: SparkSession, path: str, num_samples: int | None = None
 ) -> DataFrame:
     """S1: line-delimited JSON → qa rows; flattens evidence[].evidence_text,
-    null-coalesces justification (exact reference default string)."""
-    df = spark.read.schema(_FINANCEBENCH_RAW).json(path)
+    null-coalesces justification (exact reference default string).
+
+    qa_id assignment is pinned DETERMINISTIC (round-16 advice): the
+    scan coalesces to one partition before monotonically_increasing_id
+    so ids are 0..n-1 in file order — the reference loader's enumerate
+    semantics — and a fetch-failure replay of the downstream
+    scan_floor repartition (mapreduce.join_documents) cannot re-draw
+    them (the SPARK-38388 duplicate/lost-row class requires a
+    nondeterministic upstream; a single-partition file read is not
+    one). QA files are small by nature (questions, not corpora); the
+    floor re-spreads the DAG right after ids are assigned."""
+    df = spark.read.schema(_FINANCEBENCH_RAW).json(path).coalesce(1)
     df = df.select(
         F.monotonically_increasing_id().alias("qa_id"),
         "doc_name",
@@ -80,8 +90,16 @@ def load_finqa(
     spark: SparkSession, path: str, num_samples: int | None = None
 ) -> DataFrame:
     """S2: single JSON array (multiLine) with '' defaults for the
-    nullable fields (finqa_loader.py:41-48)."""
-    df = spark.read.schema(_FINQA_RAW).option("multiLine", True).json(path)
+    nullable fields (finqa_loader.py:41-48). qa_id is deterministic
+    0..n-1 in file order — see load_financebench's pin note (a
+    multiLine JSON array is one split already; the coalesce makes the
+    guarantee explicit rather than incidental)."""
+    df = (
+        spark.read.schema(_FINQA_RAW)
+        .option("multiLine", True)
+        .json(path)
+        .coalesce(1)
+    )
     df = df.select(
         F.monotonically_increasing_id().alias("qa_id"),
         "doc_name",
