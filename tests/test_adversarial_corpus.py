@@ -45,6 +45,11 @@ def adv_dir(sf_dir, tmp_path_factory):
     return build_adversarial_corpus(sf_dir, str(out))
 
 
+# slow (≈5 min): full-catalog TOTALITY sweep on the adversarial corpus.
+# The per-query engine-parity tests above run by default and cover the
+# same pathological data value-exactly; this sweep only adds "every
+# other catalog entry still ANALYZES there".
+@pytest.mark.slow
 def test_catalog_total_on_adversarial_corpus(spark, adv_dir):
     failures = []
     for name, spec in all_queries().items():

@@ -561,6 +561,9 @@ def test_ingest_cli_drives_continuous_dedup(spark, tmp_path, capsys):
     spark.catalog.clearCache()
 
 
+# slow (≈30 s): CLI twin of the continuous-DoReMi loop; the streaming
+# twin and the batch oracle cover the arithmetic by default.
+@pytest.mark.slow
 def test_ingest_cli_drives_continuous_doremi(spark, tmp_path, capsys):
     """The ingest CLI's doremi mode maintains live mixture weights: two
     epochs over two domains, final weights sum to 1 across the domains

@@ -674,6 +674,9 @@ def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+# slow (≈30 s): long-horizon convergence mode; the fixed-iteration
+# pagerank oracle tests run by default.
+@pytest.mark.slow
 def test_pagerank_convergence_mode_reaches_fixpoint(spark, sf_dir):
     """Convergence mode (n_iters=None) must terminate at the integer
     fixpoint (L1 delta 0) within the iteration budget, and the

@@ -445,6 +445,9 @@ def test_continuous_dedup_store_grows_across_epochs(spark, tmp_path):
     assert stored_ids == {1, 100}
 
 
+# slow (≈30 s): many-epoch compaction replay; the single-epoch store
+# tests cover the compaction arithmetic by default.
+@pytest.mark.slow
 def test_compact_signature_store_collapses_files_and_replays(spark, tmp_path):
     """Compaction closes the continuous-ingest loop: many epoch-append
     files (including a replayed epoch's duplicate rows) rewrite into
@@ -1926,6 +1929,9 @@ def test_continuous_phash_store_rejects_reuploaded_image(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+# slow (≈35 s): multi-epoch continuous weights vs the batch twin; the
+# batch DoReMi oracle runs by default.
+@pytest.mark.slow
 def test_continuous_doremi_weights_match_batch_twin(spark, tmp_path):
     """The mixture lane's continuous twin (r13 verdict next-round #7):
     epochs append (source, b, c_add) increments; the final epoch's
