@@ -66,7 +66,18 @@ def grid_self_pairs(
         buckets.withColumn(
             "__idx", F.row_number().over(wk.orderBy(id_col)) - 1
         )
-        .withColumn("__nb", F.ceil(F.count("*").over(wk) / block).cast("int"))
+        .withColumn("__cnt", F.count("*").over(wk))
+        # A row alone in its bucket can never produce a pair — drop it
+        # HERE, after the (already-paid) index window and before the
+        # persist, both explode replications and the cell sort-merge
+        # join (round-16, guide §2.3: in the gram/band tables singleton
+        # buckets are the large majority, e.g. most 40-char grams occur
+        # in exactly one candidate doc). Pair output is identical: the
+        # filter is per-bucket all-or-nothing, so surviving buckets
+        # keep their full index range.
+        .filter(F.col("__cnt") > 1)
+        .withColumn("__nb", F.ceil(F.col("__cnt") / block).cast("int"))
+        .drop("__cnt")
         .withColumn("__blk", (F.col("__idx") / block).cast("int"))
         .persist()
     )

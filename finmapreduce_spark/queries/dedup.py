@@ -3697,22 +3697,25 @@ QUERIES.update(
 def dedup_master_keep_list_staged(
     spark: SparkSession, sf_dir: str, stage_dir: str | None = None
 ) -> DataFrame:
-    """The master keep-list with each edge lane MATERIALIZED to
-    parquet sequentially before the union+CC — the shape a production
+    """The master keep-list with each edge lane MATERIALIZED (at most
+    two lanes in flight) before the union+CC — the shape a production
     curation run takes at full corpus scale, for three reasons found
     by the round-14/15 scale studies:
 
     1. Scratch-disk ceiling: the inline composition keeps all five
        lanes' shuffle files live inside ONE distinct() job, and at
        100× that exceeded a single box's scratch (ENOSPC, SCALE.md
-       round-14 ledger). Staging runs one lane at a time, drops its
-       refs, and nudges the ContextCleaner so each lane's shuffle
-       files can be reclaimed before the next lane starts — peak
-       scratch is max(lane) + pair tables instead of sum(lanes).
-    2. Honest statistics: the CC phase reads the pair tables back
-       from parquet, so every downstream join plans from REAL file
-       sizes instead of explode-underestimated pipeline estimates
-       (the 12.9 GiB mis-broadcast class).
+       round-14 ledger). Staging materializes a lane, drops its
+       refs, and nudges the ContextCleaner so its shuffle files can
+       be reclaimed — peak scratch is max(adjacent lane pair) + pair
+       tables instead of sum(lanes) (round-16: the pool of two trades
+       a bounded scratch increase for guide-§2.6 tail back-fill; the
+       strictly-sequential form idled the cluster on every lane's
+       straggler tail).
+    2. Honest statistics: the CC phase reads back materialized pair
+       tables, so every downstream join plans from REAL sizes instead
+       of explode-underestimated pipeline estimates (the 12.9 GiB
+       mis-broadcast class).
     3. Reusable artifacts: per-signal pair tables are exactly what an
        incremental curation pipeline diffs, audits, and re-clusters
        without recomputing signatures.
@@ -3722,21 +3725,14 @@ def dedup_master_keep_list_staged(
     materialization boundary moves.
 
     ``stage_dir=None`` (the default catalog/bench path) hands each
-    lane's pair table to the CC phase as an eager executor-local
-    checkpoint instead of a parquet round-trip — the same sequential
-    lane lifecycle and per-lane scratch release (the materialization
-    still truncates lineage and frees the lane's upstream), without
-    the filesystem write+read (round-16, guide §3.3/§5: checkpoint is
-    the cheaper intra-query handoff when the artifact itself is not
-    wanted). Pass ``stage_dir`` to keep the production parquet
-    artifacts (reason 3 above) — the write path is unchanged.
+    lane's pair table to the CC phase as an eager persist+count
+    instead of a parquet round-trip (round-16, guide §5: the cheaper
+    intra-query handoff when the artifact itself is not wanted, and
+    handle-owned release stays trivially safe under the concurrent
+    lane scheduling). Pass ``stage_dir`` to keep the production
+    parquet artifacts (reason 3 above).
     """
     import gc as _gc
-
-    from finmapreduce_spark.operators.checkpoints import (
-        iter_checkpoint,
-        release_iter_checkpoint,
-    )
 
     docs = _docs(spark, sf_dir)
 
@@ -3763,13 +3759,11 @@ def dedup_master_keep_list_staged(
     # holds — spans the three signature lanes. It is dropped before
     # the scratch-heaviest lane (substring) starts.
     shingled = with_shingles(docs).persist()
-    scratch: list = []
+    shared_scratch: list = []
     # ONE bucket table + ONE grid candidate build shared by the LSH
     # and semantic lanes (their band keys are identical by shared
-    # definition — see master_history_state); the two lanes run in
-    # consecutive order and the shared frames are released right
-    # after the second one materializes, so staging's peak-scratch
-    # property degrades only from max(lane) to max(lane)+|cand ids|.
+    # definition — see master_history_state); released with the other
+    # shared signature state once its consumer lanes are done.
     from finmapreduce_spark.operators.pairgrid import grid_self_pairs
 
     buckets = _lsh_band_buckets(spark, sf_dir, shingled=shingled)
@@ -3779,83 +3773,111 @@ def dedup_master_keep_list_staged(
         "doc_id",
         [],
         block=LSH_GRID_BLOCK,
-        scratch=scratch,
+        scratch=shared_scratch,
     ).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
     ).persist()
-    shingle_lanes = [
-        (
-            "lsh",
-            lambda: _jaccard_verify(_attach_shingle_sets(cand, buckets)),
-        ),
-        (
-            "semantic",
-            lambda: dedup_semantic_verify(
-                spark, sf_dir, shingled=shingled, cand=cand, scratch=scratch
-            ),
-        ),
-        (
-            "simhash",
-            lambda: dedup_simhash_pairs_grid(
-                spark, sf_dir, shingled=shingled, scratch=scratch
-            ),
-        ),
-    ]
-    staged: list = []
 
-    def materialize(name, df):
-        """One lane's handoff: parquet when stage_dir is given (the
-        production artifact), eager local checkpoint otherwise — both
-        truncate the lane's lineage so its scratch can be released."""
+    def run_lane(item):
+        """Build + materialize one lane, then release ITS OWN scratch
+        (blocking). The handoff is parquet when stage_dir is given
+        (the production artifact), an eager persist+count otherwise —
+        the pair table is handle-owned, so release needs no
+        checkpoint-id attribution and stays safe under the
+        concurrent-lane scheduling below. Job descriptions are
+        thread-local, so each in-flight lane is labelled in the UI."""
+        name, build = item
+        spark.sparkContext.setJobDescription(f"keep-list stage: {name}")
+        scratch: list = []
+        df = build(scratch).select("doc_a", "doc_b")
         if stage_dir is not None:
             df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
-            staged.append(spark.read.parquet(f"{stage_dir}/{name}"))
+            out = spark.read.parquet(f"{stage_dir}/{name}")
         else:
-            staged.append(iter_checkpoint(df))
+            out = df.persist()
+            out.count()
+        for fr in scratch:
+            fr.unpersist(True)
+        spark.sparkContext.setJobDescription(None)
+        return out
 
-    for name, build in shingle_lanes:
-        materialize(name, build().select("doc_a", "doc_b"))
-        # Free exactly THIS lane's persisted state (blocking) before
-        # the next lane shuffles — the shared shingle cache stays,
-        # and the shared bucket/candidate tables drop once the second
-        # of their two consumer lanes has materialized.
-        if name == "semantic":
-            cand.unpersist(True)
-            buckets.unpersist(True)
-        for fr in scratch:
-            fr.unpersist(True)
-        scratch.clear()
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
-    shingled.unpersist(True)
-    for name, build in [
-        ("exact", exact_lane),
-        ("substring", lambda: exact_substring_pairs(docs, scratch=scratch)),
-    ]:
-        materialize(name, build().select("doc_a", "doc_b"))
-        # Free this lane's state before the next lane shuffles —
-        # selective (the scratch collector), NOT the round-15
-        # release_all_persistent_rdds sweep, which would also drop
-        # the earlier lanes' checkpointed pair tables; the gc pair
-        # then lets the ContextCleaner reclaim the lane's
-        # now-unreferenced shuffle files (best effort — shuffle
-        # removal is async, but the next lane's materialization gives
-        # it wall time to land).
-        for fr in scratch:
-            fr.unpersist(True)
-        scratch.clear()
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
+    # Lanes run AT MOST TWO in flight (guide §2.6 "overlap independent
+    # jobs": FIFO scheduling back-fills the current lane's straggler
+    # tail with the next lane's tasks — round-16: the strictly
+    # sequential form serialized five materialization barriers, ~4 s
+    # of idle tail at sf0.1 and the same idle fraction on a cluster).
+    # Peak scratch becomes max(adjacent lane pair) instead of
+    # max(lane) — still far under the sum(lanes) that ENOSPC'd the
+    # r14 100× inline composition; the pool size is the §2.6
+    # recommendation, not a core-count tunable. Per-lane scratch
+    # lists keep a lane's release from touching an in-flight
+    # sibling's state; the shared signature tables (shingles,
+    # buckets, candidates) are released at the group boundaries
+    # below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        first = list(
+            pool.map(
+                run_lane,
+                [
+                    (
+                        "lsh",
+                        lambda s: _jaccard_verify(
+                            _attach_shingle_sets(cand, buckets)
+                        ),
+                    ),
+                    (
+                        "semantic",
+                        lambda s: dedup_semantic_verify(
+                            spark,
+                            sf_dir,
+                            shingled=shingled,
+                            cand=cand,
+                            scratch=s,
+                        ),
+                    ),
+                    (
+                        "simhash",
+                        lambda s: dedup_simhash_pairs_grid(
+                            spark, sf_dir, shingled=shingled, scratch=s
+                        ),
+                    ),
+                ],
+            )
+        )
+    for fr in (cand, buckets, shingled, *shared_scratch):
+        fr.unpersist(True)
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        second = list(
+            pool.map(
+                run_lane,
+                [
+                    ("exact", lambda s: exact_lane()),
+                    (
+                        "substring",
+                        lambda s: exact_substring_pairs(docs, scratch=s),
+                    ),
+                ],
+            )
+        )
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    staged = first + second
     edges = reduce(lambda a, b: a.unionByName(b), staged).distinct()
     labels = connected_components(edges)
     losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
     out = docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
     if stage_dir is None:
-        # the CC output is checkpoint-backed; the pair-table blocks
-        # are no longer referenced by the returned plan
+        # CC's output is checkpoint-backed; the pair-table caches feed
+        # nothing in the returned plan. Lineage is intact (persist,
+        # not checkpoint), so this release is safe even against a
+        # late re-read.
         for df in staged:
-            release_iter_checkpoint(df)
+            df.unpersist()
     return out
 
 
