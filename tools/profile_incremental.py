@@ -1,11 +1,11 @@
-"""Phase profile of dedup_master_keep_list_incremental (r16 measure-first).
+"""Phase profile of dedup_master_keep_list_incremental (r16).
 
-Times each phase by materializing it with a noop write (guide §1.4)
-under a job description label, in the order the real query executes.
-Because the state tables are persisted, later phases read warm caches
-exactly as the real lane does; the phase walls therefore decompose the
-lane's wall (modulo the symmetric-union recompute inside
-connected_components, which the CC phases absorb — noted inline).
+Times each phase of the ROUND-16 structure (one full-corpus store +
+one pair pass, split by the ingest predicate, history CC + contracted
+merge CC) by materializing it with a noop write (guide §1.4) under a
+job description label, in execution order. The store tables are
+persisted, so later phases read warm caches exactly as the real lane
+does.
 
   python tools/profile_incremental.py [sf_dir]
 """
@@ -32,10 +32,10 @@ def noop(df):
 
 
 def main() -> None:
+    from finmapreduce_spark.operators.checkpoints import iter_checkpoint
     from finmapreduce_spark.queries.dedup import (
         INGEST_MOD,
         _docs,
-        _master_cross_edges,
         _master_edge_union,
         connected_components,
         master_history_state,
@@ -46,8 +46,6 @@ def main() -> None:
     sc = spark.sparkContext
     t_all0 = time.time()
     docs = _docs(spark, SF_DIR)
-    delta = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) == 0)
-    hist = docs.filter(F.pmod("doc_id", F.lit(INGEST_MOD)) != 0)
     phases: list[tuple[str, float]] = []
 
     def timed(label, fn):
@@ -56,47 +54,55 @@ def main() -> None:
         out = fn()
         dt = round(time.time() - t0, 2)
         phases.append((label, dt))
-        print(f"{label:38s} {dt:7.2f} s", flush=True)
+        print(f"{label:44s} {dt:7.2f} s", flush=True)
         sc.setJobDescription(None)
         return out
 
-    state_h = master_history_state(spark, SF_DIR, hist)
-    state_d = master_history_state(spark, SF_DIR, delta)
-    for k, v in state_h.items():
-        timed(f"state_h.{k}", lambda v=v: noop(v))
-    for k, v in state_d.items():
-        timed(f"state_d.{k}", lambda v=v: noop(v))
-
-    hist_edges = _master_edge_union(spark, SF_DIR, hist, state=state_h)
-    timed("hist_edges (noop, warm state)", lambda: noop(hist_edges))
+    state = master_history_state(spark, SF_DIR, docs)
+    for k, v in state.items():
+        timed(f"store.{k}", lambda v=v: noop(v))
+    scratch: list = []
+    all_edges = timed(
+        "pair pass (5 lanes, warm store) + checkpoint",
+        lambda: iter_checkpoint(
+            _master_edge_union(spark, SF_DIR, docs, state=state, scratch=scratch)
+        ),
+    )
+    timed(
+        "store release (blocking)",
+        lambda: [fr.unpersist(True) for fr in (*state.values(), *scratch)],
+    )
+    is_da = F.pmod(F.col("doc_a"), F.lit(INGEST_MOD)) == 0
+    is_db = F.pmod(F.col("doc_b"), F.lit(INGEST_MOD)) == 0
     hist_labels = timed(
-        "CC1 hist (incl. sym recompute)",
-        lambda: connected_components(hist_edges),
+        "CC history-internal subgraph",
+        lambda: connected_components(all_edges.filter(~is_da & ~is_db)),
     )
-    timed("hist_labels count", lambda: hist_labels.count())
-
-    delta_edges = _master_edge_union(spark, SF_DIR, delta, state=state_d)
-    timed("delta_edges (noop)", lambda: noop(delta_edges))
-    cross_edges = _master_cross_edges(
-        spark, SF_DIR, delta, hist, state=state_h, delta_state=state_d
+    la = hist_labels.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("__la"))
+    lb = hist_labels.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("__lb"))
+    contracted = (
+        all_edges.filter(is_da | is_db)
+        .join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("__la", "doc_a").alias("doc_a"),
+            F.coalesce("__lb", "doc_b").alias("doc_b"),
+        )
     )
-    timed("cross_edges (noop)", lambda: noop(cross_edges))
-
-    hist_star = hist_labels.filter(F.col("doc_id") != F.col("label")).select(
-        F.col("label").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    merge_labels = timed(
+        "CC contracted merge (new edges only)",
+        lambda: connected_components(contracted),
     )
-    edges = (
-        hist_star.unionByName(delta_edges).unionByName(cross_edges).distinct()
+    losers = (
+        hist_labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+        .unionByName(
+            merge_labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+        )
     )
-    labels = timed(
-        "CC2 full (incl. edge recompute)", lambda: connected_components(edges)
-    )
-    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
     out = docs.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
     timed("final anti-join count", lambda: out.count())
-
     total = round(time.time() - t_all0, 2)
-    print(f"{'TOTAL (phased)':38s} {total:7.2f} s")
+    print(f"{'TOTAL (phased)':44s} {total:7.2f} s")
     print(f"phase sum: {round(sum(d for _, d in phases), 2)} s")
 
 
