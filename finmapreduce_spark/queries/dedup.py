@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from finmapreduce_spark.operators.checkpoints import (
     iter_checkpoint,
-    release_all_persistent_rdds,
     release_iter_checkpoint,
 )
 from finmapreduce_spark.queries import QuerySpec
